@@ -1,0 +1,12 @@
+"""Named query definitions. Importing this package populates the registry.
+
+Modules map to SURVEY.md sections:
+    relational  — §2.1-2.8 scans/filters/joins/aggs/sorts/set-ops/windows
+    queue       — §2.9 queue semantics, batch-deterministic forms (Q1-Q13)
+    analytics   — showcase star-schema analytics (bench headliners)
+    text        — §7 Phase 3: text analysis + dedup on `documents`
+    similarity  — §7 Phase 3: embedding similarity / ANN on `embeddings`
+    multimodal  — §7 Phase 3: binary-column plumbing
+"""
+
+from . import analytics, multimodal, queue, relational, similarity, text  # noqa: F401

@@ -1,0 +1,68 @@
+"""Multimodal-column plumbing — SURVEY §7 Phase 3.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed metadata
+alongside. The decode/feature-extract stages live in
+``hive_backend_spark.operators.multimodal`` as mapInPandas operators (decode
+stubbed — no media libs in this container); the oracle-checked queries here
+exercise the Spark-side plumbing that IS portable SQL: binary
+encode/length/digest handling on real columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "q80_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           length(text) AS n_codepoints,
+           octet_length(encode(text)) > length(text) AS multibyte
+    FROM documents
+    """,
+)
+def q80_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata: byte length vs codepoint length on the
+    utf-8-encoded payload — the schema pattern for multimodal blobs
+    (binary column + derived typed metadata columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.length(F.col("text")).alias("n_codepoints"),
+        (F.octet_length(blob) > F.length(F.col("text"))).alias("multibyte"),
+    )
+
+
+@register(
+    "q81_binary_digest_partition",
+    oracle="""
+    SELECT bucket, count(*) AS n_docs, round(sum(octet_length(encode(text))) / 1024.0, 4) AS kb
+    FROM (
+      SELECT text, CAST(substring(md5(text), 1, 2) AS VARCHAR) AS bucket
+      FROM documents
+    )
+    GROUP BY bucket
+    """,
+)
+def q81_binary_digest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed bucketing: digest-prefix buckets with per-bucket
+    byte budgets — the layout planner for sharding 100 TB of blobs into
+    balanced partitions (256 buckets from 2 hex chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("text")), 1, 2)
+    return (
+        docs.select("text", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum(F.octet_length(F.encode(F.col("text"), "UTF-8"))) / 1024.0, 4).alias("kb"),
+        )
+    )

@@ -1,0 +1,207 @@
+"""Queue semantics — SURVEY.md §2.9 (Q1-Q13) in batch-deterministic form.
+
+The reference's `updates` table is a hand-rolled at-least-once message queue
+(db.mjs:35-51 DDL; producers server.mjs:110-118,217-229; consumer
+db.mjs:285-293; two-phase completion db.mjs:323-332). The oracle-checkable
+batch forms live here; the Structured Streaming mirrors live in
+``hive_backend_spark.streaming`` and are smoke-tested in pytest (SURVEY §7
+keeps them out of the oracle set by design).
+
+`events` is the queue stand-in (FIXTURES.md §B): ts=created_at,
+event_type=routing key, coalesce(value,0)=priority.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import NOW, register
+
+
+@register(
+    "q50_enqueue_defaults",
+    oracle="""
+    SELECT event_id AS id,
+           event_type AS type,
+           CASE WHEN event_type IN ('click', 'view') THEN 'sheets' ELSE 'slides' END AS source_type,
+           CASE WHEN event_type IN ('click', 'view') THEN 'slides' ELSE 'sheets' END AS target_type,
+           props AS content,
+           FALSE AS processed,
+           FALSE AS acknowledged,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS priority,
+           ts AS created_at
+    FROM events
+    """,
+)
+def q50_enqueue_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+Q2+Q9 enqueue with routing and priority escalation: the producer
+    shape (db.mjs:252-259 insertUpdate; server.mjs:115 target flip;
+    server.mjs:117 selection priority=1). Pure projection — no shuffle; at
+    scale this is the map stage feeding a partitioned-by-target_type write."""
+    events = load_table(spark, sf_dir, "events")
+    is_sheets = F.col("event_type").isin("click", "view")
+    return events.select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("type"),
+        F.when(is_sheets, "sheets").otherwise("slides").alias("source_type"),
+        F.when(is_sheets, "slides").otherwise("sheets").alias("target_type"),
+        F.col("props").alias("content"),
+        F.lit(False).alias("processed"),
+        F.lit(False).alias("acknowledged"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("priority"),
+        F.col("ts").alias("created_at"),
+    )
+
+
+@register(
+    "q52_two_phase_mark",
+    oracle="""
+    SELECT e.event_id, TRUE AS processed, TIMESTAMP '2024-01-31 00:00:00' AS processed_at
+    FROM events e
+    WHERE e.event_id IN (
+      SELECT event_id FROM events
+      WHERE event_type = 'click'
+      ORDER BY coalesce(value, 0) DESC, ts ASC, event_id ASC
+      LIMIT 100
+    )
+    """,
+)
+def q52_two_phase_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 two-phase completion, phase 1 (db.mjs:323-332 markUpdatesProcessed:
+    UPDATE ... SET processed=1, processed_at=now WHERE id IN (...)): the
+    dequeued batch (q01) flows back as a semi join marking rows processed.
+    The IN-list of the reference becomes a broadcast semi join — the 100-row
+    batch broadcasts, the big table never shuffles."""
+    events = load_table(spark, sf_dir, "events")
+    batch = (
+        events.filter(F.col("event_type") == "click")
+        .orderBy(F.coalesce(F.col("value"), F.lit(0.0)).desc(), F.col("ts").asc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id")
+    )
+    return (
+        events.join(F.broadcast(batch), "event_id", "left_semi")
+        .select(
+            "event_id",
+            F.lit(True).alias("processed"),
+            F.lit(NOW).cast("timestamp").alias("processed_at"),
+        )
+    )
+
+
+@register(
+    "q53_stale_apps",
+    oracle=f"""
+    SELECT user_id, max(ts) AS last_seen
+    FROM events
+    GROUP BY user_id
+    HAVING max(ts) < TIMESTAMP '{NOW}' - INTERVAL 3 DAY
+    """,
+)
+def q53_stale_apps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 heartbeat staleness watermark (db.mjs:357-373: updateAppLastSeen
+    bumps last_seen; getStaleApps finds apps older than the horizon).
+    max()-per-key then horizon filter; partial aggregation keeps the shuffle
+    tiny (one row per key per partition)."""
+    events = load_table(spark, sf_dir, "events")
+    horizon = F.lit(NOW).cast("timestamp") - F.expr("INTERVAL 3 DAYS")
+    return (
+        events.groupBy("user_id")
+        .agg(F.max("ts").alias("last_seen"))
+        .filter(F.col("last_seen") < horizon)
+    )
+
+
+@register(
+    "q54_ttl_retention",
+    oracle=f"""
+    SELECT event_type, count(*) AS surviving, min(ts) AS oldest_kept
+    FROM events
+    WHERE ts >= TIMESTAMP '{NOW}' - INTERVAL 14 DAY
+    GROUP BY event_type
+    """,
+)
+def q54_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8/S8 TTL retention (db.mjs:387-408 cleanupStaleData: DELETE WHERE
+    created_at < cutoff). On immutable storage the delete is an anti-filter
+    rewrite — this query is the survivor set's audit summary. With the table
+    partitioned by day, the rewrite touches only expiring partitions."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(NOW).cast("timestamp") - F.expr("INTERVAL 14 DAYS")
+    return (
+        events.filter(F.col("ts") >= cutoff)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("surviving"), F.min("ts").alias("oldest_kept"))
+    )
+
+
+@register(
+    "q55_hydration_snapshot",
+    oracle=f"""
+    SELECT 'active_users' AS kind, count(DISTINCT user_id) AS n FROM events
+    UNION ALL
+    SELECT 'pending_updates' AS kind, count(*) AS n FROM events
+    WHERE event_type = 'click' AND ts > TIMESTAMP '{NOW}' - INTERVAL 7 DAY
+    """,
+)
+def q55_hydration_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 initial-state hydration (server.mjs:268-282 getInitialData:
+    Promise.all over active connections + pending updates). Two independent
+    aggregates unioned into one result; Spark runs both branches of the union
+    in the same job."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(NOW).cast("timestamp") - F.expr("INTERVAL 7 DAYS")
+    active = events.agg(F.countDistinct("user_id").alias("n")).select(
+        F.lit("active_users").alias("kind"), "n"
+    )
+    pending = (
+        events.filter((F.col("event_type") == "click") & (F.col("ts") > cutoff))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("pending_updates").alias("kind"), "n")
+    )
+    return active.unionByName(pending)
+
+
+@register(
+    "q56_backlog_alert",
+    oracle="""
+    SELECT event_type, count(*) AS backlog,
+           CASE WHEN count(*) > 1000 THEN 'warn'
+                WHEN count(*) > 2000 THEN 'error'
+                ELSE 'ok' END AS alert
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q56_backlog_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/Q13 threshold alerting on aggregates (db.mjs:423-429: warn if
+    pending>1000, error if errors/hour>50)."""
+    events = load_table(spark, sf_dir, "events")
+    cnt = F.count(F.lit(1))
+    return events.groupBy("event_type").agg(
+        cnt.alias("backlog"),
+        F.when(cnt > 1000, "warn").when(cnt > 2000, "error").otherwise("ok").alias("alert"),
+    )
+
+
+@register(
+    "q51_dedup_by_id",
+    oracle="""
+    SELECT user_id, event_type, min(event_id) AS first_event_id, min(ts) AS first_ts
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q51_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 dedup via unique constraint (db.mjs:49 UNIQUE(id); db.mjs:32
+    UNIQUE(original_cell_id, slide_element_id)): keep-first-by-key expressed
+    as a deterministic min-aggregate (dropDuplicates' arbitrary-survivor
+    semantics are not oracle-comparable; the library's streaming form uses
+    dropDuplicatesWithinWatermark)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min("ts").alias("first_ts"),
+    )

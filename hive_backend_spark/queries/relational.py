@@ -1,0 +1,700 @@
+"""Relational core — SURVEY.md §2.1-2.8, one named query per operator row.
+
+The reference's store queries (db.mjs) run over its five SQLite tables; the
+oracle-checked forms here run over the driver's stand-in tables per
+FIXTURES.md §B (`events` = the `updates` queue, star-schema dims = the
+`connections` registry).
+
+Scale notes common to all queries here:
+  - filters/projections are expressed declaratively so Catalyst pushes them
+    into the parquet scan (PushedFilters / ReadSchema);
+  - every dimension join uses an explicit ``broadcast()`` hint — at 100 TB
+    the fact side never shuffles for these lookups;
+  - top-k is always ``orderBy().limit(n)`` which Spark executes as
+    TakeOrderedAndProject (per-partition heap + driver merge; no global sort);
+  - LIMIT queries carry a unique trailing tie-break key so the selected set
+    is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import NOW, register
+
+# ---------------------------------------------------------------------------
+# §2.5 O1 + §2.2 P2 + §2.9 Q3 — the flagship: prioritized bounded dequeue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_priority_dequeue",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value AS priority, props
+    FROM events
+    WHERE event_type = 'click' AND ts <= TIMESTAMP '{NOW}'
+    ORDER BY coalesce(value, 0) DESC, ts ASC, event_id ASC
+    LIMIT 100
+    """,
+)
+def q01_priority_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-queue dequeue (reference db.mjs:285-293, getPendingUpdates):
+    pending AND target filter, priority DESC, FIFO tie-break, LIMIT batch.
+    Spark physical plan: parquet scan with pushed filter -> TakeOrderedAndProject
+    (no global sort, no full shuffle — holds at any scale).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter((F.col("event_type") == "click") & (F.col("ts") <= F.lit(NOW).cast("timestamp")))
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            F.col("value").alias("priority"),
+            "props",
+        )
+        .orderBy(
+            F.coalesce(F.col("priority"), F.lit(0.0)).desc(),
+            F.col("ts").asc(),
+            F.col("event_id").asc(),
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates (P1-P9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_active_filter",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders WHERE o_orderstatus = 'O'",
+)
+def q02_active_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 active-connection filter (db.mjs:281-283): equality predicate +
+    projection; both reach the parquet scan (PushedFilters + ReadSchema)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+
+@register(
+    "q03_pending_filter",
+    oracle="""
+    SELECT event_id, user_id, ts, value
+    FROM events
+    WHERE event_type = 'view' AND value IS NOT NULL AND value > 50.0
+    """,
+)
+def q03_pending_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 pending-update filter (db.mjs:287-288): conjunctive predicate
+    `processed = 0 AND target_type = ?` mapped onto events."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(
+        (F.col("event_type") == "view") & F.col("value").isNotNull() & (F.col("value") > 50.0)
+    ).select("event_id", "user_id", "ts", "value")
+
+
+@register(
+    "q04_unacked_fifo",
+    oracle="""
+    SELECT event_id, user_id, ts, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100.0
+    ORDER BY ts ASC, event_id ASC
+    """,
+)
+def q04_unacked_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 unacked filter + O3 FIFO full sort (db.mjs:334-343,
+    getUnacknowledgedUpdates): processed AND NOT acknowledged, created_at ASC."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    )
+
+
+@register(
+    "q05_point_lookup",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE event_id = 123",
+)
+def q05_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 point lookup by PK (server.mjs:205-208, db.mjs:302): WHERE id = ?.
+    The equality predicate is pushed to parquet row-group stats, so only
+    matching row groups are read — the 100 TB analog of an index probe."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") == 123).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@register(
+    "q06_in_list",
+    oracle="""
+    SELECT event_id, event_type, user_id, ts
+    FROM events
+    WHERE event_type IN ('signup', 'error')
+    """,
+)
+def q06_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 IN-list predicate (db.mjs:323-332, markUpdatesProcessed builds
+    `id IN (?,...)` from an array)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type").isin("signup", "error")).select(
+        "event_id", "event_type", "user_id", "ts"
+    )
+
+
+@register(
+    "q07_time_horizon",
+    oracle=f"""
+    SELECT event_id, user_id, ts
+    FROM events
+    WHERE ts < TIMESTAMP '{NOW}' - INTERVAL 7 DAY AND event_type = 'signup'
+    """,
+)
+def q07_time_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 time-horizon predicate (db.mjs:366-373, getStaleApps):
+    `last_seen < datetime('now','-N minutes') AND status='active'`.
+    Wall clock replaced by the fixed NOW literal for determinism (§7.4)."""
+    events = load_table(spark, sf_dir, "events")
+    horizon = F.lit(NOW).cast("timestamp") - F.expr("INTERVAL 7 DAYS")
+    return events.filter((F.col("ts") < horizon) & (F.col("event_type") == "signup")).select(
+        "event_id", "user_id", "ts"
+    )
+
+
+@register(
+    "q08_recency_window",
+    oracle=f"""
+    SELECT event_type, count(*) AS cnt
+    FROM events
+    WHERE ts > TIMESTAMP '{NOW}' - INTERVAL 24 HOUR
+    GROUP BY event_type
+    """,
+)
+def q08_recency_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 recency predicate (db.mjs:414,418, monitorHealth's
+    `created_at > datetime('now','-1 hour')`) + grouped count."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(NOW).cast("timestamp") - F.expr("INTERVAL 24 HOURS")
+    return (
+        events.filter(F.col("ts") > cutoff)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q09_null_guards",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+          AND event_type = 'purchase'
+    """,
+)
+def q09_null_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 null/shape guards (sheets-code.gs:359-362: `!data?.cellId` checks)
+    + F6 JSON point extraction (get_json_object on the content payload)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return (
+        events.filter(F.col("props").isNotNull() & k.isNotNull() & (F.col("event_type") == "purchase"))
+        .select("event_id", k.cast("int").alias("k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Sorts / limits / top-k (O2; O1 is q01, O3 folded into q04)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_recent_errors_topk",
+    oracle="""
+    SELECT event_id, user_id, ts, props
+    FROM events
+    WHERE event_type = 'error'
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+)
+def q10_recent_errors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 recent-first top-k (db.mjs:376-384, getRecentErrors):
+    ORDER BY created_at DESC LIMIT 100 -> TakeOrderedAndProject."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "props")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations (A1-A4, Q13 health snapshot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_group_count",
+    oracle="SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users FROM events GROUP BY event_type",
+)
+def q11_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 per-app count (server.mjs:78 connectionCount) generalized to
+    groupBy + count + count_distinct. Partial aggregation (map-side combine)
+    means the shuffle carries one row per (partition, group), not raw rows."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+@register(
+    "q12_health_snapshot",
+    oracle=f"""
+    SELECT
+      count(*) AS total_events,
+      count(DISTINCT user_id) AS active_users,
+      count(*) FILTER (WHERE event_type = 'click') AS pending_updates,
+      count(*) FILTER (WHERE event_type = 'error'
+                       AND ts > TIMESTAMP '{NOW}' - INTERVAL 24 HOUR) AS errors_last_day,
+      round(avg(value) FILTER (WHERE event_type = 'purchase'), 4) AS avg_purchase_value
+    FROM events
+    """,
+)
+def q12_health_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13/A1/A2/A3 health snapshot (db.mjs:410-432, monitorHealth): the
+    reference issues 4 separate scans inside Promise.all; the Spark form is a
+    single one-pass multi-metric aggregate (conditional aggregation), which
+    at 100 TB is 4x less I/O than four scans."""
+    events = load_table(spark, sf_dir, "events")
+    err_cutoff = F.lit(NOW).cast("timestamp") - F.expr("INTERVAL 24 HOURS")
+    return events.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct("user_id").alias("active_users"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("pending_updates"),
+        F.count(F.when((F.col("event_type") == "error") & (F.col("ts") > err_cutoff), 1)).alias(
+            "errors_last_day"
+        ),
+        F.round(F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 4).alias(
+            "avg_purchase_value"
+        ),
+    )
+
+
+@register(
+    "q15_avg_latency_per_key",
+    oracle="""
+    SELECT o_orderpriority,
+           round(avg((epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 86400000000.0), 4) AS avg_ship_days,
+           count(*) AS n_lineitems
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q15_avg_latency_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+J5 avg sync latency per key (db.mjs:415-419:
+    AVG(strftime('%s',last_sync_time) - strftime('%s',created_at))), mapped to
+    ship-latency per order priority. Microsecond-integer arithmetic
+    (unix_micros <-> epoch_us) keeps both engines exact; only the final avg is
+    rounded. orders-lineitem is a shuffle join on the natural key; AQE handles
+    skew at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lat_days = (F.unix_micros(F.col("l_shipdate")) - F.unix_micros(F.col("o_orderdate"))) / F.lit(
+        86400000000.0
+    )
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg(lat_days), 4).alias("avg_ship_days"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins (J1-J5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_fk_enrich_join",
+    oracle="""
+    SELECT event_id, ts, value, c_custkey, c_name, c_mktsegment
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    """,
+)
+def q13_fk_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 FK point-lookup join (server.mjs:205-228: fetch connection row to
+    enrich the update event). Customer is broadcast — the events side never
+    shuffles, which is the only join strategy that survives a 100 TB fact
+    table against a small dimension."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "ts", "value", "c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "q14_latest_wins",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q14_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/S6 latest-record-wins upsert (db.mjs:270-278 INSERT OR REPLACE;
+    sheets-code.gs:449-451 filter-and-concat replace): the idiomatic Spark
+    form is a dedup window row_number()=1 by key, newest first. One shuffle
+    on the key; no driver-side state."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "q27_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+    """,
+)
+def q27_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (free-surface per SURVEY §2.3: absent in reference, exposed
+    because the oracle can check it): customers with at least one big order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 100000.0)
+    return customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q28_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q28_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (J4's delete-side expressed relationally): customers with no
+    orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Scalar functions (F4, F8-F11; F1/F2 exercised above)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_conditional_retry",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN CAST(floor(value) AS INTEGER) + 1 ELSE 0 END AS retry_count,
+           CASE WHEN event_type = 'error' THEN 'error' ELSE 'active' END AS status
+    FROM events
+    """,
+)
+def q16_conditional_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/T3 conditional retry counter (db.mjs:313-316:
+    CASE WHEN ?='error' THEN retry_count+1 ELSE 0 END)."""
+    events = load_table(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    return events.select(
+        "event_id",
+        F.when(is_err, F.floor(F.col("value")).cast("int") + 1).otherwise(0).alias("retry_count"),
+        F.when(is_err, F.lit("error")).otherwise(F.lit("active")).alias("status"),
+    )
+
+
+@register(
+    "q17_soft_delete",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'error' THEN FALSE ELSE TRUE END AS active,
+           CASE WHEN event_type = 'error' THEN 'deleted' ELSE 'active' END AS status
+    FROM events
+    """,
+)
+def q17_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 soft delete (db.mjs:296-305, deleteConnection sets active=0,
+    status='deleted'): flag rewrite, not row removal; readers keep filtering
+    on `active` (P1)."""
+    events = load_table(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    return events.select(
+        "event_id",
+        "user_id",
+        F.when(is_del, F.lit(False)).otherwise(F.lit(True)).alias("active"),
+        F.when(is_del, F.lit("deleted")).otherwise(F.lit("active")).alias("status"),
+    )
+
+
+@register(
+    "q21_compound_key",
+    oracle="""
+    SELECT event_id,
+           concat_ws('!', event_type, CAST(user_id AS VARCHAR)) AS cell_id,
+           split_part(concat_ws('!', event_type, CAST(user_id AS VARCHAR)), '!', 1) AS sheet_name,
+           split_part(concat_ws('!', event_type, CAST(user_id AS VARCHAR)), '!', 2) AS range_ref
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def q21_compound_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9 compound-key split/build (sheets-code.gs:424,465: cellId.split('!');
+    script.mjs:94: `${sheetName}!${range}`)."""
+    events = load_table(spark, sf_dir, "events")
+    cell_id = F.concat_ws("!", F.col("event_type"), F.col("user_id").cast("string"))
+    return events.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        cell_id.alias("cell_id"),
+        F.split_part(cell_id, F.lit("!"), F.lit(1)).alias("sheet_name"),
+        F.split_part(cell_id, F.lit("!"), F.lit(2)).alias("range_ref"),
+    )
+
+
+@register(
+    "q22_prefix_ops",
+    oracle="""
+    SELECT doc_id,
+           starts_with(text, 'the ') AS has_marker,
+           substring(text, 5) AS stripped,
+           concat('doc: ', substring(text, 1, 16)) AS labeled
+    FROM documents
+    WHERE starts_with(text, 'the ')
+    """,
+)
+def q22_prefix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 prefix test / strip / prepend (slides-code.gs:477-480: emoji marker
+    startsWith + substring(2) + template prepend)."""
+    docs = load_table(spark, sf_dir, "documents")
+    has = F.col("text").startswith("the ")
+    return docs.filter(has).select(
+        "doc_id",
+        has.alias("has_marker"),
+        F.expr("substring(text, 5)").alias("stripped"),
+        F.concat(F.lit("doc: "), F.substring(F.col("text"), 1, 16)).alias("labeled"),
+    )
+
+
+@register(
+    "q23_cast_string",
+    oracle="""
+    SELECT event_id, CAST(user_id AS VARCHAR) AS user_str,
+           CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def q23_cast_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 type coercion to string (slides-code.gs:498: String(data.value)
+    before writing into a shape). Doubles go through DECIMAL(12,2) so both
+    engines render identical text."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "view").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("user_str"),
+        F.col("value").cast("decimal(12,2)").cast("string").alias("value_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Set operations (absent in reference; free surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q24_union",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q24_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union with dedup (§2.6)."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "click").select("user_id")
+    b = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.union(b).distinct()
+
+
+@register(
+    "q25_intersect",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def q25_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (§2.6): users who both signed up and errored."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "signup").select("user_id")
+    b = events.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "q26_except",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q26_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (§2.6): viewers who never purchased."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "view").select("user_id")
+    b = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)  # EXCEPT DISTINCT semantics
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Window functions (free surface; verified against oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q29_window_rank",
+    oracle="""
+    SELECT event_id, user_id, value,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC NULLS LAST, event_id ASC) AS value_rank
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q29_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking (§2.8): per-user purchase rank by value."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc_nulls_last(), F.col("event_id").asc())
+    return events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", F.rank().over(w).alias("value_rank")
+    )
+
+
+@register(
+    "q30_lag_gap",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap_us
+    FROM events
+    """,
+)
+def q30_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window lag (§2.8): per-user inter-event gap in microseconds (exact
+    integer arithmetic, no float rounding)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@register(
+    "q33_topk_per_group",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value DESC NULLS LAST, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q33_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (§2.8): highest-value events per type via ranking
+    window — the distributed form of N separate top-k queries."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc_nulls_last(), F.col("event_id").asc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A5 grouping sets / rollup / count-distinct (free surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q31_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (A5 free surface): region/nation customer census
+    with subtotals and grand total. Dimension joins are broadcast."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q32_approx_and_exact_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(DISTINCT CAST(value AS DECIMAL(12,2))) AS distinct_values
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q32_approx_and_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (A5). (approx_count_distinct is exposed in the
+    library and smoke-tested, but HLL estimates are engine-specific so the
+    oracle-checked form uses exact counts.)"""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct(F.col("value").cast("decimal(12,2)")).alias("distinct_values"),
+    )

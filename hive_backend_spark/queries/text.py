@@ -1,0 +1,197 @@
+"""Text-analysis + dedup operators over `documents` — SURVEY §7 Phase 3.
+
+These are the training-data-pipeline extensions (not reference behavior):
+token counting, quality scoring, language-ID heuristics, fingerprinting, and
+exact-dup detection. All built-in column expressions (JVM-side, codegen) — no
+Python UDFs in any of these paths, so they scale to 100 TB of text at full
+whole-stage-codegen speed.
+
+Near-dup (MinHash-LSH / SimHash) lives in ``operators/dedup.py`` with its
+own registered queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# English-ish stopwords present in the synthetic corpus vocabulary.
+STOPWORDS = ("the", "a", "of", "and")
+
+
+@register(
+    "q60_text_stats",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           round(CAST(n_chars AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def q60_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats (whitespace tokenization): the basic
+    per-document quality signals. Pure scan + projection — embarrassingly
+    parallel, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 4).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q61_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS word_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS num_tokens
+    FROM documents
+    """,
+)
+def q61_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (word vs numeric runs) — the cheap proxy
+    for tokenizer-cost estimation over a corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]+")).alias("word_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+")).alias("num_tokens"),
+    )
+
+
+@register(
+    "q62_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           round(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
+           round(LEAST(n_tokens / 100.0, 1.0) * 0.5
+                 + LEAST(stop_hits / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.5, 4) AS quality_score
+    FROM (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t))) AS stop_hits
+      FROM documents
+    )
+    """,
+)
+def q62_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length + stopword-density mix, the classic C4-style
+    heuristic family): still pure column expressions — array ops run inside
+    codegen, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = stop_hits / n_tokens.cast("double")
+    quality = F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5 + F.least(
+        stop_ratio * 5.0, F.lit(1.0)
+    ) * 0.5
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+@register(
+    "q63_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def q63_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercased
+    text. md5 is bit-identical across engines, so fingerprints are portable
+    keys for cross-system dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@register(
+    "q64_exact_dup_groups",
+    oracle="""
+    SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
+    FROM (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    """,
+)
+def q64_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication (hash-groupBy): duplicate clusters with a
+    deterministic keeper (min doc_id). At 100 TB this is the standard
+    shuffle-on-digest dedup — the 16-byte digest, not the document text, is
+    the shuffle key/payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "q65_lang_profile",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q65_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (the audit view a lang-ID pass feeds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split(F.trim(F.col("text")), r"\s+"))), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "q66_lang_id_heuristic",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN stop_hits >= 3 THEN 'en_like' ELSE 'other' END AS predicted_class,
+           stop_hits
+    FROM (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t))) AS stop_hits
+      FROM documents
+    )
+    """,
+)
+def q66_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit n-gram scoring): the structure of
+    a real fastText-style classifier pass — score features per doc, threshold
+    into classes — with a deterministic, oracle-checkable feature set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(stop_hits >= 3, "en_like").otherwise("other").alias("predicted_class"),
+        stop_hits.alias("stop_hits"),
+    )
