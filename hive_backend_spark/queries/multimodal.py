@@ -66,3 +66,31 @@ def q81_binary_digest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.octet_length(F.encode(F.col("text"), "UTF-8"))) / 1024.0, 4).alias("kb"),
         )
     )
+
+
+@register(
+    "q83_decode_features",
+    oracle="""
+    SELECT doc_id,
+           16 + (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS width,
+           16 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS height,
+           list_transform(range(0, 16), j ->
+             ((strpos('0123456789abcdef', substr(md5(text), 2*j + 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(text), 2*j + 2, 1)) - 1)) / 255.0) AS features
+    FROM documents
+    """,
+)
+def q83_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature extraction through the mapInPandas
+    operator (operators/multimodal.py decode_media): blob -> (width, height,
+    16-dim feature vector). The stub decode derives everything from the
+    blob's md5 digest, so the oracle replays the identical bytes from SQL —
+    proving the full plumbing (binary column in, Arrow batches through
+    python, typed struct out) without a media library in the container."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = MM.decode_media(MM.with_blob(docs))
+    return decoded.select("doc_id", "width", "height", "features")

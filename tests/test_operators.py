@@ -1,0 +1,159 @@
+"""Operator-library tests: mutation write-path round trips (tmp tables) and
+multimodal mapInPandas plumbing. These mirror the reference's test-db.mjs
+scenario style (SURVEY §5): build state, mutate, assert invariants."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hive_backend_spark.catalog import load_table
+from hive_backend_spark.operators import multimodal as MM
+from hive_backend_spark.operators import mutation as MU
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def conn_table(spark, tmp_path):
+    """A connections-like table (SURVEY §1.1) seeded from events users."""
+    d = str(tmp_path / "connections")
+    load_table(spark, SF_DIR, "events").select(
+        F.col("user_id").alias("id"),
+        F.col("ts").alias("last_sync_time"),
+        F.lit(True).alias("active"),
+        F.lit("active").alias("status"),
+        F.lit(0).alias("retry_count"),
+    ).groupBy("id").agg(
+        F.max("last_sync_time").alias("last_sync_time"),
+        F.first("active").alias("active"),
+        F.first("status").alias("status"),
+        F.first("retry_count").alias("retry_count"),
+    ).write.parquet(d)
+    return d
+
+
+def test_overwrite_matching(spark, conn_table):
+    before = spark.read.parquet(conn_table)
+    n = before.count()
+    updates = before.limit(3).withColumn("status", F.lit("error"))
+    MU.overwrite_matching(spark, conn_table, updates, ["id"])
+    after = spark.read.parquet(conn_table)
+    assert after.count() == n
+    assert after.filter(F.col("status") == "error").count() == 3
+
+
+def test_upsert_latest_wins(spark, conn_table):
+    before = spark.read.parquet(conn_table)
+    n = before.count()
+    # 2 replacements with newer ts + 1 brand-new key
+    newer = before.limit(2).withColumn(
+        "last_sync_time", F.col("last_sync_time") + F.expr("INTERVAL 1 DAY")
+    ).withColumn("status", F.lit("resynced"))
+    fresh = spark.createDataFrame(
+        [(10_000_000, None, True, "new", 0)], schema=before.schema
+    )
+    MU.upsert_latest(spark, conn_table, newer.unionByName(fresh), ["id"], "last_sync_time")
+    after = spark.read.parquet(conn_table)
+    assert after.count() == n + 1
+    assert after.filter(F.col("status") == "resynced").count() == 2
+    assert after.filter(F.col("id") == 10_000_000).count() == 1
+
+
+def test_soft_delete_then_conditional_update(spark, conn_table):
+    ids = [r.id for r in spark.read.parquet(conn_table).limit(2).collect()]
+    MU.soft_delete(spark, conn_table, F.col("id").isin(ids))
+    after = spark.read.parquet(conn_table)
+    gone = after.filter(F.col("id").isin(ids))
+    assert gone.filter(F.col("active")).count() == 0
+    assert gone.filter(F.col("status") != "deleted").count() == 0
+    # F4 retry counter: error rows increment, others reset
+    MU.conditional_update(
+        spark,
+        conn_table,
+        F.col("status") == "deleted",
+        {"retry_count": F.col("retry_count") + 1},
+    )
+    assert spark.read.parquet(conn_table).filter(F.col("retry_count") == 1).count() == 2
+
+
+def test_retention_rewrite_and_snapshot(spark, conn_table, tmp_path):
+    before = spark.read.parquet(conn_table)
+    cutoff_us = before.agg(
+        F.expr("percentile(unix_micros(last_sync_time), 0.5)")
+    ).collect()[0][0]
+    cutoff = F.timestamp_micros(F.lit(int(cutoff_us)))
+    snap = str(tmp_path / "snap")
+    MU.snapshot(spark, conn_table, snap)
+    deleted = MU.retention_rewrite(spark, conn_table, "last_sync_time", cutoff)
+    after = spark.read.parquet(conn_table)
+    assert deleted > 0
+    assert after.count() + deleted == spark.read.parquet(snap).count()
+    assert after.filter(F.col("last_sync_time") < cutoff).count() == 0
+
+
+def test_compact_and_evolve(spark, conn_table):
+    MU.compact(spark, conn_table, target_files=1)
+    parts = [f for f in os.listdir(conn_table) if f.startswith("part-")]
+    assert len(parts) == 1
+    n = spark.read.parquet(conn_table).count()
+    MU.evolve_schema(
+        spark, conn_table, {"metadata": F.lit(None).cast("string"), "priority": F.lit(0)}
+    )
+    MU.evolve_schema(spark, conn_table, {"priority": F.lit(99)})  # idempotent
+    after = spark.read.parquet(conn_table)
+    assert after.count() == n
+    assert {"metadata", "priority"} <= set(after.columns)
+    assert after.filter(F.col("priority") != 0).count() == 0
+
+
+def test_atomic_overwrite_leaves_no_temp(spark, conn_table, tmp_path):
+    parent = os.path.dirname(conn_table)
+    MU.compact(spark, conn_table)
+    leftovers = [f for f in os.listdir(parent) if f.startswith((".tmp-", ".old-"))]
+    assert leftovers == []
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_decode_media_stub(spark):
+    docs = MM.with_blob(load_table(spark, SF_DIR, "documents"))
+    out = MM.decode_media(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:10]:
+        assert 16 <= r.width <= 271 and 16 <= r.height <= 271
+        assert 1 <= r.channels <= 4
+        assert len(r.features) == 16 and all(0.0 <= f <= 1.0 for f in r.features)
+    # determinism: same blob -> same features
+    again = {r[0]: r.features for r in MM.decode_media(docs).collect()}
+    assert all(again[r[0]] == r.features for r in rows)
+
+
+def test_decode_media_real_path_is_marked(spark):
+    docs = MM.with_blob(load_table(spark, SF_DIR, "documents"))
+    with pytest.raises(NotImplementedError, match="pillow"):
+        MM.decode_media(docs, stub=False)
+
+
+def test_resize_meta(spark):
+    docs = MM.with_blob(load_table(spark, SF_DIR, "documents"))
+    out = MM.resize_meta(docs, max_side=32)
+    bad = out.filter(
+        (F.greatest("target_width", "target_height") > 32)
+        | (F.col("target_width") <= 0)
+        | (F.col("target_height") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_sample_frames(spark):
+    docs = MM.with_blob(load_table(spark, SF_DIR, "documents")).limit(20)
+    out = MM.sample_frames(docs, n_frames=4)
+    assert out.count() == 20 * 4
+    assert out.groupBy("doc_id").count().filter(F.col("count") != 4).count() == 0
+    assert out.filter(F.octet_length("frame_blob") == 0).count() == 0
