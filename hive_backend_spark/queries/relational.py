@@ -698,3 +698,92 @@ def q32_approx_and_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("user_id").alias("exact_users"),
         F.countDistinct(F.col("value").cast("decimal(12,2)")).alias("distinct_values"),
     )
+
+
+@register(
+    "q34_cube",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, n_name)
+    """,
+)
+def q34_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 free surface: CUBE over the region/nation hierarchy — all four
+    grouping combinations in one pass (the Expand operator multiplies rows
+    by grouping sets BEFORE the shuffle, so partial aggregation still
+    applies)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.cube("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q35_grouping_sets",
+    oracle="""
+    SELECT event_type, lang, count(*) AS n
+    FROM (
+      SELECT e.event_type, d.lang
+      FROM events e JOIN documents d ON e.event_id % 500 = d.doc_id % 500
+      WHERE e.event_id < 2000 AND d.doc_id < 100
+    )
+    GROUP BY GROUPING SETS ((event_type), (lang))
+    """,
+)
+def q35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 free surface: explicit GROUPING SETS via the SQL API (the
+    DataFrame cube/rollup are sugar over the same Expand plan)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT event_type, lang, count(*) AS n
+        FROM (
+          SELECT e.event_type, d.lang
+          FROM events e JOIN documents d ON e.event_id % 500 = d.doc_id % 500
+          WHERE e.event_id < 2000 AND d.doc_id < 100
+        )
+        GROUP BY GROUPING SETS ((event_type), (lang))
+        """
+    )
+
+
+@register("q36_approx_distinct", oracle=None)
+def q36_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 free surface: approx_count_distinct (HyperLogLog++). Rows-only
+    check by design — DuckDB's approx sketch differs, so exact value
+    equality is not defined; the companion exact counts are oracle-checked
+    in q32."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q37_date_format",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M') AS minute_key,
+           strftime(ts, '%Y-%m-%d') AS day_key
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def q37_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 timestamp formatting (sheets-sidebar.html:472-474 UI timestamps):
+    date_format with Java patterns; the oracle's strftime produces the
+    identical strings."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute_key"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_key"),
+    )

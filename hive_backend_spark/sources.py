@@ -1,0 +1,58 @@
+"""Sources & sinks (SURVEY §2.1): the ingest/egress surface.
+
+S1/S2  parquet table scans         -> catalog.load_table
+S3     indexed filtered scans      -> partitioned layout + pushdown (below)
+S4     JSON ingest                 -> parse_json_props / events_from_json
+S5     append sink                 -> write_partitioned
+S6     upsert sink                 -> operators.mutation.upsert_latest
+S7     backup sink                 -> operators.mutation.snapshot
+S8     retention delete            -> operators.mutation.retention_rewrite
+S9     in-memory fixture source    -> memory_events
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# The sheets-selection payload schema (SURVEY §1.2; sheets-code.gs:273-282) —
+# the shape carried in the reference's updates.content JSON.
+SELECTION_SCHEMA = (
+    "spreadsheetId STRING, sheetName STRING, range STRING, "
+    "numRows INT, numColumns INT, timestamp STRING, active BOOLEAN, syncEnabled BOOLEAN"
+)
+
+
+def parse_json_props(df: DataFrame, col: str, schema: str | StructType) -> DataFrame:
+    """S4 schema-on-read JSON (reference: JSON.parse client-side,
+    sheets-code.gs:364-365): string column -> typed struct. Malformed rows
+    yield null structs rather than failing the job (PERMISSIVE)."""
+    return df.withColumn(f"{col}_parsed", F.from_json(F.col(col), schema))
+
+
+def events_from_json(spark: SparkSession, json_lines: list[str], schema: str | StructType) -> DataFrame:
+    """S4 HTTP-body ingest analog: JSON strings -> typed rows."""
+    raw = spark.createDataFrame([(s,) for s in json_lines], "raw STRING")
+    return raw.select(F.from_json("raw", schema).alias("r")).select("r.*")
+
+
+def memory_events(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """S9 mock/echo source (test-server.mjs:12-15): deterministic in-memory
+    fixtures for tests and streaming micro-batch seeds."""
+    return spark.createDataFrame(rows, schema)
+
+
+def write_partitioned(df: DataFrame, table_dir: str, partition_cols: list[str]) -> None:
+    """S5 append sink with the S3 'index' analog: partitioning by the
+    filter columns (the reference's B-tree indexes on active/processed/type,
+    db.mjs:92-98) so equality predicates become partition pruning instead of
+    index probes. At 100 TB this is the difference between scanning one
+    directory and scanning the table."""
+    df.write.mode("append").partitionBy(*partition_cols).parquet(table_dir)
+
+
+def read_partitioned(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read back a partitioned table; partition columns come from the
+    directory layout and equality filters on them prune at planning time."""
+    return spark.read.parquet(table_dir)

@@ -1,0 +1,63 @@
+"""Plan-shape regression tests (SURVEY §4): the 100 TB design rests on
+specific physical properties — dims broadcast, filters reach the scan,
+top-k never globally sorts, latest-wins uses the group-limit pushdown.
+These assert the optimizer still produces those plans."""
+
+from __future__ import annotations
+
+from hive_backend_spark import plans as P
+from hive_backend_spark.registry import all_queries
+
+
+def _df(spark, sf_dir, name):
+    return all_queries()[name].fn(spark, sf_dir)
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """q01: filter+sort+limit must compile to TakeOrderedAndProject (no
+    global sort materialization) with the type filter pushed to parquet."""
+    df = _df(spark, sf_dir, "q01_priority_dequeue")
+    P.assert_plan(df, requires=["TakeOrderedAndProject"], forbids=["Exchange"])
+    assert any("event_type" in f for f in P.pushed_filters(df))
+
+
+def test_star_joins_broadcast(spark, sf_dir):
+    """q41/q42: every dimension join must be a BroadcastHashJoin; no
+    sort-merge join should appear at these sizes."""
+    for name in ("q41_shipping_priority", "q42_local_supplier_volume"):
+        df = _df(spark, sf_dir, name)
+        P.assert_plan(df, requires=["BroadcastHashJoin"], forbids=["SortMergeJoin"])
+
+
+def test_date_filters_reach_scan(spark, sf_dir):
+    """q40/q41: the date predicates must appear in PushedFilters, not as
+    post-scan filters only."""
+    q40 = _df(spark, sf_dir, "q40_pricing_summary")
+    assert any("l_shipdate" in f for f in P.pushed_filters(q40))
+    q41 = _df(spark, sf_dir, "q41_shipping_priority")
+    assert any("o_orderdate" in f for f in P.pushed_filters(q41))
+
+
+def test_column_pruning(spark, sf_dir):
+    """q40 reads only the 7 lineitem columns it uses — a scan reading all
+    16 would be wrong (ReadSchema is the evidence)."""
+    df = _df(spark, sf_dir, "q40_pricing_summary")
+    (schema,) = P.read_schemas(df)
+    assert "l_comment" not in schema and "l_partkey" not in schema
+    assert "l_extendedprice" in schema
+
+
+def test_latest_wins_uses_group_limit(spark, sf_dir):
+    """q14: rank<=1 window dedup must use the WindowGroupLimit pushdown
+    (partial top-1 per key before the shuffle)."""
+    df = _df(spark, sf_dir, "q14_latest_wins")
+    P.assert_plan(df, requires=["WindowGroupLimit"])
+
+
+def test_semi_join_no_aggregation_inflation(spark, sf_dir):
+    """q44: EXISTS must stay a (broadcast) semi-ish join + aggregate; a plan
+    with a distinct-aggregate on the join output would mean duplicate
+    inflation was reintroduced."""
+    df = _df(spark, sf_dir, "q44_order_priority_check")
+    ops = P.physical_ops(df)
+    assert sum(1 for o in ops if "HashAggregate" in o) == 2  # partial + final only
