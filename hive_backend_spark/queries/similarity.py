@@ -237,3 +237,82 @@ def q73_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         F.round(F.sqrt(dot(F.col("centroid"), F.col("centroid"))), 6).alias("centroid_norm"),
     )
+
+
+@register(
+    "q74_ivf_routed_search",
+    oracle="""
+    WITH cent AS (
+      SELECT label, list(mean_x ORDER BY pos) AS c
+      FROM (
+        SELECT label, pos, sum(x) / count(*) AS mean_x
+        FROM (
+          SELECT label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings
+        )
+        GROUP BY label, pos
+      )
+      GROUP BY label
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    best AS (
+      SELECT label FROM cent, q
+      ORDER BY list_dot_product(c, qv)
+               / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))) DESC,
+               label ASC
+      LIMIT 1
+    )
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+    FROM embeddings e JOIN best ON e.label = best.label, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q74_ivf_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style centroid-routed ANN (the 100 TB search path, completing the
+    q73 build stage): score the query against the per-cell centroids, route
+    to the best cell, brute-force only inside it. Fully declarative — the
+    1-row best-cell result broadcasts into the vector table, no collect();
+    at scale the probed cell is a pruned partition, so the scan reads
+    1/n_cells of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    query = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    exploded = vecs.select("label", F.posexplode("v").alias("pos", "x"))
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg((F.sum("x") / F.count(F.lit(1))).alias("mean_x"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("mean_x")))),
+                lambda p: p.getField("mean_x"),
+            ).alias("c")
+        )
+    )
+    best = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("label", cosine(F.col("c"), F.col("qv")).alias("route_sim"))
+        .orderBy(F.col("route_sim").desc(), F.col("label").asc())
+        .limit(1)
+        .select("label")
+    )
+    return (
+        vecs.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(best), "label")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
