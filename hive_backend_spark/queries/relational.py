@@ -787,3 +787,101 @@ def q37_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute_key"),
         F.date_format("ts", "yyyy-MM-dd").alias("day_key"),
     )
+
+
+@register(
+    "q38_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, c.click_id AS last_click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM purchases p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+)
+def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent in both the reference and core Spark — SURVEY §2.3
+    'free surface' row): each purchase matched to the user's latest STRICTLY
+    preceding click. Implemented the scalable way: tag both sides, union,
+    one shuffle by user, one sort by (ts, side), then last(ignorenulls) over
+    the running frame — O(n log n) per user vs O(pairs) for a join+argmax.
+    Equal-ts clicks sort after purchases, so the strict `>` of the DuckDB
+    ASOF oracle is reproduced exactly; same-ts click ties are collapsed to
+    max(event_id) in both engines first."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(None).cast("long").alias("purchase_id"), F.lit(1).alias("side"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn(
+            "last_click_ts",
+            F.last(F.when(F.col("side") == 1, F.col("ts")), ignorenulls=True).over(w),
+        )
+    )
+    return (
+        tagged.filter((F.col("side") == 0) & F.col("last_click_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            "last_click_id",
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "q39_range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, count(*) AS n_following
+    FROM events p JOIN events f
+      ON p.user_id = f.user_id
+     AND f.ts > p.ts
+     AND f.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q39_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (free surface per SURVEY §2.3): events within the
+    hour after each purchase, per user. The equi key (user_id) bounds the
+    pair space, the range predicate filters inside each key group — the plan
+    is a hash join on user_id with the range as join condition, never a
+    cartesian. For key-free range joins, bucketize ts to a coarse grid and
+    join on (bucket, bucket±1) — same structure LSH banding uses."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").alias("p")
+    f = events.alias("f")
+    return (
+        p.join(
+            f,
+            (F.col("p.user_id") == F.col("f.user_id"))
+            & (F.col("f.ts") > F.col("p.ts"))
+            & (F.col("f.ts") <= F.col("p.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("p.event_id").alias("purchase_id"))
+        .agg(F.count(F.lit(1)).alias("n_following"))
+    )
