@@ -27,6 +27,7 @@ HEADLINE = [
     "q13_fk_enrich_join",
     "q14_latest_wins",
     "q15_avg_latency_per_key",
+    "q38_asof_join",
     "q40_pricing_summary",
     "q41_shipping_priority",
     "q42_local_supplier_volume",
@@ -41,7 +42,9 @@ HEADLINE = [
     "q70_cosine_topk",
     "q71_near_dup_pairs",
     "q73_centroid_stats",
+    "q74_ivf_routed_search",
     "q82_minhash_bands",
+    "q83_decode_features",
 ]
 
 

@@ -157,3 +157,37 @@ def test_sample_frames(spark):
     assert out.count() == 20 * 4
     assert out.groupBy("doc_id").count().filter(F.col("count") != 4).count() == 0
     assert out.filter(F.octet_length("frame_blob") == 0).count() == 0
+
+# --- skew ------------------------------------------------------------------
+
+
+def test_salted_agg_matches_plain(spark):
+    from hive_backend_spark.operators import skew as SK
+
+    events = load_table(spark, SF_DIR, "events")
+    got = SK.salted_agg(
+        events,
+        ["event_type"],
+        {"n": ("event_id", "count"), "total": ("value", "sum"), "mx": ("ts", "max")},
+    )
+    want = events.groupBy("event_type").agg(
+        F.count("event_id").alias("n"), F.sum("value").alias("total"), F.max("ts").alias("mx")
+    )
+    g = {tuple(r) for r in got.select("event_type", "n", "mx").collect()}
+    w = {tuple(r) for r in want.select("event_type", "n", "mx").collect()}
+    assert g == w
+    # float sums agree to rounding (summation order differs by design)
+    gt = {r.event_type: r.total for r in got.collect()}
+    wt = {r.event_type: r.total for r in want.collect()}
+    assert all(abs(gt[k] - wt[k]) < 1e-6 for k in wt)
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    from hive_backend_spark.operators import skew as SK
+
+    events = load_table(spark, SF_DIR, "events")
+    dim = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    got = SK.salted_broadcast_join(events, dim, "event_type", n_salts=8)
+    want = events.join(F.broadcast(dim), "event_type")
+    assert got.count() == want.count()
+    assert got.select(F.sum("type_total")).collect() == want.select(F.sum("type_total")).collect()
