@@ -61,3 +61,36 @@ def test_semi_join_no_aggregation_inflation(spark, sf_dir):
     df = _df(spark, sf_dir, "q44_order_priority_check")
     ops = P.physical_ops(df)
     assert sum(1 for o in ops if "HashAggregate" in o) == 2  # partial + final only
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides of the orders-lineitem join on the order key
+    removes the per-query Exchange entirely (the pre-shuffled layout is the
+    point: pay once at write, win on every join)."""
+    from pyspark.sql import functions as F
+
+    from hive_backend_spark.catalog import load_table
+    from hive_backend_spark.operators import bucketing as B
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # At fixture scale Catalyst rightly prefers broadcast; disable it so the
+    # plan shows what a big-big join does at 100 TB, where broadcast is off
+    # the table and bucketing is what removes the Exchange.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        B.write_bucketed(orders, "orders_b", ["o_orderkey"], 8)
+        B.write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", ["o_orderkey"], 8
+        )
+        joined = B.bucketed_join(spark, "orders_b", "lineitem_b", ["o_orderkey"])
+        agg = joined.groupBy().agg(F.sum("l_quantity"))
+        P.assert_plan(joined, requires=["SortMergeJoin"], forbids=["Exchange"])
+        # and the result matches the plain join
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        assert joined.count() == plain.count()
+        assert agg.collect() == plain.groupBy().agg(F.sum("l_quantity")).collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
