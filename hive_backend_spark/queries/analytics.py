@@ -197,3 +197,56 @@ def q44_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@register(
+    "q45_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per segment (Spark `percentile` == DuckDB
+    quantile_cont, both linear-interpolation): the latency/SLA-style
+    analytics the reference's health monitor approximates with averages
+    (db.mjs:415-419). At 100 TB switch to percentile_approx — same plan
+    shape, bounded memory, no exact-sort of each group."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "q46_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'error') AS error
+    FROM events
+    GROUP BY user_id % 10
+    """,
+)
+def q46_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): event-type counts per user
+    bucket. The explicit value list keeps the plan a single pass — an
+    unconstrained pivot() first runs a distinct scan to discover columns."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "error"])
+    )
