@@ -27,12 +27,17 @@ HEADLINE = [
     "q13_fk_enrich_join",
     "q14_latest_wins",
     "q15_avg_latency_per_key",
+    "q19_nation_trade_volume",
     "q38_asof_join",
     "q40_pricing_summary",
     "q41_shipping_priority",
     "q42_local_supplier_volume",
     "q44_order_priority_check",
+    "q48_returned_item_revenue",
+    "q49_large_volume_customers",
     "q52_two_phase_mark",
+    "q57_sessionize",
+    "q59_cohort_retention",
     "q60_text_stats",
     "q62_quality_score",
     "q64_exact_dup_groups",

@@ -4,10 +4,22 @@ Modules map to SURVEY.md sections:
     relational  — §2.1-2.8 scans/filters/joins/aggs/sorts/set-ops/windows
     queue       — §2.9 queue semantics, batch-deterministic forms (Q1-Q13)
     analytics   — showcase star-schema analytics (bench headliners)
+    sessions    — event-stream behavioral analytics (sessionize/funnel/cohort)
     text        — §7 Phase 3: text analysis + exact dedup on `documents`
     dedup       — §7 Phase 3: MinHash-LSH / SimHash / n-gram Jaccard near-dup
     similarity  — §7 Phase 3: embedding similarity / ANN on `embeddings`
+    sampling    — §7 Phase 3: deterministic sampling / split assignment
     multimodal  — §7 Phase 3: binary-column plumbing
 """
 
-from . import analytics, dedup, multimodal, queue, relational, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    analytics,
+    dedup,
+    multimodal,
+    queue,
+    relational,
+    sampling,
+    sessions,
+    similarity,
+    text,
+)

@@ -250,3 +250,276 @@ def q46_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "view", "purchase", "error"])
     )
+
+
+@register(
+    "q18_revenue_delta",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q18_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting-revenue-change: pure filter + global agg.
+    All four predicates push to the parquet scan (min/max row-group skip on
+    l_shipdate), and the aggregation is a partial->final pair whose shuffle
+    carries exactly one row per partition — the cheapest possible shape at
+    100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue_delta"))
+    )
+
+
+@register(
+    "q19_nation_trade_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+def q19_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: a 6-table snowflake join.
+    supplier/customer/nation are broadcast (they stay small relative to the
+    fact tables at any SF); the only shuffle joins the two fact tables
+    lineitem><orders on orderkey, and AQE can convert even that to broadcast
+    after the shipdate filter prunes. The nation-pair predicate is applied
+    on the broadcast side before the join, so disqualified rows never reach
+    the fact-fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    supp = supplier.join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    cust = customer.join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01 00:00:00").cast("timestamp"),
+                F.lit("1997-12-31 00:00:00").cast("timestamp"),
+            )
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("ship_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume")
+        )
+    )
+
+
+@register(
+    "q20_dormant_rich_customers",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q20_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant high-balance customers: scalar subquery
+    (global avg, one tiny broadcast) + anti join against recent orders.
+    The anti join's build side is only the date-filtered orders keys; at
+    100 TB the o_orderdate predicate prunes partitions before the shuffle.
+    (The classic Q22 'no orders at all' form is empty on this dataset —
+    every customer has orders — so the horizon makes it selective.)"""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q47_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.00 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q47_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share: fact><dim broadcast join, then
+    one conditional global aggregate. part is the broadcast side (it grows
+    with SF but stays orders of magnitude under lineitem; at 100 TB bucket
+    both on partkey instead — operators.bucketing — and the join is still
+    shuffle-free)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0)))
+                / F.sum(disc_price),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q48_returned_item_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(max(c_acctbal), 2) AS acctbal
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q48_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item revenue: who returned the most value
+    last quarter. lineitem is pre-filtered on l_returnflag before the
+    orderkey shuffle; customer/nation broadcast; final top-20 is
+    TakeOrderedAndProject with c_custkey tiebreak."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    window_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        returned.join(window_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q49_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q49_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: the IN-subquery over a
+    grouped HAVING becomes an aggregate + semi join. The qualifying-order
+    set is tiny (aggregation reduces before the join), so AQE broadcasts
+    it into both the orders probe and the lineitem re-aggregation — the
+    big tables are each scanned once."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty")).filter(F.col("qty") > 300)
+    ).select("l_orderkey")
+    return (
+        orders.join(
+            big_orders.withColumnRenamed("l_orderkey", "bo_key"),
+            F.col("bo_key") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.select("l_orderkey", "l_quantity"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"), "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )

@@ -1,0 +1,113 @@
+"""Deterministic sampling & split assignment for training-data pipelines.
+
+A 100 TB corpus is never trained on raw: pipelines need reproducible
+subsampling, per-stratum rate control (e.g. downsample dominant languages),
+and stable train/val/test splits that survive re-runs and late-arriving
+data. All three are expressed as pure column arithmetic on a content-stable
+key hash — md5(doc_id) — so:
+
+  * the decision is per-row with NO shuffle, no RNG state, no seed
+    coordination across executors: a narrow map stage that pushes down
+    into the scan;
+  * membership is stable under repartitioning, retries, and incremental
+    reprocessing (the same row always lands in the same split);
+  * the DuckDB oracle computes the identical md5 prefix, making sampling
+    — normally unverifiable randomness — exactly hash-checkable.
+
+The hex-prefix-vs-threshold comparison gives rate p = threshold/256 per
+2-hex-char prefix (uniform because md5 output bits are uniform). The
+reference has no sampling surface (SURVEY §2.4 A5 absent); this is §7
+Phase-3 pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def hash_bucket(key: F.Column | str, nchars: int = 2) -> F.Column:
+    """First `nchars` hex chars of md5(key-as-string): a uniform,
+    engine-portable bucket label in ['00'..'ff'] (for nchars=2)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(col.cast("string")), 1, nchars)
+
+
+@register(
+    "q75_hash_sample",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def q75_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% uniform deterministic sample (md5 prefix < 0x1a = 26/256).
+    Unlike df.sample(), membership is a pure function of the key: stable
+    across runs, partitionings, and engines — which is why the oracle can
+    hash-match it row for row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(hash_bucket("doc_id") < "1a").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+@register(
+    "q76_stratified_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled, round(sum(n_chars) / 1000.0, 2) AS kchars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN lang = 'en' THEN '33' ELSE 'cc' END
+    GROUP BY lang
+    """,
+)
+def q76_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified rate control: downsample the dominant language (en at
+    ~20%, 0x33/256) while keeping ~80% (0xcc/256) of everything else — the
+    standard language-rebalancing step in corpus prep. Per-stratum rates
+    are just a CASE over the same hash, so the whole operation stays a
+    scan-side filter; only the tiny per-lang rollup shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.when(F.col("lang") == "en", F.lit("33")).otherwise(F.lit("cc"))
+    return (
+        docs.filter(hash_bucket("doc_id") < threshold)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("n_chars") / 1000.0, 2).alias("kchars"),
+        )
+    )
+
+
+@register(
+    "q77_train_val_test_split",
+    oracle="""
+    SELECT source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY source, split
+    """,
+)
+def q77_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable ~5/5/90 train/val/test assignment from disjoint hash ranges.
+    Because the split is keyed on content identity rather than position or
+    RNG, re-running over a grown corpus never moves an old row between
+    splits (no test-set leakage on incremental refreshes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id")
+    split = (
+        F.when(bucket < "0d", F.lit("test")).when(bucket < "1a", F.lit("val")).otherwise(F.lit("train"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )

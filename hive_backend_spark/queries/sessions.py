@@ -1,0 +1,171 @@
+"""Event-stream behavioral analytics: sessionization, funnels, cohorts.
+
+The reference's queue protocol is ingest-time event processing over a
+polling loop (SURVEY §2.9); these are the standard batch analytics a real
+event stream grows into — gap-based sessionization (the reference's
+"adaptive poll cadence" Q10 is exactly an idle-gap detector,
+sheets-code.gs:236-241), conversion funnels over the selection->value
+update flow (SURVEY §3.1/§3.2), and cohort retention over first-seen
+users (the reference tracks first-seen via app registration,
+server.mjs:63-87).
+
+All three shuffle ONCE on user_id and do all sequential work inside the
+partition via window functions — the shape that scales: at 100 TB the
+state per user is bounded (a handful of timestamps), no cross-user data
+moves, and AQE coalesces the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "q57_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def q57_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >30-minute
+    idle gap (the reference's poll-backoff cap boundary, sheets-code.gs:4).
+    lag + running sum of boundary flags + grouped rollup — three window/agg
+    steps over ONE user_id shuffle (Catalyst reuses the partitioning; only
+    the final groupBy re-hashes, on a superset key, and AQE coalesces it)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = events.withColumn(
+        "is_new",
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_seq", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "q58_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2
+    )
+    SELECT count(DISTINCT CASE WHEN t_view IS NOT NULL THEN user_id END) AS users_viewed,
+           count(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END) AS users_clicked,
+           count(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN user_id END) AS users_purchased
+    FROM s3
+    """,
+)
+def q58_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: each stage's
+    entry time is the earliest event STRICTLY AFTER the previous stage
+    (mirrors the reference's selection-broadcast -> value-update causality,
+    SURVEY §3.1-3.2). Three chained min-over-user windows share one
+    partitioning, so the whole funnel is a single user_id shuffle; the
+    final distinct-counts reduce to one row."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = events.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+            )
+        ).over(w),
+    )
+    return s3.agg(
+        F.countDistinct(F.when(F.col("t_view").isNotNull(), F.col("user_id"))).alias("users_viewed"),
+        F.countDistinct(F.when(F.col("t_click").isNotNull(), F.col("user_id"))).alias("users_clicked"),
+        F.countDistinct(F.when(F.col("t_purchase").isNotNull(), F.col("user_id"))).alias(
+            "users_purchased"
+        ),
+    )
+
+
+@register(
+    "q59_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+    )
+    SELECT cohort_day,
+           date_diff('day', cohort_day, active_day) AS day_offset,
+           count(*) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q59_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each subsequent active day. Both sides reduce per-user BEFORE the
+    cohort join — at 100 TB the join inputs are |users|, not |events|, and
+    the firsts side broadcasts."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .withColumn("day_offset", F.datediff(F.col("active_day"), F.col("cohort_day")))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
