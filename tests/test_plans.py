@@ -94,3 +94,27 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """q57: lag + running-sum + session rollup must share ONE user_id
+    exchange — a second shuffle would mean the window partitioning isn't
+    being reused and the operator re-hashes |events| rows at 100 TB."""
+    df = _df(spark, sf_dir, "q57_sessionize")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_snowflake_join_all_broadcast(spark, sf_dir):
+    """q19: the 6-table snowflake must broadcast every dimension side; a
+    SortMergeJoin at these dim sizes means a needless fact-side shuffle."""
+    df = _df(spark, sf_dir, "q19_nation_trade_volume")
+    P.assert_plan(df, requires=["BroadcastHashJoin"], forbids=["SortMergeJoin"])
+
+
+def test_hash_sample_is_scan_side(spark, sf_dir):
+    """q75: deterministic sampling must stay a shuffle-free narrow plan —
+    the whole point of hash-based membership is that it's a map-only
+    filter that composes with any downstream partitioning."""
+    df = _df(spark, sf_dir, "q75_hash_sample")
+    P.assert_plan(df, forbids=["Exchange"])
