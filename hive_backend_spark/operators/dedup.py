@@ -279,3 +279,54 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# --- duplicate-cluster formation (connected components) --------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node repeatedly adopts the smallest label
+    among itself and its neighbors until fixpoint. Returns (node, label)
+    where label = min node id in the component; only nodes that appear in
+    an edge are returned (singletons don't need clustering).
+
+    Scale posture: each iteration is one join + one min-aggregate on the
+    node key — all distributed, nothing on the driver but the convergence
+    counter. Iterations needed = graph diameter; duplicate clusters are
+    near-cliques (diameter ~2-3), so this converges in a handful of rounds.
+    For adversarially long chains switch to the large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce"), which is
+    the same join/agg primitive applied to a contracting edge set.
+    localCheckpoint() truncates the growing lineage each round — without it
+    the plan re-executes every prior iteration and blows up by round ~10.
+    """
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        nbr_labels = sym.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        new_labels = (
+            labels.union(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -168,3 +168,50 @@ def q69_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", D.simhash64_udf()(D.tokens(F.col("text"))).alias("simhash")
     )
+
+
+@register(
+    "q79_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node)
+    SELECT l.doc_id, l.cluster_id, c.cluster_size
+    FROM lab l
+    JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id) c
+      USING (cluster_id)
+    """,
+)
+def q79_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the LSH
+    candidate graph (q67) by distributed min-label propagation — the final
+    stage of the near-dup pipeline, turning pairwise hits into dedup groups
+    from which one canonical doc per cluster is kept. The DuckDB oracle
+    replays the clustering as a recursive reachability CTE, so even the
+    iterative stage is value-checked, not just row-counted."""
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    labels = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+    )

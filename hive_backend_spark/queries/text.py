@@ -195,3 +195,38 @@ def q66_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(stop_hits >= 3, "en_like").otherwise("other").alias("predicted_class"),
         stop_hits.alias("stop_hits"),
     )
+
+
+@register(
+    "q78_vocabulary",
+    oracle="""
+    SELECT token,
+           count(*) AS tf,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY tf DESC, token ASC
+    LIMIT 40
+    """,
+)
+def q78_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: explode whitespace tokens, count term
+    and document frequency, keep the top of the distribution — the first
+    pass of any tokenizer-training or TF-IDF pipeline. explode feeds a
+    partial-aggregating groupBy, so the shuffle carries one row per
+    distinct (partition, token), not per token occurrence; the top-40 is
+    TakeOrderedAndProject over the aggregated vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(40)
+    )

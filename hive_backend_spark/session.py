@@ -53,11 +53,27 @@ DEFAULT_CONFS = {
 }
 
 
+# Repo root (the directory containing this package). Python workers are
+# separate processes that do NOT inherit the driver's sys.path mutations, so
+# any pandas-UDF defined in this package fails to unpickle on a worker unless
+# the root is on the workers' PYTHONPATH. Harmless when the package is
+# pip-installed (site-packages is on every path already); load-bearing when
+# run from a checkout with a different cwd.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _prepend_pythonpath(env: dict[str, str]) -> None:
+    parts = env.get("PYTHONPATH", "").split(os.pathsep)
+    if _REPO_ROOT not in parts:
+        env["PYTHONPATH"] = os.pathsep.join([_REPO_ROOT] + [p for p in parts if p])
+
+
 def get_spark(app_name: str = "hive-backend-spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults."""
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    _prepend_pythonpath(os.environ)  # before JVM launch: workers inherit it
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)
@@ -88,7 +104,14 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
 
     Timezone=UTC is load-bearing for correctness: the DuckDB oracle reads
     parquet timestamps as naive UTC, so Spark must collect them the same way.
+
+    Also threads the repo root into the Python-worker environment
+    (``sc.environment`` is snapshotted into every subsequently-created
+    Python UDF), so pandas UDFs from this package unpickle on workers even
+    when the session was built externally with a different cwd.
     """
     for k in _RUNTIME_CONFS:
         spark.conf.set(k, DEFAULT_CONFS[k])
+    _prepend_pythonpath(os.environ)
+    _prepend_pythonpath(spark.sparkContext.environment)
     return spark
