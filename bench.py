@@ -44,6 +44,8 @@ HEADLINE = [
     "q67_lsh_candidates",
     "q68_jaccard_verify",
     "q78_vocabulary",
+    "q84_tfidf",
+    "q85_rollup_hierarchy",
     "q79_dup_clusters",
     "q69_simhash_signatures",
     "q70_cosine_topk",

@@ -523,3 +523,55 @@ def q49_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "q85_rollup_hierarchy",
+    oracle="""
+    WITH minute AS (
+      SELECT date_trunc('minute', ts) AS bucket,
+             count(*) AS n_events, sum(value) AS sum_value
+      FROM events GROUP BY bucket
+    ),
+    hour AS (
+      SELECT date_trunc('hour', bucket) AS bucket,
+             sum(n_events) AS n_events, sum(sum_value) AS sum_value
+      FROM minute GROUP BY 1
+    ),
+    day AS (
+      SELECT date_trunc('day', bucket) AS bucket,
+             sum(n_events) AS n_events, sum(sum_value) AS sum_value
+      FROM hour GROUP BY 1
+    )
+    SELECT 'hour' AS grain, bucket, n_events, round(sum_value, 2) AS sum_value FROM hour
+    UNION ALL
+    SELECT 'day' AS grain, bucket, n_events, round(sum_value, 2) AS sum_value FROM day
+    """,
+)
+def q85_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    pattern): minute partials re-aggregate into hours, hours into days —
+    each coarser grain reads the FINER AGGREGATE, not the raw events, so
+    the raw table is scanned exactly once however many resolutions exist.
+    At 100 TB the minute level is the materialized rollup table and the
+    coarser grains are near-free; count/sum compose losslessly this way
+    (averages derive as sum/count at read time; percentiles need sketches,
+    see q36)."""
+    events = load_table(spark, sf_dir, "events")
+    minute = events.groupBy(F.date_trunc("minute", F.col("ts")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    hour = minute.groupBy(F.date_trunc("hour", F.col("bucket")).alias("bucket")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")
+    )
+    day = hour.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")
+    )
+    def shaped(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "n_events",
+            F.round(F.col("sum_value"), 2).alias("sum_value"),
+        )
+    return shaped(hour, "hour").unionAll(shaped(day, "day"))

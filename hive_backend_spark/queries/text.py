@@ -230,3 +230,52 @@ def q78_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("token").asc())
         .limit(40)
     )
+
+
+@register(
+    "q84_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    idf AS (
+      SELECT token,
+             ln((SELECT count(*) FROM documents) / CAST(count(DISTINCT doc_id) AS DOUBLE)) AS idf
+      FROM tf GROUP BY token
+    )
+    SELECT tf.doc_id, tf.token, round(tf.tf * idf.idf, 6) AS tfidf
+    FROM tf JOIN idf USING (token)
+    ORDER BY tfidf DESC, tf.doc_id ASC, tf.token ASC
+    LIMIT 50
+    """,
+)
+def q84_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting — the relevance-scoring / keyword-extraction
+    primitive built on q78's vocabulary stats. Two aggregations over the
+    exploded token stream (per-doc tf, per-token df) re-joined on token;
+    the idf side is |vocabulary| rows, orders of magnitude under the token
+    stream, so it broadcasts. Corpus size enters as a 1-row broadcast
+    scalar, not a collected constant."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("token", F.log(F.col("n_docs") / F.col("df_docs").cast("double")).alias("idf"))
+    )
+    return (
+        tf.join(F.broadcast(idf), "token")
+        .select("doc_id", "token", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("token").asc())
+        .limit(50)
+    )

@@ -56,3 +56,48 @@ def read_partitioned(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read back a partitioned table; partition columns come from the
     directory layout and equality filters on them prune at planning time."""
     return spark.read.parquet(table_dir)
+
+
+# --- interchange formats ---------------------------------------------------
+# The reference's only storage is a single SQLite file (db.mjs:5-14); an
+# analytics engine additionally needs the standard interchange formats. All
+# readers take an explicit schema: schema inference re-reads the input (a
+# full extra pass at 100 TB) and can silently drift between runs.
+
+INTERCHANGE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Write a DataFrame in any interchange format. CSV keeps a header for
+    interoperability; parquet/orc are the columnar choices for anything that
+    will be re-read (predicate pushdown + column pruning need them)."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {INTERCHANGE_FORMATS}")
+    w = df.write.mode(mode)
+    if fmt in ("json", "csv"):
+        # default text-format timestamp pattern truncates to milliseconds;
+        # micros keep parity with the parquet/orc representation
+        w = w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    if fmt == "csv":
+        w = w.option("header", "true")
+    df_writer = getattr(w, fmt)
+    df_writer(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: str | StructType | None = None
+) -> DataFrame:
+    """Read any interchange format. For json/csv a schema is REQUIRED —
+    inference costs a full extra scan and types drift (e.g. ints promoted
+    to bigint on an empty partition); for parquet/orc the file footer is
+    authoritative."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {INTERCHANGE_FORMATS}")
+    r = spark.read
+    if fmt in ("json", "csv"):
+        if schema is None:
+            raise ValueError(f"{fmt} read requires an explicit schema (inference = extra full scan)")
+        r = r.schema(schema).option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        if fmt == "csv":
+            r = r.option("header", "true")
+    return getattr(r, fmt)(path)

@@ -117,3 +117,27 @@ def test_interval_ago_epoch(spark):
     ).collect()[0]
     assert str(out.ago) == "2024-01-30 22:30:00"
     assert out.ep == 1706659200
+
+def test_interchange_format_roundtrips(spark, tmp_path):
+    """Every interchange format round-trips the events table with schema
+    and values intact (CSV/JSON via explicit schema — no inference pass)."""
+    events = load_table(spark, SF_DIR, "events").orderBy("event_id").limit(200)
+    schema = events.schema
+    expected = [tuple(r) for r in events.collect()]
+    for fmt in SRC.INTERCHANGE_FORMATS:
+        d = str(tmp_path / f"events_{fmt}")
+        SRC.write_table(events, d, fmt)
+        back = SRC.read_table(
+            spark, d, fmt, schema=schema if fmt in ("json", "csv") else None
+        )
+        assert back.schema == schema, fmt
+        got = [tuple(r) for r in back.orderBy("event_id").collect()]
+        assert got == expected, fmt
+
+
+def test_read_without_schema_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    for fmt in ("json", "csv"):
+        with _pytest.raises(ValueError, match="explicit schema"):
+            SRC.read_table(spark, str(tmp_path), fmt)
