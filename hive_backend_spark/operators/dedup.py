@@ -310,23 +310,27 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    # Convergence test: per-node labels are monotonically non-increasing
+    # (new = min(self, neighbors)), and the node set is fixed, so the label
+    # SUM strictly decreases until fixpoint — sum-unchanged == converged.
+    # This folds convergence detection into the same single action that
+    # materializes the iteration's (lazy) checkpoint: ONE Spark job per
+    # iteration instead of a materialize job + a compare-join job, which
+    # halves driver/job-scheduling overhead — the dominant cost when the
+    # label table is small relative to cluster dispatch latency.
+    prev_sum = None
     for _ in range(max_iter):
         nbr_labels = sym.join(
             labels.withColumnRenamed("node", "nbr"), "nbr"
         ).select("node", "label")
-        new_labels = (
+        labels = (
             labels.union(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        label_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels
