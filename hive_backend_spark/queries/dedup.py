@@ -215,3 +215,39 @@ def q79_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@register(
+    "q87_edit_distance_verify",
+    oracle=f"""
+    WITH cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           levenshtein(substr(x.text, 1, 200), substr(y.text, 1, 200)) AS edit_dist_200
+    FROM cand
+    JOIN documents x ON x.doc_id = doc_a
+    JOIN documents y ON y.doc_id = doc_b
+    """,
+)
+def q87_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidates: Levenshtein over a
+    fixed 200-char prefix of each side. The prefix bound is the scale
+    guard — Levenshtein is O(len_a x len_b) per pair, so unbounded inputs
+    make worst-case pairs quadratic in document size; a fixed prefix keeps
+    the cost constant per candidate while still separating near-dups from
+    hash collisions. Runs on O(candidates) pairs only, like q68."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 200).alias("prefix")
+    )
+    cand = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.levenshtein("pa", "pb").alias("edit_dist_200"))
+    )

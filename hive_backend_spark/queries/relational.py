@@ -885,3 +885,46 @@ def q39_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.event_id").alias("purchase_id"))
         .agg(F.count(F.lit(1)).alias("n_following"))
     )
+
+
+@register(
+    "q86_analytic_windows",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4)       OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           round(o_totalprice - first_value(o_totalprice) OVER w, 2) AS delta_from_min,
+           round(nth_value(o_totalprice, 2) OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_lowest
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q86_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth (§2.8 free surface): ntile, percent_rank,
+    cume_dist, first_value and nth_value over one shared partition+order —
+    Catalyst evaluates all five in a single Window operator over a single
+    o_orderpriority shuffle. The date filter bounds the windowed set (an
+    unfiltered full-table ordered window would be the 100 TB anti-pattern:
+    per-partition global sorts of the whole fact table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(
+                F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
+            ).alias("delta_from_min"),
+            F.round(F.nth_value("o_totalprice", 2).over(w_full), 2).alias("second_lowest"),
+        )
+    )

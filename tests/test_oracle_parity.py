@@ -37,3 +37,27 @@ def test_entry_contract(spark):
     osql = e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 10
+
+
+def test_sql_surface_matches_dataframe_api(spark, sf_dir):
+    """The engine is usable as a pure SQL surface: for queries whose oracle
+    text is engine-portable ANSI, spark.sql(<same text>) over the registered
+    views returns exactly what the DataFrame implementation returns."""
+    from hive_backend_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    portable = [
+        "q40_pricing_summary",
+        "q41_shipping_priority",
+        "q44_order_priority_check",
+        "q48_returned_item_revenue",
+        "q49_large_volume_customers",
+    ]
+    for name in portable:
+        spec = all_queries()[name]
+        df_api = spec.fn(spark, sf_dir)
+        sql_api = spark.sql(spec.oracle)
+        assert sorted(df_api.columns) == sorted(sql_api.columns), name
+        a = sorted(map(repr, df_api.collect()))
+        b = sorted(map(repr, sql_api.select(*df_api.columns).collect()))
+        assert a == b, name
