@@ -12,6 +12,7 @@ from .pipeline import (
     route_events,
     run_two_phase,
     session_counts,
+    enrich_stream,
     sliding_counts,
     stale_users_stream,
     tumbling_counts,
@@ -24,6 +25,7 @@ __all__ = [
     "route_events",
     "run_two_phase",
     "session_counts",
+    "enrich_stream",
     "sliding_counts",
     "stale_users_stream",
     "tumbling_counts",

@@ -207,3 +207,13 @@ def run_two_phase(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """J2 streaming form — stream-static dimension lookup: each micro-batch
+    inner-joins the (small, broadcast) static dimension, exactly the
+    reference's incoming-event-matched-against-local-connections step
+    (sheets-code.gs:395, slides-code.gs:414). The dimension is re-resolved
+    per micro-batch, so a dim refresh between triggers is picked up without
+    restarting the stream. Same call works on a batch DataFrame."""
+    return events.join(F.broadcast(dim), on, "inner")

@@ -173,3 +173,51 @@ def test_two_phase_pipeline(spark, stream_src, tmp_path):
     # restart with same checkpoint: no new work -> no duplicate appends
     S.run_two_phase(spark, stream_src, processed, ckpt, batch_size=50)
     assert spark.read.parquet(processed).count() == out.count()
+
+
+def test_sliding_window_stream_batch_parity(spark, stream_src):
+    """Q11: sliding-window counts emitted by the stream are a subset of the
+    batch sliding-window result, short only of not-yet-closed windows."""
+    got = _run_to_memory(
+        spark,
+        S.sliding_counts(S.read_event_stream(spark, stream_src)),
+        "sliding",
+        mode="append",
+    )
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    want = (
+        batch.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows <= want_rows
+    assert len(got_rows) > 0
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    for window_start, _etype, _n in want_rows - got_rows:
+        hours_from_end = (max_ts - window_start).total_seconds() / 3600
+        assert hours_from_end <= 7, f"closed window missing: {window_start}"
+
+
+def test_stream_static_join_parity(spark, stream_src):
+    """J2 streaming form: per-micro-batch broadcast join against a static
+    dimension produces exactly the batch join's rows."""
+    from hive_backend_spark.catalog import load_table
+
+    dim = (
+        load_table(spark, SF_DIR, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment")
+    )
+    got = _run_to_memory(
+        spark,
+        S.enrich_stream(S.read_event_stream(spark, stream_src), dim, "user_id"),
+        "enriched",
+    )
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    want = batch.join(dim, "user_id", "inner")
+    assert got.count() == want.count() > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    g = sorted(map(repr, got.select(*sorted(got.columns)).collect()))
+    w = sorted(map(repr, want.select(*sorted(want.columns)).collect()))
+    assert g == w
