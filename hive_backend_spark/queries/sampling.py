@@ -22,7 +22,7 @@ Phase-3 pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -110,4 +110,32 @@ def q77_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("split", split)
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+@register(
+    "q89_per_group_exact_sample",
+    oracle="""
+    SELECT doc_id, lang, rn
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 5
+    """,
+)
+def q89_per_group_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: rank rows inside each stratum by
+    their key hash (a deterministic, uniform, reshuffling-stable order) and
+    keep the first k — the fixed-quota counterpart to q76's rate-based
+    sampling (eval sets, per-language probes). Spark pushes rank<=k through
+    WindowGroupLimit: each partition keeps only k rows per group BEFORE the
+    shuffle, so the exchange carries ~k x |strata| rows, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
     )

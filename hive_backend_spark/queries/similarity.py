@@ -316,3 +316,38 @@ def q74_ivf_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "q88_embedding_quantize",
+    oracle="""
+    SELECT vec_id, label,
+           round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+           list_transform(v, x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS INT) - 128) AS q8
+    FROM (
+      SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS mn,
+             list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS mx
+      FROM embeddings
+    )
+    """,
+)
+def q88_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the compression step that makes
+    a 100 TB ANN index fit: 4-byte floats become 1-byte codes plus two
+    per-vector scalars (min/max), a 4x size cut with the same top-k recall
+    shape. Pure column arithmetic (array_min/max + transform), no shuffle,
+    no UDF — the map stage pipelines into whatever scan or join follows.
+    Dequantize = vmin + (q + 128) * (vmax - vmin)/255 at score time."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(mn, 6).alias("vmin"),
+        F.round(mx, 6).alias("vmax"),
+        F.transform(v, lambda x: F.round((x - mn) / scale).cast("int") - 128).alias("q8"),
+    )
