@@ -251,3 +251,52 @@ def q87_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "doc_b")
         .select("doc_a", "doc_b", F.levenshtein("pa", "pb").alias("edit_dist_200"))
     )
+
+
+@register(
+    "q90_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node)
+    SELECT doc_id, 'cluster_rep' AS kept_reason FROM lab WHERE doc_id = cluster_id
+    UNION ALL
+    SELECT doc_id, 'unique' AS kept_reason
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+    """,
+)
+def q90_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final answer: which documents survive. Composes
+    the whole chain — shingle -> minhash -> LSH bands (q82) -> candidate
+    pairs (q67) -> duplicate clusters (q79) -> keep one canonical doc per
+    cluster (its min doc_id) plus every document that was never a candidate.
+    The anti join's build side is |clustered docs| (tiny vs corpus), so at
+    100 TB it broadcasts; the corpus is scanned once beyond the signature
+    pass, which is shared/cached across the whole pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    labels = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    reps = labels.filter(F.col("node") == F.col("label")).select(
+        F.col("node").alias("doc_id"), F.lit("cluster_rep").alias("kept_reason")
+    )
+    uniques = (
+        docs.join(
+            labels.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+        ).select("doc_id", F.lit("unique").alias("kept_reason"))
+    )
+    return reps.unionAll(uniques)
