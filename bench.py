@@ -4,8 +4,22 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect-to-count). A warmup
-query runs first so JVM/codegen startup isn't attributed to the first query.
+Each query is timed end-to-end (plan + full execution). Execution is forced
+with a noop-format write, NOT count(): under count(1) Catalyst prunes every
+deterministic unused projection column, so map-only queries (text stats,
+quality scores, simhash) would never evaluate their expressions/pandas UDFs
+and the timing would measure a bare scan-count. The noop sink computes every
+output column and discards the rows.
+
+Caching policy: q82_minhash_bands is timed COLD (band cache cleared first) and
+therefore pays for the full tokenize->shingle->minhash->band signature pass;
+the downstream dedup queries (q67/q68/q79/q87-analogs) intentionally reuse the
+cached band table, exactly as a production near-dup pipeline persists its
+signature table once. The shared-pass queries are listed in the JSON output
+under "shares_band_cache".
+
+A warmup query runs first so JVM/codegen startup isn't attributed to the
+first query.
 """
 
 from __future__ import annotations
@@ -41,6 +55,7 @@ HEADLINE = [
     "q60_text_stats",
     "q62_quality_score",
     "q64_exact_dup_groups",
+    "q82_minhash_bands",  # timed cold — pays the full signature pass
     "q67_lsh_candidates",
     "q68_jaccard_verify",
     "q78_vocabulary",
@@ -52,8 +67,16 @@ HEADLINE = [
     "q71_near_dup_pairs",
     "q73_centroid_stats",
     "q74_ivf_routed_search",
-    "q82_minhash_bands",
     "q83_decode_features",
+]
+
+# Queries that deliberately reuse the band table q82 materializes (the
+# production pattern: one signature pass, many consumers). Everything else
+# is computed from scratch on every run.
+SHARES_BAND_CACHE = [
+    "q67_lsh_candidates",
+    "q68_jaccard_verify",
+    "q79_dup_clusters",
 ]
 
 
@@ -71,25 +94,36 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
     spark.range(0, par * 10, 1, par).mapInPandas(lambda it: it, "id long").count()
 
+    from hive_backend_spark.queries.dedup import clear_bands_cache
+
     # Two timed runs per query, report the min: absorbs one-time JIT/codegen
     # compilation and VM scheduling noise while still measuring full
-    # plan+execute+count work (nothing is cached between runs except what
-    # the engine legitimately caches). If the best of two still looks like
-    # it caught an external CPU-contention spike (observed: the same query
-    # is sub-second in isolation and 10 s+ when a co-tenant process wakes
-    # up), take one more sample — min-of-3 bounds the damage to the
-    # reported metric without inflating normal runs.
+    # plan+execute work (nothing is cached between runs except the shared
+    # band table, declared in SHARES_BAND_CACHE). If the best of two still
+    # looks like it caught an external CPU-contention spike (observed: the
+    # same query is sub-second in isolation and 10 s+ when a co-tenant
+    # process wakes up), take one more sample — min-of-3 bounds the damage
+    # to the reported metric without inflating normal runs.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best, n = float("inf"), -1
+        if name == "q82_minhash_bands":
+            # time the signature pass cold, not a cache read
+            clear_bands_cache()
+        best = float("inf")
         for attempt in range(3):
             if attempt == 2 and best <= 3.0:
                 break
+            if name == "q82_minhash_bands" and attempt > 0:
+                clear_bands_cache()
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
-            n = df.count()
+            # Force FULL execution of every output column: count() would let
+            # Catalyst prune unused deterministic projections, skipping the
+            # very expressions map-only queries exist to measure.
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        n = specs[name].fn(spark, sf_dir).count()  # untimed, stderr diagnostics
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
@@ -100,6 +134,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shares_band_cache": SHARES_BAND_CACHE,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -61,13 +61,14 @@ def minhash_signature(shingle_arr: Column, k: int = N_HASHES) -> Column:
 
 def lsh_band_sigs(sig: Column, bands: int = N_BANDS, rows: int = ROWS_PER_BAND) -> Column:
     """Collapse each band of `rows` signature entries into one digest; two
-    docs are candidates iff they agree on at least one band digest."""
+    docs are candidates iff they agree on at least one band digest. The
+    rows==1 case still md5s the single entry so this column form produces
+    byte-identical digests to ``minhash_bands_udf``/``explode_bands`` for
+    every (bands, rows) configuration."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.md5(
             F.concat(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
-            if rows > 1
-            else F.element_at(sig, b + 1)
         ),
     )
 
@@ -319,6 +320,7 @@ def connected_components(
     # halves driver/job-scheduling overhead — the dominant cost when the
     # label table is small relative to cluster dispatch latency.
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr_labels = sym.join(
             labels.withColumnRenamed("node", "nbr"), "nbr"
@@ -331,6 +333,17 @@ def connected_components(
         )
         label_sum = labels.agg(F.sum("label")).collect()[0][0]
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        # Partially-propagated labels are silently WRONG downstream (split
+        # clusters, bogus canonical docs) — fail loudly instead. Hitting
+        # this means graph diameter > max_iter: raise max_iter or switch to
+        # the large-star/small-star contraction noted above.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations (graph diameter exceeds the round budget); labels "
+            "would be partially propagated"
+        )
     return labels

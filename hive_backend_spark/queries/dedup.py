@@ -46,18 +46,35 @@ _ORACLE_BANDS = f"""
 # digests. Materialize the band table once per (session, corpus) — exactly
 # what a production near-dup pipeline does by persisting its signature
 # table — so q82/q67/q68 share one pass instead of recomputing it on both
-# sides of the self-join.
-_BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# sides of the self-join. Keyed by applicationId (stable per live session,
+# never reused by a successor session the way id(spark) can be); entries
+# from stopped sessions are evicted on the next lookup.
+_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _BANDS_CACHE if k[0] != app_id]
+    for k in stale:
+        del _BANDS_CACHE[k]
+    key = (app_id, sf_dir)
     df = _BANDS_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
         df = D.explode_bands(docs, "doc_id").cache()
         _BANDS_CACHE[key] = df
     return df
+
+
+def clear_bands_cache() -> None:
+    """Unpersist and drop every cached band table. Used by the bench harness
+    to time the signature pass cold."""
+    for key in list(_BANDS_CACHE):
+        df = _BANDS_CACHE.pop(key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -168,8 +168,8 @@ def q55_hydration_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_backlog_alert",
     oracle="""
     SELECT event_type, count(*) AS backlog,
-           CASE WHEN count(*) > 1000 THEN 'warn'
-                WHEN count(*) > 2000 THEN 'error'
+           CASE WHEN count(*) > 2000 THEN 'error'
+                WHEN count(*) > 1000 THEN 'warn'
                 ELSE 'ok' END AS alert
     FROM events
     GROUP BY event_type
@@ -177,12 +177,14 @@ def q55_hydration_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q56_backlog_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/Q13 threshold alerting on aggregates (db.mjs:423-429: warn if
-    pending>1000, error if errors/hour>50)."""
+    pending>1000, error if errors/hour>50). Conditions are ordered
+    most-specific first — CASE short-circuits, so testing >1000 before
+    >2000 would make the error tier unreachable."""
     events = load_table(spark, sf_dir, "events")
     cnt = F.count(F.lit(1))
     return events.groupBy("event_type").agg(
         cnt.alias("backlog"),
-        F.when(cnt > 1000, "warn").when(cnt > 2000, "error").otherwise("ok").alias("alert"),
+        F.when(cnt > 2000, "error").when(cnt > 1000, "warn").otherwise("ok").alias("alert"),
     )
 
 
