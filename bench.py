@@ -49,6 +49,10 @@ HEADLINE = [
     "q44_order_priority_check",
     "q48_returned_item_revenue",
     "q49_large_volume_customers",
+    "q91_market_share",
+    "q93_shipping_delay_priority",
+    "q94_customer_order_distribution",
+    "q99_last_to_ship_suppliers",
     "q52_two_phase_mark",
     "q57_sessionize",
     "q59_cohort_retention",
@@ -67,6 +71,8 @@ HEADLINE = [
     "q71_near_dup_pairs",
     "q73_centroid_stats",
     "q74_ivf_routed_search",
+    "q100_simhash_near_dup",
+    "q101_hyperplane_lsh",
     "q83_decode_features",
 ]
 

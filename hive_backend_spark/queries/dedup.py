@@ -158,9 +158,7 @@ def q68_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q69_simhash_signatures",
-    oracle="""
+_ORACLE_SIMHASH = """
     WITH tok AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
       FROM documents
@@ -173,8 +171,10 @@ def q68_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
     FROM bits GROUP BY doc_id
-    """,
-)
+"""
+
+
+@register("q69_simhash_signatures", oracle=_ORACLE_SIMHASH)
 def q69_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 per document (bit-string form): Arrow-batched pandas UDF
     over the token array; each token's md5-derived 64 bits vote +-1 per
@@ -185,6 +185,69 @@ def q69_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", D.simhash64_udf()(D.tokens(F.col("text"))).alias("simhash")
     )
+
+
+@register(
+    "q100_simhash_near_dup",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SIMHASH}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND (substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16)
+         OR substr(a.simhash, 17, 16) = substr(b.simhash, 17, 16)
+         OR substr(a.simhash, 33, 16) = substr(b.simhash, 33, 16)
+         OR substr(a.simhash, 49, 16) = substr(b.simhash, 49, 16))
+    )
+    SELECT doc_a, doc_b,
+           len(list_filter(range(1, 65),
+               i -> substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1))) AS hamming
+    FROM pairs
+    WHERE len(list_filter(range(1, 65),
+              i -> substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1))) <= 3
+    """,
+)
+def q100_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at scale: 64-bit signatures (q69) are split
+    into 4 disjoint 16-bit bands; candidate pairs come from an equi-join on
+    (band_idx, band_bits) — by pigeonhole, any pair within hamming
+    distance 3 agrees exactly on at least one band, so blocking loses no
+    recall at the <=3 threshold. The verify stage computes exact hamming on
+    O(candidates) pairs only. Same shape as MinHash-LSH (q67): the
+    all-pairs O(N^2) never materializes; the shuffle key is 16 bits of
+    signature, and AQE handles hot buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.spread(docs).select(
+        "doc_id", D.simhash64_udf()(D.tokens(F.col("text"))).alias("simhash")
+    )
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.substring("simhash", 1 + 16 * b, 16) for b in range(4)])
+        ).alias("band_idx", "band_bits"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a", "doc_b", D.hamming_bits(F.col("ha"), F.col("hb")).alias("hamming")
+    ).filter(F.col("hamming") <= 3)
 
 
 @register(

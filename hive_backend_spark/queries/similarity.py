@@ -351,3 +351,104 @@ def q88_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mx, 6).alias("vmax"),
         F.transform(v, lambda x: F.round((x - mn) / scale).cast("int") - 128).alias("q8"),
     )
+
+
+# --- hyperplane LSH (q101) --------------------------------------------------
+
+# Deterministic +-1 hyperplanes: sign of plane j, dim i derives from
+# md5("{j}|{i}") so both engines (and every build) see the same planes
+# without shipping a random state. 8 planes x 64 dims.
+import hashlib as _hashlib
+
+_N_PLANES = 8
+_DIM = 64
+_PLANES: list[list[int]] = [
+    [
+        1 if int(_hashlib.md5(f"{j}|{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+        for i in range(_DIM)
+    ]
+    for j in range(_N_PLANES)
+]
+
+
+def _plane_sql(j: int) -> str:
+    return "[" + ", ".join(str(s) for s in _PLANES[j]) + "]"
+
+
+_Q101_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN list_dot_product(q8, {_plane_sql(j)}) > 0 THEN '1' ELSE '0' END)"
+    for j in range(_N_PLANES)
+)
+
+_Q101_QUANT = """
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS INT) - 128) AS q8
+    FROM (SELECT vec_id, embedding,
+                 list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS mn,
+                 list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS mx
+          FROM embeddings)
+"""
+
+
+@register(
+    "q101_hyperplane_lsh",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, v, {_Q101_BUCKET_SQL} AS bucket
+      FROM ({_Q101_QUANT})
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine_sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ORDER BY cosine_sim DESC, vec_a ASC, vec_b ASC
+    LIMIT 20
+    """,
+)
+def q101_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH for embeddings — the bucketed ANN scale
+    path: each vector gets an 8-bit signature (sign of the dot product with
+    8 fixed +-1 hyperplanes); candidate pairs come from an equi-join on the
+    signature, then exact cosine runs on O(candidates) only. Two design
+    choices make it portable AND scale-safe: (1) the hyperplane dots run on
+    the int8-quantized codes (q88) in pure integer arithmetic, so bucket
+    assignment is bit-identical in every engine regardless of float
+    summation order; (2) the join key is 8 bits, so ~2^8 buckets bound the
+    shuffle and AQE splits any hot bucket. Top-20 pairs by exact cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    q8 = F.transform(v, lambda x: F.round((x - mn) / scale).cast("int") - 128)
+    quant = emb.select("vec_id", v.alias("v"), q8.alias("q8"))
+
+    def plane_dot(j: int) -> Column:
+        splane = F.array(*[F.lit(s) for s in _PLANES[j]])
+        return F.aggregate(
+            F.zip_with(F.col("q8"), splane, lambda x, y: x * y),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.concat(
+        *[F.when(plane_dot(j) > 0, "1").otherwise("0") for j in range(_N_PLANES)]
+    )
+    sig = quant.select("vec_id", "v", bucket.alias("bucket"))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+        .limit(20)
+    )

@@ -403,38 +403,35 @@ def q99_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting): suppliers who were the
     UNIQUE last to ship in orders involving 2+ suppliers (exists/not-exists
     pair expressed as per-order aggregates, with shipdate standing in for
-    the missing receipt/commit dates). Every stage keys on l_orderkey, so
-    the per-order aggregate, the at-max aggregate, and the join all reuse
-    one hash partitioning — a single logical shuffle of lineitem plus a
-    final tiny per-supplier aggregate."""
+    the missing receipt/commit dates). One fact scan, staged reduction:
+    first collapse lineitem to per-(order, supplier) max shipdates (the
+    map-side partial combine does most of the work before the shuffle),
+    then a window + aggregate over the ~10x smaller pair table picks the
+    unique latest supplier per order. No countDistinct anywhere — every
+    count is over rows made distinct by construction — so Catalyst inserts
+    no Expand re-shuffles, and the final per-supplier aggregate is the only
+    other exchange."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
+    pair_max = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
     )
-    at_max = (
-        li.join(
-            per_order.select(F.col("l_orderkey").alias("po_orderkey"), "max_ship"),
-            (F.col("l_orderkey") == F.col("po_orderkey"))
-            & (F.col("l_shipdate") == F.col("max_ship")),
-        )
-        .groupBy(F.col("l_orderkey"))
-        .agg(F.countDistinct("l_suppkey").alias("n_at_max"))
-        .select(F.col("l_orderkey").alias("am_orderkey"), "n_at_max")
+    w = Window.partitionBy("l_orderkey")
+    with_max = pair_max.withColumn("max_ship", F.max("supp_max").over(w))
+    at_max = F.col("supp_max") == F.col("max_ship")
+    per_order = with_max.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(at_max, 1)).alias("n_at_max"),
+        # unique under the n_at_max == 1 filter below, hence deterministic
+        F.first(F.when(at_max, F.col("l_suppkey")), ignorenulls=True).alias("winner"),
     )
     return (
-        li.join(per_order.withColumnRenamed("l_orderkey", "po_orderkey"),
-                F.col("l_orderkey") == F.col("po_orderkey"))
-        .join(at_max, F.col("l_orderkey") == F.col("am_orderkey"))
-        .filter(
-            (F.col("n_supp") > 1)
-            & (F.col("n_at_max") == 1)
-            & (F.col("l_shipdate") == F.col("max_ship"))
-        )
-        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_at_max") == 1))
+        .join(supp, F.col("s_suppkey") == F.col("winner"))
         .groupBy("s_suppkey", "s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(20)
     )
