@@ -237,22 +237,29 @@ def simhash64_udf():
     def simhash64(token_arrays: pd.Series) -> pd.Series:
         import hashlib
 
-        cache: dict[str, int] = {}
+        import numpy as np
 
-        def tok_hash(t: str) -> int:
-            h = cache.get(t)
-            if h is None:
-                h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
-                cache[t] = h
-            return h
+        # token -> precomputed 64-element +-1 bit-vote row, memoized across
+        # the whole Arrow batch (real corpora repeat tokens heavily)
+        cache: dict[str, "np.ndarray"] = {}
+        shifts = np.arange(63, -1, -1, dtype=np.uint64)
+
+        def tok_votes(t: str) -> "np.ndarray":
+            v = cache.get(t)
+            if v is None:
+                h = np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:16], 16))
+                bits = (h >> shifts) & np.uint64(1)
+                v = bits.astype(np.int32) * 2 - 1
+                cache[t] = v
+            return v
 
         out = []
         for toks in token_arrays:
-            acc = [0] * 64
-            for t in toks:
-                h = tok_hash(t)
-                for bit in range(64):
-                    acc[bit] += 1 if (h >> (63 - bit)) & 1 else -1
+            if len(toks) == 0:
+                out.append("0" * 64)
+                continue
+            # stack per-token vote rows, sum columns, sign -> bit
+            acc = np.sum([tok_votes(t) for t in toks], axis=0)
             out.append("".join("1" if a > 0 else "0" for a in acc))
         return pd.Series(out)
 
@@ -260,14 +267,25 @@ def simhash64_udf():
 
 
 def hamming_bits(a: Column, b: Column, width: int = 64) -> Column:
-    """Hamming distance between two equal-length bit strings."""
-    return F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(width)),
-            lambda i: F.substring(a, 1, width).substr(i, F.lit(1))
-            != F.substring(b, 1, width).substr(i, F.lit(1)),
-        )
-    )
+    """Hamming distance between two equal-length '0'/'1' bit strings.
+
+    Implemented as bit_count(xor) over 16-bit chunks parsed with conv() —
+    pure codegen'd expressions. The naive form (F.filter over a position
+    sequence with per-position substr) evaluates `width` interpreted
+    lambdas per pair, which at ~200k candidate pairs costs seconds; this
+    form is a handful of integer instructions per chunk."""
+    chunks = []
+    pos = 1
+    while pos <= width:
+        n = min(16, width - pos + 1)
+        ca = F.conv(F.substring(a, pos, n), 2, 10).cast("int")
+        cb = F.conv(F.substring(b, pos, n), 2, 10).cast("int")
+        chunks.append(F.bit_count(ca.bitwiseXOR(cb)))
+        pos += n
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out + c
+    return out
 
 
 # --- n-gram Jaccard --------------------------------------------------------

@@ -219,8 +219,13 @@ def q100_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs O(N^2) never materializes; the shuffle key is 16 bits of
     signature, and AQE handles hot buckets."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.spread(docs).select(
-        "doc_id", D.simhash64_udf()(D.tokens(F.col("text"))).alias("simhash")
+    # Materialize signatures once: the self-join's broadcast side defeats
+    # exchange reuse, so without this the signature UDF runs twice (both
+    # sides of the join re-derive it from the raw text).
+    sigs = (
+        D.spread(docs)
+        .select("doc_id", D.simhash64_udf()(D.tokens(F.col("text"))).alias("simhash"))
+        .localCheckpoint(eager=False)
     )
     bands = sigs.select(
         "doc_id",
@@ -230,6 +235,9 @@ def q100_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_idx", "band_bits"),
     )
     a, b = bands.alias("a"), bands.alias("b")
+    # dedup on the 16-byte id pair BEFORE touching the 64-char signatures
+    # (a pair matching in k bands appears k times); signatures re-attach via
+    # two broadcast joins against the tiny checkpointed sig table
     cand = (
         a.join(
             b,
@@ -240,14 +248,17 @@ def q100_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
         )
         .distinct()
     )
-    return cand.select(
-        "doc_a", "doc_b", D.hamming_bits(F.col("ha"), F.col("hb")).alias("hamming")
-    ).filter(F.col("hamming") <= 3)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", D.hamming_bits(F.col("ha"), F.col("hb")).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
 
 
 @register(

@@ -411,44 +411,71 @@ def q101_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (sign) LSH for embeddings — the bucketed ANN scale
     path: each vector gets an 8-bit signature (sign of the dot product with
     8 fixed +-1 hyperplanes); candidate pairs come from an equi-join on the
-    signature, then exact cosine runs on O(candidates) only. Two design
+    signature, then exact cosine runs on O(candidates) only. Three design
     choices make it portable AND scale-safe: (1) the hyperplane dots run on
-    the int8-quantized codes (q88) in pure integer arithmetic, so bucket
-    assignment is bit-identical in every engine regardless of float
-    summation order; (2) the join key is 8 bits, so ~2^8 buckets bound the
-    shuffle and AQE splits any hot bucket. Top-20 pairs by exact cosine."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    mn, mx = F.array_min(v), F.array_max(v)
-    scale = (mx - mn) / F.lit(255.0)
-    q8 = F.transform(v, lambda x: F.round((x - mn) / scale).cast("int") - 128)
-    quant = emb.select("vec_id", v.alias("v"), q8.alias("q8"))
+    the int8-quantized codes (q88) in pure INTEGER arithmetic — associative,
+    so one numpy matmul per Arrow batch produces bit-identical buckets to
+    any evaluation order in any engine; (2) per-bucket pair scoring is one
+    BLAS matmul via applyInPandas (a join-per-pair formulation would grind
+    through interpreted lambdas per candidate — see q71); (3) ~2^8 buckets
+    bound the shuffle, and AQE splits hot buckets. Top-20 pairs by cosine."""
+    import numpy as np
+    import pandas as pd
 
-    def plane_dot(j: int) -> Column:
-        splane = F.array(*[F.lit(s) for s in _PLANES[j]])
-        return F.aggregate(
-            F.zip_with(F.col("q8"), splane, lambda x, y: x * y),
-            F.lit(0),
-            lambda acc, x: acc + x,
+    from ..operators.dedup import spread
+
+    # single-file fixture parquet is unsplittable — fan out before the
+    # CPU-bound signature stage (no-op on a properly partitioned table)
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+
+    planes_t = np.array(_PLANES, dtype=np.int64).T  # (dim, planes)
+
+    def bucketize(batches):
+        # quantize + hyperplane-sign in one vectorized pass: the int8 codes
+        # and integer matmul make bucket bits exact (associative integer
+        # sums), unlike a float dot whose summation order varies by engine
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (n, dim)
+            mn = m.min(axis=1, keepdims=True)
+            mx = m.max(axis=1, keepdims=True)
+            q = np.round((m - mn) / ((mx - mn) / 255.0)).astype(np.int64) - 128
+            bits = (q @ planes_t) > 0  # integer matmul: exact, order-free
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": list(m),
+                    "bucket": ["".join("1" if b else "0" for b in row) for row in bits],
+                }
+            )
+            yield out
+
+    sig = emb.mapInPandas(
+        bucketize, schema="vec_id bigint, v array<double>, bucket string"
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "bucket": [], "cosine_sim": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "bucket": "str", "cosine_sim": "float64"})
+        m = np.stack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia],
+                "vec_b": ids[ib],
+                "bucket": pdf["bucket"].iloc[0],
+                "cosine_sim": np.round(sims[ia, ib], 6),
+            }
         )
 
-    bucket = F.concat(
-        *[F.when(plane_dot(j) > 0, "1").otherwise("0") for j in range(_N_PLANES)]
+    pairs = sig.groupBy("bucket").applyInPandas(
+        block_pairs, schema="vec_a bigint, vec_b bigint, bucket string, cosine_sim double"
     )
-    sig = quant.select("vec_id", "v", bucket.alias("bucket"))
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.bucket").alias("bucket"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
-        )
-        .orderBy(F.col("cosine_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
-        .limit(20)
-    )
+    return pairs.orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()
+    ).limit(20)

@@ -9,6 +9,7 @@ from .pipeline import (
     EVENT_SCHEMA,
     dedup_stream,
     read_event_stream,
+    rollup_stream,
     route_events,
     run_two_phase,
     session_counts,
@@ -22,6 +23,7 @@ __all__ = [
     "EVENT_SCHEMA",
     "dedup_stream",
     "read_event_stream",
+    "rollup_stream",
     "route_events",
     "run_two_phase",
     "session_counts",

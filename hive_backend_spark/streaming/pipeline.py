@@ -217,3 +217,25 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     per micro-batch, so a dim refresh between triggers is picked up without
     restarting the stream. Same call works on a batch DataFrame."""
     return events.join(F.broadcast(dim), on, "inner")
+
+
+def rollup_stream(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Continuous-aggregate hierarchy — the streaming mirror of
+    q85_rollup_hierarchy (minute -> hour composition): minute-level partial
+    aggregates roll into hourly aggregates INSIDE one streaming query via
+    chained event-time window aggregation (window over window_time). The
+    hourly state consumes closed minute windows, so late data within the
+    watermark delay corrects both levels; per-trigger work is bounded by
+    open windows, not stream length. This is the standard shape for
+    maintaining a multi-resolution rollup (hypertable-style) over an
+    unbounded event stream."""
+    minute = (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 minute").alias("wm"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    return (
+        minute.groupBy(F.window(F.window_time("wm"), "1 hour").alias("wh"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+        .select(F.col("wh.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )

@@ -221,3 +221,37 @@ def test_stream_static_join_parity(spark, stream_src):
     g = sorted(map(repr, got.select(*sorted(got.columns)).collect()))
     w = sorted(map(repr, want.select(*sorted(want.columns)).collect()))
     assert g == w
+
+
+def test_rollup_stream_batch_parity(spark, stream_src):
+    """Chained windowed aggregation (minute -> hour continuous rollup):
+    every hourly row the stream emits must equal the batch two-level rollup
+    on the same data; only hours not yet closed by the watermark may be
+    missing from the stream output."""
+    got = _run_to_memory(
+        spark,
+        S.rollup_stream(S.read_event_stream(spark, stream_src)),
+        "rollup_hier",
+        mode="append",
+    )
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    minute = batch.groupBy(F.window("ts", "1 minute").alias("wm"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    want = (
+        minute.groupBy(F.window(F.col("wm.start"), "1 hour").alias("wh"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+        .select(F.col("wh.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+    def norm(rows):
+        return {(r[0], r[1], r[2], round(r[3], 3)) for r in rows}
+
+    got_rows = norm(got.collect())
+    want_rows = norm(want.collect())
+    assert got_rows, "stream emitted no closed hourly windows"
+    assert got_rows <= want_rows
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    for hour_start, _etype, _n, _s in want_rows - got_rows:
+        hours_from_end = (max_ts - hour_start).total_seconds() / 3600
+        assert hours_from_end <= 2, f"closed hour missing from stream output: {hour_start}"
