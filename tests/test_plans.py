@@ -118,3 +118,44 @@ def test_hash_sample_is_scan_side(spark, sf_dir):
     filter that composes with any downstream partitioning."""
     df = _df(spark, sf_dir, "q75_hash_sample")
     P.assert_plan(df, forbids=["Exchange"])
+
+
+def test_market_share_single_fact_shuffle(spark, sf_dir):
+    """q91: the seven-table snowflake must hang every dimension off the
+    fact spine with broadcast joins — the only hash exchange allowed is the
+    final group-by; no sort-merge join at these dim sizes."""
+    df = _df(spark, sf_dir, "q91_market_share")
+    ops = P.physical_ops(df)
+    assert any("BroadcastHashJoin" in o for o in ops)
+    assert not any("SortMergeJoin" in o for o in ops)
+    exchanges = [o for o in ops if o == "Exchange"]
+    assert len(exchanges) <= 2, f"fact side re-shuffled: {ops}"
+
+
+def test_last_to_ship_single_scan(spark, sf_dir):
+    """q99: the staged reduction must read lineitem exactly once and must
+    not introduce countDistinct Expand re-shuffles."""
+    df = _df(spark, sf_dir, "q99_last_to_ship_suppliers")
+    scans = [o for o in P.physical_ops(df) if o.startswith("Scan")]
+    assert len(scans) == 2, f"expected lineitem + supplier scans only, got {scans}"
+    P.assert_plan(df, forbids=["Expand"])
+
+
+def test_simhash_pairs_single_signature_pass(spark, sf_dir):
+    """q100: the checkpointed signature table must make the band self-join
+    consume ONE python-UDF pass (two ArrowEval nodes would mean the
+    signatures are recomputed per join side)."""
+    df = _df(spark, sf_dir, "q100_simhash_near_dup")
+    plan = P.formatted_plan(df)
+    assert plan.count("ArrowEvalPython") <= 1, "signature UDF runs more than once"
+
+
+def test_hyperplane_lsh_no_join_per_pair(spark, sf_dir):
+    """q101: pair scoring must go through the per-bucket pandas stage, not
+    a join whose condition evaluates interpreted array lambdas per pair."""
+    df = _df(spark, sf_dir, "q101_hyperplane_lsh")
+    plan = P.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "aggregate(" not in plan.lower().replace("hashaggregate", ""), (
+        "higher-order aggregate() lambda leaked into the pair path"
+    )
