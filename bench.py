@@ -59,6 +59,8 @@ HEADLINE = [
     "q60_text_stats",
     "q62_quality_score",
     "q64_exact_dup_groups",
+    "q103_corpus_clean",
+    "q105_incremental_dedup",
     "q82_minhash_bands",  # timed cold — pays the full signature pass
     "q67_lsh_candidates",
     "q68_jaccard_verify",

@@ -139,3 +139,34 @@ def q89_per_group_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 5)
     )
+
+
+@register(
+    "q102_weighted_priority_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(n_chars AS DOUBLE)
+             / (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+             AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def q102_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (Duffield et al.): keep the top-k rows by
+    priority w/u where u is a uniform key — long documents are
+    proportionally more likely to survive, the standard size-weighted
+    subsample for token-budgeted training mixes. u derives from a 48-bit
+    md5 prefix, so: exact in a double, reshuffle/rerun-stable, and the
+    single integer division is IEEE-identical in every engine — a sampling
+    step the oracle can hash-match bit for bit. Plan: scan-side narrow
+    projection + TakeOrderedAndProject; nothing shuffles but the top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast("bigint")
+    priority = F.col("n_chars").cast("double") / (h + F.lit(1))
+    return (
+        docs.select("doc_id", "lang", "n_chars", priority.alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )

@@ -279,3 +279,111 @@ def q84_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("token").asc())
         .limit(50)
     )
+
+
+@register(
+    "q103_corpus_clean",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN n_tokens < 30 THEN 'too_short'
+                WHEN stop_hits / CAST(n_tokens AS DOUBLE) < 0.03 THEN 'low_stopword'
+                ELSE 'kept' END AS verdict,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t))) AS stop_hits
+      FROM documents
+    )
+    GROUP BY lang, verdict
+    """,
+)
+def q103_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus cleaning verdicts: every document is assigned the
+    FIRST filter rule it fails (length gate, then stopword-density gate) or
+    'kept', rolled up per language — the audit view a cleaning pipeline
+    emits before materializing the kept subset. One scan, all-column
+    expressions, tiny aggregate: at 100 TB the cost is the scan itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    verdict = (
+        F.when(n_tokens < 30, "too_short")
+        .when(stop_hits / n_tokens.cast("double") < 0.03, "low_stopword")
+        .otherwise("kept")
+    )
+    return (
+        docs.select("lang", "n_chars", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "q104_term_redaction",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\b(customer|key)\\b')) AS n_masked,
+           md5(regexp_replace(text, '\\b(customer|key)\\b', '[MASK]', 'g')) AS redacted_md5
+    FROM documents
+    WHERE len(regexp_extract_all(text, '\\b(customer|key)\\b')) > 0
+    """,
+)
+def q104_term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term redaction — the masking pass every training pipeline
+    runs over raw text (PII patterns, denylisted terms): global
+    regexp_replace with a word-boundary alternation, plus a per-doc hit
+    count for the audit trail. The oracle compares an md5 of the redacted
+    text, proving byte-identical masking across engines without hauling
+    full documents through the comparison. Narrow map stage: no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"\b(customer|key)\b"
+    n_masked = F.size(F.regexp_extract_all("text", F.lit(pat)))
+    return (
+        docs.select(
+            "doc_id",
+            n_masked.alias("n_masked"),
+            F.md5(F.regexp_replace("text", pat, "[MASK]")).alias("redacted_md5"),
+        )
+        .filter(F.col("n_masked") > 0)
+    )
+
+
+@register(
+    "q105_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(text) AS fingerprint,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents
+    )
+    SELECT i.doc_id, i.fingerprint
+    FROM fp i
+    WHERE i.bucket >= 'e6'
+      AND NOT EXISTS (
+        SELECT 1 FROM fp c WHERE c.bucket < 'e6' AND c.fingerprint = i.fingerprint
+      )
+    """,
+)
+def q105_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an incoming batch (~10% of docs by hash
+    split, standing in for today's crawl) is anti-joined on content
+    fingerprint against the existing corpus, keeping only genuinely new
+    content — the incremental counterpart to the full-corpus dedup (q64).
+    At 100 TB the corpus side is a bucketed fingerprint index joined on its
+    bucket key; here the anti join broadcasts the (small) incoming side's
+    matches. No text moves — only 32-char digests."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .sampling import hash_bucket
+
+    fp = docs.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        hash_bucket("doc_id").alias("bucket"),
+    )
+    incoming = fp.filter(F.col("bucket") >= "e6").select("doc_id", "fingerprint")
+    corpus = fp.filter(F.col("bucket") < "e6").select("fingerprint")
+    return incoming.join(corpus, "fingerprint", "left_anti")
