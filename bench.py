@@ -61,6 +61,8 @@ HEADLINE = [
     "q64_exact_dup_groups",
     "q103_corpus_clean",
     "q105_incremental_dedup",
+    "q106_decontamination",
+    "q108_bm25_topk",
     "q82_minhash_bands",  # timed cold — pays the full signature pass
     "q67_lsh_candidates",
     "q68_jaccard_verify",

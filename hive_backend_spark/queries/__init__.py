@@ -7,6 +7,7 @@ Modules map to SURVEY.md sections:
     tpch_extra  — remaining classic TPC-H query shapes adapted to the schema
     sessions    — event-stream behavioral analytics (sessionize/funnel/cohort)
     text        — §7 Phase 3: text analysis + exact dedup on `documents`
+    corpus      — §7 Phase 3: decontamination / packing / BM25 / inverted index
     dedup       — §7 Phase 3: MinHash-LSH / SimHash / n-gram Jaccard near-dup
     similarity  — §7 Phase 3: embedding similarity / ANN on `embeddings`
     sampling    — §7 Phase 3: deterministic sampling / split assignment
@@ -15,6 +16,7 @@ Modules map to SURVEY.md sections:
 
 from . import (  # noqa: F401
     analytics,
+    corpus,
     dedup,
     multimodal,
     queue,

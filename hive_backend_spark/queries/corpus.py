@@ -1,0 +1,276 @@
+"""Corpus-preparation operators over `documents` — SURVEY §7 Phase 3
+training-data-pipeline extensions (not reference behavior): eval-set
+decontamination, sequence packing into fixed token budgets, BM25 retrieval,
+and inverted-index construction.
+
+All stages are built-in column expressions / standard shuffles; the only
+global structure (the packing prefix sum) is computed with the two-level
+per-bucket pattern so nothing ever funnels through a single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from ..registry import register
+from .sampling import hash_bucket
+
+# 8-token n-grams: the standard decontamination unit (big enough that shared
+# grams imply copied text, small enough to catch partial overlap).
+_DECON_N = 8
+
+# DuckDB mirror of operators.dedup.shingles(text, 8): whitespace tokens ->
+# distinct 8-gram strings joined by single spaces; empty when < 8 tokens.
+_ORACLE_GRAMS8 = """
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 6, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                               t[i+4], t[i+5], t[i+6], t[i+7])))) AS gram
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents)
+  WHERE len(t) >= 8
+"""
+
+
+@register(
+    "q106_decontamination",
+    oracle=f"""
+    WITH g AS ({_ORACLE_GRAMS8}),
+    ev AS (SELECT DISTINCT gram FROM g WHERE bucket >= 'f0')
+    SELECT c.doc_id, count(*) AS n_shared_grams
+    FROM g c JOIN ev ON c.gram = ev.gram
+    WHERE c.bucket < 'f0'
+    GROUP BY c.doc_id
+    """,
+)
+def q106_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents that share any
+    8-token n-gram with the held-out eval split (here: the ~6% of docs whose
+    md5 bucket is >= 'f0'), reporting how many distinct grams leak. This is
+    the n-gram-overlap check every LLM data pipeline runs before training.
+
+    Scale posture: the eval set is fixed-size (benchmarks), so its distinct
+    gram set broadcasts; the training corpus is scanned once, its grams
+    filtered map-side against the broadcast set — no shuffle of corpus
+    grams, only the per-doc count aggregation of the (rare) hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = D.spread(docs).select(
+        "doc_id",
+        hash_bucket("doc_id").alias("bucket"),
+        F.explode(D.shingles_udf(_DECON_N)(F.col("text"))).alias("gram"),
+    )
+    eval_grams = grams.filter(F.col("bucket") >= "f0").select("gram").distinct()
+    train = grams.filter(F.col("bucket") < "f0")
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@register(
+    "q107_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY bucket, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // 512 AS bin_id,
+           start_offset % 512 AS bin_offset
+    FROM s
+    """,
+)
+def q107_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): lay every document out in one
+    deterministic token stream (ordered by md5 bucket, then doc_id) and
+    assign each its 512-token training-bin id and offset — documents
+    crossing a boundary are split at load time, the standard packing for
+    pretraining batches.
+
+    The global prefix sum is computed in two levels so no stage is a
+    single-partition window: (1) a per-bucket running sum (window
+    partitioned by the 256 md5 buckets — parallel), (2) per-bucket totals
+    (256 rows) offset-summed and broadcast-joined back. The oracle computes
+    the same stream position with one flat window, proving the two-level
+    decomposition exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        hash_bucket("doc_id").alias("bucket"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = t.withColumn(
+        "local_start", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    totals = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    w_bucket = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )  # 256 rows — trivially single-partition
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_total").over(w_bucket), F.lit(0)).alias(
+            "bucket_offset"
+        ),
+    )
+    start = (F.col("bucket_offset") + F.col("local_start")).cast("bigint")
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            F.floor(start / 512).alias("bin_id"),
+            (start % 512).alias("bin_offset"),
+        )
+    )
+
+
+# BM25 query terms — present in the synthetic corpus vocabulary.
+_BM25_TERMS = ("table", "stream", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q108_bm25_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len(tok)) AS DOUBLE) / count(*) AS avgdl
+      FROM t
+    ),
+    tf AS (
+      SELECT doc_id, len(tok) AS dl, term,
+             len(list_filter(tok, x -> x = term)) AS tf
+      FROM t, (SELECT unnest({list(_BM25_TERMS)!r}::VARCHAR[]) AS term) terms
+      WHERE len(list_filter(tok, x -> x = term)) > 0
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * ({_BM25_K1} + 1.0)
+             / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 4) AS bm25
+    FROM tf JOIN df USING (term), stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def q108_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: score every document against a fixed query term set
+    and return the top 50 (Lucene's ln(1 + (N-df+.5)/(df+.5)) idf,
+    k1=1.2, b=0.75). avgdl is computed as exact-integer token sum / doc
+    count so both engines derive the identical double — the whole score is
+    then deterministic arithmetic on integers, making a float ranking
+    hash-matchable.
+
+    Scale posture: term stats (df, N, avgdl) are a handful of rows —
+    broadcast; per-doc term frequencies are a map-side array filter over
+    one corpus scan; the only shuffles are the tiny df aggregate and the
+    final TakeOrderedAndProject top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(term).alias("term"),
+                        F.size(F.filter(toks, lambda x: x == term)).alias("tf"),
+                    )
+                    for term in _BM25_TERMS
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "dl", F.col("x.term").alias("term"), F.col("x.tf").alias("tf"))
+    tf = pairs.filter(F.col("tf") > 0)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "q109_inverted_index",
+    oracle="""
+    WITH posting AS (
+      SELECT term, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY term, doc_id
+    )
+    SELECT term,
+           count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           array_to_string(list_sort(list(doc_id))[1:20], ',') AS posting_head
+    FROM posting
+    GROUP BY term
+    """,
+)
+def q109_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token -> document frequency, corpus
+    frequency, and the head of its sorted posting list (first 20 doc_ids,
+    comma-joined so the oracle compares it as one portable string). The
+    posting join key is the term — exactly how a distributed index build
+    shards at scale (shuffle by term, build postings per shard); hot terms
+    are the skew case AQE's skew-join handles, or salt-and-merge for
+    pathological stopwords."""
+    docs = load_table(spark, sf_dir, "documents")
+    posting = (
+        docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return posting.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).cast("array<string>")
+        ).alias("posting_head"),
+    )
