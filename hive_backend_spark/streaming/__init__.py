@@ -7,6 +7,7 @@ end-to-end in ``tests/test_streaming.py``.
 
 from .pipeline import (
     EVENT_SCHEMA,
+    correlate_streams,
     dedup_stream,
     read_event_stream,
     rollup_stream,
@@ -21,6 +22,7 @@ from .pipeline import (
 
 __all__ = [
     "EVENT_SCHEMA",
+    "correlate_streams",
     "dedup_stream",
     "read_event_stream",
     "rollup_stream",

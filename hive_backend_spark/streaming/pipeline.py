@@ -219,6 +219,44 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on, "inner")
 
 
+def correlate_streams(
+    selections: DataFrame,
+    updates: DataFrame,
+    within: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time interval join: each selection event is
+    matched to the update events the same user produced within `within`
+    AFTER it — the streaming form of the reference's selection->value-update
+    correlation (a selection broadcast, server.mjs:97-127, followed by the
+    cell update it triggered, server.mjs:201-239), and the streaming mirror
+    of the batch range join (q39).
+
+    Both sides carry watermarks and the join condition bounds the time gap
+    in BOTH directions, so Spark can size and evict the per-side join state:
+    buffered rows are dropped once the other side's watermark passes their
+    interval — state is bounded by (delay + within) of traffic per user,
+    never by stream length. Without the interval bound this join would be
+    required to buffer both streams forever."""
+    s = selections.withWatermark("ts", delay).alias("s")
+    u = updates.withWatermark("ts", delay).alias("u")
+    return s.join(
+        u,
+        F.expr(
+            f"""s.user_id = u.user_id
+            AND u.ts >= s.ts
+            AND u.ts <= s.ts + INTERVAL {within}"""
+        ),
+    ).select(
+        F.col("s.event_id").alias("selection_id"),
+        F.col("s.ts").alias("selection_ts"),
+        F.col("s.user_id").alias("user_id"),
+        F.col("u.event_id").alias("update_id"),
+        F.col("u.ts").alias("update_ts"),
+        F.col("u.value").alias("value"),
+    )
+
+
 def rollup_stream(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     """Continuous-aggregate hierarchy — the streaming mirror of
     q85_rollup_hierarchy (minute -> hour composition): minute-level partial

@@ -255,3 +255,45 @@ def test_rollup_stream_batch_parity(spark, stream_src):
     for hour_start, _etype, _n, _s in want_rows - got_rows:
         hours_from_end = (max_ts - hour_start).total_seconds() / 3600
         assert hours_from_end <= 2, f"closed hour missing from stream output: {hour_start}"
+
+
+def test_stream_stream_interval_join_parity(spark, stream_src):
+    """Stream-stream interval join (selection -> update within 30 min per
+    user): every pair the stream emits must appear in the batch interval
+    join; pairs may only be missing if their selection arrived too close to
+    the end of the stream for the closing watermark to pass its interval."""
+    sel = S.read_event_stream(spark, stream_src).filter(F.col("event_type") == "click")
+    upd = S.read_event_stream(spark, stream_src).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_to_memory(
+        spark, S.correlate_streams(sel, upd), "correlated", mode="append"
+    )
+
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    bs = batch.filter(F.col("event_type") == "click").alias("s")
+    bu = batch.filter(F.col("event_type") == "purchase").alias("u")
+    want = bs.join(
+        bu,
+        F.expr(
+            "s.user_id = u.user_id AND u.ts >= s.ts "
+            "AND u.ts <= s.ts + INTERVAL 30 minutes"
+        ),
+    ).select(
+        F.col("s.event_id").alias("selection_id"),
+        F.col("s.ts").alias("selection_ts"),
+        F.col("s.user_id").alias("user_id"),
+        F.col("u.event_id").alias("update_id"),
+        F.col("u.ts").alias("update_ts"),
+        F.col("u.value").alias("value"),
+    )
+    got_rows = set(map(repr, got.collect()))
+    want_rows = set(map(repr, want.collect()))
+    assert want_rows, "batch interval join found no pairs — vacuous test"
+    assert got_rows, "stream emitted no joined pairs"
+    assert got_rows <= want_rows, "stream emitted pairs the batch join lacks"
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    missing = want.join(got, ["selection_id", "update_id"], "left_anti").collect()
+    for r in missing:
+        lag_h = (max_ts - r["selection_ts"]).total_seconds() / 3600
+        assert lag_h <= 1.5, f"pair missing though watermark closed it: {r}"
