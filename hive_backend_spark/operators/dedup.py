@@ -97,7 +97,10 @@ def shingles_udf(n: int = 3):
     def shingle_of(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            toks = ws.split(text.strip())
+            # strip(" ") not strip(): SQL trim (Spark AND the DuckDB oracle)
+            # removes only ASCII spaces, so leading \n/\t must survive into
+            # the split exactly as the column form sees them
+            toks = ws.split(text.strip(" "))
             if len(toks) < n:
                 out.append([])
             else:
@@ -136,9 +139,12 @@ def minhash_bands_udf(k: int = N_HASHES, bands: int = N_BANDS):
         out = []
         for shingle_arr in shingle_arrays:
             if len(shingle_arr) == 0:
-                sig = ["" for _ in range(k)]
-            else:
-                sig = [min(seed_hash(seed, s) for s in shingle_arr) for seed in range(k)]
+                # column form / oracle: min over an empty set is NULL and
+                # null-intolerant concat+md5 keeps it NULL — an empty doc has
+                # no band identity and must never join another empty doc
+                out.append([None] * bands)
+                continue
+            sig = [min(seed_hash(seed, s) for s in shingle_arr) for seed in range(k)]
             out.append(
                 [
                     hashlib.md5("".join(sig[b * rows : (b + 1) * rows]).encode()).hexdigest()
@@ -178,7 +184,8 @@ def explode_bands(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
         for pdf in batches:
             ids, idxs, sigs = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = ws.split(text.strip())
+                # strip(" ") mirrors SQL trim (spaces only) — see shingles_udf
+                toks = ws.split(text.strip(" "))
                 grams = (
                     list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)))
                     if len(toks) >= 3
@@ -187,12 +194,19 @@ def explode_bands(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
                 if grams:
                     sig = [min(seed_hash(seed, s) for s in grams) for seed in range(k)]
                 else:
-                    sig = ["" for _ in range(k)]
+                    # no band identity for empty docs (NULL, matching the
+                    # column form / oracle) — null keys never equi-join, so
+                    # gram-less docs can't become candidates of each other
+                    sig = None
                 for b in range(bands):
                     ids.append(doc_id)
                     idxs.append(b)
                     sigs.append(
-                        hashlib.md5("".join(sig[b * rows : (b + 1) * rows]).encode()).hexdigest()
+                        None
+                        if sig is None
+                        else hashlib.md5(
+                            "".join(sig[b * rows : (b + 1) * rows]).encode()
+                        ).hexdigest()
                     )
             yield pd.DataFrame({id_col: ids, "band_idx": idxs, "band_sig": sigs})
 

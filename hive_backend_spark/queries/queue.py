@@ -13,7 +13,7 @@ event_type=routing key, coalesce(value,0)=priority.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -206,4 +206,72 @@ def q51_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id", "event_type").agg(
         F.min("event_id").alias("first_event_id"),
         F.min("ts").alias("first_ts"),
+    )
+
+
+@register(
+    "q111_snapshot_diff",
+    oracle="""
+    WITH ranked_new AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    ranked_old AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    new_s AS (SELECT user_id, event_id AS new_event_id FROM ranked_new WHERE rn = 1),
+    old_s AS (SELECT user_id, event_id AS old_event_id FROM ranked_old WHERE rn = 1)
+    SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'deleted'
+                WHEN n.new_event_id <> o.old_event_id THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           o.old_event_id, n.new_event_id
+    FROM new_s n FULL OUTER JOIN old_s o ON n.user_id = o.user_id
+    WHERE NOT (n.new_event_id IS NOT NULL AND o.old_event_id IS NOT NULL
+               AND n.new_event_id = o.old_event_id)
+    """,
+)
+def q111_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC over the backup pair, S7/T7 db.mjs:489-505): the
+    per-user latest-state view at snapshot time T1 ('2024-01-20') compared
+    against the current view — a full outer join on the entity key
+    classifying every key as added / changed / deleted (free arm of the
+    outer join; unreachable on this append-only log) and emitting only the
+    drift. This is how two table snapshots are reconciled without replaying
+    the log between them.
+
+    Scale posture: both latest-state views are WindowGroupLimit top-1 per
+    key over the SAME user_id shuffle key, and the diff join shares that
+    key — one hash-partitioning serves all three operators; no broadcast
+    needed because both sides are |users|, not |events|."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select("user_id", "event_id", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias(out))
+        )
+
+    new_s = latest(events, "new_event_id")
+    old_s = latest(
+        events.filter(F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp")),
+        "old_event_id",
+    )
+    j = new_s.join(old_s, "user_id", "full_outer")
+    change = (
+        F.when(F.col("old_event_id").isNull(), "added")
+        .when(F.col("new_event_id").isNull(), "deleted")
+        .when(F.col("new_event_id") != F.col("old_event_id"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select("user_id", change.alias("change_type"), "old_event_id", "new_event_id").filter(
+        F.col("change_type") != "unchanged"
     )

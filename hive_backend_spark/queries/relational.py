@@ -928,3 +928,39 @@ def q86_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.nth_value("o_totalprice", 2).over(w_full), 2).alias("second_lowest"),
         )
     )
+
+
+@register(
+    "q110_salted_group_stats",
+    oracle="""
+    SELECT event_type,
+           count(event_id) AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users,
+           CAST(min(user_id) AS BIGINT) AS min_user,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q110_salted_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation, oracle-checked: the two-phase salted
+    aggregate (operators/skew.salted_agg — explode each hot key over 16
+    salt buckets, partial-agg per (key, salt), combine per key) must be
+    RESULT-IDENTICAL to a plain GROUP BY; only the shuffle distribution
+    changes. Restricted to ops with exact combine phases (count/sum-of-int/
+    min/max) so the equality is bitwise, not approximate. At 100 TB this is
+    the shape that survives a key owning 30% of the fact table when the
+    aggregation runs where AQE can't re-plan (foreachBatch micro-batches)."""
+    from ..operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "sum_users": ("user_id", "sum"),
+            "min_user": ("user_id", "min"),
+            "max_user": ("user_id", "max"),
+        },
+    )

@@ -68,6 +68,39 @@ def _prepend_pythonpath(env: dict[str, str]) -> None:
         env["PYTHONPATH"] = os.pathsep.join([_REPO_ROOT] + [p for p in parts if p])
 
 
+def tune_for_scale(
+    total_executor_cores: int,
+    shuffle_input_bytes: int,
+    target_partition_bytes: int = 128 * 1024**2,
+) -> dict[str, str]:
+    """The confs that change with deployment size, computed from the two
+    numbers that actually matter: total cores and bytes entering the
+    largest shuffle.
+
+    Sizing rule: initial shuffle partitions = max(2x cores, shuffle input /
+    target partition size) — enough parallelism to keep every core busy at
+    small inputs, and at large inputs enough partitions that each sorts/
+    spills at most ~128 MB (memory-bounded regardless of data size). AQE
+    coalesces the excess at runtime (advisory size = target/2 so coalesced
+    post-filter partitions still land near the target), so overshooting the
+    initial count costs little; undershooting causes spill.
+
+    Examples: local[32] over sf0.1 (~50 MB shuffles) -> 64 partitions;
+    1000 executors x 4 cores over a 100 TB scan shuffling ~10 TB ->
+    max(8000, 81920) = 81920 partitions.
+    """
+    parts = max(2 * total_executor_cores, shuffle_input_bytes // target_partition_bytes)
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_bytes),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target_partition_bytes // 2),
+        # static cluster-size-dependent knobs documented for completeness;
+        # broadcast threshold rises with executor memory, never above ~1/8
+        # of per-executor heap available to the build side
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+
+
 def get_spark(app_name: str = "hive-backend-spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults."""
     if master is None:

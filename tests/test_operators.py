@@ -191,3 +191,21 @@ def test_salted_broadcast_join_matches_plain(spark):
     want = events.join(F.broadcast(dim), "event_type")
     assert got.count() == want.count()
     assert got.select(F.sum("type_total")).collect() == want.select(F.sum("type_total")).collect()
+
+
+def test_tune_for_scale_sizing():
+    """Partition sizing must scale with both knobs: cores floor at small
+    inputs, byte-derived count at large inputs, memory-bounded partitions."""
+    from hive_backend_spark.session import tune_for_scale
+
+    small = tune_for_scale(total_executor_cores=32, shuffle_input_bytes=50 * 1024**2)
+    assert small["spark.sql.shuffle.partitions"] == "64"  # 2x cores floor
+
+    big = tune_for_scale(
+        total_executor_cores=4000, shuffle_input_bytes=10 * 1024**4
+    )  # 1000 executors x 4 cores shuffling 10 TB
+    assert int(big["spark.sql.shuffle.partitions"]) == 10 * 1024**4 // (128 * 1024**2)
+    # every partition sorts at most the target bytes
+    assert int(big["spark.sql.files.maxPartitionBytes"]) == 128 * 1024**2
+    # AQE advisory below target so post-filter coalescing lands near it
+    assert int(big["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) < 128 * 1024**2

@@ -1,0 +1,227 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+correctness doesn't reduce to a single SQL oracle: randomized inputs checked
+against independent pure-Python ground truth. This is the adversarial layer
+on top of the fixed-fixture oracle parity — it probes graph shapes, band
+configurations, and size distributions the synthetic corpus never hits.
+
+Spark actions are expensive per hypothesis example, so each property batches
+the randomized structure into ONE DataFrame round-trip and keeps example
+counts small; the properties target structure (chains, cliques, edge cases),
+not statistical volume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from hive_backend_spark.operators import dedup as D
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+# --- connected components vs pure-Python union-find ------------------------
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # label = min node id in component
+    labels: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        labels[n] = min(labels.get(r, r), r)
+    # second pass: min label per root (roots are already minimal under the
+    # min-merge above, but make it explicit)
+    roots: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    return {n: roots[find(n)] for n in parent}
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must agree with union-find on arbitrary graphs:
+    chains, cliques, self-loops, duplicate and reversed edges. max_iter is
+    sized past the worst-case diameter (41 nodes) so convergence is
+    guaranteed and the RuntimeError path stays untriggered."""
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node"], r["label"])
+        for r in D.connected_components(df, max_iter=50).collect()
+    }
+    want = set(_union_find_components(edges).items())
+    assert got == want
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """A long chain must raise (not silently return partial labels) when
+    max_iter is below the propagation rounds it needs."""
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(df, max_iter=2)
+
+
+# --- minhash band digests: column form vs Arrow UDF form -------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"),  # tiny vocab -> shared shingles
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    bands=st.sampled_from([1, 2, 4, 8]),
+)
+def test_band_digests_column_vs_udf(spark, texts, bands):
+    """The pure-column minhash/banding pipeline and the vectorized Arrow UDF
+    must produce byte-identical band digests for EVERY (bands, rows)
+    configuration — including rows==1, where a band is a single signature
+    entry (the digest must still be md5'd, not passed through raw)."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    col_form = df.select(
+        "id",
+        D.lsh_band_sigs(
+            D.minhash_signature(D.shingles(F.col("text"))), bands=bands, rows=D.N_HASHES // bands
+        ).alias("b"),
+    )
+    udf_form = df.select(
+        "id",
+        D.minhash_bands_udf(bands=bands)(D.shingles_udf()(F.col("text"))).alias("b"),
+    )
+    got_c = {r["id"]: r["b"] for r in col_form.collect()}
+    got_u = {r["id"]: r["b"] for r in udf_form.collect()}
+    assert got_c == got_u
+
+
+# --- hamming distance vs Python popcount -----------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="01", min_size=64, max_size=64),
+            st.text(alphabet="01", min_size=64, max_size=64),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_hamming_bits_matches_python(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [
+        r["h"]
+        for r in df.select(D.hamming_bits(F.col("a"), F.col("b")).alias("h")).collect()
+    ]
+    want = [sum(x != y for x, y in zip(a, b)) for a, b in pairs]
+    assert got == want
+
+
+# --- shingles: column form vs UDF form vs Python ---------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("xy z\t\n"), min_size=0, max_size=50),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_shingles_column_vs_udf_vs_python(spark, texts):
+    """Column-expression shingles, Arrow-UDF shingles, and a direct Python
+    reimplementation must agree on arbitrary whitespace mess — empty texts,
+    leading/trailing/mixed whitespace, docs shorter than n."""
+    import re
+
+    def py_shingles(text: str, n: int = 3) -> list[str]:
+        # strip(" ") = SQL trim semantics (spaces only), the canonical
+        # tokenization every engine-side form mirrors
+        toks = re.split(r"\s+", text.strip(" "))
+        if len(toks) < n:
+            return []
+        return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    col_form = {r["id"]: r["s"] for r in df.select("id", D.shingles(F.col("text")).alias("s")).collect()}
+    udf_form = {r["id"]: r["s"] for r in df.select("id", D.shingles_udf()(F.col("text")).alias("s")).collect()}
+    want = {i: py_shingles(t) for i, t in enumerate(texts)}
+    assert col_form == want
+    assert udf_form == want
+
+
+# --- two-level prefix sum (sequence packing) vs sequential scan ------------
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(1, 700), min_size=1, max_size=40),
+    budget=st.sampled_from([64, 512, 1000]),
+)
+def test_two_level_prefix_sum_matches_sequential(spark, sizes, budget):
+    """The distributed two-level prefix sum used by q107 must reproduce the
+    exact sequential token-stream layout for any size distribution,
+    including docs larger than the bin budget (they split across bins)."""
+    from pyspark.sql import Window
+
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").withColumn(
+        "bucket", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    )
+    w_local = (
+        Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = df.withColumn("local_start", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)))
+    totals = df.groupBy("bucket").agg(F.sum("n_tokens").alias("tot"))
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("tot").over(w_bucket), F.lit(0)).alias("bucket_offset")
+    )
+    got = {
+        r["doc_id"]: (r["bucket_offset"] + r["local_start"]) // budget
+        for r in local.join(F.broadcast(offsets), "bucket").collect()
+    }
+
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest()[:2], r[0])
+    )
+    start, want = 0, {}
+    for doc_id, n in order:
+        want[doc_id] = start // budget
+        start += n
+    assert got == want
