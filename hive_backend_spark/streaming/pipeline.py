@@ -224,6 +224,7 @@ def correlate_streams(
     updates: DataFrame,
     within: str = "30 minutes",
     delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join: each selection event is
     matched to the update events the same user produced within `within`
@@ -237,7 +238,14 @@ def correlate_streams(
     buffered rows are dropped once the other side's watermark passes their
     interval — state is bounded by (delay + within) of traffic per user,
     never by stream length. Without the interval bound this join would be
-    required to buffer both streams forever."""
+    required to buffer both streams forever.
+
+    how='left_outer' additionally emits every selection that attracted NO
+    update — but only once its interval is provably closed (the update-side
+    watermark passed selection_ts + within), which is why outer stream-stream
+    joins REQUIRE the watermark + interval bound that inner joins merely
+    exploit. Unmatched rows carry nulls on the update columns — the
+    dead-letter view of selections that never produced a value update."""
     s = selections.withWatermark("ts", delay).alias("s")
     u = updates.withWatermark("ts", delay).alias("u")
     return s.join(
@@ -247,6 +255,7 @@ def correlate_streams(
             AND u.ts >= s.ts
             AND u.ts <= s.ts + INTERVAL {within}"""
         ),
+        how,
     ).select(
         F.col("s.event_id").alias("selection_id"),
         F.col("s.ts").alias("selection_ts"),

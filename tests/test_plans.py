@@ -159,3 +159,37 @@ def test_hyperplane_lsh_no_join_per_pair(spark, sf_dir):
     assert "aggregate(" not in plan.lower().replace("hashaggregate", ""), (
         "higher-order aggregate() lambda leaked into the pair path"
     )
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    """q106: the eval gram set must be the broadcast side; a sort-merge join
+    here would shuffle every training gram at 100 TB."""
+    df = _df(spark, sf_dir, "q106_decontamination")
+    P.assert_plan(df, requires=["BroadcastHashJoin"], forbids=["SortMergeJoin"])
+
+
+def test_packing_prefix_sum_two_level(spark, sf_dir):
+    """q107: the doc-level running sum must partition by bucket (parallel);
+    the only SinglePartition exchange allowed is the 256-row bucket-offset
+    window. A single-partition window over documents would serialize the
+    whole corpus through one task."""
+    df = _df(spark, sf_dir, "q107_sequence_packing")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_bm25_topk_take_ordered(spark, sf_dir):
+    """q108: the final top-50 must be TakeOrderedAndProject, and corpus
+    stats must come in as broadcasts, never a fact-side shuffle join."""
+    df = _df(spark, sf_dir, "q108_bm25_topk")
+    P.assert_plan(df, requires=["TakeOrderedAndProject"], forbids=["SortMergeJoin"])
+
+
+def test_snapshot_diff_shares_key_partitioning(spark, sf_dir):
+    """q111: both latest-state windows and the full outer join must share
+    the user_id hash partitioning — exactly two exchanges, none added for
+    the join itself (a third would re-shuffle |users| rows needlessly)."""
+    df = _df(spark, sf_dir, "q111_snapshot_diff")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan

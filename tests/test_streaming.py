@@ -297,3 +297,46 @@ def test_stream_stream_interval_join_parity(spark, stream_src):
     for r in missing:
         lag_h = (max_ts - r["selection_ts"]).total_seconds() / 3600
         assert lag_h <= 1.5, f"pair missing though watermark closed it: {r}"
+
+
+def test_stream_stream_outer_join_unmatched(spark, stream_src):
+    """left_outer stream-stream join: unmatched selections emit with null
+    update columns once the update watermark provably closes their
+    interval; matched pairs must be exactly the inner join's."""
+    sel = S.read_event_stream(spark, stream_src).filter(F.col("event_type") == "click")
+    upd = S.read_event_stream(spark, stream_src).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_to_memory(
+        spark,
+        S.correlate_streams(sel, upd, how="left_outer"),
+        "correlated_outer",
+        mode="append",
+    )
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    bs = batch.filter(F.col("event_type") == "click").alias("s")
+    bu = batch.filter(F.col("event_type") == "purchase").alias("u")
+    want_pairs = bs.join(
+        bu,
+        F.expr(
+            "s.user_id = u.user_id AND u.ts >= s.ts "
+            "AND u.ts <= s.ts + INTERVAL 30 minutes"
+        ),
+    ).select(F.col("s.event_id").alias("selection_id"), F.col("u.event_id").alias("update_id"))
+
+    got_matched = {
+        (r["selection_id"], r["update_id"])
+        for r in got.filter(F.col("update_id").isNotNull()).collect()
+    }
+    want_matched = {(r["selection_id"], r["update_id"]) for r in want_pairs.collect()}
+    assert got_matched <= want_matched
+
+    # every unmatched emission must be genuinely unmatched in the batch join
+    got_unmatched = {
+        r["selection_id"] for r in got.filter(F.col("update_id").isNull()).collect()
+    }
+    batch_matched_sel = {r["selection_id"] for r in want_pairs.collect()}
+    assert got_unmatched, "no unmatched selections emitted — vacuous"
+    assert not (got_unmatched & batch_matched_sel), (
+        "stream declared a selection unmatched though the batch join matched it"
+    )
