@@ -70,6 +70,7 @@ HEADLINE = [
     "q84_tfidf",
     "q85_rollup_hierarchy",
     "q79_dup_clusters",
+    "q112_quality_canonical",
     "q69_simhash_signatures",
     "q70_cosine_topk",
     "q71_near_dup_pairs",
@@ -87,6 +88,7 @@ SHARES_BAND_CACHE = [
     "q67_lsh_candidates",
     "q68_jaccard_verify",
     "q79_dup_clusters",
+    "q112_quality_canonical",
 ]
 
 

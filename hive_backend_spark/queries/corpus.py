@@ -274,3 +274,65 @@ def q109_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).cast("array<string>")
         ).alias("posting_head"),
     )
+
+
+# Target training-mix weights per language (must sum to 1).
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+_MIX_BUDGET = 10_000  # token budget for the planned mix
+
+
+@register(
+    "q113_mixture_plan",
+    oracle=f"""
+    WITH avail AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+               AS avail_tokens
+      FROM documents
+      GROUP BY lang
+    ),
+    w(lang, weight) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())})
+    SELECT lang, n_docs, avail_tokens,
+           CAST(round(weight * {_MIX_BUDGET}) AS BIGINT) AS target_tokens,
+           round(LEAST(1.0, (weight * {_MIX_BUDGET}) / avail_tokens), 6) AS sample_rate,
+           CAST(round(LEAST(1.0, (weight * {_MIX_BUDGET}) / avail_tokens) * n_docs) AS BIGINT)
+             AS expected_docs
+    FROM avail JOIN w USING (lang)
+    """,
+)
+def q113_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: given target language weights and a
+    global token budget, compute each language's available tokens, its
+    target share, the per-language sampling rate (capped at 1.0 when a
+    language can't fill its share), and the expected document yield — the
+    planning step before a stratified sample (q76) materializes a training
+    mix. One aggregate over the corpus plus arithmetic against a broadcast
+    literal weight table; every rate derives from exact integer counts so
+    the plan is hash-matchable.
+
+    Scale posture: the per-lang aggregate is partial-then-final over ~1e2
+    groups; the weight table is a literal broadcast. Nothing else moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("bigint").alias(
+            "avail_tokens"
+        ),
+    )
+    w = spark.createDataFrame(
+        list(_MIX_WEIGHTS.items()), "lang string, weight double"
+    )
+    target = F.col("weight") * _MIX_BUDGET
+    rate = F.least(F.lit(1.0), target / F.col("avail_tokens"))
+    return (
+        avail.join(F.broadcast(w), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "avail_tokens",
+            F.round(target).cast("bigint").alias("target_tokens"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.round(rate * F.col("n_docs")).cast("bigint").alias("expected_docs"),
+        )
+    )

@@ -295,7 +295,9 @@ def q79_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from which one canonical doc per cluster is kept. The DuckDB oracle
     replays the clustering as a recursive reachability CTE, so even the
     iterative stage is value-checked, not just row-counted."""
-    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    # _lsh_pairs ends in a groupBy on (doc_a, doc_b): its output is already
+    # unique, so no distinct (an extra shuffle) before clustering
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels = D.connected_components(pairs, src="doc_a", dst="doc_b")
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -380,7 +382,9 @@ def q90_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it broadcasts; the corpus is scanned once beyond the signature
     pass, which is shared/cached across the whole pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    # _lsh_pairs ends in a groupBy on (doc_a, doc_b): its output is already
+    # unique, so no distinct (an extra shuffle) before clustering
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels = D.connected_components(pairs, src="doc_a", dst="doc_b")
     reps = labels.filter(F.col("node") == F.col("label")).select(
         F.col("node").alias("doc_id"), F.lit("cluster_rep").alias("kept_reason")
@@ -391,3 +395,105 @@ def q90_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id", F.lit("unique").alias("kept_reason"))
     )
     return reps.unionAll(uniques)
+
+
+@register(
+    "q112_quality_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+    q AS (
+      SELECT doc_id,
+             round(LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.5
+                   + LEAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                           t -> list_contains(['the','a','of','and']::VARCHAR[], t)))
+                           / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) * 5.0,
+                           1.0) * 0.5, 4) AS quality_score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lab.cluster_id, lab.doc_id, q.quality_score,
+             row_number() OVER (PARTITION BY lab.cluster_id
+                                ORDER BY q.quality_score DESC, lab.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY lab.cluster_id) AS cluster_size
+      FROM lab JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS canonical_doc_id, quality_score, cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q112_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: the production refinement of q90 —
+    instead of keeping each duplicate cluster's min doc_id, keep its
+    HIGHEST-QUALITY member (the C4-style score from q62; doc_id breaks
+    ties), which is what a real training pipeline retains when collapsing
+    near-dups. Composes the full chain: signature pass (shared/cached) ->
+    LSH candidates -> connected components -> per-cluster top-1 by score.
+
+    Scale posture: quality scores are a map-side projection joined to the
+    (tiny) cluster label table — |clustered docs| rows, broadcastable; the
+    per-cluster top-1 is WindowGroupLimit, never a full sort. The oracle
+    replays clustering as a recursive CTE and scoring inline, so the whole
+    composition is value-checked."""
+    from .text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = D.connected_components(pairs, src="doc_a", dst="doc_b")
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_hits / n_tokens.cast("double") * 5.0, F.lit(1.0)) * 0.5,
+        4,
+    )
+    q = docs.select("doc_id", quality.alias("quality_score"))
+
+    from pyspark.sql import Window
+
+    # broadcast the LABEL table (|clustered docs| — tiny), not the corpus
+    # quality projection: the inner join then prunes the corpus map-side
+    scored = q.join(
+        F.broadcast(
+            labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.select(
+            "cluster_id",
+            "doc_id",
+            "quality_score",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cluster_size"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "quality_score",
+            "cluster_size",
+        )
+    )

@@ -141,3 +141,15 @@ def test_read_without_schema_rejected(spark, tmp_path):
     for fmt in ("json", "csv"):
         with _pytest.raises(ValueError, match="explicit schema"):
             SRC.read_table(spark, str(tmp_path), fmt)
+
+
+def test_load_table_missing_dir_names_path(spark):
+    """A bad sf_dir must fail fast with the offending path in the error, not
+    a downstream NPE at action time."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from hive_backend_spark.catalog import load_table
+
+    with pytest.raises(AnalysisException, match="/no/such/dir"):
+        load_table(spark, "/no/such/dir", "events").count()
