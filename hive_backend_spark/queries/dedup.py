@@ -66,15 +66,39 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# Cluster labels are the second materialization point of the pipeline: the
+# iterative connected-components pass runs once per (session, corpus) and its
+# (node, label) table — tiny, |clustered docs| rows — is reused by every
+# consumer (cluster listing q79, canonical selection q90/q112), exactly as a
+# production pipeline persists its cluster assignment table. Same
+# applicationId keying/eviction as _BANDS_CACHE.
+_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _LABELS_CACHE if k[0] != app_id]:
+        del _LABELS_CACHE[k]
+    key = (app_id, sf_dir)
+    df = _LABELS_CACHE.get(key)
+    if df is None:
+        # _lsh_pairs ends in a groupBy on (doc_a, doc_b): already unique
+        pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        df = D.connected_components(pairs, src="doc_a", dst="doc_b").cache()
+        _LABELS_CACHE[key] = df
+    return df
+
+
 def clear_bands_cache() -> None:
-    """Unpersist and drop every cached band table. Used by the bench harness
-    to time the signature pass cold."""
-    for key in list(_BANDS_CACHE):
-        df = _BANDS_CACHE.pop(key)
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped; nothing to release
+    """Unpersist and drop every cached band and cluster-label table. Used by
+    the bench harness to time the signature + clustering passes cold."""
+    for cache in (_BANDS_CACHE, _LABELS_CACHE):
+        for key in list(cache):
+            df = cache.pop(key)
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped; nothing to release
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,10 +319,7 @@ def q79_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from which one canonical doc per cluster is kept. The DuckDB oracle
     replays the clustering as a recursive reachability CTE, so even the
     iterative stage is value-checked, not just row-counted."""
-    # _lsh_pairs ends in a groupBy on (doc_a, doc_b): its output is already
-    # unique, so no distinct (an extra shuffle) before clustering
-    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    labels = _cluster_labels(spark, sf_dir)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(F.broadcast(sizes), "label")
@@ -382,10 +403,7 @@ def q90_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it broadcasts; the corpus is scanned once beyond the signature
     pass, which is shared/cached across the whole pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    # _lsh_pairs ends in a groupBy on (doc_a, doc_b): its output is already
-    # unique, so no distinct (an extra shuffle) before clustering
-    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    labels = _cluster_labels(spark, sf_dir)
     reps = labels.filter(F.col("node") == F.col("label")).select(
         F.col("node").alias("doc_id"), F.lit("cluster_rep").alias("kept_reason")
     )
@@ -454,8 +472,7 @@ def q112_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    labels = _cluster_labels(spark, sf_dir)
 
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(toks)
