@@ -81,9 +81,10 @@ HEADLINE = [
     "q83_decode_features",
 ]
 
-# Queries that deliberately reuse the band table q82 materializes (the
-# production pattern: one signature pass, many consumers). Everything else
-# is computed from scratch on every run.
+# Queries that deliberately reuse the band table q82 materializes, and (for
+# q112) the cluster-label table q79 builds from it (the production pattern:
+# one signature pass and one clustering pass, many consumers). Everything
+# else is computed from scratch on every run.
 SHARES_BAND_CACHE = [
     "q67_lsh_candidates",
     "q68_jaccard_verify",

@@ -336,3 +336,73 @@ def q113_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rate * F.col("n_docs")).cast("bigint").alias("expected_docs"),
         )
     )
+
+
+@register(
+    "q114_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term, count(*) AS c
+      FROM (SELECT unnest(t) AS term FROM tok)
+      GROUP BY term
+    ),
+    m AS (
+      SELECT map_from_entries(list({'k': term, 'v': c})) AS vmap,
+             CAST(sum(c) AS BIGINT) AS total
+      FROM vocab
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           round(-list_sum(list_transform(t, x -> ln(vmap[x][1] / CAST(total AS DOUBLE))))
+                 / len(t), 4) AS nll_per_token
+    FROM tok, m
+    """,
+)
+def q114_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM scoring (perplexity proxy): per-document mean negative
+    log-likelihood under the corpus's own unigram distribution — the
+    cheapest LM-quality filter a training pipeline runs (gibberish and
+    boilerplate both score as outliers). The vocabulary histogram collapses
+    to a single map literal carried on the broadcast side; each document is
+    then scored map-side by folding over its token array IN ARRAY ORDER —
+    the same sequential-fold trick the cosine queries use, so both engines
+    sum the identical float sequence and round(4) absorbs the sub-ulp
+    residue. No shuffle touches the corpus: one vocab aggregate (tiny), one
+    broadcast, one narrow scoring pass.
+
+    At 100 TB the vocab map outgrows a broadcast for raw web text; the
+    scale path swaps the map literal for a broadcast join on token with the
+    same fold — the query shape (aggregate-broadcast-score) is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    vocab = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "c"))).alias("vmap"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    nll = -F.aggregate(
+        F.transform(
+            toks,
+            lambda x: F.log(
+                F.element_at(F.col("vmap"), x) / F.col("total").cast("double")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(toks)
+    return (
+        docs.crossJoin(F.broadcast(m))
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.round(nll, 4).alias("nll_per_token"),
+        )
+    )
