@@ -406,3 +406,80 @@ def q114_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nll, 4).alias("nll_per_token"),
         )
     )
+
+
+@register(
+    "q115_packed_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY bucket, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM t
+    )
+    SELECT start_offset // 512 AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           md5(string_agg(text, ' ' ORDER BY start_offset)) AS shard_md5
+    FROM s
+    GROUP BY start_offset // 512
+    """,
+)
+def q115_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard materialization — the step after bin assignment (q107): every
+    document lands in the training shard its stream position starts in
+    (document-boundary packing), and each shard's text is concatenated in
+    stream order. The oracle compares an md5 of each shard's bytes, proving
+    the distributed two-level prefix sum + per-shard ordered concatenation
+    produce byte-identical shards to a flat sequential layout — without
+    hauling shard text through the comparison.
+
+    Scale posture: the concat shuffles each document ONCE to its shard
+    (hash by bin_id); within a shard, ordering is by the already-computed
+    start offset. Shards are bounded (~512 tokens), so per-group state is
+    tiny; the wide `text` column moves through exactly one exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "text",
+        hash_bucket("doc_id").alias("bucket"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = t.withColumn(
+        "local_start", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    totals = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_total").over(w_bucket), F.lit(0)).alias("bucket_offset"),
+    )
+    start = (F.col("bucket_offset") + F.col("local_start")).cast("bigint")
+    placed = local.join(F.broadcast(offsets), "bucket").select(
+        "text",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / 512).alias("bin_id"),
+    )
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct("start_offset", "text"))),
+        lambda s: s.getField("text"),
+    )
+    return placed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.md5(F.concat_ws(" ", ordered_texts)).alias("shard_md5"),
+    )

@@ -209,3 +209,70 @@ def test_tune_for_scale_sizing():
     assert int(big["spark.sql.files.maxPartitionBytes"]) == 128 * 1024**2
     # AQE advisory below target so post-filter coalescing lands near it
     assert int(big["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) < 128 * 1024**2
+
+
+def test_zorder_layout_prunes_box_queries(spark, tmp_path):
+    """Z-order vs single-column sort, judged by parquet footer stats: for a
+    box predicate on (user_id, event_id), the fraction of files whose
+    min/max box intersects the query box must be materially smaller under
+    the Z-order layout than under a layout sorted only by user_id — the
+    property that turns into file/row-group pruning on any stats-aware
+    reader. Also checks the key is a real permutation (no rows lost)."""
+    import pyarrow.parquet as pq
+
+    from hive_backend_spark.operators.layout import write_zordered
+
+    events = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "event_type")
+    n = events.count()
+
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(events, zdir, ["user_id", "event_id"], bits=8, records_per_file=50)
+    (
+        events.orderBy("user_id")
+        .write.option("maxRecordsPerFile", 50)
+        .mode("overwrite")
+        .parquet(ldir)
+    )
+
+    assert spark.read.parquet(zdir).count() == n
+
+    lo = events.agg(F.min("user_id"), F.max("user_id"), F.min("event_id"), F.max("event_id")).collect()[0]
+    u_lo, u_hi, e_lo, e_hi = lo
+    # a box covering ~1/4 of each dimension
+    u_box = (u_lo, u_lo + (u_hi - u_lo) // 4)
+    e_box = (e_lo, e_lo + (e_hi - e_lo) // 4)
+
+    def hit_fraction(d):
+        import glob
+        import os
+
+        files = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+        assert len(files) >= 8, f"need multiple files for pruning to mean anything: {files}"
+        hits = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            stats = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    s = col.statistics
+                    name = col.path_in_schema
+                    if s is None:
+                        continue
+                    mn, mx = stats.get(name, (s.min, s.max))
+                    stats[name] = (min(mn, s.min), max(mx, s.max))
+            if (
+                stats["user_id"][0] <= u_box[1]
+                and stats["user_id"][1] >= u_box[0]
+                and stats["event_id"][0] <= e_box[1]
+                and stats["event_id"][1] >= e_box[0]
+            ):
+                hits += 1
+        return hits / len(files)
+
+    z_frac, l_frac = hit_fraction(zdir), hit_fraction(ldir)
+    # linear layout: event_id is unclustered, so nearly every file with the
+    # right user range ALSO intersects the event_id box; z-order confines
+    # the box to a corner of the key space
+    assert z_frac < l_frac, f"zorder {z_frac:.2f} not better than linear {l_frac:.2f}"
+    assert z_frac <= 0.5, f"zorder layout barely prunes: {z_frac:.2f}"
