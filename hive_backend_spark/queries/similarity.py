@@ -479,3 +479,75 @@ def q101_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("cosine_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()
     ).limit(20)
+
+
+@register(
+    "q116_semantic_dedup",
+    oracle="""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.35
+    ),
+    edges AS (
+      SELECT vec_a AS s, vec_b AS d FROM cand
+      UNION
+      SELECT vec_b AS s, vec_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS vec_id, min(reach) AS cluster_id FROM walk GROUP BY node)
+    SELECT vec_id, 'cluster_rep' AS kept_reason FROM lab WHERE vec_id = cluster_id
+    UNION ALL
+    SELECT vec_id, 'unique' AS kept_reason
+    FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM lab)
+    """,
+)
+def q116_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup-shaped): vectors whose cosine
+    exceeds the near-dup threshold form clusters (label-blocked matmul
+    scoring as in q71 -> connected components), and one representative per
+    cluster survives along with every never-candidate vector — the
+    embedding-space mirror of the text pipeline's q90, used to collapse
+    semantically redundant training examples that exact/minhash dedup
+    can't see.
+
+    Scale posture identical to its parts: pair scoring is one BLAS matmul
+    per block with bounded block size, clustering joins only the candidate
+    edge list (tiny), and the survivor anti join broadcasts |clustered
+    vectors|. The recursive-CTE oracle value-checks the entire composition."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = sims[ia, ib] > 0.35
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]]})
+
+    pairs = emb.groupBy("label").applyInPandas(
+        block_pairs, schema="vec_a bigint, vec_b bigint"
+    )
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    reps = labels.filter(F.col("node") == F.col("label")).select(
+        F.col("node").alias("vec_id"), F.lit("cluster_rep").alias("kept_reason")
+    )
+    uniques = emb.join(
+        labels.select(F.col("node").alias("vec_id")), "vec_id", "left_anti"
+    ).select("vec_id", F.lit("unique").alias("kept_reason"))
+    return reps.unionAll(uniques)
