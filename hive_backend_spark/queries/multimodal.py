@@ -94,3 +94,35 @@ def q83_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = MM.decode_media(MM.with_blob(docs))
     return decoded.select("doc_id", "width", "height", "features")
+
+
+@register(
+    "q117_frame_sample",
+    oracle="""
+    SELECT doc_id, f.k AS frame_idx,
+           md5(substr(text, CAST(f.k * greatest(len(text) // 4, 1) + 1 AS INT),
+                      CAST(greatest(len(text) // 4, 1) AS INT))) AS frame_md5,
+           len(substr(text, CAST(f.k * greatest(len(text) // 4, 1) + 1 AS INT),
+                      CAST(greatest(len(text) // 4, 1) AS INT))) AS frame_len
+    FROM documents, (SELECT unnest(range(0, 4)) AS k) f
+    """,
+)
+def q117_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the mapInPandas operator
+    (operators/multimodal.sample_frames): each video-like blob yields 4
+    evenly-spaced byte slices, exploded INSIDE the map task (no Generate
+    over a UDF column, no blob shuffle). The oracle replays the identical
+    slicing with substr over the (ASCII) payload — byte offsets equal char
+    offsets here, so each emitted frame's md5 and length are value-checked
+    engine-to-engine. The frame table is the input to any downstream
+    per-frame decode/embed stage."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.sample_frames(MM.with_blob(docs), n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame_blob").alias("frame_md5"),
+        F.octet_length("frame_blob").alias("frame_len"),
+    )
