@@ -107,27 +107,38 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
     spark.range(0, par * 10, 1, par).mapInPandas(lambda it: it, "id long").count()
 
-    from hive_backend_spark.queries.dedup import clear_bands_cache
+    from hive_backend_spark.queries.dedup import clear_bands_cache, clear_labels_cache
+
+    # The two pipeline stages with declared cross-query sharing are timed
+    # COLD by clearing their cache before EVERY attempt (min-of-N would
+    # otherwise report a warm cache read for all but the first attempt —
+    # the under-measurement class the round-1 advisory flagged):
+    #   q82 pays the full tokenize->shingle->minhash->band signature pass;
+    #   q79 pays the full connected-components clustering pass (bands stay,
+    #       as declared in SHARES_BAND_CACHE).
+    COLD_RESET = {
+        "q82_minhash_bands": clear_bands_cache,
+        "q79_dup_clusters": clear_labels_cache,
+    }
 
     # Two timed runs per query, report the min: absorbs one-time JIT/codegen
     # compilation and VM scheduling noise while still measuring full
     # plan+execute work (nothing is cached between runs except the shared
-    # band table, declared in SHARES_BAND_CACHE). If the best of two still
-    # looks like it caught an external CPU-contention spike (observed: the
-    # same query is sub-second in isolation and 10 s+ when a co-tenant
-    # process wakes up), take one more sample — min-of-3 bounds the damage
-    # to the reported metric without inflating normal runs.
+    # band + cluster-label tables, declared in SHARES_BAND_CACHE). If the
+    # best of two still looks like it caught an external CPU-contention
+    # spike (observed: the same query is sub-second in isolation and 10 s+
+    # when a co-tenant process wakes up), take one more sample — min-of-3
+    # bounds the damage to the reported metric without inflating normal
+    # runs.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        if name == "q82_minhash_bands":
-            # time the signature pass cold, not a cache read
-            clear_bands_cache()
+        reset = COLD_RESET.get(name)
         best = float("inf")
         for attempt in range(3):
             if attempt == 2 and best <= 3.0:
                 break
-            if name == "q82_minhash_bands" and attempt > 0:
-                clear_bands_cache()
+            if reset is not None:
+                reset()
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             # Force FULL execution of every output column: count() would let
