@@ -964,3 +964,65 @@ def q110_salted_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_user": ("user_id", "max"),
         },
     )
+
+
+@register(
+    "q118_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, count(*) AS cnt
+      FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT count(*) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             CAST(min(cnt) AS BIGINT) AS min_cnt
+      FROM per_key
+    )
+    SELECT n_keys, n_rows, max_cnt, min_cnt,
+           round(max_cnt * n_keys / CAST(n_rows AS DOUBLE), 4) AS skew_factor,
+           (SELECT count(*) FROM per_key, stats
+             WHERE cnt * n_keys > 2 * n_rows) AS n_heavy_keys
+    FROM stats
+    """,
+)
+def q118_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the report run BEFORE choosing a join
+    or aggregation strategy at scale: per-key counts reduced to key count,
+    row count, min/max, a skew factor (max key's share vs uniform), and how
+    many keys exceed 2x their uniform share (the salting / AQE-skew-join
+    candidates). Everything derives from exact integer counts, so the
+    report is hash-matchable.
+
+    Scale posture: one partial-then-final count per key (the shuffle
+    carries one row per key), then a scalar reduction; the heavy-key count
+    joins the per-key table against the broadcast scalar stats."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.min("cnt").cast("bigint").alias("min_cnt"),
+    )
+    heavy = (
+        per_key.crossJoin(F.broadcast(stats))
+        .filter(F.col("cnt") * F.col("n_keys") > 2 * F.col("n_rows"))
+        .agg(F.count(F.lit(1)).alias("n_heavy_keys"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(heavy))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            "min_cnt",
+            F.round(
+                F.col("max_cnt") * F.col("n_keys") / F.col("n_rows").cast("double"), 4
+            ).alias("skew_factor"),
+            "n_heavy_keys",
+        )
+    )
