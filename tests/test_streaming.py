@@ -340,3 +340,84 @@ def test_stream_stream_outer_join_unmatched(spark, stream_src):
     assert not (got_unmatched & batch_matched_sel), (
         "stream declared a selection unmatched though the batch join matched it"
     )
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics, proven not assumed: a replay arriving after the
+    watermark has closed a window must not resurrect or inflate it. Four
+    micro-batches (maxFilesPerTrigger=1): hours 0-2, hours 6-30, hours 30-48
+    (buffer — Spark applies a batch's watermark advance one batch later),
+    then a replay of hour-0 events, by now far beyond the 1h delay. Every
+    window the stream emits must match the count computed from the on-time
+    data only. numRowsDroppedByWatermark is NOT asserted: for streaming
+    aggregations Spark filters late rows before the state operator, so the
+    metric legitimately stays 0 — output semantics are the contract."""
+    import shutil
+
+    from hive_backend_spark.catalog import load_table
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    events = load_table(spark, SF_DIR, "events")
+    t0 = events.agg(F.min("ts")).collect()[0][0]
+
+    def hours(lo, hi):
+        return events.filter(
+            (F.col("ts") >= F.lit(t0) + F.expr(f"INTERVAL {lo} HOURS"))
+            & (F.col("ts") < F.lit(t0) + F.expr(f"INTERVAL {hi} HOURS"))
+        )
+
+    batches = [hours(0, 2), hours(6, 30), hours(30, 48), hours(0, 1)]
+    for i, df in enumerate(batches):
+        assert df.count() > 0, f"batch {i} empty — widen its hour range"
+        d = src / f"c{i}"
+        df.coalesce(1).write.parquet(str(d))
+        for f in d.glob("part-*.parquet"):
+            shutil.move(str(f), str(src / f"batch_{i}.parquet"))
+        shutil.rmtree(d)
+
+    agg = (
+        S.read_event_stream(spark, str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_agg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len({p["batchId"] for p in q.recentProgress if p["numInputRows"]})
+    assert n_batches == len(batches), (
+        f"expected {len(batches)} separate micro-batches, got {n_batches} — "
+        "maxFilesPerTrigger not honored, late-data scenario did not happen"
+    )
+
+    # Ground truth from ON-TIME data only (batches 0-2, no replay): every
+    # window the stream emitted must carry exactly the on-time count.
+    on_time = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in (
+            on_time.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+            .collect()
+        )
+    }
+    got = spark.table("late_agg").collect()
+    assert len(got) > 0, "no windows closed — watermark never advanced"
+    hour0_emitted = False
+    for r in got:
+        k = (r["ws"], r["event_type"])
+        assert k in want, f"stream emitted a window absent from on-time truth: {k}"
+        assert r["n"] == want[k], (
+            f"late replay inflated closed window {k}: got {r['n']}, want {want[k]}"
+        )
+        if r["ws"] == t0.replace(minute=0, second=0, microsecond=0):
+            hour0_emitted = True
+    assert hour0_emitted, "hour-0 window never emitted — scenario did not close it"
