@@ -387,3 +387,133 @@ def q105_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = fp.filter(F.col("bucket") >= "e6").select("doc_id", "fingerprint")
     corpus = fp.filter(F.col("bucket") < "e6").select("fingerprint")
     return incoming.join(corpus, "fingerprint", "left_anti")
+
+
+@register(
+    "q119_repetition_signals",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bg,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks)-1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             END AS tg
+      FROM base
+    )
+    SELECT doc_id,
+      round(len(list_distinct(toks)) / CAST(n AS DOUBLE), 4) AS ttr,
+      CASE WHEN n >= 2 THEN
+        round(2.0 * list_max(list_transform(list_distinct(bg),
+                x -> len(list_filter(bg, y -> y = x)))) / CAST(n AS DOUBLE), 4)
+      END AS top_bigram_frac,
+      CASE WHEN n >= 3 THEN
+        round(len(list_filter(tg, x -> len(list_filter(tg, y -> y = x)) > 1))
+              / CAST(len(tg) AS DOUBLE), 4)
+      END AS dup_trigram_frac
+    FROM g
+    """,
+)
+def q119_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: type-token
+    ratio, fraction of tokens covered by the single most frequent bigram,
+    and fraction of trigram positions whose trigram repeats within the doc
+    (Rae et al. 2021, "Scaling Language Models", Table A1 repetition
+    filters). All higher-order array functions over the canonical-trim token
+    array — O(distinct x n) per doc inside whole-stage codegen, zero
+    shuffle, so at 100 TB this is a pure map over the scan like q60/q62.
+    Docs too short for an n-gram get NULL (never a fake 0) in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "bg", F.expr("transform(sequence(0, n-2), i -> concat(toks[i], ' ', toks[i+1]))")
+        )
+        .withColumn(
+            "tg",
+            F.expr(
+                "CASE WHEN n >= 3 THEN transform(sequence(0, n-3),"
+                " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END"
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.round(F.expr("size(array_distinct(toks)) / CAST(n AS DOUBLE)"), 4).alias("ttr"),
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                F.expr(
+                    "2.0 * aggregate(array_distinct(bg), 0,"
+                    " (acc, x) -> greatest(acc, size(filter(bg, y -> y = x))))"
+                    " / CAST(n AS DOUBLE)"
+                ),
+                4,
+            ),
+        ).alias("top_bigram_frac"),
+        F.when(
+            F.col("n") >= 3,
+            F.round(
+                F.expr(
+                    "size(filter(tg, x -> size(filter(tg, y -> y = x)) > 1))"
+                    " / CAST(size(tg) AS DOUBLE)"
+                ),
+                4,
+            ),
+        ).alias("dup_trigram_frac"),
+    )
+
+
+# Chunking geometry: 32-token windows advancing by 24 (8-token overlap) —
+# the context-window preparation step for embedding / retrieval pipelines.
+_CHUNK, _STRIDE = 32, 24
+
+
+@register(
+    "q120_chunk_windows",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents
+    )
+    SELECT doc_id, k AS chunk_id,
+           array_to_string(toks[k*{_STRIDE}+1 : k*{_STRIDE}+{_CHUNK}], ' ') AS chunk_text,
+           LEAST({_CHUNK}, n - k*{_STRIDE}) AS chunk_tokens
+    FROM base, unnest(range(0, 1 + CAST(greatest(0,
+           ceil((n - {_CHUNK}) / CAST({_STRIDE} AS DOUBLE))) AS BIGINT))) AS u(k)
+    """,
+)
+def q120_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, stride 24): the
+    standard document->passage step before embedding or retrieval indexing.
+    A generate (explode over a per-doc start sequence) followed by an
+    O(chunk) slice — map-side only, no shuffle, and the chunk count adapts
+    to each doc's length so short docs emit exactly one chunk. Every token
+    appears in at least one chunk; the final chunk is allowed to run short
+    rather than re-reading the tail twice. chunk_text round-trips the exact
+    canonical-trim tokens, so chunk md5s are stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "k",
+            F.expr(
+                f"explode(sequence(0, CAST(greatest(0,"
+                f" ceil((n - {_CHUNK}) / CAST({_STRIDE} AS DOUBLE))) AS INT)))"
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        F.expr(f"array_join(slice(toks, k*{_STRIDE}+1, {_CHUNK}), ' ')").alias("chunk_text"),
+        F.expr(f"least({_CHUNK}, n - k*{_STRIDE})").alias("chunk_tokens"),
+    )
