@@ -575,3 +575,49 @@ def q85_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_value"), 2).alias("sum_value"),
         )
     return shaped(hour, "hour").unionAll(shaped(day, "day"))
+
+
+# Columns covered by the orders content checksum: every non-float column.
+# Floats are excluded on purpose — their string rendering is not part of
+# the cross-engine contract, and a checksum must never be rendering-defined.
+_CHECKSUM_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "q121_group_checksum",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+               {", ".join(f"CAST({c} AS VARCHAR)" for c in _CHECKSUM_COLS)}
+           )), 1, 12)) AS BIGINT)) AS VARCHAR) AS checksum
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q121_group_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per group: each row's canonical
+    '|'-joined rendering is md5'd, the first 48 bits are summed (addition
+    commutes, so row order, partitioning, and file layout never change the
+    digest), and the sum is carried as DECIMAL(38,0) so it cannot overflow
+    below ~10^24 rows. This is how you verify a 100 TB copy or migration
+    shard-by-shard: one map over each side, a partial-aggregated sum — no
+    sort, no row transfer, and any single-row difference flips the group's
+    checksum. Emitted as a string so both engines compare digits, not
+    numeric types."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_hash = F.expr(
+        "CAST(conv(substr(md5(concat_ws('|', "
+        + ", ".join(f"CAST({c} AS STRING)" for c in _CHECKSUM_COLS)
+        + ")), 1, 12), 16, 10) AS DECIMAL(38,0))"
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).cast("string").alias("checksum"),
+    )

@@ -517,3 +517,51 @@ def q120_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"array_join(slice(toks, k*{_STRIDE}+1, {_CHUNK}), ' ')").alias("chunk_text"),
         F.expr(f"least({_CHUNK}, n - k*{_STRIDE})").alias("chunk_tokens"),
     )
+
+
+@register(
+    "q122_winsorized_stats",
+    oracle="""
+    WITH p AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, count(*) AS n_docs,
+           round(any_value(p.p05), 4) AS p05_chars,
+           round(any_value(p.p95), 4) AS p95_chars,
+           round(sum(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), p.p05), p.p95))
+                 / count(*), 4) AS winsorized_mean
+    FROM documents d JOIN p USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def q122_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized length statistics: exact p05/p95 percentiles
+    (linear interpolation — Spark `percentile` and DuckDB `quantile_cont`
+    share the definition), then a robust mean with every value clamped into
+    [p05, p95]. The outlier-trimming step before any corpus-level length
+    normalization. One Window pass attaches the percentiles (single shuffle
+    on lang), then the final agg rides the same partitioning — Catalyst
+    reuses the Exchange rather than shuffling twice. The mean derives from
+    sum/count (never avg) per the float-parity rule; the 4-decimal rounding
+    absorbs summation-order drift, which at 5 groups x ~100s of doubles is
+    ~1e-10 relative."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    d = (
+        docs.withColumn("p05", F.expr("percentile(n_chars, 0.05)").over(w))
+        .withColumn("p95", F.expr("percentile(n_chars, 0.95)").over(w))
+        .withColumn(
+            "clamped", F.expr("least(greatest(CAST(n_chars AS DOUBLE), p05), p95)")
+        )
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.first("p05"), 4).alias("p05_chars"),
+        F.round(F.first("p95"), 4).alias("p95_chars"),
+        F.round(F.sum("clamped") / F.count(F.lit(1)), 4).alias("winsorized_mean"),
+    )
