@@ -58,11 +58,16 @@ HEADLINE = [
     "q59_cohort_retention",
     "q60_text_stats",
     "q62_quality_score",
+    "q119_repetition_signals",
+    "q120_chunk_windows",
+    "q121_group_checksum",
+    "q122_winsorized_stats",
     "q64_exact_dup_groups",
     "q103_corpus_clean",
     "q105_incremental_dedup",
     "q106_decontamination",
     "q108_bm25_topk",
+    "q124_training_pipeline",
     "q82_minhash_bands",  # timed cold — pays the full signature pass
     "q67_lsh_candidates",
     "q68_jaccard_verify",
@@ -74,6 +79,7 @@ HEADLINE = [
     "q69_simhash_signatures",
     "q70_cosine_topk",
     "q71_near_dup_pairs",
+    "q123_pagerank_centrality",
     "q73_centroid_stats",
     "q74_ivf_routed_search",
     "q100_simhash_near_dup",

@@ -483,3 +483,136 @@ def q115_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.md5(F.concat_ws(" ", ordered_texts)).alias("shard_md5"),
     )
+
+
+@register(
+    "q124_training_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             md5(text) AS fp,
+             regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    stats AS (
+      SELECT *, len(t) AS n,
+             len(list_filter(t, x -> list_contains(['the','a','of','and'], x))) AS stop_hits
+      FROM base
+    ),
+    clean AS (
+      SELECT * FROM stats
+      WHERE bucket < 'f0' AND n >= 30 AND stop_hits / CAST(n AS DOUBLE) >= 0.03
+    ),
+    dd AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM clean
+      ) WHERE rn = 1
+    ),
+    g AS ({_ORACLE_GRAMS8}),
+    ev AS (SELECT DISTINCT gram FROM g WHERE bucket >= 'f0'),
+    cont AS (SELECT DISTINCT c.doc_id FROM g c JOIN ev ON c.gram = ev.gram
+             WHERE c.bucket < 'f0'),
+    decon AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    rep AS (
+      SELECT * FROM decon
+      WHERE len(list_distinct(list_transform(range(1, n-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) = n - 2
+    ),
+    s AS (
+      SELECT doc_id, lang, n AS n_tokens,
+             CAST(COALESCE(sum(n) OVER (
+               ORDER BY bucket, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM rep
+    )
+    SELECT doc_id, lang, n_tokens, start_offset,
+           start_offset // 512 AS bin_id,
+           start_offset % 512 AS bin_offset
+    FROM s
+    """,
+)
+def q124_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the full training-corpus preparation chain as ONE declared
+    plan — train-split selection, C4-style cleaning (length + stopword
+    density, q103's rules), exact dedup (first doc per content fingerprint,
+    q64/q105), eval-split decontamination (shared 8-gram, q106), a
+    repetition gate (no repeated trigram, q119's signal as a predicate),
+    then 512-token sequence packing (q107's two-level prefix sum) over the
+    survivors. Every stage is the oracle-checked operator it references;
+    this query proves they COMPOSE — the per-doc bin assignments only match
+    if every intermediate survivor set matches.
+
+    Scale shape: the gates are map-side predicates on the scan; dedup is
+    one shuffle on the 32-char fingerprint; decontamination broadcasts the
+    (benchmark-sized) eval gram set so corpus grams never shuffle; packing
+    is window-parallel over 256 hash buckets plus a 256-row offset table
+    broadcast back. Nothing funnels through a single partition except the
+    256-row bucket-offset window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        hash_bucket("doc_id").alias("bucket"),
+        F.md5("text").alias("fp"),
+        toks.alias("t"),
+        F.size(toks).alias("n"),
+    ).withColumn(
+        "stop_hits",
+        F.size(F.filter(F.col("t"), lambda x: x.isin("the", "a", "of", "and"))),
+    )
+    clean = base.filter(
+        (F.col("bucket") < "f0")
+        & (F.col("n") >= 30)
+        & (F.col("stop_hits") / F.col("n").cast("double") >= 0.03)
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    dd = clean.withColumn("rn", F.row_number().over(w_fp)).filter(F.col("rn") == 1)
+
+    grams = D.spread(docs).select(
+        "doc_id",
+        hash_bucket("doc_id").alias("bucket"),
+        F.explode(D.shingles_udf(_DECON_N)(F.col("text"))).alias("gram"),
+    )
+    eval_grams = grams.filter(F.col("bucket") >= "f0").select("gram").distinct()
+    cont = (
+        grams.filter(F.col("bucket") < "f0")
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    decon = dd.join(cont, "doc_id", "left_anti")
+
+    rep = decon.filter(
+        F.expr(
+            "size(array_distinct(transform(sequence(0, n-3),"
+            " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) = n - 2"
+        )
+    )
+
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = rep.withColumn(
+        "local_start", F.coalesce(F.sum("n").over(w_local), F.lit(0))
+    )
+    totals = rep.groupBy("bucket").agg(F.sum("n").alias("bucket_total"))
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_total").over(w_bucket), F.lit(0)).alias("bucket_offset"),
+    )
+    start = (F.col("bucket_offset") + F.col("local_start")).cast("bigint")
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "lang",
+        F.col("n").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / 512).alias("bin_id"),
+        (start % 512).alias("bin_offset"),
+    )

@@ -551,3 +551,81 @@ def q116_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select(F.col("node").alias("vec_id")), "vec_id", "left_anti"
     ).select("vec_id", F.lit("unique").alias("kept_reason"))
     return reps.unionAll(uniques)
+
+
+# --- q123: PageRank centrality over the near-dup similarity graph ---------
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+_PR_PAIR_SQL = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.35
+"""
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"""pairs AS ({_PR_PAIR_SQL}),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION ALL SELECT vec_b, vec_a FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT count(*) AS c FROM deg),
+r0 AS (SELECT src AS id, 1.0/(SELECT c FROM n) AS rank FROM deg)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""r{i} AS (
+      SELECT e.dst AS id,
+             {1 - _PR_DAMP}/(SELECT c FROM n) + {_PR_DAMP}*sum(r.rank/d.deg) AS rank
+      FROM edges e JOIN r{i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+      GROUP BY e.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id AS vec_id, round(rank, 6) AS pagerank FROM r{_PR_ITERS}"
+    )
+
+
+@register("q123_pagerank_centrality", oracle=_pagerank_oracle())
+def q123_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the undirected near-dup similarity graph
+    (q71's cosine>0.35 pairs as edges, both directions): the graph-based
+    document-importance signal used for diversity-aware corpus selection
+    (Page et al. 1999; power iteration, damping 0.85, 5 iterations).
+    Restricted to nodes with at least one edge, so the symmetric edge set
+    guarantees no dangling mass. Each iteration is one shuffle join of the
+    rank vector against the degree-annotated edge list plus a sum by dst —
+    the edge table is cached and partitioned once, and at cluster scale you
+    checkpoint the rank vector every few iterations to truncate lineage
+    (here 5 plans deep, well under Spark's planning limits). The oracle is
+    the same recurrence unrolled as CTE stages; the final 6-decimal rounding
+    absorbs summation-order drift (~1e-15 abs)."""
+    pairs = q71_near_dup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    ).toDF("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").cache()
+    n = deg.count()
+    ranks = deg.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(_PR_ITERS):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.id)
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit((1 - _PR_DAMP) / n)
+                    + F.lit(_PR_DAMP) * F.sum(F.col("rank") / F.col("deg"))
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("id"), "rank")
+        )
+    return ranks.select(
+        F.col("id").alias("vec_id"), F.round("rank", 6).alias("pagerank")
+    )

@@ -423,49 +423,58 @@ def q119_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, fraction of tokens covered by the single most frequent bigram,
     and fraction of trigram positions whose trigram repeats within the doc
     (Rae et al. 2021, "Scaling Language Models", Table A1 repetition
-    filters). All higher-order array functions over the canonical-trim token
-    array — O(distinct x n) per doc inside whole-stage codegen, zero
-    shuffle, so at 100 TB this is a pure map over the scan like q60/q62.
-    Docs too short for an n-gram get NULL (never a fake 0) in both engines.
+    filters). Zero shuffle — at 100 TB this is a pure map over the scan
+    like q60/q62. The Spark side sorts each n-gram array once and then runs
+    O(n) folds (max equal-run length == max occurrence count; a position's
+    n-gram repeats iff it equals a sorted neighbor) instead of the naive
+    O(distinct x n) nested filters — higher-order lambdas are interpreted,
+    so cutting the eval count cuts wall-clock proportionally. The oracle
+    keeps the naive-but-obvious nested-filter form: both compute the same
+    counts, which is the point of the check. Docs too short for an n-gram
+    get NULL (never a fake 0) in both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
     d = (
         docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
         .withColumn("n", F.size("toks"))
         .withColumn(
-            "bg", F.expr("transform(sequence(0, n-2), i -> concat(toks[i], ' ', toks[i+1]))")
-        )
-        .withColumn(
-            "tg",
+            "sbg",
             F.expr(
-                "CASE WHEN n >= 3 THEN transform(sequence(0, n-3),"
-                " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END"
+                "array_sort(transform(sequence(0, n-2), i -> concat(toks[i], ' ', toks[i+1])))"
             ),
         )
+        .withColumn(
+            "stg",
+            F.expr(
+                "CASE WHEN n >= 3 THEN array_sort(transform(sequence(0, n-3),"
+                " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) END"
+            ),
+        )
+    )
+    # Longest equal run in the sorted bigram array == max bigram multiplicity.
+    max_run = (
+        "CASE WHEN size(sbg) < 2 THEN 1 ELSE aggregate(sequence(1, size(sbg)-1),"
+        " named_struct('run', 1, 'best', 1),"
+        " (acc, i) -> IF(sbg[i] = sbg[i-1],"
+        "   named_struct('run', acc.run + 1, 'best', greatest(acc.best, acc.run + 1)),"
+        "   named_struct('run', 1, 'best', acc.best)),"
+        " acc -> acc.best) END"
+    )
+    # A sorted position's trigram is unique iff it differs from both neighbors.
+    n_once = (
+        "size(filter(sequence(0, size(stg)-1),"
+        " i -> (i = 0 OR stg[i] != stg[i-1]) AND (i = size(stg)-1 OR stg[i] != stg[i+1])))"
     )
     return d.select(
         "doc_id",
         F.round(F.expr("size(array_distinct(toks)) / CAST(n AS DOUBLE)"), 4).alias("ttr"),
         F.when(
             F.col("n") >= 2,
-            F.round(
-                F.expr(
-                    "2.0 * aggregate(array_distinct(bg), 0,"
-                    " (acc, x) -> greatest(acc, size(filter(bg, y -> y = x))))"
-                    " / CAST(n AS DOUBLE)"
-                ),
-                4,
-            ),
+            F.round(F.expr(f"2.0 * ({max_run}) / CAST(n AS DOUBLE)"), 4),
         ).alias("top_bigram_frac"),
         F.when(
             F.col("n") >= 3,
-            F.round(
-                F.expr(
-                    "size(filter(tg, x -> size(filter(tg, y -> y = x)) > 1))"
-                    " / CAST(size(tg) AS DOUBLE)"
-                ),
-                4,
-            ),
+            F.round(F.expr(f"(size(stg) - ({n_once})) / CAST(size(stg) AS DOUBLE)"), 4),
         ).alias("dup_trigram_frac"),
     )
 
