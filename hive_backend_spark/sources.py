@@ -37,6 +37,36 @@ def events_from_json(spark: SparkSession, json_lines: list[str], schema: str | S
     return raw.select(F.from_json("raw", schema).alias("r")).select("r.*")
 
 
+def json_ingest_quarantine(
+    spark: SparkSession, json_lines: list[str], schema: str | StructType
+) -> tuple[DataFrame, DataFrame]:
+    """S4 ingest with a dead-letter queue: malformed payloads are NOT
+    silently nulled (the trap in plain PERMISSIVE parsing) — they are
+    split into a quarantine DataFrame that preserves the original bytes
+    for replay after a fix. Returns (good_rows, quarantined_raw).
+
+    The reference ACKs every update it can't parse and loses it
+    (server.mjs catch -> 400, no persistence); a pipeline at scale instead
+    writes the quarantine side to its own sink and alerts on its rate.
+    Implemented with from_json's columnNameOfCorruptRecord so one parse
+    pass serves both sides — no second scan of the input."""
+    if isinstance(schema, StructType):
+        schema = schema.simpleString()[7:-1].replace(":", " ")  # struct<...> -> DDL
+    full = f"{schema}, _corrupt STRING"
+    raw = spark.createDataFrame([(s,) for s in json_lines], "raw STRING")
+    parsed = raw.select(
+        "raw",
+        F.from_json(
+            "raw", full, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+        ).alias("r"),
+    )
+    good = parsed.filter(F.col("r._corrupt").isNull()).select("r.*").drop("_corrupt")
+    quarantined = parsed.filter(F.col("r._corrupt").isNotNull()).select(
+        F.col("raw").alias("raw_payload")
+    )
+    return good, quarantined
+
+
 def memory_events(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     """S9 mock/echo source (test-server.mjs:12-15): deterministic in-memory
     fixtures for tests and streaming micro-batch seeds."""

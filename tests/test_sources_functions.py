@@ -153,3 +153,25 @@ def test_load_table_missing_dir_names_path(spark):
 
     with pytest.raises(AnalysisException, match="/no/such/dir"):
         load_table(spark, "/no/such/dir", "events").count()
+
+
+def test_json_ingest_quarantine_splits_dead_letters(spark):
+    """S4 + dead-letter queue: malformed payloads land in quarantine with
+    their original bytes intact; well-formed rows parse fully; nothing is
+    silently dropped or nulled."""
+    lines = [
+        '{"spreadsheetId":"s1","sheetName":"Sheet1","range":"A1","numRows":1,'
+        '"numColumns":1,"timestamp":"t","active":true,"syncEnabled":true}',
+        "not json at all",
+        '{"spreadsheetId":"s2" "missing_comma":1}',
+        '{"spreadsheetId":"s3","sheetName":"Ok","range":"B1","numRows":2,'
+        '"numColumns":3,"timestamp":"t3","active":false,"syncEnabled":false}',
+    ]
+    good, bad = SRC.json_ingest_quarantine(spark, lines, SRC.SELECTION_SCHEMA)
+    g = good.collect()
+    b = [r.raw_payload for r in bad.collect()]
+    assert {r.spreadsheetId for r in g} == {"s1", "s3"}
+    assert "_corrupt" not in good.columns
+    # quarantine preserves the exact original payloads for replay
+    assert sorted(b) == sorted([lines[1], lines[2]])
+    assert len(g) + len(b) == len(lines)
