@@ -193,3 +193,38 @@ def test_snapshot_diff_shares_key_partitioning(spark, sf_dir):
     df = _df(spark, sf_dir, "q111_snapshot_diff")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2, plan
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """Every registered query's physical plan is free of the two
+    scale-killers: CartesianProduct/BroadcastNestedLoopJoin (all-pairs row
+    transfer) and BatchEvalPython (row-at-a-time Python UDF — only
+    Arrow-batched evaluation is allowed in any hot path). One sweep over
+    the whole registry so a future query can't quietly regress."""
+    banned = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+    # BroadcastNestedLoopJoin is acceptable ONLY as the scalar-attach
+    # pattern: the build side is a broadcast of a 1-to-k-row aggregate or
+    # literal relation (global doc count for idf, avgdl, the single query
+    # vector, the centroid set, the corpus token total). Each entry here is
+    # that pattern; a BNLJ between two table-sized sides stays banned.
+    scalar_bnlj_ok = {
+        "q20_dormant_rich_customers",  # scalar avg(acctbal) subquery
+        "q70_cosine_topk",  # 1 query vector vs corpus
+        "q74_ivf_routed_search",  # k=10 centroid table
+        "q84_tfidf",  # 1-row total-docs for idf
+        "q108_bm25_topk",  # 1-row avgdl/N stats
+        "q114_unigram_logprob",  # 1-row corpus token total
+        "q118_skew_report",  # 1-row global row count
+    }
+    offenders = {}
+    for name, spec in sorted(all_queries().items()):
+        plan = P.formatted_plan(spec.fn(spark, sf_dir))
+        hits = [
+            b
+            for b in banned
+            if b in plan
+            and not (b == "BroadcastNestedLoopJoin" and name in scalar_bnlj_ok)
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"scale-hostile operators in plans: {offenders}"
