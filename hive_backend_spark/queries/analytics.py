@@ -543,9 +543,11 @@ def q49_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n_events) AS n_events, sum(sum_value) AS sum_value
       FROM hour GROUP BY 1
     )
-    SELECT 'hour' AS grain, bucket, n_events, round(sum_value, 2) AS sum_value FROM hour
+    SELECT 'hour' AS grain, bucket, CAST(n_events AS BIGINT) AS n_events,
+           round(sum_value, 2) AS sum_value FROM hour
     UNION ALL
-    SELECT 'day' AS grain, bucket, n_events, round(sum_value, 2) AS sum_value FROM day
+    SELECT 'day' AS grain, bucket, CAST(n_events AS BIGINT) AS n_events,
+           round(sum_value, 2) AS sum_value FROM day
     """,
 )
 def q85_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:

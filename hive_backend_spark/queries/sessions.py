@@ -42,7 +42,7 @@ SESSION_GAP_MIN = 30
                                   ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM marked
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            min(ts) AS session_start,
            epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
            count(*) AS n_events,

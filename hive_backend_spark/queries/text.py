@@ -289,7 +289,7 @@ def q84_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN stop_hits / CAST(n_tokens AS DOUBLE) < 0.03 THEN 'low_stopword'
                 ELSE 'kept' END AS verdict,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT lang, n_chars,
              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,

@@ -28,6 +28,28 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     assert len(df.columns) > 0
 
 
+# DuckDB widens integer sum() to HUGEINT (and exposes unsigned types Spark
+# lacks). The local fetchall() comparator coerces these to Python ints — so
+# values match locally — but the driver's hash renders a HUGEINT column
+# differently from Spark's BIGINT (pandas: float64 vs int64), failing the
+# query even when every value is equal (round-2 q103 postmortem). Forbid the
+# types outright so the drift can't reappear.
+_ENGINE_TYPED = {"HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+@pytest.mark.parametrize("name", [n for n, s in SPECS if s.oracle is not None])
+def test_oracle_output_types_are_spark_representable(name, oracle):
+    spec = all_queries()[name]
+    rel = oracle.sql(spec.oracle)
+    offenders = {
+        c: str(t) for c, t in zip(rel.columns, rel.types) if str(t) in _ENGINE_TYPED
+    }
+    assert not offenders, (
+        f"{name}: oracle output columns {offenders} use DuckDB-only integer "
+        "types; CAST(... AS BIGINT) in the oracle SQL"
+    )
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
