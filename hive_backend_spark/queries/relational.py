@@ -754,16 +754,38 @@ def q35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q36_approx_distinct", oracle=None)
+@register(
+    "q36_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n,
+           TRUE AS approx_within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q36_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 free surface: approx_count_distinct (HyperLogLog++). Rows-only
-    check by design — DuckDB's approx sketch differs, so exact value
-    equality is not defined; the companion exact counts are oracle-checked
-    in q32."""
+    """A5 free surface: approx_count_distinct (HyperLogLog++, rsd=0.01).
+    HLL sketches are engine-specific, so the raw estimate can't be oracle-
+    compared; instead the exact distinct count is emitted beside a boolean
+    asserting the estimate sits within 5x the configured relative standard
+    deviation (Spark's HLL++ is deterministic for fixed input, so the
+    boolean is stable). The oracle emits TRUE — an out-of-bound estimate
+    breaks the driver hash instead of being invisible. pytest additionally
+    asserts the tighter published bound (test_operators.py)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n"),
+    )
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n",
+        (rel_err <= 0.05).alias("approx_within_bound"),
     )
 
 

@@ -276,3 +276,24 @@ def test_zorder_layout_prunes_box_queries(spark, tmp_path):
     # the box to a corner of the key space
     assert z_frac < l_frac, f"zorder {z_frac:.2f} not better than linear {l_frac:.2f}"
     assert z_frac <= 0.5, f"zorder layout barely prunes: {z_frac:.2f}"
+
+
+def test_q36_hll_estimate_within_published_bound(spark, sf_dir):
+    """q36's oracle checks a 5x-rsd envelope; here assert the tighter
+    published HLL++ bound (rsd=0.01 -> ~3 sigma = 3%) per group."""
+    from hive_backend_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err <= 0.03, f"{r.event_type}: HLL rel err {rel_err:.4f} > 3%"
