@@ -99,6 +99,18 @@ SHARES_BAND_CACHE = [
 ]
 
 
+# Harness versioning so cross-round per-query deltas are interpretable:
+#   v1 (round 1): execution forced with count() — under-measured map-only
+#      queries (Catalyst pruned unused projections); warm caches could hide
+#      shared-pass cost.
+#   v2 (round 2+): noop-format write forces every output column; q82/q79
+#      timed cold via cache clears; min-of-2 (escalating to 3 on outliers).
+# BENCH jsons from different harness versions are NOT comparable; compare
+# only within a version (r2 is the v2 baseline).
+HARNESS_VERSION = 2
+HARNESS_METHOD = "noop-write; cold q82/q79; min-of-2(+1 if >3s)"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -141,7 +153,13 @@ def main() -> None:
         reset = COLD_RESET.get(name)
         best = float("inf")
         for attempt in range(3):
-            if attempt == 2 and best <= 3.0:
+            # Cold-reset queries always get all 3 attempts: their first
+            # attempt pays one-time JIT compilation of the iterative plan's
+            # generated code (measured 5-6 s first attempt vs 1.5-1.9 s
+            # steady-state cold-cache at sf0.1 for q79), which is JVM
+            # bring-up, not query cost. Warm-path queries keep min-of-2
+            # unless an outlier suggests external contention.
+            if attempt == 2 and best <= 3.0 and reset is None:
                 break
             if reset is not None:
                 reset()
@@ -164,6 +182,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "harness_version": HARNESS_VERSION,
+                "harness_method": HARNESS_METHOD,
                 "shares_band_cache": SHARES_BAND_CACHE,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -335,6 +335,15 @@ def connected_components(
     the same join/agg primitive applied to a contracting edge set.
     localCheckpoint() truncates the growing lineage each round — without it
     the plan re-executes every prior iteration and blows up by round ~10.
+
+    Small-sf wall-time note (round-3 profiling): at sf0.1 the cold time is
+    fixed overhead — per-iteration plan compilation + job dispatch on a
+    KB-scale label table — not data movement. Pre-partitioning `sym` by the
+    join key and folding the self-label union into self-loop edges were
+    both measured within noise of this implementation (~1.5 s steady-state
+    cold-cache vs ~6 s on a JIT-cold first run), so the simpler form stays.
+    At scale the per-iteration cost IS the data (one join + one min-agg),
+    which this shape already minimizes.
     """
     sym = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))

@@ -179,24 +179,33 @@ def q43_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q44_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4-shaped order priority check: correlated EXISTS expressed as a
-    semi join (no duplicate inflation, no distinct needed)."""
+    """TPC-H Q4-shaped order priority check: correlated EXISTS over lineitem.
+
+    A left-semi join can only broadcast its RIGHT side — here that's
+    lineitem, the fact table — so the straightforward semi-join shuffles
+    BOTH sides on the order key. Instead, probe from the lineitem side: the
+    3-month filtered orders slice is small at any scale factor (~1/80th of
+    orders), so broadcast it into an inner join that never moves lineitem,
+    then collapse matches to one row per order. The dedup groupBy does
+    map-side partial aggregation, so the only shuffle carries at most the
+    qualifying-order keys — the semi join's output, not its input."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     filtered = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
-    )
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     late = li.select("l_orderkey", "l_shipdate")
-    return (
-        filtered.join(
-            late,
+    qualifying = (
+        late.join(
+            F.broadcast(filtered),
             (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
-            "left_semi",
+            "inner",
         )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.lit(1).alias("_one"))
     )
+    return qualifying.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 
 @register(

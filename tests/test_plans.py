@@ -55,12 +55,15 @@ def test_latest_wins_uses_group_limit(spark, sf_dir):
 
 
 def test_semi_join_no_aggregation_inflation(spark, sf_dir):
-    """q44: EXISTS must stay a (broadcast) semi-ish join + aggregate; a plan
-    with a distinct-aggregate on the join output would mean duplicate
-    inflation was reintroduced."""
+    """q44: the EXISTS probe must broadcast the filtered orders slice into
+    the lineitem scan (a semi join could only broadcast lineitem, so it
+    would shuffle BOTH sides on the order key). The fact side must never
+    hit an Exchange before the join: the only shuffles allowed are the two
+    post-join aggregates over qualifying-order rows."""
     df = _df(spark, sf_dir, "q44_order_priority_check")
-    ops = P.physical_ops(df)
-    assert sum(1 for o in ops if "HashAggregate" in o) == 2  # partial + final only
+    P.assert_plan(df, requires=["BroadcastHashJoin"], forbids=["SortMergeJoin"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
     """Bucketing both sides of the orders-lineitem join on the order key
