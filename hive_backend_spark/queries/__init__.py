@@ -10,6 +10,7 @@ Modules map to SURVEY.md sections:
     corpus      — §7 Phase 3: decontamination / packing / BM25 / inverted index
     dedup       — §7 Phase 3: MinHash-LSH / SimHash / n-gram Jaccard near-dup
     similarity  — §7 Phase 3: embedding similarity / ANN on `embeddings`
+    payload     — §1.2 typed nested Slides element payload extraction
     sampling    — §7 Phase 3: deterministic sampling / split assignment
     multimodal  — §7 Phase 3: binary-column plumbing
 """
@@ -19,6 +20,7 @@ from . import (  # noqa: F401
     corpus,
     dedup,
     multimodal,
+    payload,
     queue,
     relational,
     sampling,

@@ -23,6 +23,39 @@ SELECTION_SCHEMA = (
     "numRows INT, numColumns INT, timestamp STRING, active BOOLEAN, syncEnabled BOOLEAN"
 )
 
+# The Slides element payload — the reference's richest data shape, built
+# client-side by getElementProperties (slides-code.gs:312-375) with the
+# per-type branches (shape/text fill+border, image properties, table
+# properties incl. the hasHeader row-height heuristic at slides-code.gs:358,
+# group child count), plus the TABLE_CELL selection envelope
+# (slides-code.gs:257-262: tableSelection{row,column,rowSpan,columnSpan}),
+# the PAGE selection properties (slides-code.gs:282-285: pageNumber+layout)
+# and the text-style struct (slides-code.gs:294-310). Fields absent for a
+# given element type are null (the reference simply omits them from the JS
+# object; JSON omission parses to null here).
+ELEMENT_SCHEMA = (
+    "elementId STRING, elementType STRING, slideId STRING, slideName STRING, "
+    "tableSelection STRUCT<row: INT, column: INT, rowSpan: INT, columnSpan: INT>, "
+    "properties STRUCT<"
+    "type: STRING, "
+    "position: STRUCT<left: DOUBLE, top: DOUBLE>, "
+    "size: STRUCT<width: DOUBLE, height: DOUBLE>, "
+    "text: STRING, "
+    "shapeType: STRING, "
+    "fill: STRUCT<type: STRING, color: STRING>, "
+    "border: STRUCT<weight: DOUBLE, dashStyle: STRING, color: STRING>, "
+    "imageProperties: STRUCT<sourceUrl: STRING, brightness: DOUBLE, contrast: DOUBLE, transparency: DOUBLE>, "
+    "tableProperties: STRUCT<numRows: INT, numColumns: INT, hasHeader: BOOLEAN>, "
+    "groupProperties: STRUCT<numChildren: INT>, "
+    "pageNumber: STRING, "
+    "layout: STRING, "
+    "textStyle: STRUCT<bold: BOOLEAN, italic: BOOLEAN, underline: BOOLEAN, "
+    "strikethrough: BOOLEAN, fontSize: INT, fontFamily: STRING, "
+    "foregroundColor: STRING, backgroundColor: STRING>"
+    ">, "
+    "timestamp BIGINT"
+)
+
 
 def parse_json_props(df: DataFrame, col: str, schema: str | StructType) -> DataFrame:
     """S4 schema-on-read JSON (reference: JSON.parse client-side,
