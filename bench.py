@@ -85,6 +85,10 @@ HEADLINE = [
     "q100_simhash_near_dup",
     "q101_hyperplane_lsh",
     "q83_decode_features",
+    "q125_element_payload_extract",
+    "q126_incremental_rollup_merge",
+    "q127_pq_ann",
+    "q128_boilerplate_removal",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -588,6 +588,58 @@ def q85_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shaped(hour, "hour").unionAll(shaped(day, "day"))
 
 
+# Incremental-refresh boundary for q126: everything before the cutoff is the
+# "already materialized" rollup; at/after it is the newly arrived batch. The
+# cutoff is deliberately NOT hour-aligned so the 06:00 bucket straddles it —
+# the merge of stored partials with fresh partials is actually exercised.
+_REFRESH_CUTOFF = "2024-01-28 06:30:00"
+
+
+@register(
+    "q126_incremental_rollup_merge",
+    oracle=f"""
+    WITH touched AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS bucket
+      FROM events WHERE ts >= TIMESTAMP '{_REFRESH_CUTOFF}'
+    )
+    SELECT date_trunc('hour', ts) AS bucket,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE date_trunc('hour', ts) IN (SELECT bucket FROM touched)
+    GROUP BY 1
+    """,
+)
+def q126_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh (the TimescaleDB hypertable maintenance
+    pattern q85 materializes): when a new batch of events arrives, only the
+    hour buckets it touches are refreshed, by MERGING the stored rollup's
+    partials (count/sum compose losslessly) with partials computed over the
+    new batch alone — the historical raw data is never re-scanned. Here the
+    pre-cutoff rollup stands in for the stored aggregate; at 100 TB it is a
+    table thousands of times smaller than the raw events, and the semi join
+    on touched buckets prunes the refresh to the dirty set. The mid-hour
+    cutoff makes the straddling 06:00 bucket merge stored + fresh partials
+    for real. The oracle recomputes the same buckets from ALL raw events,
+    proving the merge path equals a from-scratch rebuild."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_REFRESH_CUTOFF).cast("timestamp")
+    bucket = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    partials = lambda df: df.groupBy(bucket).agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    stored = partials(events.filter(F.col("ts") < cutoff))  # the "materialized" rollup
+    fresh = partials(events.filter(F.col("ts") >= cutoff))  # new partition only
+    touched = fresh.select("bucket")
+    merged = (
+        stored.join(F.broadcast(touched), "bucket", "left_semi")
+        .unionAll(fresh)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n_events"), F.round(F.sum("s"), 2).alias("sum_value"))
+    )
+    return merged
+
+
 # Columns covered by the orders content checksum: every non-float column.
 # Floats are excluded on purpose — their string rendering is not part of
 # the cross-engine contract, and a checksum must never be rendering-defined.

@@ -629,3 +629,123 @@ def q123_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("vec_id"), F.round("rank", 6).alias("pagerank")
     )
+
+
+# --- product quantization (q127) --------------------------------------------
+
+# PQ geometry: 64 dims -> 4 subspaces x 16 dims, 8 centroids per subspace.
+# The codebook is the quantized subvectors of vectors 0..7 (a deterministic
+# "trained offline" stand-in — production would k-means these); the query is
+# vector 42. Everything that decides ordering (codes, ADC distances) is
+# INTEGER arithmetic over the q88 int8 codes, so argmin and top-k are exact
+# in every engine and under every summation order.
+_PQ_SUBS, _PQ_SUBDIM, _PQ_CENTS = 4, 16, 8
+_PQ_QUERY_ID = 42
+
+_Q127_ENC = f"""
+    SELECT v.vec_id, s.s, cb.j,
+           CAST(list_aggregate(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                i -> (v.q8[s.s*{_PQ_SUBDIM}+i] - cb.q8[s.s*{_PQ_SUBDIM}+i])
+                   * (v.q8[s.s*{_PQ_SUBDIM}+i] - cb.q8[s.s*{_PQ_SUBDIM}+i])), 'sum')
+             AS BIGINT) AS dist
+    FROM ({_Q101_QUANT}) v,
+         (SELECT unnest(range(0, {_PQ_SUBS})) AS s) s,
+         (SELECT vec_id AS j, q8 FROM ({_Q101_QUANT}) WHERE vec_id < {_PQ_CENTS}) cb
+"""
+
+
+@register(
+    "q127_pq_ann",
+    oracle=f"""
+    WITH enc AS ({_Q127_ENC}),
+    codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    adc AS (SELECT s, j, dist FROM enc WHERE vec_id = {_PQ_QUERY_ID}),
+    approx AS (
+      SELECT c.vec_id, CAST(sum(d.dist) AS BIGINT) AS approx_dist
+      FROM codes c JOIN adc d ON c.s = d.s AND c.code = d.j
+      WHERE c.vec_id != {_PQ_QUERY_ID}
+      GROUP BY c.vec_id
+    )
+    SELECT a.vec_id, a.approx_dist,
+           round(list_dot_product(v.v, qv.v)
+                 / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(qv.v, qv.v))),
+                 6) AS cosine_sim
+    FROM approx a
+    JOIN ({_Q101_QUANT}) v ON v.vec_id = a.vec_id
+    JOIN ({_Q101_QUANT}) qv ON qv.vec_id = {_PQ_QUERY_ID}
+    ORDER BY a.approx_dist ASC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q127_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-bounded 100 TB search path
+    (IVF-PQ's second stage): each vector stores only 4 one-byte codes (one
+    argmin centroid per 16-dim subspace of its int8 q88 codes), and query
+    time touches nothing but an 8x4 integer ADC table — distance(vec) =
+    sum over subspaces of table[code] — so a billion-vector scan reads 4
+    bytes per vector instead of 256. The codebook (KBs, model state shipped
+    to every executor like production PQ codebooks) rides into one
+    vectorized mapInPandas pass that encodes, ADC-scores and
+    cosine-verifies per Arrow batch; top-10 by approx distance with exact
+    cosine attached for re-ranking. All ordering-relevant arithmetic is
+    integer (exact under any summation order, ties broken by centroid
+    index / vec_id), which is what makes the oracle's row_number-argmin
+    replay hash-identical."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import spread
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _q8(m: "np.ndarray") -> "np.ndarray":
+        mn = m.min(axis=1, keepdims=True)
+        mx = m.max(axis=1, keepdims=True)
+        return np.round((m - mn) / ((mx - mn) / 255.0)).astype(np.int64) - 128
+
+    # Codebook + query: tiny fixed-id slice, quantized driver-side with the
+    # exact same formula the distributed pass uses (q88 semantics).
+    head = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter(
+            (F.col("vec_id") < _PQ_CENTS) | (F.col("vec_id") == _PQ_QUERY_ID)
+        ).collect()
+    }
+    cents = _q8(np.stack([head[j] for j in range(_PQ_CENTS)]))
+    C = cents.reshape(_PQ_CENTS, _PQ_SUBS, _PQ_SUBDIM).transpose(1, 0, 2)  # (s, j, d)
+    qv = head[_PQ_QUERY_ID]
+    q8_query = _q8(qv[None, :])[0].reshape(_PQ_SUBS, _PQ_SUBDIM)
+    adc = ((q8_query[:, None, :] - C) ** 2).sum(axis=2)  # (s, j) integer table
+    qnorm = float(np.linalg.norm(qv))
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = _q8(m).reshape(len(m), _PQ_SUBS, _PQ_SUBDIM)
+            approx = np.zeros(len(m), dtype=np.int64)
+            for s in range(_PQ_SUBS):
+                d = ((q[:, s, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)  # (n, j)
+                codes = d.argmin(axis=1)  # first min == smallest j on ties
+                approx += adc[s][codes]
+            cos = (m @ qv) / (np.linalg.norm(m, axis=1) * qnorm)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "approx_dist": approx,
+                    "cosine_sim": np.round(cos, 6),
+                }
+            )
+
+    scored = spread(emb).mapInPandas(
+        score, schema="vec_id bigint, approx_dist bigint, cosine_sim double"
+    )
+    return (
+        scored.filter(F.col("vec_id") != _PQ_QUERY_ID)
+        .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -574,3 +574,84 @@ def q122_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("p95"), 4).alias("p95_chars"),
         F.round(F.sum("clamped") / F.count(F.lit(1)), 4).alias("winsorized_mean"),
     )
+
+
+# Boilerplate-removal geometry for q128: non-overlapping 16-token windows
+# ("lines" — the fixture text has no newlines); a window whose exact content
+# appears in >= 3 distinct documents is boilerplate (the C4/Dolma
+# repeated-line rule).
+_BP_WINDOW, _BP_MIN_DF = 16, 3
+
+
+@register(
+    "q128_boilerplate_removal",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents
+    ), w AS (
+      SELECT doc_id, k,
+             array_to_string(toks[k*{_BP_WINDOW}+1 : k*{_BP_WINDOW}+{_BP_WINDOW}], ' ') AS wtext
+      FROM base, unnest(range(0, CAST(ceil(n / {_BP_WINDOW}.0) AS BIGINT))) AS u(k)
+    ), bp AS (
+      SELECT md5(wtext) AS whash FROM w
+      GROUP BY md5(wtext) HAVING count(DISTINCT doc_id) >= {_BP_MIN_DF}
+    ), flagged AS (
+      SELECT doc_id, k, wtext, md5(wtext) IN (SELECT whash FROM bp) AS is_bp FROM w
+    )
+    SELECT doc_id,
+           count(*) AS n_windows,
+           count(*) FILTER (is_bp) AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN wtext END, ' ' ORDER BY k), ''))
+             AS cleaned_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q128_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-window (boilerplate) removal — the C4/Dolma "drop any line
+    that appears in >= N documents" rule, over 16-token windows since the
+    fixture text has no line structure: headers, navigation chrome and
+    license blurbs are exactly what this kills in a web corpus. Windows are
+    df-counted BY 32-CHAR DIGEST, so the frequency shuffle moves md5s, not
+    window text; the boilerplate set (vanishingly small by construction —
+    df >= 3 windows) broadcasts back as the removal filter, and each doc is
+    reassembled from its surviving windows in original order. The cleaned
+    text is md5-compared against the oracle, so reassembly order and every
+    removal decision are value-checked. Two shuffles total at any scale:
+    digest df-count + per-doc regroup."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "k",
+            F.expr(f"explode(sequence(0, CAST(ceil(n / {_BP_WINDOW}.0) AS INT) - 1))"),
+        )
+        .select(
+            "doc_id",
+            "k",
+            F.expr(f"array_join(slice(toks, k*{_BP_WINDOW}+1, {_BP_WINDOW}), ' ')").alias("wtext"),
+        )
+        .withColumn("whash", F.md5("wtext"))
+    )
+    bp = (
+        w.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BP_MIN_DF)
+        .select("whash", F.lit(True).alias("is_bp"))
+    )
+    flagged = w.join(F.broadcast(bp), "whash", "left").withColumn(
+        "is_bp", F.coalesce(F.col("is_bp"), F.lit(False))
+    )
+    kept_struct = F.when(~F.col("is_bp"), F.struct("k", "wtext"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["wtext"]),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
