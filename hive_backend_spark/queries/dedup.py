@@ -526,3 +526,66 @@ def q112_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@register(
+    "q130_triangle_census",
+    oracle=f"""
+    WITH cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles FROM cand e1
+      JOIN cand e2 ON e2.doc_a = e1.doc_b
+      JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT doc_a AS node FROM cand UNION ALL SELECT doc_b AS node FROM cand
+      ) GROUP BY node
+    )
+    SELECT (SELECT n_triangles FROM tri) AS n_triangles,
+           (SELECT count(*) FROM cand) AS n_edges,
+           (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges
+    """,
+)
+def q130_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the LSH candidate graph: triangles confirm that
+    near-dup neighborhoods are cliques (transitive duplicates) rather than
+    hash-collision chains — a high wedge-to-triangle ratio means band
+    collisions are linking unrelated docs and the band width needs raising.
+    The compact-forward join (every edge stored once as doc_a < doc_b; two
+    self-joins count each triangle exactly once) is the standard
+    distributed algorithm; at 100 TB the joins shuffle on the edge key and
+    AQE handles the skewed high-degree nodes. Shares the q82 band table."""
+    edges = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionAll(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(n_edges)
+        .crossJoin(stats)
+        .select("n_triangles", "n_edges", "n_nodes", "n_wedges")
+    )

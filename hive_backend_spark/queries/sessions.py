@@ -169,3 +169,39 @@ def q59_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q129_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id, event_type AS attr_value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q129_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: turn a change-event stream
+    into validity intervals — each state becomes a row with [valid_from,
+    valid_to) bounds, an is_current flag on the open interval, and a
+    per-entity version number. This is how the reference's mutable
+    app_states/connections rows (db.mjs:270-278 upserts) become an
+    auditable history on immutable storage instead of losing every
+    overwritten state. One window pass over one user_id shuffle; lead()
+    and row_number() share the same Window operator, so at 100 TB the cost
+    is a single per-entity sort — and an entity-bucketed layout
+    (operators.bucketing) removes even that exchange."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )

@@ -655,3 +655,78 @@ def q128_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+# Winnowing geometry for q131: token 5-grams, window of 4 consecutive gram
+# hashes (guarantee: any shared run of >= 8 tokens yields at least one shared
+# fingerprint).
+_WIN_GRAM, _WIN_W = 5, 4
+
+
+@register(
+    "q131_winnowing_fingerprints",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, n,
+             CASE WHEN n >= {_WIN_GRAM} THEN
+               list_transform(range(0, n - {_WIN_GRAM} + 1),
+                 i -> md5(array_to_string(toks[i+1 : i+{_WIN_GRAM}], ' ')))
+             END AS h
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(coalesce(len(h), 0) AS BIGINT) AS n_grams,
+           CAST(CASE WHEN h IS NULL THEN 0 ELSE len(list_distinct(
+             list_transform(range(0, greatest(len(h) - {_WIN_W} + 1, 1)),
+               i -> list_aggregate(h[i+1 : i+{_WIN_W}], 'min'))
+           )) END AS BIGINT) AS n_fingerprints,
+           CASE WHEN h IS NOT NULL THEN md5(array_to_string(list_sort(list_distinct(
+             list_transform(range(0, greatest(len(h) - {_WIN_W} + 1, 1)),
+               i -> list_aggregate(h[i+1 : i+{_WIN_W}], 'min')))), ' '))
+           END AS fp_digest
+    FROM hashed
+    """,
+)
+def q131_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS rolling-
+    hash selection): hash every token 5-gram, slide a 4-hash window, keep
+    each window's minimum — the classic guarantee that any shared token run
+    of >= 8 tokens produces at least one shared fingerprint, at ~1/4 the
+    density of full k-gram fingerprinting. The selected set is the compact
+    per-doc signature that plagiarism/overlap detection joins on (exact
+    dedup q63 keeps one hash per doc; this keeps one per locality). Hashes
+    are md5 hex strings and 'min' is lexicographic in both engines, so
+    selection is value-exact; the digest of the sorted distinct
+    fingerprints is hash-compared. Map-only — all work is per-document
+    higher-order expressions; the fingerprint JOIN (not materialized here)
+    is what would shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "h",
+            F.expr(
+                f"CASE WHEN n >= {_WIN_GRAM} THEN transform(sequence(0, n - {_WIN_GRAM}),"
+                f" i -> md5(array_join(slice(toks, i+1, {_WIN_GRAM}), ' '))) END"
+            ),
+        )
+        .withColumn(
+            "fps",
+            F.expr(
+                f"CASE WHEN h IS NOT NULL THEN array_sort(array_distinct("
+                f"transform(sequence(0, greatest(size(h) - {_WIN_W}, 0)),"
+                f" i -> array_min(slice(h, i+1, {_WIN_W}))))) END"
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.coalesce(F.size("h"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(F.size("fps"), F.lit(0)).cast("bigint").alias("n_fingerprints"),
+        F.when(F.col("fps").isNotNull(), F.md5(F.array_join(F.col("fps"), " "))).alias("fp_digest"),
+    )

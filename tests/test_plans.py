@@ -218,6 +218,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q108_bm25_topk",  # 1-row avgdl/N stats
         "q114_unigram_logprob",  # 1-row corpus token total
         "q118_skew_report",  # 1-row global row count
+        "q130_triangle_census",  # three 1-row census aggregates attached
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
