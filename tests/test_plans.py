@@ -219,6 +219,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q114_unigram_logprob",  # 1-row corpus token total
         "q118_skew_report",  # 1-row global row count
         "q130_triangle_census",  # three 1-row census aggregates attached
+        "q132_cluster_quality",  # k x k centroid table (k = label count)
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):

@@ -225,3 +225,89 @@ def test_two_level_prefix_sum_matches_sequential(spark, sizes, budget):
         want[doc_id] = start // budget
         start += n
     assert got == want
+
+
+# --- winnowing guarantee vs pure-Python selection ---------------------------
+
+
+def _py_winnow(tokens: list[str], gram: int = 5, w: int = 4) -> set[str]:
+    if len(tokens) < gram:
+        return set()
+    hs = [
+        hashlib.md5(" ".join(tokens[i : i + gram]).encode()).hexdigest()
+        for i in range(len(tokens) - gram + 1)
+    ]
+    n_windows = max(len(hs) - w + 1, 1)
+    return {min(hs[i : i + w]) for i in range(n_windows)}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_winnowing_shared_run_guarantee_and_parity(spark, seed):
+    """Two properties of q131's selection: (1) engine output == pure-Python
+    winnowing per doc; (2) the MOSS guarantee — two docs sharing a token
+    run of >= gram + w - 1 = 8 tokens share at least one fingerprint."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    shared_run = [rng.choice(vocab) for _ in range(10)]  # > 8-token shared run
+    docs = []
+    for d in range(6):
+        left = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+        right = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+        docs.append((d, " ".join(left + shared_run + right)))
+    # same expression chain q131 uses, over this adversarial tiny corpus
+    src = spark.createDataFrame(docs, "doc_id long, text string")
+    d = (
+        src.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "h",
+            F.expr(
+                "CASE WHEN n >= 5 THEN transform(sequence(0, n - 5),"
+                " i -> md5(array_join(slice(toks, i+1, 5), ' '))) END"
+            ),
+        )
+        .withColumn(
+            "fps",
+            F.expr(
+                "CASE WHEN h IS NOT NULL THEN array_sort(array_distinct("
+                "transform(sequence(0, greatest(size(h) - 4, 0),  1),"
+                " i -> array_min(slice(h, i+1, 4))))) END"
+            ),
+        )
+        .select("doc_id", "fps")
+        .collect()
+    )
+    got = {r["doc_id"]: set(r["fps"] or []) for r in d}
+    want = {i: _py_winnow(t.split()) for i, t in docs}
+    assert got == want
+    fp_sets = list(got.values())
+    for i in range(len(fp_sets)):
+        for j in range(i + 1, len(fp_sets)):
+            assert fp_sets[i] & fp_sets[j], (
+                f"docs {i},{j} share a 10-token run but no fingerprint"
+            )
+
+
+# --- SCD2 interval invariants ----------------------------------------------
+
+
+def test_scd2_intervals_partition_timeline(spark, sf_dir):
+    """q129 invariants per entity: exactly one open (is_current) interval;
+    versions are 1..n contiguous; each interval's valid_to equals the next
+    interval's valid_from (no gaps, no overlaps)."""
+    from hive_backend_spark.registry import all_queries
+
+    rows = all_queries()["q129_scd2_intervals"].fn(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1)), user
+        assert sum(1 for r in ivs if r["is_current"]) == 1, user
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None, user
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], user
