@@ -89,6 +89,10 @@ HEADLINE = [
     "q126_incremental_rollup_merge",
     "q127_pq_ann",
     "q128_boilerplate_removal",
+    "q129_scd2_intervals",
+    "q130_triangle_census",
+    "q131_winnowing_fingerprints",
+    "q132_cluster_quality",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
