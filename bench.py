@@ -93,6 +93,7 @@ HEADLINE = [
     "q130_triangle_census",
     "q131_winnowing_fingerprints",
     "q132_cluster_quality",
+    "q133_fuzzy_decontamination",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -104,6 +105,7 @@ SHARES_BAND_CACHE = [
     "q68_jaccard_verify",
     "q79_dup_clusters",
     "q112_quality_canonical",
+    "q133_fuzzy_decontamination",
 ]
 
 

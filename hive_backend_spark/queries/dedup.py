@@ -589,3 +589,83 @@ def q130_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(stats)
         .select("n_triangles", "n_edges", "n_nodes", "n_wedges")
     )
+
+
+@register(
+    "q133_fuzzy_decontamination",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    cand AS (
+      SELECT a.doc_id AS train_id, b.doc_id AS eval_id
+      FROM ({_ORACLE_BANDS}) a
+      JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+      WHERE substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 2) < 'f0'
+        AND substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2) >= 'f0'
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT train_id, eval_id,
+             round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+      FROM cand JOIN sh x ON x.doc_id = train_id JOIN sh y ON y.doc_id = eval_id
+    )
+    SELECT doc_id, n_eval_candidates, max_jaccard, matched_eval_id FROM (
+      SELECT train_id AS doc_id,
+             CAST(count(*) OVER (PARTITION BY train_id) AS BIGINT) AS n_eval_candidates,
+             jaccard AS max_jaccard, eval_id AS matched_eval_id,
+             row_number() OVER (PARTITION BY train_id ORDER BY jaccard DESC, eval_id ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1 AND max_jaccard >= 0.5
+    """,
+)
+def q133_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/eval decontamination — the MinHash-LSH companion to
+    q106's exact n-gram check (the Llama/GPT-3-style near-match rule that
+    catches paraphrased or lightly-edited eval leakage an exact gram miss
+    would pass): band-join training docs against the held-out split (same
+    md5-bucket >= 'f0' split as q106), exact-Jaccard-verify the candidates,
+    and flag training docs whose best eval match reaches 0.5. Bipartite LSH
+    keeps the join O(collisions): the eval side is benchmark-sized, so its
+    band table broadcasts; training text never shuffles (bands and shingle
+    digests move, text stays). Shares the q82 band table."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    bands = _bands(spark, sf_dir)
+    is_eval = hash_bucket("doc_id") >= "f0"
+    train_b = bands.filter(~is_eval).select(
+        F.col("doc_id").alias("train_id"), "band_idx", "band_sig"
+    )
+    eval_b = bands.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "band_idx", "band_sig"
+    )
+    cand = (
+        train_b.join(F.broadcast(eval_b), ["band_idx", "band_sig"])
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .select("train_id", "eval_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.spread(docs).select("doc_id", D.shingles_udf()(F.col("text")).alias("shingles"))
+    x, y = sh.alias("x"), sh.alias("y")
+    scored = (
+        cand.join(x, F.col("x.doc_id") == F.col("train_id"))
+        .join(y, F.col("y.doc_id") == F.col("eval_id"))
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(D.jaccard(F.col("x.shingles"), F.col("y.shingles")), 6).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("train_id")
+    wr = w.orderBy(F.col("jaccard").desc(), F.col("eval_id").asc())
+    ranked = scored.select(
+        F.col("train_id").alias("doc_id"),
+        F.count(F.lit(1)).over(w).alias("n_eval_candidates"),
+        F.col("jaccard").alias("max_jaccard"),
+        F.col("eval_id").alias("matched_eval_id"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("max_jaccard") >= 0.5)).drop("rn")

@@ -749,3 +749,93 @@ def q127_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "q132_cluster_quality",
+    oracle="""
+    WITH cent AS (
+      SELECT label, pos, sum(x) / count(*) AS c
+      FROM (SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+            FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+      GROUP BY label, pos
+    ),
+    carr AS (
+      SELECT label, list(c ORDER BY pos) AS c FROM cent GROUP BY label
+    ),
+    intra AS (
+      SELECT e.label,
+             count(*) AS n_vecs,
+             avg(sqrt(list_aggregate(list_transform(range(1, 65),
+                 i -> (v[i] - c[i]) * (v[i] - c[i])), 'sum'))) AS mean_intra
+      FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+      JOIN carr USING (label)
+      GROUP BY e.label
+    ),
+    inter AS (
+      SELECT a.label, b.label AS nearest_label,
+             sqrt(list_aggregate(list_transform(range(1, 65),
+                 i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i])), 'sum')) AS d,
+             row_number() OVER (PARTITION BY a.label
+                                ORDER BY sqrt(list_aggregate(list_transform(range(1, 65),
+                                    i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i])), 'sum')),
+                                         b.label) AS rn
+      FROM carr a JOIN carr b ON a.label != b.label
+    )
+    SELECT i.label, i.n_vecs,
+           round(i.mean_intra, 4) AS mean_intra_dist,
+           n.nearest_label,
+           round(n.d, 4) AS nearest_centroid_dist,
+           round(n.d / i.mean_intra, 4) AS separation_ratio
+    FROM intra i JOIN (SELECT * FROM inter WHERE rn = 1) n USING (label)
+    """,
+)
+def q132_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit for the IVF index (q73/q74): per cell, the
+    mean member-to-centroid distance (cohesion), the nearest other centroid
+    (the cell most likely to steal routed queries), and their ratio — a
+    Dunn-style separation score. A ratio near or below 1 means the coarse
+    quantizer's cells overlap and nprobe must rise to hold recall. Shuffles
+    are labels x 64 rows (centroid build) and |vectors| once for member
+    distances; the 10-row centroid table broadcasts into both joins. Member
+    distances evaluate in fixed array order in both engines (sequential
+    fold), so only the cross-member mean needs rounding."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("label", F.col("embedding").cast("array<double>").alias("v"))
+    exploded = vecs.select("label", F.posexplode("v").alias("pos", "x"))
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg((F.sum("x") / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias("c")
+        )
+    )
+    dist = "sqrt(aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))"
+    intra = (
+        vecs.join(F.broadcast(centroids), "label")
+        .select("label", F.expr(dist).alias("d"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.avg("d").alias("mean_intra"))
+    )
+    a = centroids.select(F.col("label"), F.col("c").alias("v"))
+    b = centroids.select(F.col("label").alias("nearest_label"), F.col("c"))
+    pair_d = (
+        a.join(F.broadcast(b), F.col("label") != F.col("nearest_label"))
+        .select("label", "nearest_label", F.expr(dist).alias("d"))
+    )
+    wn = Window.partitionBy("label").orderBy(F.col("d").asc(), F.col("nearest_label").asc())
+    nearest = pair_d.withColumn("rn", F.row_number().over(wn)).filter(F.col("rn") == 1)
+    return (
+        intra.join(nearest, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round("mean_intra", 4).alias("mean_intra_dist"),
+            "nearest_label",
+            F.round("d", 4).alias("nearest_centroid_dist"),
+            F.round(F.col("d") / F.col("mean_intra"), 4).alias("separation_ratio"),
+        )
+    )
