@@ -20,10 +20,11 @@ parse round trip is the point: a field-name or type error in ELEMENT_SCHEMA
 yields nulls that the oracle — which computes the same values directly —
 catches as a hash mismatch.
 
-Bench note: the query's wall time is whole-stage-codegen COMPILATION of the
-large conditional-struct expression tree, not execution — output is a
-constant 3,000 rows at every scale factor, so the measured ~2.5 s is fixed
-cost that vanishes into noise on real data volumes.
+Bench note: wall time was originally whole-stage-codegen compilation of a
+250 KB single-stage expression tree (Catalyst elides the to_json->from_json
+round trip and inlines payload construction into every leaf extraction);
+an exchange between build and parse restores a real parse stage and cut the
+plan to 41 KB / ~1 s (see the comment at the repartition below).
 """
 
 from __future__ import annotations
@@ -195,8 +196,19 @@ def q125_element_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    p = F.from_json(payload, ELEMENT_SCHEMA)
-    return events.select(
+    # Materialize the JSON strings across an exchange before parsing. Without
+    # the boundary, Catalyst's json-expression optimization elides the
+    # to_json -> from_json round trip entirely and inlines the payload
+    # construction into all ~25 leaf extractions — a 250 KB single-stage
+    # expression tree whose whole-stage-codegen compile dominated wall time
+    # (~3.9 s) while never actually parsing JSON. With the exchange, stage 1
+    # builds each payload once, real strings cross the wire (the ingest shape
+    # S4 models), and stage 2 runs schema-pruned from_json per leaf.
+    serialized = events.select("event_id", payload.alias("payload_json")).repartition(
+        "event_id"
+    )
+    p = F.from_json(F.col("payload_json"), ELEMENT_SCHEMA)
+    return serialized.select(
         p["elementId"].alias("element_id"),
         p["elementType"].alias("element_type"),
         p["slideId"].alias("slide_id"),
