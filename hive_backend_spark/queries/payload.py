@@ -113,11 +113,14 @@ def _hex_color(col, mult: int):
 def q125_element_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slides element payload, end to end: synthesize → to_json → from_json
     (typed ELEMENT_SCHEMA) → flat typed extraction of every leaf the clients
-    read (slides-code.gs:312-375,257-262,282-310). Map-only — one scan, no
-    shuffle; at 100 TB the JSON parse is JVM-side Jackson inside codegen,
-    and unreferenced payload branches are pruned from the parse
-    (from_json schema pruning), so extracting two leaves does not pay for
-    sixteen."""
+    read (slides-code.gs:312-375,257-262,282-310). One scan plus one bounded
+    exchange of the serialized payloads (see the repartition comment below —
+    it keeps the parse stage real and the codegen unit small); at 100 TB the
+    JSON parse is JVM-side Jackson inside codegen, and unreferenced payload
+    branches are pruned from the parse (from_json schema pruning), so
+    extracting two leaves does not pay for sixteen. On a real ingest the
+    strings arrive from the source and no synthetic build stage exists at
+    all — stage 2 here IS the production plan."""
     events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
     eid, uid = F.col("event_id"), F.col("user_id")
     etype = F.expr(_TYPE_CASE_SQL)
