@@ -94,6 +94,7 @@ HEADLINE = [
     "q131_winnowing_fingerprints",
     "q132_cluster_quality",
     "q133_fuzzy_decontamination",
+    "q134_approx_percentile_bound",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -684,3 +684,47 @@ def q121_group_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash).cast("string").alias("checksum"),
     )
+
+
+@register(
+    "q134_approx_percentile_bound",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS exact_p50,
+           round(quantile_cont(n_chars, 0.99), 4) AS exact_p99,
+           TRUE AS approx_within_bound
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q134_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch via
+    percentile_approx) audited against the exact values — the sketch path
+    q45/q122's docstrings point to for 100 TB, where an exact per-group
+    sort is off the table but a mergeable fixed-memory sketch is not.
+    Like q36's HLL check: the sketch estimate itself is engine-specific, so
+    the oracle hash-checks the exact percentiles plus a boolean asserting
+    the approx values land inside the sketch's configured rank-error bound
+    (accuracy 1000 -> rank error <= 0.1%, checked here against the value at
+    rank +-1% for slack on small groups); an out-of-bound sketch breaks the
+    driver hash instead of being invisible."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("exact_p99"),
+        F.expr("percentile_approx(n_chars, 0.5, 1000)").alias("ap50"),
+        F.expr("percentile_approx(n_chars, 0.99, 1000)").alias("ap99"),
+        F.expr("percentile(n_chars, 0.49)").alias("lo50"),
+        F.expr("percentile(n_chars, 0.51)").alias("hi50"),
+        F.expr("percentile(n_chars, 0.98)").alias("lo99"),
+        F.expr("percentile(n_chars, 1.0)").alias("hi99"),
+    )
+    within = (
+        (F.col("ap50") >= F.col("lo50")) & (F.col("ap50") <= F.col("hi50"))
+        & (F.col("ap99") >= F.col("lo99")) & (F.col("ap99") <= F.col("hi99"))
+    )
+    return agg.select(
+        "lang", "n_docs", "exact_p50", "exact_p99", within.alias("approx_within_bound")
+    )
