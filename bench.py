@@ -119,7 +119,7 @@ SHARES_BAND_CACHE = [
 # BENCH jsons from different harness versions are NOT comparable; compare
 # only within a version (r2 is the v2 baseline).
 HARNESS_VERSION = 2
-HARNESS_METHOD = "noop-write; cold q82/q79; min-of-2(+1 if >3s)"
+HARNESS_METHOD = "noop-write; cold q82/q79 min-of-3; warm min-of-2(+1 if >3s)"
 
 
 def main() -> None:
