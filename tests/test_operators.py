@@ -297,3 +297,52 @@ def test_q36_hll_estimate_within_published_bound(spark, sf_dir):
     for r in rows:
         rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
         assert rel_err <= 0.03, f"{r.event_type}: HLL rel err {rel_err:.4f} > 3%"
+
+
+def test_winnowing_and_boilerplate_short_doc_guards(spark):
+    """The fixture corpus has no short docs, so exercise the n < gram and
+    single-window guard branches of q131/q128's expression chains directly:
+    docs shorter than the 5-gram emit zero fingerprints (null digest), docs
+    with fewer hashes than the window emit exactly one fingerprint, and the
+    16-token windower emits one window for any non-empty doc."""
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "a"),                      # 1 token: no 5-grams
+        (2, "a b c d"),                # 4 tokens: no 5-grams
+        (3, "a b c d e"),              # 5 tokens: 1 gram -> 1 fingerprint
+        (4, "a b c d e f g"),          # 7 tokens: 3 grams < window 4 -> 1 fp
+        (5, " ".join(f"t{i}" for i in range(20))),  # 20 tokens: 16 grams
+    ]
+    src = spark.createDataFrame(docs, "doc_id long, text string")
+    d = (
+        src.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "h",
+            F.expr(
+                "CASE WHEN n >= 5 THEN transform(sequence(0, n - 5),"
+                " i -> md5(array_join(slice(toks, i+1, 5), ' '))) END"
+            ),
+        )
+        .withColumn(
+            "fps",
+            F.expr(
+                "CASE WHEN h IS NOT NULL THEN array_sort(array_distinct("
+                "transform(sequence(0, greatest(size(h) - 4, 0), 1),"
+                " i -> array_min(slice(h, i+1, 4))))) END"
+            ),
+        )
+        .withColumn(
+            "n_windows16",
+            F.expr("size(sequence(0, CAST(ceil(n / 16.0) AS INT) - 1))"),
+        )
+        .collect()
+    )
+    by_id = {r["doc_id"]: r for r in d}
+    assert by_id[1]["fps"] is None and by_id[2]["fps"] is None
+    assert len(by_id[3]["fps"]) == 1
+    assert len(by_id[4]["fps"]) == 1  # 3 hashes, window clamps to one min
+    assert 1 <= len(by_id[5]["fps"]) <= 13
+    assert all(by_id[i]["n_windows16"] == 1 for i in (1, 2, 3, 4))
+    assert by_id[5]["n_windows16"] == 2
