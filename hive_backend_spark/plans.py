@@ -54,3 +54,133 @@ def assert_plan(df: DataFrame, requires: list[str] = (), forbids: list[str] = ()
         assert any(op in o for o in ops), f"plan missing {op!r}: {ops}"
     for op in forbids:
         assert not any(op in o for o in ops), f"plan contains forbidden {op!r}: {ops}"
+
+
+# --- explicit-broadcast invariant -------------------------------------------
+# An explicit F.broadcast() hint is allowed ONLY on a side whose cardinality
+# is FIXED BY CONSTRUCTION: a star-schema dimension table, a 1-row / k-row
+# aggregate scalar, a bounded batch (top-k dequeue, upsert delta, dirty
+# refresh buckets), a benchmark-sized eval set, or a constant-size table
+# (256 packing buckets, k centroids, the language-weight table). A side that
+# GROWS WITH THE CORPUS — signature tables, cluster labels, vocabulary/idf,
+# boilerplate digests, per-user reductions — must NOT be hinted: a forced
+# broadcast of a corpus-sized table materializes the corpus on every
+# executor at 100x scale. Leave those joins plain and AQE broadcasts them
+# while genuinely small, falling back to a shuffled join when not.
+#
+# tests/test_plans.py::test_broadcast_hints_are_allowlisted enforces this
+# mechanically: every `F.broadcast(` call site in the library must appear
+# here with a justification naming why the build side is bounded. Adding a
+# hint without recording its bound fails the suite.
+BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("streaming/pipeline.py", 'return events.join(F.broadcast(dim), on, "inner")'):
+        "stream-static dim lookup: dim table is fixed-cardinality by contract",
+    ("operators/layout.py", "with_key = df.crossJoin(F.broadcast(stats)).withColumn("):
+        "1-row min/max stats scalar for Z-order key scaling",
+    ("operators/mutation.py",
+     'kept = current.join(F.broadcast(updates.select(*key_cols)), key_cols, "left_anti")'):
+        "upsert delta batch: bounded by the write batch, not the table",
+    ("operators/skew.py", 'salted_big.join(F.broadcast(replicated), [key, "__salt"]).drop("__salt")'):
+        "salted-join small side: replicated dim, small by the operator's contract",
+    ("queries/relational.py", '.join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))'):
+        "customer dim enrich (q13)",
+    ("queries/relational.py",
+     'customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))'):
+        "nation dim: 25 rows",
+    ("queries/relational.py", '.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))'):
+        "region dim: 5 rows",
+    ("queries/relational.py", 'F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")'):
+        "nation dim: 25 rows",
+    ("queries/relational.py", ').join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))'):
+        "region dim: 5 rows",
+    ("queries/relational.py", "per_key.crossJoin(F.broadcast(stats))"):
+        "1-row skew stats scalar (q118)",
+    ("queries/relational.py", "stats.crossJoin(F.broadcast(heavy))"):
+        "1-row heavy-key count scalar (q118)",
+    ("queries/dedup.py", 'train_b.join(F.broadcast(eval_b), ["band_idx", "band_sig"])'):
+        "fuzzy decontamination eval side: benchmark-sized, bounded (q133)",
+    ("queries/text.py", ".crossJoin(F.broadcast(n_docs))"):
+        "1-row corpus count scalar for idf (q84)",
+    ("queries/queue.py", 'events.join(F.broadcast(batch), "event_id", "left_semi")'):
+        "two-phase mark batch: top-100 dequeue slice (q52)",
+    ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):
+        "nation dim: 25 rows",
+    ("queries/tpch_extra.py", '.join(F.broadcast(region), F.col("nc.n_regionkey") == F.col("r_regionkey"))'):
+        "region dim: 5 rows",
+    ("queries/tpch_extra.py", '.join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))'):
+        "nation dim: 25 rows",
+    ("queries/tpch_extra.py", '.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))'):
+        "nation dim: 25 rows",
+    ("queries/tpch_extra.py", 'rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))'):
+        "1-row max-revenue scalar (q95)",
+    ("queries/analytics.py", 'F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),'):
+        "customer dim, segment-filtered (q41)",
+    ("queries/analytics.py",
+     'nation.join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), '
+     'F.col("n_regionkey") == F.col("r_regionkey"))'):
+        "region dim: 5 rows (q42)",
+    ("queries/analytics.py", '.join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))'):
+        "customer dim (q42)",
+    ("queries/analytics.py", '.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))'):
+        "supplier dim (q42)",
+    ("queries/analytics.py", '.join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))'):
+        "nation dim, region-filtered (q42)",
+    ("queries/analytics.py", 'orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))'):
+        "customer dim (q43)",
+    ("queries/analytics.py", "F.broadcast(filtered),"):
+        "q44 EXISTS probe side: fixed 3-month order window, the bounded slice by design",
+    ("queries/analytics.py",
+     'joined = orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))'):
+        "customer dim (q45)",
+    ("queries/analytics.py", 'supp = supplier.join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))'):
+        "nation dim, filtered (q46)",
+    ("queries/analytics.py", 'cust = customer.join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))'):
+        "nation dim, filtered (q46)",
+    ("queries/analytics.py", '.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))'):
+        "supplier dim pre-joined to nation (q46)",
+    ("queries/analytics.py", '.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))'):
+        "customer dim pre-joined to nation (q46)",
+    ("queries/analytics.py", "customer.join(F.broadcast(avg_bal))"):
+        "1-row avg balance scalar (q20)",
+    ("queries/analytics.py",
+     '.join(F.broadcast(part.select("p_partkey", "p_type")), F.col("p_partkey") == F.col("l_partkey"))'):
+        "part dim, pruned to 2 columns (q47)",
+    ("queries/analytics.py",
+     'F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")),'):
+        "customer dim, pruned (q48)",
+    ("queries/analytics.py", '.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))'):
+        "nation dim: 25 rows (q48)",
+    ("queries/analytics.py",
+     '.join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("c_custkey") == F.col("o_custkey"))'):
+        "customer dim, pruned (q49)",
+    ("queries/analytics.py", 'stored.join(F.broadcast(touched), "bucket", "left_semi")'):
+        "dirty refresh buckets: bounded by the incoming batch's hour span (q126)",
+    ("queries/corpus.py", 'train.join(F.broadcast(eval_grams), "gram")'):
+        "exact decontamination eval gram set: benchmark-sized (q106)",
+    ("queries/corpus.py", 'local.join(F.broadcast(offsets), "bucket")'):
+        "256-row packing bucket offsets (q107)",
+    ("queries/corpus.py", 'tf.join(F.broadcast(df_), "term")'):
+        "per-query-term df stats: |terms| rows (q108)",
+    ("queries/corpus.py", ".crossJoin(F.broadcast(stats))"):
+        "1-row N/avgdl scalar (q108)",
+    ("queries/corpus.py", 'avail.join(F.broadcast(w), "lang")'):
+        "language weight table: 5 rows (q113)",
+    ("queries/corpus.py", "docs.crossJoin(F.broadcast(m))"):
+        "1-row vocab-total scalar (q114)",
+    ("queries/corpus.py", 'placed = local.join(F.broadcast(offsets), "bucket").select('):
+        "256-row packing bucket offsets (q115)",
+    ("queries/corpus.py", '.join(F.broadcast(eval_grams), "gram")'):
+        "eval gram set: benchmark-sized (q124)",
+    ("queries/corpus.py", 'return local.join(F.broadcast(offsets), "bucket").select('):
+        "256-row packing bucket offsets (q124)",
+    ("queries/similarity.py", ".crossJoin(F.broadcast(query))"):
+        "1-row query vector (q70/q74)",
+    ("queries/similarity.py", "centroids.crossJoin(F.broadcast(query))"):
+        "1-row query vector (q74)",
+    ("queries/similarity.py", '.join(F.broadcast(best), "label")'):
+        "1-row routed-cell id (q74)",
+    ("queries/similarity.py", 'vecs.join(F.broadcast(centroids), "label")'):
+        "k-row centroid table (q132)",
+    ("queries/similarity.py", 'a.join(F.broadcast(b), F.col("label") != F.col("nearest_label"))'):
+        "k-row centroid table self-pairing (q132)",
+}

@@ -273,7 +273,7 @@ def q100_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     # dedup on the 16-byte id pair BEFORE touching the 64-char signatures
     # (a pair matching in k bands appears k times); signatures re-attach via
-    # two broadcast joins against the tiny checkpointed sig table
+    # two doc_id equi-joins against the checkpointed sig table
     cand = (
         a.join(
             b,
@@ -287,11 +287,16 @@ def q100_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Signature re-attach: the sig table has ONE ROW PER CORPUS DOCUMENT, so
+    # it must never carry a broadcast hint — at 100x scale a forced broadcast
+    # materializes the whole corpus's signatures on every executor. Plain
+    # equi-joins on doc_id let AQE broadcast while the table is actually
+    # small and fall back to a shuffled hash join when it isn't.
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     return (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", D.hamming_bits(F.col("ha"), F.col("hb")).alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
@@ -332,9 +337,11 @@ def q79_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the clustering as a recursive reachability CTE, so even the
     iterative stage is value-checked, not just row-counted."""
     labels = _cluster_labels(spark, sf_dir)
+    # `sizes` is |clusters| rows — it grows with the corpus, so no broadcast
+    # hint: AQE broadcasts while small, shuffles on `label` when it isn't.
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
-        labels.join(F.broadcast(sizes), "label")
+        labels.join(sizes, "label")
         .select(
             F.col("node").alias("doc_id"),
             F.col("label").alias("cluster_id"),
@@ -411,9 +418,10 @@ def q90_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole chain — shingle -> minhash -> LSH bands (q82) -> candidate
     pairs (q67) -> duplicate clusters (q79) -> keep one canonical doc per
     cluster (its min doc_id) plus every document that was never a candidate.
-    The anti join's build side is |clustered docs| (tiny vs corpus), so at
-    100 TB it broadcasts; the corpus is scanned once beyond the signature
-    pass, which is shared/cached across the whole pipeline."""
+    The anti join's build side is |clustered docs| — it grows with the
+    corpus (carries no broadcast hint; AQE broadcasts while small, shuffles
+    when not); the corpus is scanned once beyond the signature pass, which
+    is shared/cached across the whole pipeline."""
     docs = load_table(spark, sf_dir, "documents")
     labels = _cluster_labels(spark, sf_dir)
     reps = labels.filter(F.col("node") == F.col("label")).select(
@@ -477,8 +485,9 @@ def q112_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidates -> connected components -> per-cluster top-1 by score.
 
     Scale posture: quality scores are a map-side projection joined to the
-    (tiny) cluster label table — |clustered docs| rows, broadcastable; the
-    per-cluster top-1 is WindowGroupLimit, never a full sort. The oracle
+    cluster label table — |clustered docs| rows, a corpus-growing side left
+    to AQE's runtime join choice (no forced broadcast); the per-cluster
+    top-1 is WindowGroupLimit, never a full sort. The oracle
     replays clustering as a recursive CTE and scoring inline, so the whole
     composition is value-checked."""
     from .text import STOPWORDS
@@ -498,12 +507,12 @@ def q112_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    # broadcast the LABEL table (|clustered docs| — tiny), not the corpus
-    # quality projection: the inner join then prunes the corpus map-side
+    # The label table is |clustered docs| rows — it GROWS with the corpus
+    # (30-50% of docs sit in some cluster at web-scale dup rates), so no
+    # explicit broadcast hint: AQE broadcasts while it is actually small and
+    # shuffles both sides on doc_id when it isn't.
     scored = q.join(
-        F.broadcast(
-            labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
-        ),
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")),
         "doc_id",
     )
     w = Window.partitionBy("cluster_id").orderBy(

@@ -154,8 +154,9 @@ def q58_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q59_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen day, counted
     on each subsequent active day. Both sides reduce per-user BEFORE the
-    cohort join — at 100 TB the join inputs are |users|, not |events|, and
-    the firsts side broadcasts."""
+    cohort join — at 100 TB the join inputs are |users|, not |events|. The
+    firsts side grows with the user base, so it carries no broadcast hint;
+    both sides already hash on user_id and AQE picks the strategy."""
     events = load_table(spark, sf_dir, "events")
     firsts = events.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
@@ -164,7 +165,7 @@ def q59_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("active_day")
     ).distinct()
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        activity.join(firsts, "user_id")  # |users|-sized: AQE chooses
         .withColumn("day_offset", F.datediff(F.col("active_day"), F.col("cohort_day")))
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))

@@ -258,9 +258,10 @@ def q84_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF term weighting — the relevance-scoring / keyword-extraction
     primitive built on q78's vocabulary stats. Two aggregations over the
     exploded token stream (per-doc tf, per-token df) re-joined on token;
-    the idf side is |vocabulary| rows, orders of magnitude under the token
-    stream, so it broadcasts. Corpus size enters as a 1-row broadcast
-    scalar, not a collected constant."""
+    the idf side is |vocabulary| rows — far under the token stream but
+    still corpus-growing (Heaps' law), so it carries no broadcast hint and
+    AQE picks broadcast vs shuffle at runtime. Corpus size enters as a
+    1-row broadcast scalar, not a collected constant."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = docs.select(
@@ -274,7 +275,7 @@ def q84_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", F.log(F.col("n_docs") / F.col("df_docs").cast("double")).alias("idf"))
     )
     return (
-        tf.join(F.broadcast(idf), "token")
+        tf.join(idf, "token")  # vocab-sized side: AQE chooses the strategy
         .select("doc_id", "token", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"))
         .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("token").asc())
         .limit(50)
@@ -614,8 +615,9 @@ def q128_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture text has no line structure: headers, navigation chrome and
     license blurbs are exactly what this kills in a web corpus. Windows are
     df-counted BY 32-CHAR DIGEST, so the frequency shuffle moves md5s, not
-    window text; the boilerplate set (vanishingly small by construction —
-    df >= 3 windows) broadcasts back as the removal filter, and each doc is
+    window text; the boilerplate set (small in practice, but corpus-growing,
+    so AQE — not a forced hint — picks its join) comes back as the removal
+    filter, and each doc is
     reassembled from its surviving windows in original order. The cleaned
     text is md5-compared against the oracle, so reassembly order and every
     removal decision are value-checked. Two shuffles total at any scale:
@@ -641,7 +643,10 @@ def q128_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= _BP_MIN_DF)
         .select("whash", F.lit(True).alias("is_bp"))
     )
-    flagged = w.join(F.broadcast(bp), "whash", "left").withColumn(
+    # the boilerplate set grows with the corpus (every df>=3 window digest),
+    # so no broadcast hint — AQE broadcasts while small, else shuffles on
+    # the digest both sides already produced
+    flagged = w.join(bp, "whash", "left").withColumn(
         "is_bp", F.coalesce(F.col("is_bp"), F.lit(False))
     )
     kept_struct = F.when(~F.col("is_bp"), F.struct("k", "wtext"))

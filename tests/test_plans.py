@@ -153,6 +153,62 @@ def test_simhash_pairs_single_signature_pass(spark, sf_dir):
     assert plan.count("ArrowEvalPython") <= 1, "signature UDF runs more than once"
 
 
+def test_simhash_reattach_not_forced_broadcast(spark, sf_dir):
+    """q100: the signature re-attach joins a table with one row per corpus
+    document — a FORCED BroadcastExchange there materializes the corpus on
+    every executor at 100x. The static plan must leave the strategy to AQE
+    (no BroadcastExchange in the pre-execution plan; AQE may still pick
+    broadcast at runtime while the table is genuinely small)."""
+    # Build FIRST (load_table re-applies the default confs), then disable
+    # size-based broadcast: planning is lazy, so the explain below plans
+    # under threshold=-1, where the only possible BroadcastExchange is an
+    # explicit hint — exactly what this guards against.
+    df = _df(spark, sf_dir, "q100_simhash_near_dup")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        P.assert_plan(df, forbids=["BroadcastExchange"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_broadcast_hints_are_allowlisted():
+    """The explicit-broadcast invariant (plans.BROADCAST_ALLOWLIST): every
+    F.broadcast( call site in the library must be recorded with a
+    justification naming why its build side is bounded. A new hint on a
+    corpus-growing side fails here until someone writes down its bound —
+    which, for a corpus-growing side, they can't."""
+    import os
+
+    import hive_backend_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    seen = set()
+    unlisted = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            if rel == "plans.py":  # the allowlist itself
+                continue
+            with open(path) as fh:
+                for lineno, line in enumerate(fh, 1):
+                    if "F.broadcast(" not in line:
+                        continue
+                    key = (rel, line.strip())
+                    seen.add(key)
+                    if key not in P.BROADCAST_ALLOWLIST:
+                        unlisted.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not unlisted, (
+        "F.broadcast call sites missing a bounded-side justification in "
+        f"plans.BROADCAST_ALLOWLIST:\n" + "\n".join(unlisted)
+    )
+    stale = [k for k in P.BROADCAST_ALLOWLIST if k not in seen]
+    assert not stale, f"stale BROADCAST_ALLOWLIST entries (call site gone): {stale}"
+
+
 def test_hyperplane_lsh_no_join_per_pair(spark, sf_dir):
     """q101: pair scoring must go through the per-bucket pandas stage, not
     a join whose condition evaluates interpreted array lambdas per pair."""
