@@ -192,34 +192,31 @@ def q108_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matchable.
 
     Scale posture: term stats (df, N, avgdl) are a handful of rows —
-    broadcast; per-doc term frequencies are a map-side array filter over
-    one corpus scan; the only shuffles are the tiny df aggregate and the
-    final TakeOrderedAndProject top-k."""
+    broadcast; per-doc term frequencies come from ONE explode of the token
+    array filtered to the query-term set — a single pass over the token
+    stream regardless of |terms| (the per-term `F.filter` form re-scans
+    every doc's array once per term, O(terms x tokens)) — with map-side
+    partial aggregation so the shuffle carries only matched (doc, term)
+    partial counts; the remaining shuffles are the tiny df aggregate and
+    the final TakeOrderedAndProject top-k. The corpus-stats aggregate (N,
+    avgdl) is its own map-only pass, as in any two-pass BM25 build."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    pairs = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(term).alias("term"),
-                        F.size(F.filter(toks, lambda x: x == term)).alias("tf"),
-                    )
-                    for term in _BM25_TERMS
-                ]
-            )
-        ).alias("x"),
-    ).select("doc_id", "dl", F.col("x.term").alias("term"), F.col("x.tf").alias("tf"))
-    tf = pairs.filter(F.col("tf") > 0)
+    base = docs.select("doc_id", toks.alias("tok"))
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("tok").alias("dl"),
+            F.explode("tok").alias("term"),
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
+        (F.sum(F.size("tok")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
