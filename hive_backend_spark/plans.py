@@ -179,6 +179,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row query vector (q74)",
     ("queries/similarity.py", '.join(F.broadcast(best), "label")'):
         "1-row routed-cell id (q74)",
+    ("queries/similarity.py", 'emb.join(F.broadcast(top), "vec_id")'):
+        "10-row top-k slice for the exact-cosine re-rank (q127)",
     ("queries/similarity.py", 'vecs.join(F.broadcast(centroids), "label")'):
         "k-row centroid table (q132)",
     ("queries/similarity.py", 'a.join(F.broadcast(b), F.col("label") != F.col("nearest_label"))'):

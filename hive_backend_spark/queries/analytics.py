@@ -598,16 +598,28 @@ _REFRESH_CUTOFF = "2024-01-28 06:30:00"
 @register(
     "q126_incremental_rollup_merge",
     oracle=f"""
-    WITH touched AS (
-      SELECT DISTINCT date_trunc('hour', ts) AS bucket
-      FROM events WHERE ts >= TIMESTAMP '{_REFRESH_CUTOFF}'
+    -- Mirrors the engine's stored-partial + fresh-partial merge STRUCTURE
+    -- (not just its value): the straddling bucket's double sum is
+    -- round(stored_partial + fresh_partial) on both sides, so summation
+    -- order cannot diverge at a rounding boundary the way a flat
+    -- sum-over-raw-rows rewrite could (q85 applies the same principle).
+    WITH stored AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, sum(value) AS s
+      FROM events WHERE ts < TIMESTAMP '{_REFRESH_CUTOFF}' GROUP BY 1
+    ),
+    fresh AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, sum(value) AS s
+      FROM events WHERE ts >= TIMESTAMP '{_REFRESH_CUTOFF}' GROUP BY 1
     )
-    SELECT date_trunc('hour', ts) AS bucket,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM events
-    WHERE date_trunc('hour', ts) IN (SELECT bucket FROM touched)
-    GROUP BY 1
+    SELECT bucket,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(sum(s), 2) AS sum_value
+    FROM (
+      SELECT * FROM stored WHERE bucket IN (SELECT bucket FROM fresh)
+      UNION ALL
+      SELECT * FROM fresh
+    )
+    GROUP BY bucket
     """,
 )
 def q126_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

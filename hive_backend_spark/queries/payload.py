@@ -68,6 +68,7 @@ def _hex_color(col, mult: int):
       'el-' || event_id AS element_id,
       etype AS element_type,
       'slide-' || (user_id % 20) AS slide_id,
+      'slide-' || (user_id % 20) AS slide_index,
       CAST(event_id % 720 AS DOUBLE) AS pos_left,
       CAST(event_id % 405 AS DOUBLE) AS pos_top,
       CAST(100 + event_id % 300 AS DOUBLE) AS width,
@@ -191,8 +192,11 @@ def q125_element_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.concat(F.lit("el-"), eid).alias("elementId"),
             etype.alias("elementType"),
+            # slideId == slideName == slideIndex: the reference sets all
+            # three to the page objectId (slides-code.gs:254-256)
             F.concat(F.lit("slide-"), uid % 20).alias("slideId"),
             F.concat(F.lit("slide-"), uid % 20).alias("slideName"),
+            F.concat(F.lit("slide-"), uid % 20).alias("slideIndex"),
             F.when(etype == "TABLE_CELL", table_selection).alias("tableSelection"),
             properties.alias("properties"),
             (F.lit(1700000000000) + eid).alias("timestamp"),
@@ -215,6 +219,7 @@ def q125_element_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         p["elementId"].alias("element_id"),
         p["elementType"].alias("element_type"),
         p["slideId"].alias("slide_id"),
+        p["slideIndex"].alias("slide_index"),
         p["properties"]["position"]["left"].alias("pos_left"),
         p["properties"]["position"]["top"].alias("pos_top"),
         p["properties"]["size"]["width"].alias("width"),

@@ -438,7 +438,11 @@ def q101_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (n, dim)
             mn = m.min(axis=1, keepdims=True)
             mx = m.max(axis=1, keepdims=True)
-            q = np.round((m - mn) / ((mx - mn) / 255.0)).astype(np.int64) - 128
+            # floor(x + 0.5), NOT np.round: numpy rounds half-to-even while
+            # DuckDB round() and Spark F.round (q88) round half away from
+            # zero; the scaled values are nonnegative, so floor(x + 0.5)
+            # reproduces both exactly at .5 midpoints.
+            q = np.floor((m - mn) / ((mx - mn) / 255.0) + 0.5).astype(np.int64) - 128
             bits = (q @ planes_t) > 0  # integer matmul: exact, order-free
             out = pd.DataFrame(
                 {
@@ -690,9 +694,10 @@ def q127_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over subspaces of table[code] — so a billion-vector scan reads 4
     bytes per vector instead of 256. The codebook (KBs, model state shipped
     to every executor like production PQ codebooks) rides into one
-    vectorized mapInPandas pass that encodes, ADC-scores and
-    cosine-verifies per Arrow batch; top-10 by approx distance with exact
-    cosine attached for re-ranking. All ordering-relevant arithmetic is
+    vectorized mapInPandas pass that encodes and ADC-scores per Arrow
+    batch; top-10 by approx distance, then the exact cosine re-rank column
+    is attached to those 10 rows by a broadcast join (sequential-fold dot
+    product, see the inline comment). All ordering-relevant arithmetic is
     integer (exact under any summation order, ties broken by centroid
     index / vec_id), which is what makes the oracle's row_number-argmin
     replay hash-identical."""
@@ -706,7 +711,10 @@ def q127_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _q8(m: "np.ndarray") -> "np.ndarray":
         mn = m.min(axis=1, keepdims=True)
         mx = m.max(axis=1, keepdims=True)
-        return np.round((m - mn) / ((mx - mn) / 255.0)).astype(np.int64) - 128
+        # floor(x + 0.5) == round-half-away-from-zero for nonnegative x —
+        # the exact semantics of DuckDB round() and Spark F.round (q88);
+        # np.round is half-to-even and would flip codes on .5 midpoints.
+        return np.floor((m - mn) / ((mx - mn) / 255.0) + 0.5).astype(np.int64) - 128
 
     # Codebook + query: tiny fixed-id slice, quantized driver-side with the
     # exact same formula the distributed pass uses (q88 semantics).
@@ -721,7 +729,6 @@ def q127_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = head[_PQ_QUERY_ID]
     q8_query = _q8(qv[None, :])[0].reshape(_PQ_SUBS, _PQ_SUBDIM)
     adc = ((q8_query[:, None, :] - C) ** 2).sum(axis=2)  # (s, j) integer table
-    qnorm = float(np.linalg.norm(qv))
 
     def score(batches):
         for pdf in batches:
@@ -732,22 +739,31 @@ def q127_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = ((q[:, s, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)  # (n, j)
                 codes = d.argmin(axis=1)  # first min == smallest j on ties
                 approx += adc[s][codes]
-            cos = (m @ qv) / (np.linalg.norm(m, axis=1) * qnorm)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "approx_dist": approx,
-                    "cosine_sim": np.round(cos, 6),
-                }
-            )
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "approx_dist": approx})
 
-    scored = spread(emb).mapInPandas(
-        score, schema="vec_id bigint, approx_dist bigint, cosine_sim double"
-    )
-    return (
+    scored = spread(emb).mapInPandas(score, schema="vec_id bigint, approx_dist bigint")
+    top = (
         scored.filter(F.col("vec_id") != _PQ_QUERY_ID)
         .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
         .limit(10)
+    )
+    # The exact-cosine re-rank column is part of the hash-compared output,
+    # so it is attached AFTER the integer-exact top-10, computed as the same
+    # sequential left-fold over the double arrays that DuckDB's
+    # list_dot_product evaluates (q70 semantics) — identical summation order
+    # makes round(.., 6) bit-stable across engines, unlike a BLAS dot whose
+    # pairwise accumulation can differ in the last ulp at a boundary.
+    qv_col = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        emb.join(F.broadcast(top), "vec_id")
+        .select(
+            "vec_id",
+            "approx_dist",
+            F.round(
+                cosine(F.col("embedding").cast("array<double>"), qv_col), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
     )
 
 

@@ -34,7 +34,12 @@ SELECTION_SCHEMA = (
 # given element type are null (the reference simply omits them from the JS
 # object; JSON omission parses to null here).
 ELEMENT_SCHEMA = (
+    # slideId/slideName/slideIndex all carry the page objectId — the
+    # reference assigns the same getObjectId() to all three
+    # (slides-code.gs:254-256, 280-282), so slideIndex is a STRING id,
+    # not a numeric position.
     "elementId STRING, elementType STRING, slideId STRING, slideName STRING, "
+    "slideIndex STRING, "
     "tableSelection STRUCT<row: INT, column: INT, rowSpan: INT, columnSpan: INT>, "
     "properties STRUCT<"
     "type: STRING, "
