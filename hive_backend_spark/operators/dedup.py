@@ -320,71 +320,124 @@ def jaccard(a: Column, b: Column) -> Column:
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
-    """Connected components over an undirected edge list by iterative
-    min-label propagation: every node repeatedly adopts the smallest label
-    among itself and its neighbors until fixpoint. Returns (node, label)
+    """Connected components over an undirected edge list by the alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Returns (node, label)
     where label = min node id in the component; only nodes that appear in
-    an edge are returned (singletons don't need clustering).
+    an edge are returned (singletons don't need clustering), and a
+    self-loop-only node labels itself.
 
-    Scale posture: each iteration is one join + one min-aggregate on the
-    node key — all distributed, nothing on the driver but the convergence
-    counter. Iterations needed = graph diameter; duplicate clusters are
-    near-cliques (diameter ~2-3), so this converges in a handful of rounds.
-    For adversarially long chains switch to the large-star/small-star
-    variant (Kiveris et al., "Connected Components in MapReduce"), which is
-    the same join/agg primitive applied to a contracting edge set.
-    localCheckpoint() truncates the growing lineage each round — without it
-    the plan re-executes every prior iteration and blows up by round ~10.
+    Each round rewrites the edge set with two star operations:
+      - large-star: in the symmetric neighbor view, every neighbor v > u
+        re-attaches to m(u) = min({u} union N(u));
+      - small-star: over the to-smaller orientation, every node and its
+        smaller neighbors re-attach to their minimum.
+    Both are one groupBy + one join on the node key — all distributed,
+    nothing driver-side but the convergence fingerprint. The edge set
+    contracts toward stars centered at each component's minimum, reaching
+    fixpoint in O(log n) rounds REGARDLESS of graph diameter — the property
+    min-label propagation lacks (its round count equals the diameter, which
+    made adversarially long chains hit the max_iter failure mode this
+    version retires; duplicate-cluster graphs, being near-cliques, converge
+    in ~2 rounds under either scheme). localCheckpoint() truncates lineage
+    each round; the fingerprint aggregate is the single action that
+    materializes it, so each round costs one Spark job plus its shuffles.
 
-    Small-sf wall-time note (round-3 profiling): at sf0.1 the cold time is
-    fixed overhead — per-iteration plan compilation + job dispatch on a
-    KB-scale label table — not data movement. Pre-partitioning `sym` by the
-    join key and folding the self-label union into self-loop edges were
-    both measured within noise of this implementation (~1.5 s steady-state
-    cold-cache vs ~6 s on a JIT-cold first run), so the simpler form stays.
-    At scale the per-iteration cost IS the data (one join + one min-agg),
-    which this shape already minimizes.
+    Convergence detection: the rewrites preserve components, and the ONLY
+    fixpoint shape is a union of to-smaller stars — every source node has
+    exactly one out-edge (count == countDistinct(a)) and no source is also
+    a target (countDistinct(a union b) == countDistinct(a) +
+    countDistinct(b), i.e. the endpoint sets are disjoint). Both are pure
+    aggregates folded into the one action that materializes the round, so
+    a state that becomes stars in round k is DETECTED in round k — no
+    confirmation round, no comparison join.
     """
-    sym = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # checkpoint the normalized edge list once so `nodes` (used at the end)
+    # and the loop's round 1 both read a materialized table instead of each
+    # re-running the caller's upstream plan (for the dedup pipeline that
+    # upstream is the whole LSH band self-join)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
     )
-    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
-    # Convergence test: per-node labels are monotonically non-increasing
-    # (new = min(self, neighbors)), and the node set is fixed, so the label
-    # SUM strictly decreases until fixpoint — sum-unchanged == converged.
-    # This folds convergence detection into the same single action that
-    # materializes the iteration's (lazy) checkpoint: ONE Spark job per
-    # iteration instead of a materialize job + a compare-join job, which
-    # halves driver/job-scheduling overhead — the dominant cost when the
-    # label table is small relative to cluster dispatch latency.
-    prev_sum = None
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # work on the to-smaller orientation (a > b), self-loops dropped: they
+    # carry no connectivity and node membership is preserved via `nodes`
+    cur = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     converged = False
     for _ in range(max_iter):
-        nbr_labels = sym.join(
-            labels.withColumnRenamed("node", "nbr"), "nbr"
-        ).select("node", "label")
-        labels = (
-            labels.union(nbr_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+        # large-star: neighbors v > u link to m(u) = min({u} union N(u)).
+        # Emitted edges are already to-smaller oriented (m <= u < v).
+        sym = cur.union(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star: node u and all its smaller neighbors link to their
+        # minimum. Duplicate emissions are NOT deduplicated here — the next
+        # round's groupBys absorb them, and skipping the distinct saves a
+        # full shuffle per round; the detection below counts distinct pairs
+        # so duplicates can't fake or mask convergence.
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .union(mins2.select(F.col("a"), F.col("m").alias("b")))
             .localCheckpoint(eager=False)
         )
-        label_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if label_sum == prev_sum:
+        # all four distinct-counts from ONE union relation so the detection
+        # is a single aggregate subtree (one Expand, one action) — a
+        # crossJoin of two aggregate subtrees doubles the scheduled stages
+        # per round for no information gain
+        u = small.select(
+            F.struct("a", "b").alias("pr"), F.col("a").alias("n"), F.lit("a").alias("side")
+        ).union(
+            small.select(F.lit(None).alias("pr"), F.col("b").alias("n"), F.lit("b").alias("side"))
+        )
+        row = u.agg(
+            F.countDistinct("pr").alias("cd_e"),
+            F.countDistinct(F.when(F.col("side") == "a", F.col("n"))).alias("cd_a"),
+            F.countDistinct(F.when(F.col("side") == "b", F.col("n"))).alias("cd_b"),
+            F.countDistinct("n").alias("cd_all"),
+        ).collect()[0]
+        cur = small
+        if (
+            row["cd_e"] == row["cd_a"]
+            and row["cd_all"] == row["cd_a"] + row["cd_b"]
+        ):
             converged = True
             break
-        prev_sum = label_sum
     if not converged:
-        # Partially-propagated labels are silently WRONG downstream (split
-        # clusters, bogus canonical docs) — fail loudly instead. Hitting
-        # this means graph diameter > max_iter: raise max_iter or switch to
-        # the large-star/small-star contraction noted above.
+        # Partially-contracted edges are silently WRONG downstream (split
+        # clusters, bogus canonical docs) — fail loudly instead. With the
+        # O(log n) star contraction this needs a graph of ~2^max_iter nodes
+        # to trigger legitimately.
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
-            "iterations (graph diameter exceeds the round budget); labels "
-            "would be partially propagated"
+            "iterations; labels would be partially propagated"
         )
-    return labels
+    # At fixpoint the edge set is a union of stars (node -> component min);
+    # roots and self-loop-only nodes label themselves via the left join.
+    ptr = cur.groupBy("a").agg(F.min("b").alias("label")).select(
+        F.col("a").alias("node"), "label"
+    )
+    return nodes.join(ptr, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )

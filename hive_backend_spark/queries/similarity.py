@@ -596,6 +596,43 @@ r0 AS (SELECT src AS id, 1.0/(SELECT c FROM n) AS rank FROM deg)"""
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    iters: int = _PR_ITERS,
+    damp: float = _PR_DAMP,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Power-iteration PageRank over a symmetric (src, dst) edge list:
+    each round joins the rank vector against the degree-annotated edge
+    table and sums contributions by dst. The edge table is computed and
+    cached ONCE; the rank vector is localCheckpoint'ed every
+    ``checkpoint_every`` rounds so the logical plan stays O(k) deep no
+    matter how many iterations run — without it, plan size (and Catalyst
+    optimization time) grows linearly and dominates beyond ~10 rounds.
+    Lazy checkpoints (eager=False) truncate the PLAN immediately and
+    materialize inside the same downstream action, so the per-round job
+    count is unchanged. Returns (id, rank)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").cache()
+    n = deg.count()
+    ranks = deg.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("rank"))
+    for i in range(1, iters + 1):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.id)
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit((1 - damp) / n)
+                    + F.lit(damp) * F.sum(F.col("rank") / F.col("deg"))
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("id"), "rank")
+        )
+        if i % checkpoint_every == 0 and i < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
 @register("q123_pagerank_centrality", oracle=_pagerank_oracle())
 def q123_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the undirected near-dup similarity graph
@@ -603,33 +640,17 @@ def q123_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-importance signal used for diversity-aware corpus selection
     (Page et al. 1999; power iteration, damping 0.85, 5 iterations).
     Restricted to nodes with at least one edge, so the symmetric edge set
-    guarantees no dangling mass. Each iteration is one shuffle join of the
-    rank vector against the degree-annotated edge list plus a sum by dst —
-    the edge table is cached and partitioned once, and at cluster scale you
-    checkpoint the rank vector every few iterations to truncate lineage
-    (here 5 plans deep, well under Spark's planning limits). The oracle is
-    the same recurrence unrolled as CTE stages; the final 6-decimal rounding
-    absorbs summation-order drift (~1e-15 abs)."""
+    guarantees no dangling mass. Iteration mechanics (cached degree-
+    annotated edges, rank-vector checkpointing every 4 rounds) live in
+    ``pagerank`` above, shared with the 20-iteration stress test in
+    tests/test_operators.py. The oracle is the same recurrence unrolled as
+    CTE stages; the final 6-decimal rounding absorbs summation-order drift
+    (~1e-15 abs)."""
     pairs = q71_near_dup_pairs(spark, sf_dir).select("vec_a", "vec_b")
     edges = pairs.union(
         pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
     ).toDF("src", "dst")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = edges.join(deg, "src").cache()
-    n = deg.count()
-    ranks = deg.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("rank"))
-    for _ in range(_PR_ITERS):
-        ranks = (
-            ed.join(ranks, ed.src == ranks.id)
-            .groupBy("dst")
-            .agg(
-                (
-                    F.lit((1 - _PR_DAMP) / n)
-                    + F.lit(_PR_DAMP) * F.sum(F.col("rank") / F.col("deg"))
-                ).alias("rank")
-            )
-            .select(F.col("dst").alias("id"), "rank")
-        )
+    ranks = pagerank(edges, iters=_PR_ITERS, damp=_PR_DAMP)
     return ranks.select(
         F.col("id").alias("vec_id"), F.round("rank", 6).alias("pagerank")
     )

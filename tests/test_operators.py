@@ -346,3 +346,25 @@ def test_winnowing_and_boilerplate_short_doc_guards(spark):
     assert 1 <= len(by_id[5]["fps"]) <= 13
     assert all(by_id[i]["n_windows16"] == 1 for i in (1, 2, 3, 4))
     assert by_id[5]["n_windows16"] == 2
+
+
+# --- pagerank: deep-iteration lineage truncation ---------------------------
+
+
+def test_pagerank_20_iterations_no_lineage_blowup(spark):
+    """20 power-iteration rounds must complete with bounded plan depth (the
+    rank vector is checkpointed every 4 rounds) and conserve rank mass: on
+    a symmetric graph with no dangling nodes, total rank sums to 1 at every
+    iteration, so the drift bound is pure float noise. Before rank-vector
+    checkpointing this depth of lineage made Catalyst re-optimize a plan
+    that grew linearly per round."""
+    from hive_backend_spark.queries.similarity import pagerank
+
+    pairs = [(i, i + 1) for i in range(20)] + [(0, 10), (5, 15), (3, 18)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    rows = pagerank(edges, iters=20, checkpoint_every=4).collect()
+    assert len(rows) == 21
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r["rank"] > 0 for r in rows)

@@ -69,14 +69,15 @@ def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     )
 )
 def test_connected_components_matches_union_find(spark, edges):
-    """Min-label propagation must agree with union-find on arbitrary graphs:
-    chains, cliques, self-loops, duplicate and reversed edges. max_iter is
-    sized past the worst-case diameter (41 nodes) so convergence is
-    guaranteed and the RuntimeError path stays untriggered."""
+    """The large-star/small-star contraction must agree with union-find on
+    arbitrary graphs: chains, cliques, self-loops, duplicate and reversed
+    edges. max_iter=12 is far under the worst-case DIAMETER (41 nodes) that
+    the retired min-label propagation needed — the star contraction's
+    O(log n) round bound is what makes this budget safe."""
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
         (r["node"], r["label"])
-        for r in D.connected_components(df, max_iter=50).collect()
+        for r in D.connected_components(df, max_iter=12).collect()
     }
     want = set(_union_find_components(edges).items())
     assert got == want
