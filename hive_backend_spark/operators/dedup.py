@@ -372,34 +372,35 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    from pyspark.sql import Window
+
     converged = False
     for _ in range(max_iter):
+        # Per-node minima are computed as WINDOW aggregates over the node
+        # partition rather than groupBy + self-join: one exchange per star
+        # op instead of two. (Window partitions buffer a node's edge rows
+        # in one task — the same per-key locality a groupBy needs, with
+        # spill for hub nodes.)
         # large-star: neighbors v > u link to m(u) = min({u} union N(u)).
         # Emitted edges are already to-smaller oriented (m <= u < v).
         sym = cur.union(
             cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        mins = (
-            sym.groupBy("a")
-            .agg(F.min("b").alias("mn"))
-            .select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
-        )
-        large = (
-            sym.filter(F.col("b") > F.col("a"))
-            .join(mins, "a")
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        wa = Window.partitionBy("a")
+        lm = sym.withColumn("m", F.least(F.col("a"), F.min("b").over(wa)))
+        large = lm.filter(F.col("b") > F.col("a")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
         )
         # small-star: node u and all its smaller neighbors link to their
-        # minimum. Duplicate emissions are NOT deduplicated here — the next
-        # round's groupBys absorb them, and skipping the distinct saves a
-        # full shuffle per round; the detection below counts distinct pairs
-        # so duplicates can't fake or mask convergence.
-        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        # minimum. Duplicate emissions are NOT deduplicated — the next
+        # round's windows absorb them and the detection below counts
+        # distinct pairs, so duplicates can't fake or mask convergence;
+        # skipping the distinct saves a full shuffle per round.
+        sm = large.withColumn("m", F.min("b").over(wa))
         small = (
-            large.join(mins2, "a")
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            sm.select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .union(sm.select("a", "m"))
             .localCheckpoint(eager=False)
         )
         # all four distinct-counts from ONE union relation so the detection

@@ -368,3 +368,25 @@ def test_pagerank_20_iterations_no_lineage_blowup(spark):
     total = sum(r["rank"] for r in rows)
     assert abs(total - 1.0) < 1e-9
     assert all(r["rank"] > 0 for r in rows)
+
+
+# --- IVF-cell blocking: block sizes bounded by the quantizer ---------------
+
+
+def test_ivf_cell_blocking_bounded(spark):
+    """q71/q116's pair-scoring blocks come from nearest-centroid assignment,
+    so block size must be governed by the coarse quantizer's cell structure:
+    several cells, none holding more than a small multiple of the balanced
+    share. This is the memory bound that lets one BLAS matmul per block run
+    in bounded worker memory at any corpus size (oversized cells at scale
+    mean raising k / splitting cells, not a different plan)."""
+    from hive_backend_spark.queries.similarity import _ivf_assign
+
+    assigned = _ivf_assign(spark, SF_DIR)
+    sizes = [r["cnt"] for r in assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()]
+    n, k = sum(sizes), len(sizes)
+    assert k >= 2, f"quantizer produced {k} cell(s)"
+    assert max(sizes) <= max(3 * n // k, 32), (
+        f"hot cell breaks the bounded-block contract: sizes={sorted(sizes)}"
+    )
