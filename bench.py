@@ -95,6 +95,10 @@ HEADLINE = [
     "q132_cluster_quality",
     "q133_fuzzy_decontamination",
     "q134_approx_percentile_bound",
+    "q135_length_bucketed_batches",
+    "q136_minhash_jaccard_error",
+    "q137_ngram_novelty",
+    "q138_token_fertility",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -107,6 +111,7 @@ SHARES_BAND_CACHE = [
     "q79_dup_clusters",
     "q112_quality_canonical",
     "q133_fuzzy_decontamination",
+    "q136_minhash_jaccard_error",
 ]
 
 

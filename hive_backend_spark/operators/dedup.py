@@ -156,6 +156,40 @@ def minhash_bands_udf(k: int = N_HASHES, bands: int = N_BANDS):
     return bands_of
 
 
+def minhash_sig_udf(k: int = N_HASHES):
+    """Arrow-batched UDF: array<string> shingles -> the raw k-entry MinHash
+    signature (hex-string minima, the same bytes ``minhash_signature``
+    derives) — for consumers that need the per-seed entries themselves
+    (e.g. the q136 estimate-accuracy audit) rather than band digests.
+    Empty shingle sets yield NULL entries, matching the column form."""
+
+    @F.pandas_udf("array<string>")
+    def sig_of(shingle_arrays: pd.Series) -> pd.Series:
+        import hashlib
+
+        memo: dict[tuple[int, str], str] = {}
+
+        def seed_hash(seed: int, s: str) -> str:
+            key = (seed, s)
+            h = memo.get(key)
+            if h is None:
+                h = hashlib.md5(f"{seed}|{s}".encode()).hexdigest()
+                memo[key] = h
+            return h
+
+        out = []
+        for shingle_arr in shingle_arrays:
+            if len(shingle_arr) == 0:
+                out.append([None] * k)
+            else:
+                out.append(
+                    [min(seed_hash(seed, s) for s in shingle_arr) for seed in range(k)]
+                )
+        return pd.Series(out)
+
+    return sig_of
+
+
 def explode_bands(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(id, band_idx, band_sig) — the LSH bucket table, the join key for
     candidate generation. One row per doc per band.

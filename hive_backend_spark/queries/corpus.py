@@ -613,3 +613,75 @@ def q124_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / 512).alias("bin_id"),
         (start % 512).alias("bin_offset"),
     )
+
+
+# Length-bucketed batching geometry: band width in tokens, docs per batch.
+_LB_BAND = 64
+_LB_BATCH = 16
+
+
+@register(
+    "q135_length_bucketed_batches",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             least(len(regexp_split_to_array(trim(text), '\\s+')) // {_LB_BAND}, 8) AS band
+      FROM documents
+    ),
+    placed AS (
+      SELECT band, n_tokens,
+             (row_number() OVER (PARTITION BY band ORDER BY doc_id) - 1) // {_LB_BATCH}
+               AS batch_id
+      FROM t
+    )
+    SELECT band, batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS batch_max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           round(1.0 - CAST(sum(n_tokens) AS DOUBLE) / (max(n_tokens) * count(*)), 6)
+             AS padding_waste
+    FROM placed
+    GROUP BY band, batch_id
+    """,
+)
+def q135_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch formation — the padding-efficiency preproc
+    that complements concat-packing (q107/q115): documents are banded by
+    token length ({_LB_BAND}-token bands, capped at band 8), each band is
+    cut into fixed-size batches of {_LB_BATCH} in deterministic doc_id
+    order, and each batch reports its padded-token waste (1 - sum/max*n) —
+    the fraction of compute a pad-to-max trainer burns. Batching inside a
+    band bounds waste by the band width; the report is what you tune band
+    geometry with.
+
+    Scale posture: one scan -> per-band window row_number -> one partial
+    aggregate. The window partitions by band (few, potentially hot), which
+    is fine at report granularity; a production batch-assigner at 100 TB
+    replaces row_number with the q107 two-level prefix sum over (band,
+    file-bucket) to keep every partition bounded. All compared values are
+    integers or ratios of integers rounded at 6 — midpoint-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    t = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.least(F.floor(n_tokens / _LB_BAND), F.lit(8)).alias("band"),
+    )
+    w = Window.partitionBy("band").orderBy("doc_id")
+    placed = t.select(
+        "band",
+        "n_tokens",
+        F.floor((F.row_number().over(w) - 1) / _LB_BATCH).alias("batch_id"),
+    )
+    return placed.groupBy("band", "batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("batch_max_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.round(
+            1.0
+            - F.sum("n_tokens").cast("double")
+            / (F.max("n_tokens") * F.count(F.lit(1))),
+            6,
+        ).alias("padding_waste"),
+    )

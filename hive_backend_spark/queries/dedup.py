@@ -601,6 +601,74 @@ def q130_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q136_minhash_jaccard_error",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    sig AS ({_ORACLE_SIG}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 6) AS abs_err,
+           round(abs(est_jaccard - exact_jaccard), 6) <= 0.354 AS within_2sigma
+    FROM (
+      SELECT doc_a, doc_b,
+             len(list_filter(range(1, 9), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) / 8.0
+               AS est_jaccard,
+             round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS exact_jaccard
+      FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+      JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    )
+    """,
+)
+def q136_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy audit — the sketch-with-checkable-bound
+    pattern (q36/q134) applied to the dedup pipeline's own sketch: for
+    every LSH candidate pair, the Jaccard ESTIMATE from the 8-entry MinHash
+    signature (fraction of agreeing minima — the unbiased estimator the
+    banding decision implicitly trusts) is laid beside the EXACT shingle
+    Jaccard, with |error| and a within-2-sigma flag (sd <= sqrt(.25/8) ~
+    0.177 for k=8, so 0.354 is the 2-sigma gate). A systematic breach
+    means the signature stage is broken, not just unlucky. Runs on
+    O(candidates) rows; signatures come from one Arrow-vectorized pass and
+    the estimate is an integer-exact multiple of 1/8, so the hash compare
+    is midpoint-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.spread(docs).select(
+        "doc_id",
+        D.shingles_udf()(F.col("text")).alias("shingles"),
+    ).withColumn("sig", D.minhash_sig_udf()(F.col("shingles")))
+    cand = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    x, y = sh.alias("x"), sh.alias("y")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("x.sig"), F.col("y.sig"), lambda p, q: p == q),
+            lambda b: b,
+        )
+    )
+    est = agree / F.lit(8.0)
+    exact = F.round(D.jaccard(F.col("x.shingles"), F.col("y.shingles")), 6)
+    err = F.round(F.abs(est - exact), 6)
+    return (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, F.col("y.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            err.alias("abs_err"),
+            (err <= 0.354).alias("within_2sigma"),
+        )
+    )
+
+
+@register(
     "q133_fuzzy_decontamination",
     oracle=f"""
     WITH sh AS ({_ORACLE_SHINGLES}),

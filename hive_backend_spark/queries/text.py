@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import dedup as D
 from ..registry import register
 
 # English-ish stopwords present in the synthetic corpus vocabulary.
@@ -734,4 +735,102 @@ def q131_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.size("h"), F.lit(0)).cast("bigint").alias("n_grams"),
         F.coalesce(F.size("fps"), F.lit(0)).cast("bigint").alias("n_fingerprints"),
         F.when(F.col("fps").isNotNull(), F.md5(F.array_join(F.col("fps"), " "))).alias("fp_digest"),
+    )
+
+
+@register(
+    "q137_ngram_novelty",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             md5(unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))))) AS gh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents)
+      WHERE len(t) >= 3
+    ),
+    df AS (SELECT gh, count(*) AS df FROM g GROUP BY gh)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM g JOIN df USING (gh)
+    GROUP BY g.doc_id
+    """,
+)
+def q137_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the uniqueness signal diversity-aware
+    selection uses opposite dedup: the fraction of a document's distinct
+    3-gram shingles that occur in NO other document (corpus df == 1). Low
+    novelty marks template/boilerplate-heavy docs even when no pair
+    crosses a near-dup threshold; high novelty marks content worth
+    up-sampling. Shingles reuse the dedup pipeline's Arrow-vectorized
+    tokenization, and the corpus df aggregation shuffles 16-byte md5
+    digests rather than gram text (the q128 discipline) — two digest
+    shuffles total at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        D.spread(docs)
+        .select("doc_id", F.explode(D.shingles_udf()(F.col("text"))).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("gh"))
+    )
+    df_ = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        g.join(df_, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "q138_token_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+'))) AS BIGINT) AS word_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS num_tokens,
+           CAST(sum(len(text)) AS BIGINT) AS n_chars,
+           round(CAST(sum(len(text)) AS DOUBLE)
+                 / sum(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS chars_per_ws_token,
+           round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+'))
+                          + len(regexp_extract_all(text, '[0-9]+'))) AS DOUBLE)
+                 / sum(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS fertility
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q138_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility report — the corpus-level planning
+    aggregate over q60/q61's per-doc counts: whitespace tokens, regex word/
+    digit-run tokens (the BPE-ish proxy), chars per whitespace token, and
+    fertility = regex tokens per whitespace token. This is what sizes a
+    token budget per language before an expensive real-tokenizer pass, and
+    a drift in it between corpus versions is a canary for text-cleaning
+    regressions. One scan, map-side partial aggregation into |langs| rows;
+    every compared value is an integer or a rounded ratio of integer sums
+    (both engines derive the identical doubles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    words = F.regexp_count(F.col("text"), F.lit("[A-Za-z]+"))
+    nums = F.regexp_count(F.col("text"), F.lit("[0-9]+"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(ws).cast("bigint").alias("ws_tokens"),
+        F.sum(words).cast("bigint").alias("word_tokens"),
+        F.sum(nums).cast("bigint").alias("num_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.sum(ws), 4
+        ).alias("chars_per_ws_token"),
+        F.round(
+            (F.sum(words) + F.sum(nums)).cast("double") / F.sum(ws), 4
+        ).alias("fertility"),
     )
