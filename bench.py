@@ -99,6 +99,7 @@ HEADLINE = [
     "q136_minhash_jaccard_error",
     "q137_ngram_novelty",
     "q138_token_fertility",
+    "q139_fingerprint_decontamination",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

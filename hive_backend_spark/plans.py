@@ -101,6 +101,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "fuzzy decontamination eval side: benchmark-sized, bounded (q133)",
     ("queries/text.py", ".crossJoin(F.broadcast(n_docs))"):
         "1-row corpus count scalar for idf (q84)",
+    ("queries/text.py", 'train.join(F.broadcast(eval_fps), "fp")  # bounded: eval benchmark side'):
+        "fingerprint decontamination eval side: benchmark-sized (q139)",
     ("queries/queue.py", 'events.join(F.broadcast(batch), "event_id", "left_semi")'):
         "two-phase mark batch: top-100 dequeue slice (q52)",
     ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):

@@ -669,6 +669,31 @@ def q128_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_GRAM, _WIN_W = 5, 4
 
 
+def _winnowed(docs: DataFrame) -> DataFrame:
+    """docs + (toks, n, h, fps): the winnowing fingerprint construction
+    shared by q131 (per-doc signatures) and q139 (fingerprint-overlap
+    decontamination). All per-document higher-order expressions — map-only."""
+    return (
+        docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "h",
+            F.expr(
+                f"CASE WHEN n >= {_WIN_GRAM} THEN transform(sequence(0, n - {_WIN_GRAM}),"
+                f" i -> md5(array_join(slice(toks, i+1, {_WIN_GRAM}), ' '))) END"
+            ),
+        )
+        .withColumn(
+            "fps",
+            F.expr(
+                f"CASE WHEN h IS NOT NULL THEN array_sort(array_distinct("
+                f"transform(sequence(0, greatest(size(h) - {_WIN_W}, 0)),"
+                f" i -> array_min(slice(h, i+1, {_WIN_W}))))) END"
+            ),
+        )
+    )
+
+
 @register(
     "q131_winnowing_fingerprints",
     oracle=rf"""
@@ -711,25 +736,7 @@ def q131_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order expressions; the fingerprint JOIN (not materialized here)
     is what would shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    d = (
-        docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
-        .withColumn("n", F.size("toks"))
-        .withColumn(
-            "h",
-            F.expr(
-                f"CASE WHEN n >= {_WIN_GRAM} THEN transform(sequence(0, n - {_WIN_GRAM}),"
-                f" i -> md5(array_join(slice(toks, i+1, {_WIN_GRAM}), ' '))) END"
-            ),
-        )
-        .withColumn(
-            "fps",
-            F.expr(
-                f"CASE WHEN h IS NOT NULL THEN array_sort(array_distinct("
-                f"transform(sequence(0, greatest(size(h) - {_WIN_W}, 0)),"
-                f" i -> array_min(slice(h, i+1, {_WIN_W}))))) END"
-            ),
-        )
-    )
+    d = _winnowed(docs)
     return d.select(
         "doc_id",
         F.coalesce(F.size("h"), F.lit(0)).cast("bigint").alias("n_grams"),
@@ -833,4 +840,112 @@ def q138_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.sum(words) + F.sum(nums)).cast("double") / F.sum(ws), 4
         ).alias("fertility"),
+    )
+
+
+@register(
+    "q139_fingerprint_decontamination",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, bucket, n,
+             CASE WHEN n >= {_WIN_GRAM} THEN
+               list_transform(range(0, n - {_WIN_GRAM} + 1),
+                 i -> md5(array_to_string(toks[i+1 : i+{_WIN_GRAM}], ' ')))
+             END AS h
+      FROM base
+    ), fpl AS (
+      SELECT doc_id, bucket,
+             list_distinct(list_transform(range(0, greatest(len(h) - {_WIN_W} + 1, 1)),
+               i -> list_aggregate(h[i+1 : i+{_WIN_W}], 'min'))) AS fps
+      FROM hashed WHERE h IS NOT NULL
+    ), f AS (
+      SELECT doc_id, bucket, len(fps) AS n_fps, unnest(fps) AS fp FROM fpl
+    ), ev AS (
+      SELECT DISTINCT fp FROM f WHERE bucket >= 'f0'
+    )
+    SELECT f.doc_id,
+           CAST(max(f.n_fps) AS BIGINT) AS n_fingerprints,
+           CAST(count(*) AS BIGINT) AS n_shared_fingerprints,
+           round(CAST(count(*) AS DOUBLE) / max(f.n_fps), 6) AS shared_frac
+    FROM f JOIN ev USING (fp)
+    WHERE f.bucket < 'f0'
+    GROUP BY f.doc_id
+    """,
+)
+def q139_fingerprint_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint decontamination — the middle rung of the
+    decontamination ladder: cheaper than exact 8-gram overlap (q106, which
+    explodes every gram) and deterministic unlike MinHash banding (q133).
+    By the winnowing guarantee (q131), any train/eval shared token run of
+    >= {_WIN_GRAM} + {_WIN_W} - 1 tokens produces at least one shared
+    SELECTED fingerprint, so joining the ~1/{_WIN_W}-density fingerprint
+    sets loses no long-overlap recall while moving ~4x fewer rows than the
+    gram join. Flagged train docs report how many of their fingerprints
+    the eval split also selected.
+
+    Scale posture mirrors q106: the eval split is benchmark-sized, so its
+    distinct fingerprint set broadcasts; training fingerprints are
+    filtered map-side, and only the (rare) hits shuffle for the per-doc
+    count. The fingerprint rows are produced by one vectorized mapInPandas
+    pass (the operators/dedup.explode_bands discipline): exploding the
+    column-expression form instead lets Catalyst collapse the O(n x W)
+    winnowing transform INTO the Generate and re-evaluate it once per
+    generated fingerprint — O(n^2) interpreted work per document
+    (measured: 2 s column-form q131 vs minutes for its exploded twin at
+    sf0.1). q131's column form stays as the cross-engine spec; the
+    winnowing property test (test_properties.py::_py_winnow parity) pins
+    the Python selection byte-identical to it."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    g, wnd = _WIN_GRAM, _WIN_W
+    ws = re.compile(r"\s+")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, buckets, nfps, fps = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # strip(" ") mirrors SQL trim (spaces only) — see shingles_udf
+                toks = ws.split(text.strip(" "))
+                if len(toks) < g:
+                    continue
+                h = [
+                    hashlib.md5(" ".join(toks[i : i + g]).encode()).hexdigest()
+                    for i in range(len(toks) - g + 1)
+                ]
+                sel = sorted({min(h[i : i + wnd]) for i in range(max(len(h) - wnd + 1, 1))})
+                b = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+                for fp in sel:
+                    ids.append(doc_id)
+                    buckets.append(b)
+                    nfps.append(len(sel))
+                    fps.append(fp)
+            yield pd.DataFrame(
+                {"doc_id": ids, "bucket": buckets, "n_fps": nfps, "fp": fps}
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = D.spread(docs.select("doc_id", "text")).mapInPandas(
+        gen, schema="doc_id bigint, bucket string, n_fps int, fp string"
+    )
+    eval_fps = f.filter(F.col("bucket") >= "f0").select("fp").distinct()
+    train = f.filter(F.col("bucket") < "f0")
+    return (
+        train.join(F.broadcast(eval_fps), "fp")  # bounded: eval benchmark side
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_fps").cast("bigint").alias("n_fingerprints"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_fingerprints"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n_fps"), 6
+            ).alias("shared_frac"),
+        )
     )
