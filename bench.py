@@ -129,6 +129,14 @@ HARNESS_METHOD = "noop-write; cold q82/q79 min-of-3; warm min-of-2(+1 if >3s)"
 
 
 def main() -> None:
+    # Capture BEFORE the session spins up: the 1m load at start reflects
+    # EXTERNAL machine load (our own local[32] run dominates any reading
+    # taken at the end), which is the number that explains uniform
+    # cross-round drift.
+    try:
+        _load_start_1m, _load_start_5m, _ = os.getloadavg()
+    except OSError:
+        _load_start_1m = _load_start_5m = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("hive-backend-spark-bench")
@@ -192,6 +200,11 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # Environmental context: wall times on a shared box scale with external
+    # load (observed: a steady ~5-core external load inflates every query
+    # ~1.3x uniformly). Recording the at-start load averages beside the
+    # timings lets cross-round comparisons separate code regressions
+    # (per-query, structural) from machine noise (uniform).
     print(
         json.dumps(
             {
@@ -202,6 +215,8 @@ def main() -> None:
                 "harness_version": HARNESS_VERSION,
                 "harness_method": HARNESS_METHOD,
                 "shares_band_cache": SHARES_BAND_CACHE,
+                "load_avg_1m_at_start": _load_start_1m,
+                "load_avg_5m_at_start": _load_start_5m,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
