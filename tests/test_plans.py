@@ -172,6 +172,24 @@ def test_simhash_reattach_not_forced_broadcast(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_length_batching_single_band_exchange(spark, sf_dir):
+    """q135: the band window + batch aggregate must share ONE band
+    exchange — a second shuffle would re-hash the corpus; the batch
+    aggregate rides the window's partitioning."""
+    df = _df(spark, sf_dir, "q135_length_bucketed_batches")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    P.assert_plan(df, requires=["Window"])
+
+
+def test_fingerprint_decon_broadcasts_eval_set(spark, sf_dir):
+    """q139: the eval fingerprint set must be the broadcast side — a
+    sort-merge join here would shuffle every training fingerprint at
+    100 TB (same contract as q106's gram join)."""
+    df = _df(spark, sf_dir, "q139_fingerprint_decontamination")
+    P.assert_plan(df, requires=["BroadcastHashJoin"], forbids=["SortMergeJoin"])
+
+
 def test_broadcast_hints_are_allowlisted():
     """The explicit-broadcast invariant (plans.BROADCAST_ALLOWLIST): every
     F.broadcast( call site in the library must be recorded with a
