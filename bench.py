@@ -100,6 +100,12 @@ HEADLINE = [
     "q137_ngram_novelty",
     "q138_token_fertility",
     "q139_fingerprint_decontamination",
+    "q140_kmeans_refine",
+    "q141_zipf_slope",
+    "q142_duplicate_ngram_spans",
+    "q143_temperature_mixture",
+    "q144_curriculum_stages",
+    "q145_sampled_frequency_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -171,6 +171,12 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row vocab-total scalar (q114)",
     ("queries/corpus.py", 'placed = local.join(F.broadcast(offsets), "bucket").select('):
         "256-row packing bucket offsets (q115)",
+    ("queries/corpus.py", "return folded.crossJoin(F.broadcast(totals)).select("):
+        "1-row vocab-size/token-total scalar (q141)",
+    ("queries/corpus.py", "s = t.crossJoin(F.broadcast(tot)).select("):
+        "1-row corpus token-total scalar (q143)",
+    ("queries/corpus.py", "return s.crossJoin(F.broadcast(z)).select("):
+        "1-row mixture-weight normalizer scalar (q143)",
     ("queries/corpus.py", '.join(F.broadcast(eval_grams), "gram")'):
         "eval gram set: benchmark-sized (q124)",
     ("queries/corpus.py", 'return local.join(F.broadcast(offsets), "bucket").select('):
@@ -187,4 +193,6 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "k-row centroid table (q132)",
     ("queries/similarity.py", 'a.join(F.broadcast(b), F.col("label") != F.col("nearest_label"))'):
         "k-row centroid table self-pairing (q132)",
+    ("queries/similarity.py", "scored = vecs.crossJoin(F.broadcast(cent)).select("):
+        "k-row centroid table: Lloyd-step scoring side, k fixed by design (q140)",
 }

@@ -685,3 +685,269 @@ def q135_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("padding_waste"),
     )
+
+
+# Zipf audit: fit over the top-K ranks only — the head is where the power law
+# holds and where a cleaning regression (boilerplate explosion, vocabulary
+# collapse) shows up first; the tail is dominated by count-1 noise.
+_ZIPF_K = 30
+
+
+@register(
+    "q141_zipf_slope",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    top AS (
+      SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rk
+      FROM tf QUALIFY rk <= {_ZIPF_K}
+    ),
+    arr AS (
+      SELECT list(struct_pack(rk := rk, x := ln(CAST(rk AS DOUBLE)),
+                              y := ln(CAST(c AS DOUBLE))) ORDER BY rk) AS a,
+             CAST(count(*) AS BIGINT) AS k,
+             (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_terms,
+             (SELECT CAST(sum(c) AS BIGINT) FROM tf) AS total_tokens
+      FROM top
+    ),
+    s AS (
+      SELECT k, n_terms, total_tokens,
+             list_aggregate(list_transform(a, s -> s.x), 'sum') AS sx,
+             list_aggregate(list_transform(a, s -> s.y), 'sum') AS sy,
+             list_aggregate(list_transform(a, s -> s.x * s.y), 'sum') AS sxy,
+             list_aggregate(list_transform(a, s -> s.x * s.x), 'sum') AS sxx
+      FROM arr
+    )
+    SELECT k AS top_k, n_terms, total_tokens,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4)
+             AS intercept
+    FROM s
+    """,
+)
+def q141_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit: least-squares slope of ln(freq) on
+    ln(rank) over the top-{_ZIPF_K} terms — the corpus-health canary every
+    large text pipeline tracks (natural language sits near -1; a slope
+    collapsing toward 0 means boilerplate/template flooding, a steep cliff
+    means vocabulary truncation). Reference has no corpus-statistics
+    surface; SURVEY §7 Phase-3 extension.
+
+    Determinism: the regression sums are sequential folds over ONE
+    rank-ordered {_ZIPF_K}-element array (F.aggregate here, list_aggregate
+    in the oracle), so both engines accumulate in the identical order and
+    the rounded slope/intercept hash-match. The global term count/top-k
+    come from exact integer aggregates.
+
+    Scale posture: term frequencies are one explode + partial-agg shuffle
+    (vocabulary-bounded, same as q78); the top-{_ZIPF_K} head is a
+    TakeOrdered, and the {_ZIPF_K}-row window ranking + fold run on a
+    single {_ZIPF_K}-row relation. Nothing corpus-sized moves after the
+    tf aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    totals = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("c").cast("bigint").alias("total_tokens"),
+    )
+    top = tf.orderBy(F.col("c").desc(), F.col("term").asc()).limit(_ZIPF_K)
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    ranked = top.select(
+        F.row_number().over(w).alias("rk"),
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    folded = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.array_sort(F.collect_list(F.struct("rk", "x", "y"))).alias("a"),
+    ).select(
+        "k",
+        F.expr("aggregate(a, 0D, (acc, s) -> acc + s.x)").alias("sx"),
+        F.expr("aggregate(a, 0D, (acc, s) -> acc + s.y)").alias("sy"),
+        F.expr("aggregate(a, 0D, (acc, s) -> acc + s.x * s.y)").alias("sxy"),
+        F.expr("aggregate(a, 0D, (acc, s) -> acc + s.x * s.x)").alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return folded.crossJoin(F.broadcast(totals)).select(
+        F.col("k").alias("top_k"),
+        "n_terms",
+        "total_tokens",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4).alias("intercept"),
+    )
+
+
+# Temperature-scaled multinomial mixture (mT5/XLM-R style): p_l ~ share^alpha
+# rebalances low-resource languages without the hard caps of q113's
+# budgeted plan. 0.7 is the published mT5 default.
+_TEMP_ALPHA = 0.7
+
+
+@register(
+    "q143_temperature_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+               AS avail_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total FROM t),
+    s AS (
+      SELECT lang, n_docs, avail_tokens,
+             avail_tokens / CAST(total AS DOUBLE) AS nat,
+             pow(avail_tokens / CAST(total AS DOUBLE), {_TEMP_ALPHA}) AS w
+      FROM t, tot
+    ),
+    z AS (SELECT sum(w) AS sw FROM s)
+    SELECT lang, n_docs, avail_tokens,
+           round(nat, 6) AS natural_share,
+           round(w / sw, 6) AS temperature_share,
+           round((w / sw) / nat, 4) AS upsample_factor
+    FROM s, z
+    """,
+)
+def q143_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (the mT5/XLM-R sampling rule):
+    each language's sampling share is its natural token share raised to
+    alpha={_TEMP_ALPHA} and renormalized, boosting low-resource languages
+    smoothly instead of via q113's hard per-language budget caps. The
+    upsample factor (scaled/natural) is the epochs-over-corpus multiplier
+    a data loader applies per language.
+
+    Determinism: shares derive from exact integer token counts; pow/div
+    are evaluated on identical doubles in both engines and rounded.
+    sum(w) folds over |langs| rows — 5 here; at a realistic language
+    census (~200) the partial-agg order could differ between engines, so
+    the oracle keeps the same single-group shape Spark produces.
+
+    Scale posture: one per-lang partial-then-final aggregate (|langs|
+    groups), then two 1-row scalar attaches (total tokens, weight
+    normalizer). Nothing corpus-sized moves past the first aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("avail_tokens"),
+    )
+    tot = t.agg(F.sum("avail_tokens").cast("bigint").alias("total"))
+    s = t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "avail_tokens",
+        (F.col("avail_tokens") / F.col("total").cast("double")).alias("nat"),
+        F.pow(
+            F.col("avail_tokens") / F.col("total").cast("double"), F.lit(_TEMP_ALPHA)
+        ).alias("w"),
+    )
+    z = s.agg(F.sum("w").alias("sw"))
+    return s.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "avail_tokens",
+        F.round(F.col("nat"), 6).alias("natural_share"),
+        F.round(F.col("w") / F.col("sw"), 6).alias("temperature_share"),
+        F.round((F.col("w") / F.col("sw")) / F.col("nat"), 4).alias("upsample_factor"),
+    )
+
+
+# Sampled-frequency audit: estimate term counts from a 25% deterministic
+# document sample (md5 bucket < 0x40) and check the estimate against the
+# exact count with a 3-sigma bound. Because sampling is BY DOCUMENT, the
+# estimator's variance is (1-p)/p * sum(c_i^2) over per-doc counts c_i —
+# the clustered-occurrence form, not the naive Binomial(n, p) one.
+_FREQ_P_NUM = 64  # sample rate = 64/256
+_FREQ_K = 20
+
+
+@register(
+    "q145_sampled_frequency_audit",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c,
+             max(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+                      THEN 1 ELSE 0 END) AS in_sample
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY term, doc_id
+    ),
+    agg AS (
+      SELECT term,
+             CAST(sum(c) AS BIGINT) AS exact_count,
+             CAST(sum(c * c) AS BIGINT) AS sumsq,
+             CAST(sum(c * in_sample) AS BIGINT) * 4 AS est_count
+      FROM per_doc GROUP BY term
+    )
+    SELECT term, exact_count, est_count,
+           CAST(abs(est_count - exact_count) AS BIGINT) AS abs_err,
+           round(3 * sqrt(3.0 * sumsq), 4) AS err_bound,
+           abs(est_count - exact_count) <= 3 * sqrt(3.0 * sumsq) AS in_bound
+    FROM agg
+    ORDER BY exact_count DESC, term
+    LIMIT {_FREQ_K}
+    """,
+)
+def q145_sampled_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled heavy-hitter audit: estimate each term's corpus frequency
+    from the deterministic 25% document sample (q75's md5-prefix rule,
+    threshold 0x40) and report, for the top-{_FREQ_K} exact heavy
+    hitters, the estimate, absolute error, and a 3-sigma bound — the
+    exact-beside-estimate pattern (q36/q134/q136) applied to the
+    "count on a sample, scale up" shortcut every corpus-stats job takes
+    at 100 TB. The bound uses the document-clustered variance
+    (1-p)/p * sum(c_i^2) — per-doc occurrence counts are correlated, so
+    the naive Binomial bound would be overconfident.
+
+    Determinism: sample membership is a pure hash of doc_id; every
+    compared value is an integer or sqrt of an integer (IEEE sqrt is
+    correctly rounded — identical in both engines).
+
+    Scale posture: one explode -> (term, doc) partial agg, one term agg,
+    TakeOrdered top-{_FREQ_K}. Same shuffle shape as q78's vocabulary
+    build; the sample flag rides the scan, costing nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id",
+            (hash_bucket("doc_id") < "40").cast("int").alias("in_sample"),
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.max("in_sample").alias("in_sample"),
+        )
+    )
+    agg = per_doc.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("exact_count"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+        (F.sum(F.col("c") * F.col("in_sample")) * 4).cast("bigint").alias("est_count"),
+    )
+    bound = 3 * F.sqrt(3.0 * F.col("sumsq"))
+    return (
+        agg.select(
+            "term",
+            "exact_count",
+            "est_count",
+            F.abs(F.col("est_count") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("abs_err"),
+            F.round(bound, 4).alias("err_bound"),
+            (F.abs(F.col("est_count") - F.col("exact_count")) <= bound).alias(
+                "in_bound"
+            ),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("term").asc())
+        .limit(_FREQ_K)
+    )

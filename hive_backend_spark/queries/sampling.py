@@ -170,3 +170,74 @@ def q102_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
         .limit(50)
     )
+
+
+@register(
+    "q144_curriculum_stages",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             round(LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.5
+                   + LEAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> list_contains(['the', 'a', 'of', 'and']::VARCHAR[], t)))
+                           / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                           * 5.0, 1.0) * 0.5, 4) AS q
+      FROM documents
+    ),
+    staged AS (
+      SELECT *, ntile(4) OVER (ORDER BY q DESC, doc_id) AS stage FROM scored
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(q), 4) AS min_score,
+           round(max(q), 4) AS max_score,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM staged GROUP BY stage
+    """,
+)
+def q144_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: rank the corpus by the q62 quality score and cut
+    it into 4 equal-population stages (ntile) — the "train on clean data
+    first" schedule used by curriculum-ordered pretraining. The report per
+    stage (population, score range, token mass, language spread) is what a
+    schedule designer checks before committing shard order.
+
+    Determinism: the stage assignment is ntile over a TOTAL order (rounded
+    score desc, doc_id) — identical in both engines; every reported value
+    is an integer or a rounded double of one.
+
+    Scale posture: the unpartitioned ntile is a rank-by-global-order — at
+    100 TB this becomes rangepartition + per-range offsets (the q107
+    two-level prefix-sum discipline); at report granularity the single
+    window is the right local form, and everything after it is one
+    4-group aggregate."""
+    from .text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens.cast(
+        "double"
+    )
+    q = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.5,
+        4,
+    )
+    scored = docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), q.alias("q")
+    )
+    w = Window.orderBy(F.col("q").desc(), F.col("doc_id"))
+    return (
+        scored.select("lang", "n_tokens", "q", F.ntile(4).over(w).alias("stage"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("q"), 4).alias("min_score"),
+            F.round(F.max("q"), 4).alias("max_score"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )

@@ -978,3 +978,132 @@ def q132_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d") / F.col("mean_intra"), 4).alias("separation_ratio"),
         )
     )
+
+
+@register(
+    "q140_kmeans_refine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label AS old_label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS c FROM (
+        SELECT label, pos, sum(x) / count(*) AS m FROM (
+          SELECT old_label AS label, generate_subscripts(v, 1) AS pos,
+                 unnest(v) AS x
+          FROM v)
+        GROUP BY label, pos)
+      GROUP BY label
+    ),
+    a AS (
+      SELECT vec_id, old_label, v, cl, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+      FROM (
+        SELECT v.vec_id, v.old_label, v.v, c.label AS cl,
+               sqrt(list_aggregate(list_transform(range(1, len(v.v) + 1),
+                 i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i])), 'sum')) AS d
+        FROM v, cent c)
+    ),
+    a1 AS (SELECT * FROM a WHERE rn = 1),
+    stats AS (
+      SELECT cl AS new_label,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CASE WHEN old_label <> cl THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_switched,
+             round(avg(d), 4) AS mean_dist
+      FROM a1 GROUP BY cl
+    ),
+    newc AS (
+      SELECT label, list(m ORDER BY pos) AS c2 FROM (
+        SELECT cl AS label, pos, sum(x) / count(*) AS m FROM (
+          SELECT cl, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1)
+        GROUP BY cl, pos)
+      GROUP BY label
+    ),
+    shift AS (
+      SELECT n.label AS new_label,
+             round(sqrt(list_aggregate(list_transform(range(1, len(n.c2) + 1),
+               i -> (n.c2[i] - c.c[i]) * (n.c2[i] - c.c[i])), 'sum')), 4)
+               AS centroid_shift
+      FROM newc n JOIN cent c ON n.label = c.label
+    )
+    SELECT new_label, n_members, n_switched, mean_dist, centroid_shift
+    FROM stats JOIN shift USING (new_label)
+    """,
+)
+def q140_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus — the
+    coarse-quantizer TRAINING step the IVF family (q73 build, q74 route,
+    q132 audit) assumes has already happened: score every vector against
+    the current per-cell centroids, reassign to the nearest, recompute
+    centroids, and report per cell its new population, how many vectors
+    switched cells, the mean member distance, and how far the centroid
+    moved. Run to fixpoint this is exactly SemDeDup/IVF codebook training;
+    the per-iteration report (switch count, centroid shift) is the
+    convergence signal a pipeline loops on.
+
+    Determinism: distances fold sequentially over array order in both
+    engines (F.aggregate / list_aggregate — the q132 idiom) from
+    identically-derived centroid doubles, so the argmin assignment
+    (tie-broken by cell id) is engine-identical; reported doubles are
+    rounded at 4.
+
+    Scale posture: the k-row centroid table broadcasts (k fixed by
+    design); assignment is one scan with k fold evaluations per vector
+    and a per-vec_id window whose partitions are k rows; the centroid
+    rebuild shuffles (cell, pos) partial sums — k x 64 rows — exactly
+    q73's discipline. At 100 TB with large k the per-vector scoring
+    moves into the q127 PQ/mapInPandas form; the report shape is
+    unchanged."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.col("label").alias("old_label"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cent = (
+        vecs.select(F.col("old_label").alias("label"), F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg((F.sum("x") / F.count(F.lit(1))).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("c")
+        )
+        .select(F.col("label").alias("cl"), "c")
+    )
+    d = F.expr(
+        "sqrt(aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))"
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "old_label", "v", "cl", d.alias("d")
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d", "cl")
+    a1 = scored.select(
+        "vec_id", "old_label", "v", "cl", "d", F.row_number().over(wv).alias("rn")
+    ).filter(F.col("rn") == 1)
+    stats = a1.groupBy(F.col("cl").alias("new_label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum((F.col("old_label") != F.col("cl")).cast("int"))
+        .cast("bigint")
+        .alias("n_switched"),
+        F.round(F.avg("d"), 4).alias("mean_dist"),
+    )
+    newc = (
+        a1.select(F.col("cl").alias("label"), F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg((F.sum("x") / F.count(F.lit(1))).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("c2")
+        )
+    )
+    shift_d = F.expr(
+        "sqrt(aggregate(zip_with(c2, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))"
+    )
+    shift = newc.join(cent, newc["label"] == cent["cl"]).select(
+        F.col("label").alias("new_label"), F.round(shift_d, 4).alias("centroid_shift")
+    )
+    return stats.join(shift, "new_label")

@@ -12,7 +12,7 @@ own registered queries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -948,4 +948,146 @@ def q139_fingerprint_decontamination(spark: SparkSession, sf_dir: str) -> DataFr
                 F.count(F.lit(1)).cast("double") / F.max("n_fps"), 6
             ).alias("shared_frac"),
         )
+    )
+
+
+# Duplicate-span detection unit: same 8-token gram as decontamination
+# (q106) — long enough that a shared gram implies copied text.
+_SPAN_N = 8
+
+
+@register(
+    "q142_duplicate_ngram_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             unnest(list_transform(range(0, len(t) - {_SPAN_N} + 1),
+               i -> struct_pack(pos := i,
+                 g := md5(array_to_string(t[i+1 : i+{_SPAN_N}], ' '))))) AS s
+      FROM tok WHERE len(t) >= {_SPAN_N}
+    ),
+    ge AS (SELECT doc_id, n_tokens, s.pos AS pos, s.g AS g FROM g),
+    dup AS (SELECT g FROM ge GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hit AS (
+      SELECT doc_id, n_tokens, pos, pos + {_SPAN_N} - 1 AS e
+      FROM ge JOIN dup USING (g)
+    ),
+    isl AS (
+      SELECT doc_id, n_tokens, pos, e,
+             CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hit
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    sp AS (
+      SELECT doc_id, max(n_tokens) AS n_tokens, island,
+             min(pos) AS s, max(e) AS e
+      FROM isl2 GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           round(sum(e - s + 1) / CAST(max(n_tokens) AS DOUBLE), 6) AS dup_frac,
+           md5(string_agg(s || '-' || e, ',' ORDER BY s)) AS span_digest
+    FROM sp GROUP BY doc_id
+    """,
+)
+def q142_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-SPAN detection — the substring-granular
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") at {_SPAN_N}-gram resolution: find every
+    {_SPAN_N}-token gram occurring in more than one document, then merge
+    each document's duplicated gram positions into maximal token spans.
+    Unlike whole-doc dedup (q63/q64) or candidate pairing (q67/q100),
+    the output names WHICH token ranges to cut (span digest included so
+    the cut list itself is hash-verified), plus the per-doc duplicated
+    fraction — partially-copied boilerplate that document-level
+    fingerprints can't see.
+
+    Determinism: positions/lengths are integers, the span merge is a
+    gaps-and-islands window over the unique-per-doc position order, and
+    the span list digests via md5 of the position-ordered "s-e" list.
+
+    Scale posture: gram digests (not text) shuffle once for the
+    document-frequency count — the q106/q128 discipline; the join back
+    carries only digest hits, and the island windows partition by doc_id
+    with per-partition work bounded by document length. The gram digest
+    is computed AFTER the position explode (one md5 over {_SPAN_N} tokens
+    per generated row) — never inside the generator expression, where
+    Catalyst would re-evaluate the whole per-doc transform once per
+    generated element (the q139 O(n^2) trap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= _SPAN_N)
+    ge = (
+        base.select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            "t",
+            F.explode(F.sequence(F.lit(0), F.size("t") - _SPAN_N)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice("t", F.col("pos") + 1, _SPAN_N))).alias("g"),
+        )
+    )
+    dup = ge.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).filter(F.col("nd") >= 2).select("g")
+    hit = ge.join(dup, "g").select(
+        "doc_id", "n_tokens", "pos", (F.col("pos") + _SPAN_N - 1).alias("e")
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_e = F.max("e").over(wp.rowsBetween(Window.unboundedPreceding, -1))
+    isl = hit.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        "e",
+        F.when(prev_max_e.isNull() | (F.col("pos") > prev_max_e), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        "e",
+        F.sum("is_new").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    sp = isl.groupBy("doc_id", "island").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("s"),
+        F.max("e").alias("e"),
+    )
+    return sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+        F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("e") - F.col("s") + 1)
+            / F.max("n_tokens").cast("double"),
+            6,
+        ).alias("dup_frac"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "e"))),
+                    lambda st: F.concat_ws("-", st.getField("s"), st.getField("e")),
+                ),
+                ",",
+            )
+        ).alias("span_digest"),
     )

@@ -294,6 +294,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q118_skew_report",  # 1-row global row count
         "q130_triangle_census",  # three 1-row census aggregates attached
         "q132_cluster_quality",  # k x k centroid table (k = label count)
+        "q140_kmeans_refine",  # k-row centroid table scoring side
+        "q141_zipf_slope",  # 1-row vocab totals attached to the 1-row fold
+        "q143_temperature_mixture",  # 1-row token total + weight normalizer
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
