@@ -106,6 +106,9 @@ HEADLINE = [
     "q143_temperature_mixture",
     "q144_curriculum_stages",
     "q145_sampled_frequency_audit",
+    "q146_token_entropy",
+    "q147_source_drift",
+    "q148_pmi_bigrams",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

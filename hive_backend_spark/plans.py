@@ -177,6 +177,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row corpus token-total scalar (q143)",
     ("queries/corpus.py", "return s.crossJoin(F.broadcast(z)).select("):
         "1-row mixture-weight normalizer scalar (q143)",
+    ("queries/corpus.py", ".crossJoin(F.broadcast(tot))"):
+        "1-row unigram/bigram-total scalar (q148)",
     ("queries/corpus.py", '.join(F.broadcast(eval_grams), "gram")'):
         "eval gram set: benchmark-sized (q124)",
     ("queries/corpus.py", 'return local.join(F.broadcast(offsets), "bucket").select('):

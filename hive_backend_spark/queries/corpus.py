@@ -951,3 +951,104 @@ def q145_sampled_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_count").desc(), F.col("term").asc())
         .limit(_FREQ_K)
     )
+
+
+# PMI thresholds: bigrams must occur >= 5 times for the estimate to be
+# stable; top-20 by PMI is the collocation report head.
+_PMI_MIN_C = 5
+_PMI_K = 20
+
+
+@register(
+    "q148_pmi_bigrams",
+    oracle=f"""
+    WITH tok AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+    ),
+    uni AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS term FROM tok) GROUP BY term
+    ),
+    big AS (
+      SELECT s.a AS a, s.b AS b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM (SELECT unnest(list_transform(range(0, len(t) - 1),
+              i -> struct_pack(a := t[i+1], b := t[i+2]))) AS s FROM tok)
+      GROUP BY s.a, s.b
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nu,
+             (SELECT CAST(sum(c_ab) AS BIGINT) FROM big) AS nb
+    )
+    SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+           round(ln((c_ab / CAST(nb AS DOUBLE))
+                 / ((ua.c / CAST(nu AS DOUBLE)) * (ub.c / CAST(nu AS DOUBLE)))), 6)
+             AS pmi
+    FROM big
+    JOIN uni ua ON big.a = ua.term
+    JOIN uni ub ON big.b = ub.term
+    CROSS JOIN tot
+    WHERE c_ab >= {_PMI_MIN_C}
+    ORDER BY pmi DESC, a, b
+    LIMIT {_PMI_K}
+    """,
+)
+def q148_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information for adjacent token
+    pairs — PMI = ln(p(ab) / (p(a)p(b))) — reporting the top-{_PMI_K}
+    most-associated bigrams with count >= {_PMI_MIN_C}. This is the
+    classic phrase-detection pass (word2vec's phrase building, tokenizer
+    merge-candidate mining) and a template detector: an unnaturally high
+    PMI head means boilerplate phrases dominate the corpus.
+
+    Determinism: counts are exact integers; each PMI is one ln of a
+    quotient built with the identical expression tree in both engines,
+    rounded at 6, and the top-k order ties-breaks on the rounded value
+    then the bigram itself.
+
+    Scale posture: unigram and bigram counts are explode -> partial-agg
+    shuffles (vocabulary- and bigram-vocabulary-bounded, the q78
+    discipline); the PMI join keys on terms (vocab-sized both sides —
+    shuffle join, AQE decides), totals attach as a broadcast 1-row
+    scalar, and the report head is a TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    uni = (
+        tok.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    big = (
+        tok.select(
+            "t", F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i")
+        )
+        .select(
+            F.element_at("t", F.col("i") + 1).alias("a"),
+            F.element_at("t", F.col("i") + 2).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("nu")).crossJoin(
+        big.agg(F.sum("c_ab").cast("bigint").alias("nb"))
+    )
+    ua = uni.select(F.col("term").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab") / F.col("nb").cast("double"))
+        / (
+            (F.col("c_a") / F.col("nu").cast("double"))
+            * (F.col("c_b") / F.col("nu").cast("double"))
+        )
+    )
+    return (
+        big.filter(F.col("c_ab") >= _PMI_MIN_C)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "c_ab", "c_a", "c_b", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(_PMI_K)
+    )

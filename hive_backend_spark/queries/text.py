@@ -1091,3 +1091,163 @@ def q142_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("span_digest"),
     )
+
+
+@register(
+    "q146_token_entropy",
+    oracle="""
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct,
+           round(-list_aggregate(list_transform(list_sort(list_distinct(t)),
+             x -> (len(list_filter(t, y -> y = x)) / CAST(len(t) AS DOUBLE))
+                  * ln(len(list_filter(t, y -> y = x)) / CAST(len(t) AS DOUBLE))),
+             'sum'), 4) AS entropy,
+           CASE WHEN len(list_distinct(t)) > 1 THEN
+             round(-list_aggregate(list_transform(list_sort(list_distinct(t)),
+               x -> (len(list_filter(t, y -> y = x)) / CAST(len(t) AS DOUBLE))
+                    * ln(len(list_filter(t, y -> y = x)) / CAST(len(t) AS DOUBLE))),
+               'sum') / ln(CAST(len(list_distinct(t)) AS DOUBLE)), 4)
+           END AS norm_entropy
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents)
+    """,
+)
+def q146_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (plus the
+    normalized form entropy/ln(V)) — the information-density quality
+    signal beside q119's repetition fractions: near-zero entropy means a
+    doc is one token repeated (spam/boilerplate), normalized entropy near
+    1 means a flat distribution (hash dumps, tables). Used as a gate
+    alongside the C4-style heuristics in q62/q103.
+
+    Determinism: the entropy sum folds sequentially over the SORTED
+    distinct-token list in both engines (F.aggregate / list_aggregate),
+    so accumulation order is identical; each p ln p term derives from
+    exact integer counts.
+
+    Scale posture: map-only — per-doc array expressions inside codegen,
+    zero shuffle, zero UDF. The per-doc work is O(V x n) array scans
+    (V = distinct tokens), bounded by document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    plogp = (
+        "aggregate(transform(array_sort(array_distinct(t)), "
+        "x -> (size(filter(t, y -> y = x)) / CAST(size(t) AS DOUBLE)) "
+        "* ln(size(filter(t, y -> y = x)) / CAST(size(t) AS DOUBLE))), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    return (
+        docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.size(F.array_distinct("t")).alias("n_distinct"),
+            F.round(-F.expr(plogp), 4).alias("entropy"),
+            F.when(
+                F.size(F.array_distinct("t")) > 1,
+                F.round(
+                    -F.expr(plogp)
+                    / F.log(F.size(F.array_distinct("t")).cast("double")),
+                    4,
+                ),
+            ).alias("norm_entropy"),
+        )
+    )
+
+
+@register(
+    "q147_source_drift",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                  THEN 1 ELSE 0 END AS is_ref,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS v
+      FROM documents
+    ),
+    per AS (
+      SELECT lang, v,
+             CAST(sum(is_ref) AS BIGINT) AS c_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS c_cur
+      FROM d GROUP BY lang, v
+    ),
+    c AS (
+      SELECT lang, v, c_ref, c_cur,
+             sum(c_ref) OVER (PARTITION BY lang ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+             sum(c_cur) OVER (PARTITION BY lang ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             sum(c_ref) OVER (PARTITION BY lang) AS nr,
+             sum(c_cur) OVER (PARTITION BY lang) AS nc
+      FROM per
+    )
+    SELECT lang,
+           CAST(max(nr) AS BIGINT) AS n_ref,
+           CAST(max(nc) AS BIGINT) AS n_cur,
+           round(max(abs(cr / CAST(nr AS DOUBLE) - cc / CAST(nc AS DOUBLE))), 6)
+             AS ks_stat,
+           round(1.63 * sqrt((max(nr) + max(nc))
+                 / (CAST(max(nr) AS DOUBLE) * max(nc))), 6) AS ks_crit,
+           max(abs(cr / CAST(nr AS DOUBLE) - cc / CAST(nc AS DOUBLE)))
+             > 1.63 * sqrt((max(nr) + max(nc))
+                 / (CAST(max(nr) AS DOUBLE) * max(nc))) AS drifted
+    FROM c GROUP BY lang
+    """,
+)
+def q147_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: a two-sample Kolmogorov-Smirnov test on
+    the per-language document-length distribution between the reference
+    half of the corpus (md5 bucket < 0x80) and the incoming half — the
+    canary a production ingest pipeline evaluates per batch to catch a
+    scraper change or cleaning regression before it poisons a training
+    mix. Reports the KS statistic beside the alpha=0.01 critical value
+    (1.63 * sqrt((n1+n2)/(n1*n2))) and the drift verdict.
+
+    Determinism: both ECDFs are cumulative-sum windows over exact integer
+    counts grouped by distinct value, so every compared double is a ratio
+    of integers; the max over distinct values is order-free.
+
+    Scale posture: one scan -> (lang, value) partial agg (|langs| x
+    |distinct lengths| rows — tiny), windowed cumsums partitioned by
+    lang over that reduced relation, one final |langs|-row aggregate.
+    Nothing corpus-sized survives the first aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .sampling import hash_bucket
+
+    d = docs.select(
+        "lang",
+        (hash_bucket("doc_id") < "80").cast("int").alias("is_ref"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("v"),
+    )
+    per = d.groupBy("lang", "v").agg(
+        F.sum("is_ref").cast("bigint").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("c_cur"),
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("lang")
+    c = per.select(
+        "lang",
+        F.sum("c_ref").over(wcum).alias("cr"),
+        F.sum("c_cur").over(wcum).alias("cc"),
+        F.sum("c_ref").over(wall).alias("nr"),
+        F.sum("c_cur").over(wall).alias("nc"),
+    )
+    diff = F.abs(
+        F.col("cr") / F.col("nr").cast("double")
+        - F.col("cc") / F.col("nc").cast("double")
+    )
+    crit = 1.63 * F.sqrt(
+        (F.max("nr") + F.max("nc"))
+        / (F.max("nr").cast("double") * F.max("nc"))
+    )
+    return c.groupBy("lang").agg(
+        F.max("nr").cast("bigint").alias("n_ref"),
+        F.max("nc").cast("bigint").alias("n_cur"),
+        F.round(F.max(diff), 6).alias("ks_stat"),
+        F.round(crit, 6).alias("ks_crit"),
+        (F.max(diff) > crit).alias("drifted"),
+    )

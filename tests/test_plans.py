@@ -297,6 +297,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q140_kmeans_refine",  # k-row centroid table scoring side
         "q141_zipf_slope",  # 1-row vocab totals attached to the 1-row fold
         "q143_temperature_mixture",  # 1-row token total + weight normalizer
+        "q148_pmi_bigrams",  # 1-row unigram/bigram totals
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
