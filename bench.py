@@ -109,6 +109,8 @@ HEADLINE = [
     "q146_token_entropy",
     "q147_source_drift",
     "q148_pmi_bigrams",
+    "q149_vocab_overlap",
+    "q150_term_burstiness",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

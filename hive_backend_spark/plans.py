@@ -103,6 +103,12 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row corpus count scalar for idf (q84)",
     ("queries/text.py", 'train.join(F.broadcast(eval_fps), "fp")  # bounded: eval benchmark side'):
         "fingerprint decontamination eval side: benchmark-sized (q139)",
+    ("queries/text.py", 'sa = F.broadcast(sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_terms_a")))'):
+        "language census: |langs| rows, bounded dimension (q149)",
+    ("queries/text.py", 'sb = F.broadcast(sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_terms_b")))'):
+        "language census: |langs| rows, bounded dimension (q149)",
+    ("queries/text.py", "agg.crossJoin(F.broadcast(d))"):
+        "1-row corpus doc-count scalar (q150)",
     ("queries/queue.py", 'events.join(F.broadcast(batch), "event_id", "left_semi")'):
         "two-phase mark batch: top-100 dequeue slice (q52)",
     ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):

@@ -1251,3 +1251,155 @@ def q147_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("ks_crit"),
         (F.max(diff) > crit).alias("drifted"),
     )
+
+
+@register(
+    "q149_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT lang, term
+      FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)
+    ),
+    sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM vocab GROUP BY lang),
+    shared AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM vocab a JOIN vocab b ON a.term = b.term AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT lang_a, lang_b,
+           sa.n AS n_terms_a, sb.n AS n_terms_b, n_shared,
+           round(n_shared / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.lang = lang_a
+    JOIN sizes sb ON sb.lang = lang_b
+    """,
+)
+def q149_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language vocabulary overlap: Jaccard similarity of the
+    distinct-token vocabularies for every language pair — the lang-ID
+    quality audit (two languages whose vocabularies overlap heavily in a
+    corpus usually mean a broken classifier or heavy code-switching, both
+    of which poison per-language mixture planning q113/q143).
+
+    Determinism: all set sizes are exact integer counts; jaccard is one
+    division, rounded.
+
+    Scale posture: the distinct (lang, term) relation is one
+    dedup-shuffle (vocabulary-bounded per language, not corpus-bounded);
+    the pair intersection joins vocab to itself ON TERM — shuffle keyed
+    on term, never a language cross product — and |langs|^2/2 result
+    groups. The |langs|-row size table broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = vocab.select(F.col("lang").alias("lang_a"), "term")
+    b = vocab.select(F.col("lang").alias("lang_b"), "term")
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_terms_a")))
+    sb = F.broadcast(sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_terms_b")))
+    return (
+        shared.join(sa, "lang_a")
+        .join(sb, "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_terms_a",
+            "n_terms_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_terms_a") + F.col("n_terms_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# Burstiness report head: top terms by corpus frequency.
+_BURST_K = 20
+
+
+@register(
+    "q150_term_burstiness",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY term, doc_id
+    ),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    agg AS (
+      SELECT term,
+             CAST(sum(c) AS BIGINT) AS tf,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c * c) AS BIGINT) AS sumsq
+      FROM per_doc GROUP BY term
+    )
+    SELECT term, tf, df,
+           round(df / CAST(n_docs AS DOUBLE), 6) AS doc_frac,
+           round((sumsq / CAST(n_docs AS DOUBLE)
+                  - (tf / CAST(n_docs AS DOUBLE)) * (tf / CAST(n_docs AS DOUBLE)))
+                 / (tf / CAST(n_docs AS DOUBLE)), 6) AS fano
+    FROM agg, d
+    ORDER BY tf DESC, term
+    LIMIT {_BURST_K}
+    """,
+)
+def q150_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Fano factor of per-document counts): var/mean of
+    each head term's per-doc occurrence count over the whole corpus —
+    near 1 means Poisson-scattered (function words), far above 1 means
+    the term clumps in few documents (content words, or a template
+    pasted into a subset of docs). The standard term-weighting/template
+    diagnostic beside PMI (q148) and entropy (q146).
+
+    Determinism: variance expands to sumsq/D - (tf/D)^2 over exact
+    integer sums with the identical expression tree in both engines;
+    order ties-break on the exact integer tf then term.
+
+    Scale posture: same shuffle shape as q145 — one explode ->
+    (term, doc) partial agg -> term agg, a broadcast 1-row doc count,
+    and a TakeOrdered head."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    d = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    agg = per_doc.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("tf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+    )
+    nd = F.col("n_docs").cast("double")
+    mean = F.col("tf") / nd
+    fano = (F.col("sumsq") / nd - mean * mean) / mean
+    return (
+        agg.crossJoin(F.broadcast(d))
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("df") / nd, 6).alias("doc_frac"),
+            F.round(fano, 6).alias("fano"),
+        )
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(_BURST_K)
+    )

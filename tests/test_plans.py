@@ -298,6 +298,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q141_zipf_slope",  # 1-row vocab totals attached to the 1-row fold
         "q143_temperature_mixture",  # 1-row token total + weight normalizer
         "q148_pmi_bigrams",  # 1-row unigram/bigram totals
+        "q150_term_burstiness",  # 1-row corpus doc count
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
