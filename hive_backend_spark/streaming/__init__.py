@@ -7,8 +7,10 @@ end-to-end in ``tests/test_streaming.py``.
 
 from .pipeline import (
     EVENT_SCHEMA,
+    batch_value_drift,
     correlate_streams,
     dedup_stream,
+    drift_monitor_stream,
     read_event_stream,
     rollup_stream,
     route_events,
@@ -22,8 +24,10 @@ from .pipeline import (
 
 __all__ = [
     "EVENT_SCHEMA",
+    "batch_value_drift",
     "correlate_streams",
     "dedup_stream",
+    "drift_monitor_stream",
     "read_event_stream",
     "rollup_stream",
     "route_events",

@@ -286,3 +286,88 @@ def rollup_stream(events: DataFrame, delay: str = "1 hour") -> DataFrame:
         .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
         .select(F.col("wh.start").alias("hour_start"), "event_type", "n", "sum_value")
     )
+
+
+def batch_value_drift(current: DataFrame, reference: DataFrame) -> DataFrame:
+    """Two-sample KS statistic on the `value` distribution per event_type
+    between `current` and a `reference` DataFrame — the batch kernel of
+    ``drift_monitor_stream`` and the generic form of q147's corpus drift
+    monitor. Returns one row per event_type present in either side:
+    (event_type, n_ref, n_cur, ks_stat, ks_crit, drifted) with the
+    alpha=0.01 critical value 1.63*sqrt((n1+n2)/(n1*n2)).
+
+    Shuffle shape: both sides reduce to (event_type, value) counts before
+    anything global happens; the ECDF cumsums run over that reduced
+    relation partitioned by event_type. Empty sides yield ks_stat NULL
+    (no distribution to compare) rather than a false verdict."""
+    from pyspark.sql.window import Window
+
+    tagged = reference.select(
+        "event_type", "value", F.lit(1).alias("is_ref")
+    ).unionByName(current.select("event_type", "value", F.lit(0).alias("is_ref")))
+    per = tagged.groupBy("event_type", "value").agg(
+        F.sum("is_ref").cast("bigint").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("c_cur"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    c = per.select(
+        "event_type",
+        F.sum("c_ref").over(wcum).alias("cr"),
+        F.sum("c_cur").over(wcum).alias("cc"),
+        F.sum("c_ref").over(wall).alias("nr"),
+        F.sum("c_cur").over(wall).alias("nc"),
+    )
+    diff = F.abs(
+        F.col("cr") / F.col("nr").cast("double")
+        - F.col("cc") / F.col("nc").cast("double")
+    )
+    crit = 1.63 * F.sqrt(
+        (F.max("nr") + F.max("nc")) / (F.max("nr").cast("double") * F.max("nc"))
+    )
+    return c.groupBy("event_type").agg(
+        F.max("nr").cast("bigint").alias("n_ref"),
+        F.max("nc").cast("bigint").alias("n_cur"),
+        F.round(F.max(diff), 6).alias("ks_stat"),
+        F.round(crit, 6).alias("ks_crit"),
+        (F.max(diff) > crit).alias("drifted"),
+    )
+
+
+def drift_monitor_stream(
+    spark: SparkSession,
+    source_dir: str,
+    reference: DataFrame,
+    monitor_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Per-ingest-batch drift gate — the streaming mirror of the corpus
+    drift monitor (q147): every micro-batch's per-type `value`
+    distribution is KS-tested against a static reference distribution
+    inside foreachBatch, and the verdict rows (stamped with batch_id)
+    append to a monitor table. This is the production shape for "stop
+    the ingest if the scraper changed": the verdict table is tiny
+    (|types| rows per trigger), the reference is re-resolved per batch
+    (a refresh is picked up without restarting the stream), and the
+    checkpoint makes the monitor restart-safe. Runs availableNow and
+    drains the backlog."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_value_drift(batch_df, reference).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        out.write.mode("append").parquet(monitor_dir)
+
+    stream = read_event_stream(spark, source_dir, max_files_per_trigger)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "drift_monitor"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
