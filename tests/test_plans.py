@@ -312,3 +312,37 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         if hits:
             offenders[name] = hits
     assert not offenders, f"scale-hostile operators in plans: {offenders}"
+
+
+def test_round4_additions_plan_shapes(spark, sf_dir):
+    """Round-4 query plan pins: the new operators keep the shapes they
+    were designed for.
+
+    - q146 (token entropy) is map-only: zero Exchange, zero Generate —
+      per-doc array math inside codegen.
+    - q145/q150/q148 report heads compile to TakeOrderedAndProject, not a
+      global sort materialization.
+    - q140's Lloyd-step scoring side stays a broadcast of the k-row
+      centroid table (BroadcastNestedLoopJoin on the scalar-attach
+      pattern), never a shuffled cross product.
+    - q142's island windows partition by doc_id — no unpartitioned
+      window over the corpus (the two intentionally-global windows in
+      the registry are q141's 30-row head rank and q144's report-
+      granularity ntile)."""
+    q146 = _df(spark, sf_dir, "q146_token_entropy")
+    P.assert_plan(q146, forbids=["Exchange", "Generate"])
+
+    for name in ("q145_sampled_frequency_audit", "q150_term_burstiness",
+                 "q148_pmi_bigrams"):
+        P.assert_plan(_df(spark, sf_dir, name), requires=["TakeOrderedAndProject"],
+                      forbids=["GlobalLimit"])
+
+    q140 = _df(spark, sf_dir, "q140_kmeans_refine")
+    P.assert_plan(q140, forbids=["CartesianProduct"])
+
+    q142_plan = P.formatted_plan(_df(spark, sf_dir, "q142_duplicate_ngram_spans"))
+    import re
+    # every Window's partition spec must include doc_id
+    assert "doc_id" in q142_plan
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", q142_plan):
+        assert "doc_id" in m.group(1), m.group(0)
