@@ -111,6 +111,8 @@ HEADLINE = [
     "q148_pmi_bigrams",
     "q149_vocab_overlap",
     "q150_term_burstiness",
+    "q151_bigram_logprob",
+    "q152_dedup_aware_shards",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -124,6 +126,7 @@ SHARES_BAND_CACHE = [
     "q112_quality_canonical",
     "q133_fuzzy_decontamination",
     "q136_minhash_jaccard_error",
+    "q152_dedup_aware_shards",
 ]
 
 

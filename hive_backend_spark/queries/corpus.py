@@ -1052,3 +1052,109 @@ def q148_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(_PMI_K)
     )
+
+
+# Add-k smoothing constant for the bigram LM (q151). k=0.5 (Jeffreys) keeps
+# unseen transitions finite without flattening the distribution.
+_LM_K = 0.5
+
+
+@register(
+    "q151_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS term FROM tok)
+      GROUP BY term
+    ),
+    bigr AS (
+      SELECT s.a || ' ' || s.b AS k, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_transform(range(0, len(t) - 1),
+              i -> struct_pack(a := t[i+1], b := t[i+2]))) AS s
+            FROM tok WHERE len(t) >= 2)
+      GROUP BY s.a || ' ' || s.b
+    ),
+    m AS (
+      SELECT map_from_entries(list({{'k': term, 'v': c}})) AS umap,
+             CAST(count(*) AS BIGINT) AS v
+      FROM vocab
+    ),
+    bm AS (SELECT map_from_entries(list({{'k': k, 'v': c}})) AS bmap FROM bigr)
+    SELECT doc_id,
+           len(t) - 1 AS n_bigrams,
+           round(-list_sum(list_transform(range(1, len(t)), i ->
+             ln((COALESCE(bmap[t[i] || ' ' || t[i+1]][1], 0) + {_LM_K})
+                / (umap[t[i]][1] + {_LM_K} * v))))
+             / (len(t) - 1), 4) AS nll_per_bigram
+    FROM tok, m, bm
+    WHERE len(t) >= 2
+    """,
+)
+def q151_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring with add-{_LM_K} smoothing — the CCNet-style
+    perplexity filter one rung above q114's unigram proxy: each document's
+    mean negative log-likelihood under the corpus's own first-order
+    transition model. Fluent text scores low, shuffled/templated text
+    scores high even when its unigram mix looks normal — exactly the
+    signal the unigram model can't see.
+
+    Determinism: the q114 discipline — both count histograms collapse to
+    map literals on the broadcast side, and each document folds over its
+    own bigram sequence IN ARRAY ORDER in both engines; round(4) absorbs
+    the sub-ulp residue.
+
+    Scale posture: two vocabulary-bounded aggregates (unigram, bigram),
+    two broadcast map literals, one narrow scoring pass — no corpus
+    shuffle. At open-web scale the bigram map outgrows a broadcast; the
+    scale path is the same shape with a broadcast join per bigram key
+    (or a pruned top-M transition table), query shape unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tok = docs.select("doc_id", toks.alias("t"))
+    uni = (
+        tok.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    big = (
+        tok.filter(F.size("t") >= 2)
+        .select("t", F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"))
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i") + 1),
+                F.element_at("t", F.col("i") + 2),
+            ).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    m = uni.agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "c"))).alias("umap"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    bm = big.agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "c"))).alias("bmap")
+    )
+    nll = F.expr(
+        f"""-aggregate(sequence(1, size(t) - 1), 0D, (acc, i) ->
+          acc + ln((coalesce(element_at(bmap,
+                      concat(element_at(t, i), ' ', element_at(t, i + 1))), 0L)
+                    + {_LM_K})
+                   / (element_at(umap, element_at(t, i)) + {_LM_K} * v)))
+          / (size(t) - 1)"""
+    )
+    return (
+        tok.filter(F.size("t") >= 2)
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(bm))
+        .select(
+            "doc_id",
+            (F.size("t") - 1).alias("n_bigrams"),
+            F.round(nll, 4).alias("nll_per_bigram"),
+        )
+    )

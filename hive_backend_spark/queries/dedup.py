@@ -746,3 +746,72 @@ def q133_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).alias("rn"),
     )
     return ranked.filter((F.col("rn") == 1) & (F.col("max_jaccard") >= 0.5)).drop("rn")
+
+
+@register(
+    "q152_dedup_aware_shards",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node)
+    SELECT substr(md5(CAST(COALESCE(lab.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)
+             AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lab.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered_docs,
+           CAST(count(DISTINCT lab.cluster_id) AS BIGINT) AS n_clusters
+    FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+    GROUP BY shard
+    """,
+)
+def q152_dedup_aware_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware shard assignment: every document shards by the md5 of
+    its CLUSTER id (its own id when unclustered), so an entire near-dup
+    family always lands in one shard — the layout that makes downstream
+    per-shard dedup exact (no cross-shard duplicate survives by
+    construction) and keeps canonical-selection jobs shard-local. The
+    audit reports each of the 16 shards' population, how many of its
+    docs belong to some near-dup cluster, and how many distinct
+    clusters it holds; co-location is structural (the shard key IS the
+    cluster id), which the oracle proves by replaying clustering as a
+    recursive CTE and deriving the identical assignment.
+
+    Scale posture: reuses the cached cluster-label table (the persisted
+    assignment a production pipeline keeps beside its signature table);
+    the label join is doc_id-keyed with a corpus-growing right side —
+    left plain for AQE, the q112 discipline. The final aggregate is 16
+    groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    shard = F.substring(
+        F.md5(F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("string")), 1, 1
+    )
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("cluster_id").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_clustered_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+    )

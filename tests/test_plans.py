@@ -299,6 +299,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q143_temperature_mixture",  # 1-row token total + weight normalizer
         "q148_pmi_bigrams",  # 1-row unigram/bigram totals
         "q150_term_burstiness",  # 1-row corpus doc count
+        "q151_bigram_logprob",  # 1-row unigram + bigram map literals
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
