@@ -113,6 +113,8 @@ HEADLINE = [
     "q150_term_burstiness",
     "q151_bigram_logprob",
     "q152_dedup_aware_shards",
+    "q153_embedding_norm_audit",
+    "q154_ann_recall_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

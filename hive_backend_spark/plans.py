@@ -207,4 +207,10 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "k-row centroid table self-pairing (q132)",
     ("queries/similarity.py", "scored = vecs.crossJoin(F.broadcast(cent)).select("):
         "k-row centroid table: Lloyd-step scoring side, k fixed by design (q140)",
+    ("queries/similarity.py", "vecs.crossJoin(F.broadcast(probes))"):
+        "5-row fixed probe set: recall-audit ground-truth scoring (q154)",
+    ("queries/similarity.py", "route_scored = probes.crossJoin(F.broadcast(cent)).select("):
+        "k-row centroid table: probe routing side (q154)",
+    ("queries/similarity.py", "F.broadcast(best),"):
+        "5-row probe->cell routing table (q154)",
 }

@@ -1107,3 +1107,211 @@ def q140_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("new_label"), F.round(shift_d, 4).alias("centroid_shift")
     )
     return stats.join(shift, "new_label")
+
+
+@register(
+    "q153_embedding_norm_audit",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    p AS (
+      SELECT label,
+             quantile_cont(nrm, 0.05) AS p05,
+             quantile_cont(nrm, 0.95) AS p95
+      FROM n GROUP BY label
+    )
+    SELECT n.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(any_value(p.p05), 6) AS p05_norm,
+           round(any_value(p.p95), 6) AS p95_norm,
+           round(min(n.nrm), 6) AS min_norm,
+           round(max(n.nrm), 6) AS max_norm,
+           CAST(sum(CASE WHEN n.nrm < p.p05 OR n.nrm > p.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM n JOIN p USING (label)
+    GROUP BY n.label
+    """,
+)
+def q153_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene gate: per-cell L2-norm distribution audit — exact
+    p05/p95 norm percentiles, extrema, and the count of vectors outside
+    the percentile band. Collapsed or exploded norms are the first symptom
+    of a broken encoder batch (fp overflow, zero-padding bugs), and norm
+    outliers poison both cosine thresholds (q71/q116) and k-means geometry
+    (q140), so this gate runs before any of them.
+
+    Determinism: norms fold sequentially in array order (the q132 idiom);
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition evaluated over identical doubles.
+
+    Scale posture: one narrow scan computes norms; percentile attach is
+    one window partitioned by cell (the q122 single-shuffle pattern —
+    the final agg reuses the same partitioning)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.expr(
+        "sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"
+    )
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select("vec_id", "label", nrm.alias("nrm"))
+    w = Window.partitionBy("label")
+    d = n.withColumn("p05", F.expr("percentile(nrm, 0.05)").over(w)).withColumn(
+        "p95", F.expr("percentile(nrm, 0.95)").over(w)
+    )
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.first("p05"), 6).alias("p05_norm"),
+        F.round(F.first("p95"), 6).alias("p95_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum(
+            ((F.col("nrm") < F.col("p05")) | (F.col("nrm") > F.col("p95"))).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+@register(
+    "q154_ann_recall_audit",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    p AS (SELECT vec_id AS probe_id, v AS qv FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT p.probe_id, v.vec_id, v.label,
+             round(list_dot_product(v.v, p.qv)
+                   / (sqrt(list_dot_product(v.v, v.v))
+                      * sqrt(list_dot_product(p.qv, p.qv))), 6) AS sim
+      FROM v, p WHERE v.vec_id <> p.probe_id
+    ),
+    exact AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 10
+    ),
+    cent AS (
+      SELECT label AS cl, list(m ORDER BY pos) AS c FROM (
+        SELECT label, pos, sum(x) / count(*) AS m FROM (
+          SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM v)
+        GROUP BY label, pos)
+      GROUP BY label
+    ),
+    best AS (
+      SELECT probe_id, cl AS cell FROM (
+        SELECT p.probe_id, cent.cl,
+               row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                 list_dot_product(cent.c, p.qv)
+                 / (sqrt(list_dot_product(cent.c, cent.c))
+                    * sqrt(list_dot_product(p.qv, p.qv))) DESC, cent.cl) AS rn
+        FROM p, cent) WHERE rn = 1
+    ),
+    routed AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT s.probe_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.probe_id
+                                  ORDER BY s.sim DESC, s.vec_id) AS rn
+        FROM scored s JOIN best b ON s.probe_id = b.probe_id AND s.label = b.cell)
+      WHERE rn <= 10
+    ),
+    ov AS (
+      SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n
+      FROM exact e JOIN routed r ON e.probe_id = r.probe_id AND e.vec_id = r.vec_id
+      GROUP BY e.probe_id
+    )
+    SELECT b.probe_id, b.cell AS routed_cell,
+           CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+           round(COALESCE(ov.n, 0) / 10.0, 2) AS recall_at_10
+    FROM best b LEFT JOIN ov ON b.probe_id = ov.probe_id
+    """,
+)
+def q154_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@10 of nprobe=1 IVF-routed search
+    (q74's strategy) against exact brute force, for a fixed 5-probe set —
+    the standard evaluation every ANN deployment runs before trusting the
+    index ("measure, don't guess" applied to the q73/q74/q132 family: q132
+    predicts WHERE recall will fall, this measures it). Low recall here is
+    the signal to raise nprobe or retrain the codebook (q140).
+
+    Determinism: both rankings order by round(cosine, 6) with vec_id
+    tie-break; routing uses the q74 ordering precedent. Fixed probe set,
+    exact integer overlap counts.
+
+    Scale posture: the 5-row probe set broadcasts into one scored pass
+    (the q70 brute-force baseline, by design — the exact ranking IS the
+    ground truth being compared against); per-probe top-10s are bounded
+    windows; the routed candidate set joins on cell id. The probe count
+    is the audit's budget knob, fixed by construction."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    exact = (
+        scored.select("probe_id", "vec_id", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    cent = (
+        vecs.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg((F.sum("x") / F.count(F.lit(1))).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("c")
+        )
+        .select(F.col("label").alias("cl"), "c")
+    )
+    route_scored = probes.crossJoin(F.broadcast(cent)).select(
+        "probe_id", "cl", cosine(F.col("c"), F.col("qv")).alias("rs")
+    )
+    wb = Window.partitionBy("probe_id").orderBy(F.col("rs").desc(), F.col("cl"))
+    best = (
+        route_scored.select("probe_id", "cl", F.row_number().over(wb).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("cl").alias("cell"))
+    )
+    routed = (
+        scored.join(
+            F.broadcast(best),
+            (scored["probe_id"] == best["probe_id"]) & (scored["label"] == best["cell"]),
+        )
+        .select(scored["probe_id"], "vec_id", "sim")
+        .select("probe_id", "vec_id", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    ov = exact.join(routed, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return best.join(ov, "probe_id", "left").select(
+        "probe_id",
+        F.col("cell").alias("routed_cell"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        F.round(F.coalesce(F.col("n"), F.lit(0)) / 10.0, 2).alias("recall_at_10"),
+    )

@@ -300,6 +300,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q148_pmi_bigrams",  # 1-row unigram/bigram totals
         "q150_term_burstiness",  # 1-row corpus doc count
         "q151_bigram_logprob",  # 1-row unigram + bigram map literals
+        "q154_ann_recall_audit",  # 5-row probe set + k-row centroid table
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
