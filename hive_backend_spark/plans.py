@@ -185,10 +185,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row mixture-weight normalizer scalar (q143)",
     ("queries/corpus.py", ".crossJoin(F.broadcast(tot))"):
         "1-row unigram/bigram-total scalar (q148)",
-    ("queries/corpus.py", ".crossJoin(F.broadcast(m))"):
-        "1-row unigram map literal, vocab-bounded (q151)",
-    ("queries/corpus.py", ".crossJoin(F.broadcast(bm))"):
-        "1-row bigram map literal, vocab-bounded (q151)",
+    ("queries/corpus.py", ".crossJoin(F.broadcast(vt))"):
+        "1-row vocab-size scalar (q151); the bigram/unigram COUNTS are "
+        "never hinted — window count over (a, b) and a plain vocab join",
     ("queries/corpus.py", '.join(F.broadcast(eval_grams), "gram")'):
         "eval gram set: benchmark-sized (q124)",
     ("queries/corpus.py", 'return local.join(F.broadcast(offsets), "bucket").select('):

@@ -1102,59 +1102,70 @@ def q151_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores high even when its unigram mix looks normal — exactly the
     signal the unigram model can't see.
 
-    Determinism: the q114 discipline — both count histograms collapse to
-    map literals on the broadcast side, and each document folds over its
-    own bigram sequence IN ARRAY ORDER in both engines; round(4) absorbs
-    the sub-ulp residue.
-
-    Scale posture: two vocabulary-bounded aggregates (unigram, bigram),
-    two broadcast map literals, one narrow scoring pass — no corpus
-    shuffle. At open-web scale the bigram map outgrows a broadcast; the
-    scale path is the same shape with a broadcast join per bigram key
-    (or a pruned top-M transition table), query shape unchanged."""
+    Scale posture: the bigram vocabulary grows near-linearly with the
+    corpus (unlike the Heaps-bounded unigram vocabulary), so unlike q114
+    NOTHING here may collapse to a single-row map literal or a forced
+    broadcast. Instead: explode each document into (position, a, b)
+    bigram rows once; the bigram count is a window count over (a, b) on
+    that same exploded table (one shuffle serves both counting and
+    attachment — no separate bigram table, no bigram join at all); the
+    unigram denominator joins the vocab count table PLAIN so AQE
+    broadcasts it only while genuinely small; the only explicit broadcast
+    is the 1-row vocab-size scalar. Per-document scoring re-aggregates by
+    doc_id folding the ln terms in POSITION ORDER (sort_array on
+    (i, ll) structs), so the floating-point sum order matches the
+    oracle's in-array-order fold exactly — no reliance on round(4) to
+    absorb reordering residue."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     tok = docs.select("doc_id", toks.alias("t"))
     uni = (
-        tok.select(F.explode("t").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        tok.select(F.explode("t").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_a"))
     )
-    big = (
+    vt = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    ex = (
         tok.filter(F.size("t") >= 2)
-        .select("t", F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"))
-        .select(
-            F.concat_ws(
-                " ",
-                F.element_at("t", F.col("i") + 1),
-                F.element_at("t", F.col("i") + 2),
-            ).alias("k")
-        )
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    m = uni.agg(
-        F.map_from_entries(F.collect_list(F.struct("term", "c"))).alias("umap"),
-        F.count(F.lit(1)).cast("bigint").alias("v"),
-    )
-    bm = big.agg(
-        F.map_from_entries(F.collect_list(F.struct("k", "c"))).alias("bmap")
-    )
-    nll = F.expr(
-        f"""-aggregate(sequence(1, size(t) - 1), 0D, (acc, i) ->
-          acc + ln((coalesce(element_at(bmap,
-                      concat(element_at(t, i), ' ', element_at(t, i + 1))), 0L)
-                    + {_LM_K})
-                   / (element_at(umap, element_at(t, i)) + {_LM_K} * v)))
-          / (size(t) - 1)"""
-    )
-    return (
-        tok.filter(F.size("t") >= 2)
-        .crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(bm))
         .select(
             "doc_id",
             (F.size("t") - 1).alias("n_bigrams"),
-            F.round(nll, 4).alias("nll_per_bigram"),
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "i",
+            F.element_at("t", F.col("i")).alias("a"),
+            F.element_at("t", F.col("i") + 1).alias("b"),
+        )
+    )
+    w = Window.partitionBy("a", "b")
+    with_cab = ex.withColumn("c_ab", F.count(F.lit(1)).over(w).cast("bigint"))
+    scored = (
+        with_cab.join(uni, "a")
+        .crossJoin(F.broadcast(vt))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "i",
+            F.log(
+                (F.col("c_ab") + F.lit(_LM_K))
+                / (F.col("c_a") + F.lit(_LM_K) * F.col("v"))
+            ).alias("ll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "n_bigrams")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "ll"))).alias("terms"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.expr("aggregate(terms, 0D, (acc, x) -> acc + x.ll)")
+                / F.col("n_bigrams"),
+                4,
+            ).alias("nll_per_bigram"),
         )
     )

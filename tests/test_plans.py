@@ -227,6 +227,33 @@ def test_broadcast_hints_are_allowlisted():
     assert not stale, f"stale BROADCAST_ALLOWLIST entries (call site gone): {stale}"
 
 
+def test_bigram_lm_no_corpus_broadcast(spark, sf_dir):
+    """q151: the bigram transition counts grow with the corpus and must
+    NEVER be a forced broadcast or a single-row map literal. Under
+    autoBroadcastJoinThreshold=-1 the only BroadcastExchange allowed is
+    the explicit 1-row vocab-size scalar hint; the bigram count must be a
+    Window over (a, b), and the per-doc fold must not funnel through a
+    SinglePartition exchange."""
+    df = _df(spark, sf_dir, "q151_bigram_logprob")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = P.formatted_plan(df)
+        ops = P.physical_ops(df)
+        assert sum("BroadcastExchange" in o for o in ops) == 1, (
+            f"only the 1-row vocab scalar may broadcast: {ops}"
+        )
+        assert "Window" in plan, "bigram count must be a window, not a map"
+        assert "map_from_entries" not in plan, "single-row map literal is back"
+        # the only SinglePartition funnel allowed is the 1-row vocab-size
+        # scalar aggregate (partial per-partition counts -> one row); the
+        # per-doc scoring fold itself must stay hash-partitioned.
+        exec_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert exec_plan.count("Exchange SinglePartition") <= 1, exec_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_hyperplane_lsh_no_join_per_pair(spark, sf_dir):
     """q101: pair scoring must go through the per-bucket pandas stage, not
     a join whose condition evaluates interpreted array lambdas per pair."""
@@ -299,7 +326,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q143_temperature_mixture",  # 1-row token total + weight normalizer
         "q148_pmi_bigrams",  # 1-row unigram/bigram totals
         "q150_term_burstiness",  # 1-row corpus doc count
-        "q151_bigram_logprob",  # 1-row unigram + bigram map literals
+        "q151_bigram_logprob",  # 1-row vocab-size scalar
         "q154_ann_recall_audit",  # 5-row probe set + k-row centroid table
     }
     offenders = {}
