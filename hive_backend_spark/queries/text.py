@@ -1121,33 +1121,44 @@ def q146_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 means a flat distribution (hash dumps, tables). Used as a gate
     alongside the C4-style heuristics in q62/q103.
 
-    Determinism: the entropy sum folds sequentially over the SORTED
-    distinct-token list in both engines (F.aggregate / list_aggregate),
-    so accumulation order is identical; each p ln p term derives from
-    exact integer counts.
+    Determinism: the entropy sum folds sequentially over per-token counts
+    in SORTED token order in both engines (run-length fold here, sorted
+    distinct list in the oracle — same order, same exact integer counts),
+    so accumulation order is identical.
 
     Scale posture: map-only — per-doc array expressions inside codegen,
-    zero shuffle, zero UDF. The per-doc work is O(V x n) array scans
-    (V = distinct tokens), bounded by document length."""
+    zero shuffle, zero UDF. Per-doc work is O(n log n): one array_sort,
+    then run boundaries via a linear filter over positions (equal tokens
+    are adjacent after the sort), then counts as differences of
+    consecutive run-end positions — NOT the O(V x n) re-scan-per-distinct
+    -token shape (a 100k-token doc with 10k distinct tokens would do 1e9
+    comparisons in one task)."""
     docs = load_table(spark, sf_dir, "documents")
     plogp = (
-        "aggregate(transform(array_sort(array_distinct(t)), "
-        "x -> (size(filter(t, y -> y = x)) / CAST(size(t) AS DOUBLE)) "
-        "* ln(size(filter(t, y -> y = x)) / CAST(size(t) AS DOUBLE))), "
+        "aggregate(transform(ends, (e, j) -> "
+        "((e - if(j = 0, 0, element_at(ends, j))) / CAST(size(t) AS DOUBLE)) "
+        "* ln((e - if(j = 0, 0, element_at(ends, j))) / CAST(size(t) AS DOUBLE))), "
         "0D, (acc, v) -> acc + v)"
     )
     return (
         docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .withColumn("s", F.array_sort("t"))
+        .withColumn(
+            "ends",
+            F.expr(
+                "filter(sequence(1, size(s)), "
+                "i -> i = size(s) OR element_at(s, i) != element_at(s, i + 1))"
+            ),
+        )
         .select(
             "doc_id",
             F.size("t").alias("n_tokens"),
-            F.size(F.array_distinct("t")).alias("n_distinct"),
+            F.size("ends").alias("n_distinct"),
             F.round(-F.expr(plogp), 4).alias("entropy"),
             F.when(
-                F.size(F.array_distinct("t")) > 1,
+                F.size("ends") > 1,
                 F.round(
-                    -F.expr(plogp)
-                    / F.log(F.size(F.array_distinct("t")).cast("double")),
+                    -F.expr(plogp) / F.log(F.size("ends").cast("double")),
                     4,
                 ),
             ).alias("norm_entropy"),
