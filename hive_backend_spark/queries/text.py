@@ -1195,13 +1195,18 @@ def q146_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(max(nr) AS BIGINT) AS n_ref,
            CAST(max(nc) AS BIGINT) AS n_cur,
-           round(max(abs(cr / CAST(nr AS DOUBLE) - cc / CAST(nc AS DOUBLE))), 6)
-             AS ks_stat,
-           round(1.63 * sqrt((max(nr) + max(nc))
-                 / (CAST(max(nr) AS DOUBLE) * max(nc))), 6) AS ks_crit,
-           max(abs(cr / CAST(nr AS DOUBLE) - cc / CAST(nc AS DOUBLE)))
-             > 1.63 * sqrt((max(nr) + max(nc))
-                 / (CAST(max(nr) AS DOUBLE) * max(nc))) AS drifted
+           CASE WHEN max(nr) = 0 OR max(nc) = 0 THEN NULL ELSE
+             round(max(abs(cr / CAST(nr AS DOUBLE) - cc / CAST(nc AS DOUBLE))), 6)
+           END AS ks_stat,
+           CASE WHEN max(nr) = 0 OR max(nc) = 0 THEN NULL ELSE
+             round(1.63 * sqrt((max(nr) + max(nc))
+                   / (CAST(max(nr) AS DOUBLE) * max(nc))), 6)
+           END AS ks_crit,
+           CASE WHEN max(nr) = 0 OR max(nc) = 0 THEN TRUE ELSE
+             max(abs(cr / CAST(nr AS DOUBLE) - cc / CAST(nc AS DOUBLE)))
+               > 1.63 * sqrt((max(nr) + max(nc))
+                   / (CAST(max(nr) AS DOUBLE) * max(nc)))
+           END AS drifted
     FROM c GROUP BY lang
     """,
 )
@@ -1217,6 +1222,13 @@ def q147_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both ECDFs are cumulative-sum windows over exact integer
     counts grouped by distinct value, so every compared double is a ratio
     of integers; the max over distinct values is order-free.
+
+    One-sided languages: a language whose docs all land in one md5 half
+    (possible for any rare language) has no KS statistic, and under ANSI
+    mode a plain division would throw DIVIDE_BY_ZERO at runtime while
+    the DuckDB oracle quietly yields NULL — a hard failure AND an oracle
+    divergence. Both engines now agree explicitly: ks_stat/ks_crit NULL,
+    drifted TRUE (a population appearing on only one side IS drift).
 
     Scale posture: one scan -> (lang, value) partial agg (|langs| x
     |distinct lengths| rows — tiny), windowed cumsums partitioned by
@@ -1248,19 +1260,24 @@ def q147_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_cur").over(wall).alias("nc"),
     )
     diff = F.abs(
-        F.col("cr") / F.col("nr").cast("double")
-        - F.col("cc") / F.col("nc").cast("double")
+        F.try_divide(F.col("cr"), F.col("nr").cast("double"))
+        - F.try_divide(F.col("cc"), F.col("nc").cast("double"))
     )
     crit = 1.63 * F.sqrt(
-        (F.max("nr") + F.max("nc"))
-        / (F.max("nr").cast("double") * F.max("nc"))
+        F.try_divide(
+            F.max("nr") + F.max("nc"),
+            F.max("nr").cast("double") * F.max("nc"),
+        )
     )
+    one_sided = (F.max("nr") == 0) | (F.max("nc") == 0)
     return c.groupBy("lang").agg(
         F.max("nr").cast("bigint").alias("n_ref"),
         F.max("nc").cast("bigint").alias("n_cur"),
         F.round(F.max(diff), 6).alias("ks_stat"),
         F.round(crit, 6).alias("ks_crit"),
-        (F.max(diff) > crit).alias("drifted"),
+        F.when(one_sided, F.lit(True))
+        .otherwise(F.max(diff) > crit)
+        .alias("drifted"),
     )
 
 

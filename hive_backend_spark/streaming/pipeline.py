@@ -298,8 +298,15 @@ def batch_value_drift(current: DataFrame, reference: DataFrame) -> DataFrame:
 
     Shuffle shape: both sides reduce to (event_type, value) counts before
     anything global happens; the ECDF cumsums run over that reduced
-    relation partitioned by event_type. Empty sides yield ks_stat NULL
-    (no distribution to compare) rather than a false verdict."""
+    relation partitioned by event_type.
+
+    One-sided types: an event_type present on only one side has no KS
+    statistic (nr or nc = 0 — the ECDF ratio is undefined), and under the
+    session's ANSI mode a plain division would kill the whole stream with
+    DIVIDE_BY_ZERO on exactly the batch that matters. try_divide keeps
+    ks_stat/ks_crit NULL for those rows, and `drifted` is explicitly TRUE:
+    a type appearing or vanishing IS the distribution change the monitor
+    exists to catch."""
     from pyspark.sql.window import Window
 
     tagged = reference.select(
@@ -323,18 +330,24 @@ def batch_value_drift(current: DataFrame, reference: DataFrame) -> DataFrame:
         F.sum("c_cur").over(wall).alias("nc"),
     )
     diff = F.abs(
-        F.col("cr") / F.col("nr").cast("double")
-        - F.col("cc") / F.col("nc").cast("double")
+        F.try_divide(F.col("cr"), F.col("nr").cast("double"))
+        - F.try_divide(F.col("cc"), F.col("nc").cast("double"))
     )
     crit = 1.63 * F.sqrt(
-        (F.max("nr") + F.max("nc")) / (F.max("nr").cast("double") * F.max("nc"))
+        F.try_divide(
+            F.max("nr") + F.max("nc"),
+            F.max("nr").cast("double") * F.max("nc"),
+        )
     )
+    one_sided = (F.max("nr") == 0) | (F.max("nc") == 0)
     return c.groupBy("event_type").agg(
         F.max("nr").cast("bigint").alias("n_ref"),
         F.max("nc").cast("bigint").alias("n_cur"),
         F.round(F.max(diff), 6).alias("ks_stat"),
         F.round(crit, 6).alias("ks_crit"),
-        (F.max(diff) > crit).alias("drifted"),
+        F.when(one_sided, F.lit(True))
+        .otherwise(F.max(diff) > crit)
+        .alias("drifted"),
     )
 
 
@@ -355,13 +368,26 @@ def drift_monitor_stream(
     (|types| rows per trigger), the reference is re-resolved per batch
     (a refresh is picked up without restarting the stream), and the
     checkpoint makes the monitor restart-safe. Runs availableNow and
-    drains the backlog."""
+    drains the backlog.
+
+    Restart idempotence: foreachBatch is at-least-once — a failure
+    between the sink write and the checkpoint commit replays the batch
+    on restart. A plain append would duplicate that batch's verdict
+    rows, so each batch writes to its own batch_id partition with
+    dynamic partition overwrite: the replay overwrites ONLY its own
+    partition, leaving every other batch's verdicts intact — exactly-
+    once per batch_id without a transactional table format."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_value_drift(batch_df, reference).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        out.write.mode("append").parquet(monitor_dir)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(monitor_dir)
+        )
 
     stream = read_event_stream(spark, source_dir, max_files_per_trigger)
     q = (

@@ -483,3 +483,53 @@ def test_drift_monitor_stream_batch_parity(spark, stream_src, tmp_path):
             map(repr, verdicts.filter(F.col("batch_id") == bid).drop("batch_id").collect())
         )
         assert rows in per_file, f"batch {bid} verdicts match no source file"
+
+
+def test_drift_one_sided_type_explicit_verdict(spark):
+    """A type present on only one side must not kill the query with an
+    ANSI DIVIDE_BY_ZERO (the crash mode: a brand-new event type in the
+    ingest — exactly the drift the monitor exists to catch). The verdict
+    is explicit: ks_stat/ks_crit NULL, drifted TRUE."""
+    from hive_backend_spark.catalog import load_table
+
+    events = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    ref = events.filter(F.col("event_type") != "click")
+
+    # new type: in current, absent from reference
+    out = {r.event_type: r for r in S.batch_value_drift(events, ref).collect()}
+    row = out["click"]
+    assert row.drifted is True
+    assert row.ks_stat is None and row.ks_crit is None
+    assert row.n_ref == 0 and row.n_cur > 0
+
+    # vanished type: in reference, absent from current
+    out2 = {
+        r.event_type: r
+        for r in S.batch_value_drift(
+            events.filter(F.col("event_type") != "click"), events
+        ).collect()
+    }
+    row2 = out2["click"]
+    assert row2.drifted is True and row2.ks_stat is None
+    assert row2.n_cur == 0 and row2.n_ref > 0
+
+
+def test_drift_monitor_replay_is_idempotent(spark, stream_src, tmp_path):
+    """foreachBatch is at-least-once: simulate a post-write/pre-commit
+    failure by wiping the checkpoint and re-running — every batch replays
+    under its original batch_id and must OVERWRITE its own partition, not
+    append duplicates."""
+    from hive_backend_spark.catalog import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    reference = events.filter(F.col("user_id") % 2 == 0).select(
+        "event_type", "value"
+    )
+    monitor = str(tmp_path / "monitor")
+    ckpt = str(tmp_path / "ckpt")
+    S.drift_monitor_stream(spark, stream_src, reference, monitor, ckpt)
+    first = sorted(map(repr, spark.read.parquet(monitor).collect()))
+    shutil.rmtree(ckpt)  # forget progress -> full replay, same batch ids
+    S.drift_monitor_stream(spark, stream_src, reference, monitor, ckpt)
+    second = sorted(map(repr, spark.read.parquet(monitor).collect()))
+    assert second == first, "replayed batches duplicated verdict rows"
