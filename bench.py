@@ -115,6 +115,7 @@ HEADLINE = [
     "q152_dedup_aware_shards",
     "q153_embedding_norm_audit",
     "q154_ann_recall_audit",
+    "q155_kmeans_train",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -142,6 +143,13 @@ SHARES_BAND_CACHE = [
 # only within a version (r2 is the v2 baseline).
 HARNESS_VERSION = 2
 HARNESS_METHOD = "noop-write; cold q82/q79 min-of-3; warm min-of-2(+1 if >3s)"
+
+
+def _ncpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
 
 
 def main() -> None:
@@ -233,6 +241,14 @@ def main() -> None:
                 "shares_band_cache": SHARES_BAND_CACHE,
                 "load_avg_1m_at_start": _load_start_1m,
                 "load_avg_5m_at_start": _load_start_5m,
+                # r4's numbers were contaminated by a 10+ external load; flag
+                # runs that start on a busy box so cross-round comparisons
+                # can discount them (threshold: 2x cores/8, i.e. 8 on the
+                # 32-core harness).
+                "degraded": (
+                    _load_start_1m is not None
+                    and _load_start_1m > 2 * _ncpus() / 8.0
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -87,17 +87,23 @@ def q70_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CENTROIDS_CACHE: dict[tuple[str, str], tuple] = {}
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str) -> tuple:
+def _ivf_centroids(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> tuple:
     """(labels, k x dim centroid matrix), rows sorted by centroid id. Built
     by the same posexplode -> per-(label, pos) mean aggregation as q73 —
     the shuffle carries k x dim rows, never vectors — then collected (k
-    rows). Cached per applicationId like the dedup band tables."""
+    rows). Cached per applicationId like the dedup band tables.
+
+    refine_iters > 0 runs that many Lloyd rounds of
+    operators/clustering.kmeans_train from the label-mean seed — the
+    trained-codebook path every IVF consumer (q71/q74/q116/q127/q132/
+    q154 geometry) can opt into; the default (0) stays the label-mean
+    quantizer the DuckDB oracles replay."""
     import numpy as np
 
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _CENTROIDS_CACHE if k[0] != app_id]:
         del _CENTROIDS_CACHE[k]
-    key = (app_id, sf_dir)
+    key = (app_id, sf_dir, refine_iters)
     out = _CENTROIDS_CACHE.get(key)
     if out is None:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -116,15 +122,25 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> tuple:
             .collect()
         )
         rows.sort(key=lambda r: r["label"])
-        out = (
-            np.array([r["label"] for r in rows]),
-            np.stack([np.array(r["c"], dtype=np.float64) for r in rows]),
-        )
+        labels = np.array([r["label"] for r in rows])
+        cents = np.stack([np.array(r["c"], dtype=np.float64) for r in rows])
+        if refine_iters > 0:
+            from ..operators.clustering import kmeans_train
+
+            cents, _ = kmeans_train(
+                vecs.select("v"),
+                cents,
+                max_iter=refine_iters,
+                min_iter=refine_iters,
+                tol=0.0,
+                strict=False,
+            )
+        out = (labels, cents)
         _CENTROIDS_CACHE[key] = out
     return out
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assign(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> DataFrame:
     """(vec_id, label, cell, v): every vector routed to its nearest centroid
     by cosine (ties -> smallest centroid id). One vectorized mapInPandas
     pass — a BLAS (n x dim) @ (dim x k) matmul per Arrow batch; no shuffle.
@@ -137,7 +153,7 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import spread
 
-    labels, cents = _ivf_centroids(spark, sf_dir)
+    labels, cents = _ivf_centroids(spark, sf_dir, refine_iters)
     cnorms = np.linalg.norm(cents, axis=1)
 
     def assign(batches):
@@ -1314,4 +1330,118 @@ def q154_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("routed_cell"),
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_overlap"),
         F.round(F.coalesce(F.col("n"), F.lit(0)) / 10.0, 2).alias("recall_at_10"),
+    )
+
+
+# --- q155: iterated k-means training (the loop q140 is one step of) --------
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _km_oracle() -> str:
+    """Unrolled 3-iteration Lloyd replay: same deterministic init (the
+    k lowest-vec_id vectors), same ||v-c||^2 = v.v + c.c - 2 v.c distance
+    form, same empty-cell keep-previous rule as operators/clustering."""
+    blocks = [f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    w AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    a0 AS (
+      SELECT vec_id, v, j AS cell, d2 FROM (
+        SELECT w.vec_id, w.v, c.j,
+               w.vv + list_dot_product(c.c, c.c)
+                    - 2 * list_dot_product(w.v, c.c) AS d2,
+               row_number() OVER (PARTITION BY w.vec_id
+                 ORDER BY w.vv + list_dot_product(c.c, c.c)
+                          - 2 * list_dot_product(w.v, c.c) ASC, c.j ASC) AS rn
+        FROM w, c0 c)
+      WHERE rn = 1
+    )"""]
+    for i in range(1, _KM_ITERS + 1):
+        p = i - 1
+        blocks.append(f"""
+    c{i} AS (
+      SELECT p.j, COALESCE(m.c2, p.c) AS c
+      FROM c{p} p LEFT JOIN (
+        SELECT cell AS j, list(mx ORDER BY pos) AS c2
+        FROM (SELECT cell, pos, sum(x) / count(*) AS mx
+              FROM (SELECT cell, unnest(v) AS x,
+                           generate_subscripts(v, 1) AS pos
+                    FROM a{p})
+              GROUP BY cell, pos)
+        GROUP BY cell) m ON m.j = p.j
+    ),
+    a{i} AS (
+      SELECT vec_id, v, j AS cell, d2 FROM (
+        SELECT w.vec_id, w.v, c.j,
+               w.vv + list_dot_product(c.c, c.c)
+                    - 2 * list_dot_product(w.v, c.c) AS d2,
+               row_number() OVER (PARTITION BY w.vec_id
+                 ORDER BY w.vv + list_dot_product(c.c, c.c)
+                          - 2 * list_dot_product(w.v, c.c) ASC, c.j ASC) AS rn
+        FROM w, c{i} c)
+      WHERE rn = 1
+    ),
+    s{i} AS (
+      SELECT CAST({i} AS INTEGER) AS iter,
+             (SELECT CAST(sum(CASE WHEN n.cell <> o.cell THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM a{i} n JOIN a{p} o USING (vec_id)) AS n_moved,
+             (SELECT round(sum(d2), 4) FROM a{i}) AS inertia,
+             (SELECT round(max(sqrt(greatest(
+                  list_dot_product(n.c, n.c) + list_dot_product(p.c, p.c)
+                  - 2 * list_dot_product(n.c, p.c), 0))), 6)
+              FROM c{i} n JOIN c{p} p USING (j)) AS max_shift
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, _KM_ITERS + 1)
+    )
+    return "WITH" + ",".join(blocks) + f"\n    {union}\n    ORDER BY iter"
+
+
+@register("q155_kmeans_train", oracle=_km_oracle())
+def q155_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated k-means training (operators/clustering.kmeans_train): a
+    fixed 3-round Lloyd run over the embedding corpus from a
+    deterministic seed (the 8 lowest-vec_id vectors), reporting per round
+    the convergence signals a codebook-training pipeline loops on —
+    vectors reassigned, total inertia, max centroid shift. This is the
+    training loop behind the whole IVF/PQ family: q140 is one step of
+    it, q73/q74/q127/q132/q154 consume its output geometry.
+
+    Determinism: the seed is fixed by vec_id order; both engines use the
+    identical ||v-c||^2 = v.v + c.c - 2 v.c form with ties broken to the
+    smallest cell id, empty cells keep their previous centroid, and
+    reported doubles are rounded (inertia 4, shift 6). Assignment margins
+    are O(cluster separation), the accepted tolerance class shared with
+    _ivf_assign/q132.
+
+    Scale posture: per round ONE mapInPandas pass (BLAS matmul per Arrow
+    batch) emitting <= k partial rows per batch, reduced by a k-row
+    groupBy; the driver holds only the k x dim matrix. The per-iteration
+    report is k-bounded model state, not a data path."""
+    import numpy as np
+
+    from ..operators.clustering import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = vecs.orderBy("vec_id").limit(_KM_K).collect()  # k rows, bounded
+    init = np.stack(
+        [np.asarray(r["v"], dtype=np.float64) for r in sorted(seeds, key=lambda r: r["vec_id"])]
+    )
+    _, history = kmeans_train(
+        vecs, init, max_iter=_KM_ITERS, min_iter=_KM_ITERS, tol=0.0, strict=False
+    )
+    rows = [
+        (h.iteration, h.n_moved, round(h.inertia, 4), round(h.max_shift, 6))
+        for h in history
+    ]
+    return spark.createDataFrame(
+        rows, "iter int, n_moved bigint, inertia double, max_shift double"
     )

@@ -390,3 +390,81 @@ def test_ivf_cell_blocking_bounded(spark):
     assert max(sizes) <= max(3 * n // k, 32), (
         f"hot cell breaks the bounded-block contract: sizes={sorted(sizes)}"
     )
+
+
+# --- kmeans_train (operators/clustering) -----------------------------------
+
+
+def _km_vecs(spark):
+    from hive_backend_spark.catalog import load_table
+
+    return load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _km_seed(spark, k):
+    import numpy as np
+
+    rows = _km_vecs(spark).orderBy("vec_id").limit(k).collect()
+    return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+
+
+def test_kmeans_inertia_monotone_and_fixpoint(spark):
+    """Lloyd invariants: inertia never increases round-over-round (both
+    the assignment and the update step can only lower J), and re-seeding
+    from a converged centroid matrix moves zero vectors with zero shift
+    in its first round (assignment fixpoint is stable)."""
+    from hive_backend_spark.operators.clustering import kmeans_train
+
+    vecs = _km_vecs(spark)
+    cents, history = kmeans_train(
+        vecs, _km_seed(spark, 6), max_iter=60, tol=0.0, strict=True
+    )
+    assert len(history) >= 1
+    inertias = [h.inertia for h in history]
+    assert all(a >= b - 1e-9 for a, b in zip(inertias, inertias[1:])), inertias
+    assert history[-1].n_moved == 0 or history[-1].max_shift == 0.0
+
+    _, rerun = kmeans_train(vecs, cents, max_iter=1, tol=0.0, strict=False)
+    assert rerun[0].n_moved == 0
+    assert rerun[0].max_shift == 0.0
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    """A seed so far from the data that it captures no members must keep
+    its centroid verbatim instead of collapsing to NaN."""
+    import numpy as np
+
+    from hive_backend_spark.operators.clustering import kmeans_train
+
+    seed = _km_seed(spark, 4)
+    seed[3] = 1e6  # nobody's nearest centroid
+    cents, history = kmeans_train(
+        _km_vecs(spark), seed, max_iter=5, min_iter=5, tol=0.0, strict=False
+    )
+    assert np.array_equal(cents[3], seed[3])
+    assert np.isfinite(cents).all()
+
+
+def test_kmeans_nonconvergence_raises(spark):
+    """strict mode must raise loudly when the budget is exhausted before
+    convergence — never hand back a silently-unconverged model."""
+    from hive_backend_spark.operators.clustering import kmeans_train
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kmeans_train(_km_vecs(spark), _km_seed(spark, 6), max_iter=1, tol=0.0)
+
+
+def test_ivf_consumers_accept_trained_centroids(spark):
+    """The IVF family consumes kmeans_train output: _ivf_assign with
+    refine_iters routes every vector to a refined cell, and refinement
+    must not lose or invent vectors."""
+    from hive_backend_spark.queries.similarity import _ivf_assign, _ivf_centroids
+
+    base = _ivf_assign(spark, SF_DIR)
+    refined = _ivf_assign(spark, SF_DIR, refine_iters=2)
+    assert refined.count() == base.count()
+    labels, cents = _ivf_centroids(spark, SF_DIR, refine_iters=2)
+    cells = {r["cell"] for r in refined.select("cell").distinct().collect()}
+    assert cells <= set(labels.tolist())
