@@ -72,6 +72,72 @@ def assert_plan(df: DataFrame, requires: list[str] = (), forbids: list[str] = ()
 # mechanically: every `F.broadcast(` call site in the library must appear
 # here with a justification naming why the build side is bounded. Adding a
 # hint without recording its bound fails the suite.
+# --- collected-list invariant -----------------------------------------------
+# collect_list folds a whole group into ONE aggregation-buffer row, built by
+# one task. That is safe only when the list length is BOUNDED BY CONSTRUCTION:
+# array dimension (64-dim centroid pairs), a pre-applied rank/top-k filter, a
+# single document's own tokens/windows/spans, a fixed report head, or
+# partitions x k partial rows. A list that grows with the CORPUS (a full
+# posting list, every distinct bigram, per-user event history) concentrates
+# corpus-sized state in one buffer and, if then broadcast, on every executor.
+# The ONE sanctioned corpus-coupled case is q114's unigram vocabulary map:
+# vocabulary growth follows Heaps' law V ~ K * N^b with b ~ 0.4-0.6 observed
+# on web corpora, so at 100 TB (~2.5e13 tokens, K~30, b~0.5) V is O(1.5e8)
+# terms — a few GB as a map, the documented ceiling of that design; its
+# BIGRAM analogue has no such sublinear bound and was rebuilt as joins (q151).
+#
+# tests/test_plans.py::test_collect_list_sites_are_bounded enforces this the
+# same way as the broadcast allowlist: every `collect_list(` call site in the
+# library must appear here with its recorded bound.
+COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("queries/similarity.py",
+     "F.array_sort(F.collect_list(F.struct(F.col(\"pos\"), F.col(\"m\")))),"):
+        "dim-bounded: 64 (pos, mean) pairs per centroid row (_ivf_centroids)",
+    ("queries/similarity.py",
+     "F.collect_list(F.struct(F.col(\"pos\"), F.col(\"mean_x\")))"):
+        "dim-bounded: 64 (pos, mean) pairs per centroid row (q73)",
+    ("queries/similarity.py",
+     "F.array_sort(F.collect_list(F.struct(F.col(\"pos\"), F.col(\"mean_x\")))),"):
+        "dim-bounded: 64 (pos, mean) pairs per centroid row (q74)",
+    ("queries/similarity.py",
+     'F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias("c")'):
+        "dim-bounded: 64 codebook components per (subspace, code) row (q127)",
+    ("queries/similarity.py",
+     'F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("c")'):
+        "dim-bounded: 64 centroid components per label row (q140/q154)",
+    ("queries/similarity.py",
+     'F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("c2")'):
+        "dim-bounded: 64 centroid components per label row (q140 update)",
+    ("queries/corpus.py",
+     'F.collect_list(F.when(F.col("rk") <= 20, F.col("doc_id")))'):
+        "rank-bounded: per-term row_number <= 20 applied BEFORE the collect "
+        "(q109 posting head — hot-term lists never materialize)",
+    ("queries/corpus.py",
+     'F.map_from_entries(F.collect_list(F.struct("term", "c"))).alias("vmap"),'):
+        "Heaps-bounded: unigram vocabulary V ~ K*N^0.5 — O(1.5e8) terms / a "
+        "few GB at 100 TB, the documented ceiling of q114's map design; the "
+        "corpus-linear bigram analogue is FORBIDDEN and was rebuilt as "
+        "window-count + join (q151)",
+    ("queries/corpus.py",
+     'F.array_sort(F.collect_list(F.struct("start_offset", "text"))),'):
+        "doc-bounded: one document's 512-token chunks per row (q120)",
+    ("queries/corpus.py",
+     'F.array_sort(F.collect_list(F.struct("rk", "x", "y"))).alias("a"),'):
+        "head-bounded: top-30 zipf ranks, pre-limited by TakeOrdered (q141)",
+    ("queries/corpus.py",
+     '.agg(F.sort_array(F.collect_list(F.struct("i", "ll"))).alias("terms"))'):
+        "doc-bounded: one document's bigram positions per row (q151 fold)",
+    ("queries/text.py",
+     'F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["wtext"]),'):
+        "doc-bounded: one document's shingle windows per row (q128)",
+    ("queries/text.py", 'F.array_sort(F.collect_list(F.struct("s", "e"))),'):
+        "doc-bounded: one document's merged duplicate spans per row (q142)",
+    ("operators/clustering.py",
+     'F.collect_list("s"), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)'):
+        "partition-bounded: <= one k x dim partial-sum row per Arrow batch "
+        "per cell, folded to a dim-length array (kmeans_train round reduce)",
+}
+
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("streaming/pipeline.py", 'return events.join(F.broadcast(dim), on, "inner")'):
         "stream-static dim lookup: dim table is fixed-cardinality by contract",
@@ -174,7 +240,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/corpus.py", 'avail.join(F.broadcast(w), "lang")'):
         "language weight table: 5 rows (q113)",
     ("queries/corpus.py", "docs.crossJoin(F.broadcast(m))"):
-        "1-row vocab-total scalar (q114)",
+        "1-row unigram vocab map + total (q114): Heaps-bounded V ~ K*N^0.5, "
+        "O(GB) at 100 TB — see the COLLECT_LIST_ALLOWLIST vmap entry for "
+        "the full bound; the corpus-linear bigram analogue is forbidden",
     ("queries/corpus.py", 'placed = local.join(F.broadcast(offsets), "bucket").select('):
         "256-row packing bucket offsets (q115)",
     ("queries/corpus.py", "return folded.crossJoin(F.broadcast(totals)).select("):

@@ -257,19 +257,34 @@ def q109_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting join key is the term — exactly how a distributed index build
     shards at scale (shuffle by term, build postings per shard); hot terms
     are the skew case AQE's skew-join handles, or salt-and-merge for
-    pathological stopwords."""
+    pathological stopwords.
+
+    The head is BOUNDED BEFORE COLLECTION: a per-term row_number keeps
+    only the 20 smallest doc_ids in the collect (same values as slicing
+    the full sorted posting — rank by doc_id asc IS the slice), so a
+    stopword whose posting list grows with the corpus never materializes
+    it in one aggregation buffer. The rank window and the group-by share
+    the term hash partitioning — one Exchange."""
     docs = load_table(spark, sf_dir, "documents")
     posting = (
         docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return posting.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum("tf").cast("bigint").alias("cf"),
-        F.concat_ws(
-            ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).cast("array<string>")
-        ).alias("posting_head"),
+    wt = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        posting.withColumn("rk", F.row_number().over(wt))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.when(F.col("rk") <= 20, F.col("doc_id")))
+                ).cast("array<string>"),
+            ).alias("posting_head"),
+        )
     )
 
 

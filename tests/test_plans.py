@@ -254,6 +254,57 @@ def test_bigram_lm_no_corpus_broadcast(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_collect_list_sites_are_bounded():
+    """The collected-list invariant (plans.COLLECT_LIST_ALLOWLIST): every
+    collect_list call site must record why its list length is bounded by
+    construction (dim / rank / document / report head / partitions-x-k).
+    A new fold whose list grows with the corpus fails here until someone
+    writes down its bound — which, for a corpus-growing list, they can't
+    (the one sanctioned sublinear exception, q114's Heaps-law vocabulary
+    map, carries its ceiling in the allowlist)."""
+    import os
+
+    import hive_backend_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    seen = set()
+    unlisted = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            if rel == "plans.py":
+                continue
+            with open(path) as fh:
+                for lineno, line in enumerate(fh, 1):
+                    if "collect_list(" not in line:
+                        continue
+                    key = (rel, line.strip())
+                    seen.add(key)
+                    if key not in P.COLLECT_LIST_ALLOWLIST:
+                        unlisted.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not unlisted, (
+        "collect_list call sites missing a bounded-length justification in "
+        "plans.COLLECT_LIST_ALLOWLIST:\n" + "\n".join(unlisted)
+    )
+    stale = [k for k in P.COLLECT_LIST_ALLOWLIST if k not in seen]
+    assert not stale, f"stale COLLECT_LIST_ALLOWLIST entries (call site gone): {stale}"
+
+
+def test_inverted_index_bounds_posting_head_before_collect(spark, sf_dir):
+    """q109: the rank window and the final group-by must SHARE the term
+    hash partitioning — exactly two exchanges total ((term, doc_id)
+    posting build + term), not three; the collect buffer only ever sees
+    rank<=20 rows (the CASE WHEN inside collect_list in the plan)."""
+    df = _df(spark, sf_dir, "q109_inverted_index")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "collect_list(CASE WHEN (rk" in plan, plan
+    P.assert_plan(df, requires=["Window"])
+
+
 def test_hyperplane_lsh_no_join_per_pair(spark, sf_dir):
     """q101: pair scoring must go through the per-bucket pandas stage, not
     a join whose condition evaluates interpreted array lambdas per pair."""
