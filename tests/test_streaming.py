@@ -533,3 +533,140 @@ def test_drift_monitor_replay_is_idempotent(spark, stream_src, tmp_path):
     S.drift_monitor_stream(spark, stream_src, reference, monitor, ckpt)
     second = sorted(map(repr, spark.read.parquet(monitor).collect()))
     assert second == first, "replayed batches duplicated verdict rows"
+
+
+@pytest.mark.slow
+def test_streaming_integration_sf01_midstream_restart(spark, tmp_path):
+    """sf0.1 integration (the round-4 advisory's modest-scale gate): 20
+    time-ordered micro batches through BOTH production streaming operators
+    with a mid-stream stop, a simulated crash (the newest checkpoint
+    commit deleted, so that batch replays on restart), and a resume:
+
+    - drift_monitor_stream: after the restart drains the backlog, the
+      monitor table must hold exactly one verdict group per source file,
+      each equal to the batch kernel on that file — the replayed batch
+      must overwrite, not duplicate.
+    - correlate_streams (parquet sink + checkpoint): pairs emitted across
+      the restart must be a duplicate-free subset of the batch interval
+      join, missing only interval-not-yet-closed tail selections."""
+    from pyspark.sql.window import Window
+
+    from hive_backend_spark.catalog import load_table
+
+    sf_dir = "/root/testdata/sf0.1"
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "chunk", F.ntile(20).over(Window.orderBy("ts")) - 1
+    )
+    events.persist()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def publish(lo, hi):
+        for i in range(lo, hi):
+            d = tmp_path / f"stage_{i}"
+            events.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+                "append"
+            ).parquet(str(d))
+            for f in d.glob("part-*.parquet"):
+                shutil.move(str(f), os.path.join(src, f"batch_{i:02d}.parquet"))
+            shutil.rmtree(d)
+
+    reference = events.filter(F.col("user_id") % 2 == 0).select("event_type", "value")
+    monitor = str(tmp_path / "monitor")
+    ckpt_root = str(tmp_path / "ckpt")
+    corr_out = str(tmp_path / "corr_out")
+    corr_ckpt = str(tmp_path / "corr_ckpt")
+
+    def run_correlate():
+        sel = S.read_event_stream(spark, src).filter(F.col("event_type") == "click")
+        upd = S.read_event_stream(spark, src).filter(F.col("event_type") == "purchase")
+        q = (
+            S.correlate_streams(sel, upd)
+            .writeStream.format("parquet")
+            .option("path", corr_out)
+            .option("checkpointLocation", corr_ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: first 8 files, both operators drain them
+    publish(0, 8)
+    S.drift_monitor_stream(spark, src, reference, monitor, ckpt_root)
+    run_correlate()
+
+    # simulated crash: the newest drift commit vanishes -> that batch is
+    # post-write/pre-commit and MUST replay idempotently on restart
+    commits_dir = tmp_path / "ckpt" / "drift_monitor" / "commits"
+    newest = sorted(
+        (c for c in commits_dir.iterdir() if not c.name.startswith(".")),
+        key=lambda c: int(c.name),
+    )[-1]
+    crc = commits_dir / f".{newest.name}.crc"
+    newest.unlink()
+    if crc.exists():  # hadoop checksum sidecar must vanish with its commit
+        crc.unlink()
+
+    # phase 2: 12 more files arrive; same checkpoints -> resume + replay
+    publish(8, 20)
+    S.drift_monitor_stream(spark, src, reference, monitor, ckpt_root)
+    run_correlate()
+    events.unpersist()
+
+    # drift: one verdict group per file, each == the batch kernel, no dupes
+    verdicts = spark.read.parquet(monitor)
+    groups = {
+        bid: sorted(
+            map(repr, verdicts.filter(F.col("batch_id") == bid).drop("batch_id").collect())
+        )
+        for bid in [r.batch_id for r in verdicts.select("batch_id").distinct().collect()]
+    }
+    assert len(groups) == 20, f"expected 20 verdict groups, got {sorted(groups)}"
+    kernels = [
+        sorted(
+            map(
+                repr,
+                S.batch_value_drift(
+                    spark.read.parquet(os.path.join(src, f"batch_{i:02d}.parquet")),
+                    reference,
+                ).collect(),
+            )
+        )
+        for i in range(20)
+    ]
+    unmatched = [bid for bid, rows in groups.items() if rows not in kernels]
+    assert not unmatched, f"verdict groups matching no file kernel: {unmatched}"
+    for k in kernels:
+        assert sum(1 for rows in groups.values() if rows == k) >= 1
+
+    # correlate: duplicate-free subset of the batch interval join
+    got = spark.read.parquet(corr_out)
+    assert got.count() == got.distinct().count(), "restart duplicated join rows"
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(src)
+    bs = batch.filter(F.col("event_type") == "click").alias("s")
+    bu = batch.filter(F.col("event_type") == "purchase").alias("u")
+    want = bs.join(
+        bu,
+        F.expr(
+            "s.user_id = u.user_id AND u.ts >= s.ts "
+            "AND u.ts <= s.ts + INTERVAL 30 minutes"
+        ),
+    ).select(
+        F.col("s.event_id").alias("selection_id"),
+        F.col("s.ts").alias("selection_ts"),
+        F.col("s.user_id").alias("user_id"),
+        F.col("u.event_id").alias("update_id"),
+        F.col("u.ts").alias("update_ts"),
+        F.col("u.value").alias("value"),
+    )
+    got_rows = set(map(repr, got.collect()))
+    want_rows = set(map(repr, want.collect()))
+    assert want_rows, "batch interval join found no pairs — vacuous"
+    assert got_rows, "stream emitted no pairs"
+    assert got_rows <= want_rows, "stream emitted pairs the batch join lacks"
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    missing = want.join(got, ["selection_id", "update_id"], "left_anti").collect()
+    for r in missing:
+        lag_h = (max_ts - r["selection_ts"]).total_seconds() / 3600
+        assert lag_h <= 1.5, f"pair missing though watermark closed it: {r}"
