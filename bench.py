@@ -116,6 +116,10 @@ HEADLINE = [
     "q153_embedding_norm_audit",
     "q154_ann_recall_audit",
     "q155_kmeans_train",
+    "q156_source_quality_cap",
+    "q157_cross_source_duplication",
+    "q158_stopword_coverage_gate",
+    "q159_bpe_merge_candidates",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -132,6 +132,10 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
         "doc-bounded: one document's shingle windows per row (q128)",
     ("queries/text.py", 'F.array_sort(F.collect_list(F.struct("s", "e"))),'):
         "doc-bounded: one document's merged duplicate spans per row (q142)",
+    ("queries/text.py",
+     'swl = head.agg(F.sort_array(F.collect_list("term")).alias("sw"))'):
+        "head-bounded: top-25 stopword terms, pre-limited by TakeOrdered "
+        "(q158)",
     ("operators/clustering.py",
      'F.collect_list("s"), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)'):
         "partition-bounded: <= one k x dim partial-sum row per Arrow batch "
@@ -175,6 +179,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "language census: |langs| rows, bounded dimension (q149)",
     ("queries/text.py", "agg.crossJoin(F.broadcast(d))"):
         "1-row corpus doc-count scalar (q150)",
+    ("queries/text.py", ".crossJoin(F.broadcast(swl))"):
+        "1-row top-25 stopword array, head-bounded (q158)",
     ("queries/queue.py", 'events.join(F.broadcast(batch), "event_id", "left_semi")'):
         "two-phase mark batch: top-100 dequeue slice (q52)",
     ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):

@@ -1184,3 +1184,65 @@ def q151_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll_per_bigram"),
         )
     )
+
+
+# q159: first-round BPE merge table size. 20 pairs is a report head; a real
+# tokenizer train loops this query, applies the top merge, and recounts.
+_BPE_TOPK = 20
+
+
+@register(
+    "q159_bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT s.a || s.b AS pair, CAST(count(*) AS BIGINT) AS merge_count
+      FROM (SELECT unnest(list_transform(range(1, len(w)),
+                     i -> struct_pack(a := w[i], b := w[i+1]))) AS s
+            FROM words WHERE len(w) >= 2)
+      GROUP BY s.a || s.b
+    )
+    SELECT pair, merge_count
+    FROM pairs
+    ORDER BY merge_count DESC, pair ASC
+    LIMIT {_BPE_TOPK}
+    """,
+)
+def q159_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step one: the top-{_BPE_TOPK} adjacent
+    character pairs inside words by corpus frequency — exactly the
+    candidate table the first BPE merge rule is chosen from (Sennrich et
+    al.). A production tokenizer train LOOPS this shape: count pairs,
+    apply the argmax merge, recount on the merged symbols; the
+    distributed kernel (explode symbol pairs -> partial-agg -> head) is
+    identical every round, so this one round is the representative
+    operator. Complements q138 (fertility of an ASSUMED tokenizer) with
+    the op that TRAINS one.
+
+    Determinism: exact integer counts, alphabetic tie-break on the pair.
+
+    Scale posture: character pairs aggregate with map-side partial
+    combine (the symbol-pair vocabulary is alphabet^2-bounded, far
+    smaller than the word vocabulary), then a {_BPE_TOPK}-row
+    TakeOrdered. No corpus-sized state anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> concat(substr(w, i, 1), substr(w, i + 1, 1)))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("merge_count"))
+        .orderBy(F.col("merge_count").desc(), F.col("pair").asc())
+        .limit(_BPE_TOPK)
+    )

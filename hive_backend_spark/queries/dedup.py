@@ -815,3 +815,52 @@ def q152_dedup_aware_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
         )
     )
+
+
+@register(
+    "q157_cross_source_duplication",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:8],
+                                 ' ')) AS fp
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_leads
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q157_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication attribution: which pairs of sources share
+    document LEADS (md5 of the first 8 tokens — the templated-opening /
+    boilerplate-header key; full-text fingerprints are q63/q64's exact
+    layer, and none cross sources in this corpus). A hot cell in this
+    matrix is the forensic signal that two crawl sources mirror each
+    other or share a template farm — the input to source-level dedup
+    decisions that per-document dedup can't express.
+
+    Determinism: md5 over a deterministic token slice; counts are exact
+    integers.
+
+    Scale posture: the distinct (source, fp) relation is one dedup
+    shuffle of digest-sized rows; the pair join shuffles ON THE
+    FINGERPRINT (never a source cross product), and each fp group emits
+    at most |sources|^2/2 pairs — bounded by the source census, not the
+    corpus. The census aggregate is |sources|^2 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8))
+        ).alias("fp"),
+    ).distinct()
+    a = fp.select(F.col("source").alias("source_a"), "fp")
+    b = fp.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_leads"))
+    )

@@ -241,3 +241,87 @@ def q144_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
     )
+
+
+# Per-source retention cap (q156): at most _CAP_M docs survive per source,
+# best-quality-first — the CommonCrawl-style per-domain cap that stops one
+# hot domain from flooding a training mix.
+_CAP_M = 15
+
+
+def _q156_oracle() -> str:
+    from .text import STOPWORDS
+
+    return f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+               * 0.5
+             + LEAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t)))
+                     / CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                            AS DOUBLE) * 5.0, 1.0) * 0.5 AS quality
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id ASC) AS rk
+      FROM q
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= {_CAP_M} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rk > {_CAP_M} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           round(min(CASE WHEN rk <= {_CAP_M} THEN quality END), 4)
+             AS min_kept_quality,
+           round(avg(CASE WHEN rk <= {_CAP_M} THEN quality END), 4)
+             AS avg_kept_quality
+    FROM r GROUP BY source
+    """
+
+
+@register("q156_source_quality_cap", oracle=_q156_oracle())
+def q156_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source retention cap, best-quality-first: rank every document
+    inside its source by the q62 quality score (ties -> doc_id) and keep
+    the top {_CAP_M}; report the per-source retention census (kept,
+    dropped, kept-quality floor/mean). This is the per-domain cap every
+    web-scale pipeline applies so one template-heavy domain can't flood
+    the mix — composed with quality scoring so the cap keeps the BEST
+    slice of each source, not a random one.
+
+    Determinism: quality derives from exact integer token counts; the
+    rank tie-breaks on doc_id; kept-side min/avg fold <= {_CAP_M} doubles,
+    rounded.
+
+    Scale posture: one hash exchange on source shared by the rank window
+    and the census aggregate (the q109 discipline). The census never
+    materializes the kept set — at 100 TB the same rank column gates the
+    actual output write (filter rk <= M), a narrow continuation of this
+    exact plan."""
+    from .text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens.cast(
+        "double"
+    )
+    quality = F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5 + F.least(
+        stop_ratio * 5.0, F.lit(1.0)
+    ) * 0.5
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    ranked = docs.select("doc_id", "source", quality.alias("quality")).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    kept_q = F.when(F.col("rk") <= _CAP_M, F.col("quality"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("rk") <= _CAP_M).cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((F.col("rk") > _CAP_M).cast("int")).cast("bigint").alias("n_dropped"),
+        F.round(F.min(kept_q), 4).alias("min_kept_quality"),
+        F.round(F.avg(kept_q), 4).alias("avg_kept_quality"),
+    )

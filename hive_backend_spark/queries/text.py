@@ -1431,3 +1431,77 @@ def q150_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "term")
         .limit(_BURST_K)
     )
+
+
+# q158: corpus-derived stopword list size + the coverage gate threshold.
+# 25 head terms ~ the closed-class core of a language; coverage below 20%
+# is the word-salad / wrong-language signal (Gopher's stop-word rule uses
+# the same shape with a fixed list — deriving it from the corpus makes the
+# gate language-agnostic).
+_SW_K = 25
+_SW_MIN_COVERAGE = 0.2
+
+
+@register(
+    "q158_stopword_coverage_gate",
+    oracle=f"""
+    WITH sw AS (
+      SELECT term FROM (
+        SELECT term, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents)
+        GROUP BY term
+        ORDER BY c DESC, term ASC LIMIT {_SW_K})
+    ),
+    swl AS (SELECT list(term ORDER BY term) AS sw FROM sw),
+    t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           round(len(list_filter(t, x -> list_contains(sw, x)))
+                 / CAST(len(t) AS DOUBLE), 4) AS stopword_coverage,
+           len(list_filter(t, x -> list_contains(sw, x)))
+             / CAST(len(t) AS DOUBLE) < {_SW_MIN_COVERAGE} AS low_coverage
+    FROM t, swl
+    """,
+)
+def q158_stopword_coverage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived stopword-coverage gate: build the stopword list from
+    the corpus itself (top-{_SW_K} terms by frequency, ties alphabetic)
+    and flag documents whose coverage — fraction of tokens drawn from
+    that list — falls below {_SW_MIN_COVERAGE}. Natural prose is dense in
+    closed-class words; hash dumps, code blobs, word salad, and
+    wrong-language documents are not. Same gate family as q62/q103 but
+    with the list LEARNED from the corpus, so it ports across languages
+    without a hand-curated list.
+
+    Determinism: the head list is an exact-count TakeOrdered with
+    alphabetic tie-break; coverage is a ratio of exact integers.
+
+    Scale posture: the stopword head is vocabulary-bounded aggregation ->
+    top-{_SW_K} (the q141 shape); the {_SW_K}-term array rides a 1-row
+    broadcast into a map-only coverage pass — no corpus shuffle, and the
+    membership probe is an O({_SW_K}) array_contains inside codegen, not
+    a join per token."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    head = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(_SW_K)
+    )
+    swl = head.agg(F.sort_array(F.collect_list("term")).alias("sw"))
+    hits = F.size(F.filter(F.col("t"), lambda x: F.array_contains(F.col("sw"), x)))
+    coverage = hits / F.size("t").cast("double")
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .crossJoin(F.broadcast(swl))
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.round(coverage, 4).alias("stopword_coverage"),
+            (coverage < _SW_MIN_COVERAGE).alias("low_coverage"),
+        )
+    )

@@ -379,6 +379,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q150_term_burstiness",  # 1-row corpus doc count
         "q151_bigram_logprob",  # 1-row vocab-size scalar
         "q154_ann_recall_audit",  # 5-row probe set + k-row centroid table
+        "q158_stopword_coverage_gate",  # 1-row top-25 stopword array
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
