@@ -120,6 +120,10 @@ HEADLINE = [
     "q157_cross_source_duplication",
     "q158_stopword_coverage_gate",
     "q159_bpe_merge_candidates",
+    "q160_pii_scrub",
+    "q161_leakage_safe_split",
+    "q162_feature_correlation",
+    "q163_heavy_hitters",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -264,6 +264,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "never hinted — window count over (a, b) and a plain vocab join",
     ("queries/corpus.py", '.join(F.broadcast(eval_grams), "gram")'):
         "eval gram set: benchmark-sized (q124)",
+    ("queries/corpus.py", "exact.crossJoin(F.broadcast(tot))"):
+        "1-row total-token-count scalar: the heavy-hitter support "
+        "threshold (q163)",
     ("queries/corpus.py", 'return local.join(F.broadcast(offsets), "bucket").select('):
         "256-row packing bucket offsets (q124)",
     ("queries/similarity.py", ".crossJoin(F.broadcast(query))"):

@@ -1246,3 +1246,76 @@ def q159_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("merge_count").desc(), F.col("pair").asc())
         .limit(_BPE_TOPK)
     )
+
+
+# --- q163: heavy hitters via mergeable Misra-Gries sketch --------------------
+
+_MG_CAPACITY = 256
+
+
+@register(
+    "q163_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+    SELECT term, cnt, round(cnt * 1.0e4 / n, 4) AS per_10k
+    FROM counts, tot
+    WHERE cnt * {_MG_CAPACITY} > n
+    ORDER BY cnt DESC, term
+    """,
+)
+def q163_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provable heavy hitters (support > N/{_MG_CAPACITY}) by
+    candidate-then-verify: a per-partition Misra-Gries sketch
+    (operators/sketch.misra_gries_terms, capacity {_MG_CAPACITY}) nominates
+    candidates, and an exact re-count restricted to that candidate set
+    produces the report. The MG union guarantee — any term with global
+    count > N/capacity survives in at least one partition summary — makes
+    the candidate set a superset of the output REGARDLESS of partitioning,
+    so the final exact counts are deterministic and hash-checkable even
+    though the sketch itself is not.
+
+    Scale posture: this is the heavy-hitter shape that still works when
+    the full term histogram is too big to shuffle. Pass 1 is map-only
+    (<= partitions x {_MG_CAPACITY} summary rows leave the executors);
+    pass 2's shuffle carries ONLY candidate-matched tokens — the semi-join
+    filter against the tiny candidate table rides the scan (AQE broadcasts
+    it, unhinted), and the support threshold is a 1-row total-count scalar.
+    Contrast q145, which audits a SAMPLED estimate: here the estimate is
+    only a routing device and the output is exact.
+
+    Reference has no sketch surface (SURVEY §2.4 A5 absent); §7 Phase-3
+    extension alongside q36/q134/q136/q145."""
+    from ..operators.sketch import misra_gries_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def toks() -> DataFrame:
+        return docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        )
+
+    cand = misra_gries_terms(toks(), _MG_CAPACITY).select("term").distinct()
+    exact = (
+        toks()
+        .join(cand, "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = toks().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * _MG_CAPACITY > F.col("n"))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt") * 1.0e4 / F.col("n"), 4).alias("per_10k"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+    )

@@ -325,3 +325,112 @@ def q156_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(kept_q), 4).alias("min_kept_quality"),
         F.round(F.avg(kept_q), 4).alias("avg_kept_quality"),
     )
+
+
+# --- q161: leakage-safe split audit ------------------------------------------
+
+
+@register(
+    "q161_leakage_safe_split",
+    oracle="""
+    WITH lab AS (
+      SELECT md5(trim(text)) AS fp,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'val'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34'
+                    THEN 'test'
+                  ELSE 'train' END AS naive_label,
+             CASE WHEN substr(md5(md5(trim(text))), 1, 2) < '1a' THEN 'val'
+                  WHEN substr(md5(md5(trim(text))), 1, 2) < '34' THEN 'test'
+                  ELSE 'train' END AS safe_label
+      FROM documents
+    ),
+    g AS (
+      SELECT fp, count(*) AS docs,
+             count(DISTINCT naive_label) AS nd,
+             count(DISTINCT safe_label) AS sd
+      FROM lab GROUP BY fp
+    )
+    SELECT 'by_doc_id' AS split_rule,
+           CAST(count(*) AS BIGINT) AS clusters_total,
+           CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS multi_doc_clusters,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS straddling_clusters,
+           CAST(sum(CASE WHEN nd > 1 THEN docs ELSE 0 END) AS BIGINT)
+             AS leaked_docs
+    FROM g
+    UNION ALL
+    SELECT 'by_fingerprint',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN sd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN sd > 1 THEN docs ELSE 0 END) AS BIGINT)
+    FROM g
+    ORDER BY split_rule
+    """,
+)
+def q161_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: contrast the naive per-document split
+    (hash of doc_id) with the content-keyed split (hash of the exact-dup
+    fingerprint md5(trim(text))). Under the naive rule, byte-identical
+    duplicates land in different splits — the eval set silently contains
+    training text; keying the SAME hash rule on the fingerprint makes
+    every duplicate cluster atomic by construction, so its straddle count
+    is structurally zero and the audit proves it. Output: per rule, total
+    clusters, multi-doc clusters, clusters straddling >1 split, and
+    documents belonging to straddling clusters (the leaked mass).
+
+    Determinism: both labels are pure md5-prefix functions of row content
+    (q75's threshold rule: val < 0x1a ~10%, test < 0x34 ~10%, train
+    rest); every output is an exact integer.
+
+    Scale posture: label assignment is map-side column arithmetic riding
+    the scan; the only shuffle groups by fingerprint — the exact-dedup
+    shuffle shape (q64) the pipeline already pays — and both rules are
+    audited from that single grouped pass (count-distinct over 3 labels
+    is O(1) per group). Two report rows come off a second 1-row
+    aggregate; nothing corpus-sized concentrates anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def label(bucket: F.Column) -> F.Column:
+        return (
+            F.when(bucket < "1a", F.lit("val"))
+            .when(bucket < "34", F.lit("test"))
+            .otherwise(F.lit("train"))
+        )
+
+    fp = F.md5(F.trim(F.col("text")))
+    lab = docs.select(
+        fp.alias("fp"),
+        label(hash_bucket("doc_id")).alias("naive_label"),
+        label(hash_bucket(fp)).alias("safe_label"),
+    )
+    # "straddles >1 split" == "labels not all equal" == min != max: plain
+    # algebraic aggregates, so the fp group-by stays ONE exchange (a
+    # count-distinct pair would Expand the corpus 3x before the shuffle).
+    g = lab.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("docs"),
+        (F.min("naive_label") != F.max("naive_label")).alias("n_straddle"),
+        (F.min("safe_label") != F.max("safe_label")).alias("s_straddle"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+        F.sum((F.col("docs") > 1).cast("int")).cast("bigint").alias("mdc"),
+        F.sum(F.col("n_straddle").cast("int")).cast("bigint").alias("ns"),
+        F.sum(F.when(F.col("n_straddle"), F.col("docs")).otherwise(0))
+        .cast("bigint")
+        .alias("nleak"),
+        F.sum(F.col("s_straddle").cast("int")).cast("bigint").alias("ss"),
+        F.sum(F.when(F.col("s_straddle"), F.col("docs")).otherwise(0))
+        .cast("bigint")
+        .alias("sleak"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2, 'by_doc_id', ct, mdc, ns, nleak, "
+            "'by_fingerprint', ct, mdc, ss, sleak) AS "
+            "(split_rule, clusters_total, multi_doc_clusters, "
+            "straddling_clusters, leaked_docs)"
+        )
+    ).orderBy("split_rule")

@@ -1505,3 +1505,163 @@ def q158_stopword_coverage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (coverage < _SW_MIN_COVERAGE).alias("low_coverage"),
         )
     )
+
+
+# --- q160: PII scrubbing census ---------------------------------------------
+
+# Engine-portable patterns: plain classes, \b, bounded repetition — identical
+# semantics under Java regex (Spark) and RE2 (DuckDB); no backrefs/lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+# A live deny-term so the replace/count path is exercised by the synthetic
+# fixture (which contains no digits at all — the PII classes stay zero there
+# by construction, which the census faithfully reports).
+_PII_WATCH = r"\bcustomer\b"
+
+
+@register(
+    "q160_pii_scrub",
+    oracle=f"""
+    WITH scrubbed AS (
+      SELECT source,
+             length(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+             length(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+             length(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+             length(regexp_extract_all(text, '{_PII_WATCH}')) AS n_watch,
+             length(text) - length(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 text, '{_PII_EMAIL}', '', 'g'), '{_PII_IPV4}', '', 'g'),
+                 '{_PII_PHONE}', '', 'g'), '{_PII_WATCH}', '', 'g')
+             ) AS redacted
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pii_docs,
+           CAST(sum(CASE WHEN n_watch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS watch_docs,
+           CAST(sum(n_email) AS BIGINT) AS email_matches,
+           CAST(sum(n_ipv4) AS BIGINT) AS ipv4_matches,
+           CAST(sum(n_phone) AS BIGINT) AS phone_matches,
+           CAST(sum(n_watch) AS BIGINT) AS watch_matches,
+           CAST(sum(redacted) AS BIGINT) AS chars_redacted
+    FROM scrubbed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q160_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing census: regex-detect emails / IPv4 addresses /
+    phone-shaped numbers plus a deny-term watchlist, redact them, and
+    report per-source match counts and characters removed — the
+    compliance gate every pre-training corpus passes through before
+    anything else touches it. Patterns are restricted to the
+    engine-portable subset (character classes, word boundaries, bounded
+    repetition — no lookaround/backrefs) so Java regex and RE2 agree
+    match-for-match; the fixture corpus contains no digits, so the three
+    PII classes are structurally zero there and the census proves it,
+    while the watch term exercises the nonzero path end to end.
+
+    Scale posture: pure map-side — four regexp_count + a chained
+    regexp_replace inside codegen per row, then one bounded-cardinality
+    per-source aggregation. Nothing corpus-sized ever shuffles; at 100 TB
+    this is scan-rate bound, exactly what a scrub pass should be."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = lambda pat: F.regexp_count(F.col("text"), F.lit(pat))  # noqa: E731
+    redacted = F.col("text")
+    for pat in (_PII_EMAIL, _PII_IPV4, _PII_PHONE, _PII_WATCH):
+        redacted = F.regexp_replace(redacted, pat, "")
+    per_doc = docs.select(
+        "source",
+        n(_PII_EMAIL).alias("n_email"),
+        n(_PII_IPV4).alias("n_ipv4"),
+        n(_PII_PHONE).alias("n_phone"),
+        n(_PII_WATCH).alias("n_watch"),
+        (F.length("text") - F.length(redacted)).alias("redacted"),
+    )
+    any_pii = (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(any_pii.cast("int")).cast("bigint").alias("pii_docs"),
+            F.sum((F.col("n_watch") > 0).cast("int")).cast("bigint").alias("watch_docs"),
+            F.sum("n_email").cast("bigint").alias("email_matches"),
+            F.sum("n_ipv4").cast("bigint").alias("ipv4_matches"),
+            F.sum("n_phone").cast("bigint").alias("phone_matches"),
+            F.sum("n_watch").cast("bigint").alias("watch_matches"),
+            F.sum("redacted").cast("bigint").alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- q162: quality-feature correlation matrix --------------------------------
+
+
+@register(
+    "q162_feature_correlation",
+    oracle="""
+    WITH feats AS (
+      SELECT source,
+             CAST(n_chars AS DOUBLE) AS n_chars,
+             CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+               AS toks,
+             CAST(length(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+               AS DOUBLE) AS dtoks
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(corr(n_chars, toks), 4) AS corr_chars_toks,
+           round(corr(toks, dtoks), 4) AS corr_toks_distinct,
+           round(corr(n_chars, dtoks), 4) AS corr_chars_distinct
+    FROM feats
+    GROUP BY source
+    HAVING count(*) >= 2
+    ORDER BY source
+    """,
+)
+def q162_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson correlation between quality features (character
+    length, token count, distinct-token count) — the feature-redundancy
+    audit run before wiring quality signals into a filter ensemble: a
+    pair correlating at ~1 is one signal counted twice, and a source
+    whose correlation structure differs from the rest is drawn from a
+    different generator (template spam, concatenation artifacts).
+
+    Determinism: both engines compute textbook sample Pearson; inputs are
+    exact integers cast to double, groups are ~dozens of docs, and the
+    ratio is rounded to 4 — summation-order residue is orders of
+    magnitude below the rounding grain. Spark returns NaN where DuckDB
+    returns NULL for degenerate groups (zero variance / n=1); NaN is
+    normalized to NULL and singleton groups are excluded in both engines
+    so the edge semantics agree.
+
+    Scale posture: one narrow map computes features in codegen, one
+    bounded-cardinality per-source aggregation computes all three
+    correlations in a single pass (corr is algebraic — partial
+    sums/products merge map-side). No second shuffle, nothing
+    corpus-sized materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    feats = docs.select(
+        "source",
+        F.col("n_chars").cast("double").alias("nc"),
+        F.size(toks).cast("double").alias("toks"),
+        F.size(F.array_distinct(toks)).cast("double").alias("dtoks"),
+    )
+    nonan = lambda c: F.when(F.isnan(c), F.lit(None)).otherwise(c)  # noqa: E731
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(nonan(F.corr("nc", "toks")), 4).alias("corr_chars_toks"),
+            F.round(nonan(F.corr("toks", "dtoks")), 4).alias("corr_toks_distinct"),
+            F.round(nonan(F.corr("nc", "dtoks")), 4).alias("corr_chars_distinct"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("source")
+    )

@@ -380,6 +380,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q151_bigram_logprob",  # 1-row vocab-size scalar
         "q154_ann_recall_audit",  # 5-row probe set + k-row centroid table
         "q158_stopword_coverage_gate",  # 1-row top-25 stopword array
+        "q163_heavy_hitters",  # 1-row token-total support threshold
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
@@ -427,3 +428,35 @@ def test_round4_additions_plan_shapes(spark, sf_dir):
     assert "doc_id" in q142_plan
     for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", q142_plan):
         assert "doc_id" in m.group(1), m.group(0)
+
+
+def test_round5_additions_plan_shapes(spark, sf_dir):
+    """Round-5 query plan pins.
+
+    - q160 (PII scrub) is one map + one per-source aggregation: a single
+      hash-partition Exchange, no joins — the regex work lives in codegen
+      on the scan side.
+    - q162 (feature correlation) likewise: all three corr() aggregates
+      merge in ONE grouped pass (corr is algebraic), so exactly one
+      Exchange and no self-joins.
+    - q161 (leakage audit): exactly two Exchanges — the fingerprint
+      group-by and the 1-row report fold; both split rules are audited
+      from the single grouped pass, never a second corpus scan.
+    - q163 (heavy hitters): the sketch pass is Arrow-batched MapInPandas;
+      the exact re-count's candidate filter must be a broadcast semi
+      join (a sort-merge join here would shuffle every token — the exact
+      cost the sketch exists to avoid)."""
+    for name in ("q160_pii_scrub", "q162_feature_correlation",
+                 "q161_leakage_safe_split"):
+        df = _df(spark, sf_dir, name)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one grouping shuffle + the final (tiny) report sort; q161 adds
+        # only the 1-row report fold (SinglePartition), never a second
+        # corpus-sized exchange.
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        P.assert_plan(df, forbids=["SortMergeJoin", "CartesianProduct"])
+
+    q163 = _df(spark, sf_dir, "q163_heavy_hitters")
+    plan = P.formatted_plan(q163)
+    assert "MapInPandas" in plan
+    P.assert_plan(q163, requires=["BroadcastHashJoin"], forbids=["SortMergeJoin"])

@@ -312,3 +312,54 @@ def test_scd2_intervals_partition_timeline(spark, sf_dir):
         assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None, user
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"], user
+
+
+# --- Misra-Gries sketch guarantees ------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_mg_compress_preserves_heavy_hitters(xs, capacity):
+    """Pure-python MG invariants (no Spark): after feeding a stream through
+    repeated Counter-merge + compress, (a) at most `capacity` counters
+    survive, (b) every surviving counter is a lower bound on the true
+    count, (c) any term with true count > n/capacity survives — the
+    pigeonhole guarantee q163's candidate superset rests on."""
+    from collections import Counter
+
+    from hive_backend_spark.operators.sketch import _mg_compress
+
+    acc: Counter = Counter()
+    # feed in chunks to exercise repeated merge+compress
+    for i in range(0, len(xs), 32):
+        acc.update(Counter(str(x) for x in xs[i : i + 32]))
+        _mg_compress(acc, capacity)
+    true = Counter(str(x) for x in xs)
+    assert len(acc) <= capacity
+    for t, c in acc.items():
+        assert c <= true[t]
+    n = len(xs)
+    for t, c in true.items():
+        if c * capacity > n:
+            assert t in acc, (t, c, n, capacity, dict(acc))
+
+
+def test_mg_spark_candidates_superset(spark):
+    """End-to-end on a skewed fixture with capacity far below the distinct
+    count: the union of per-partition summaries still contains every
+    provable heavy hitter, under whatever partitioning Spark picked."""
+    from collections import Counter
+
+    from hive_backend_spark.operators.sketch import misra_gries_terms
+
+    rows = [("hh",)] * 300 + [("mid",)] * 60 + [(f"t{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "term string").repartition(7)
+    cand = {r["term"] for r in misra_gries_terms(df, 8).collect()}
+    true = Counter(t for (t,) in rows)
+    n = len(rows)
+    for t, c in true.items():
+        if c * 8 > n:
+            assert t in cand, (t, c)
