@@ -124,6 +124,9 @@ HEADLINE = [
     "q161_leakage_safe_split",
     "q162_feature_correlation",
     "q163_heavy_hitters",
+    "q164_rate_limit_admission",
+    "q165_mad_outliers",
+    "q166_embedding_anisotropy",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

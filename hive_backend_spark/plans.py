@@ -140,6 +140,11 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
      'F.collect_list("s"), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)'):
         "partition-bounded: <= one k x dim partial-sum row per Arrow batch "
         "per cell, folded to a dim-length array (kmeans_train round reduce)",
+    ("operators/linalg.py",
+     "F.collect_list(col), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)"):
+        "partition-bounded: exactly one moment-partial row per partition "
+        "(dim + dim^2 doubles each), folded to O(dim^2) model state "
+        "(second_moments reduce)",
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {

@@ -275,3 +275,67 @@ def q111_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("user_id", change.alias("change_type"), "old_event_id", "new_event_id").filter(
         F.col("change_type") != "unchanged"
     )
+
+
+# --- q164: per-user rate-limit admission -------------------------------------
+
+_RL_CAP = 3  # admitted events per user per hour window
+
+
+@register(
+    "q164_rate_limit_admission",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id
+             ) AS rk
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN rk <= {_RL_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS admitted,
+           CAST(sum(CASE WHEN rk > {_RL_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS rejected,
+           round(sum(CASE WHEN rk <= {_RL_CAP} THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS admit_rate
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q164_rate_limit_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit admission control, replayed deterministically over the
+    log: each user may admit at most {_RL_CAP} events per clock-hour
+    window; arrivals beyond the cap are rejected. The admission decision
+    is a row_number over (user, hour) in (ts, event_id) order — event_id
+    breaks timestamp ties so replay is exact — and the report aggregates
+    admitted/rejected mass per event type, the throttling-fairness view a
+    queue operator actually watches (reference's queue has priority
+    ordering, db.mjs:285-343, but no admission control; §7 extension).
+
+    Scale posture: one shuffle on (user_id, hour) — the natural sharding
+    key of any rate limiter — with WindowGroupLimit-style early work
+    bounded per partition; the per-type report re-aggregates the tiny
+    labeled rows. Tumbling windows (not sliding) keep state per key O(1),
+    the same trade production limiters make."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    ranked = events.select(
+        "event_type", F.row_number().over(w).alias("rk")
+    )
+    admitted = (F.col("rk") <= _RL_CAP).cast("int")
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+            F.sum(admitted).cast("bigint").alias("admitted"),
+            F.sum(1 - admitted).cast("bigint").alias("rejected"),
+            F.round(F.sum(admitted) / F.count(F.lit(1)), 4).alias("admit_rate"),
+        )
+        .orderBy("event_type")
+    )

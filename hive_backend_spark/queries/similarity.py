@@ -1445,3 +1445,116 @@ def q155_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "iter int, n_moved bigint, inertia double, max_shift double"
     )
+
+
+# --- q166: embedding anisotropy / top principal component --------------------
+
+_PI_ITERS = 12
+_EMB_DIM = 64
+
+
+def _pi_oracle() -> str:
+    """Unrolled power-iteration oracle: the SAME fixed-count arithmetic the
+    Spark/numpy side runs, as chained CTEs (cov-vector product + renorm per
+    step), so DuckDB replays the iteration exactly rather than trusting a
+    black-box eigensolver."""
+    steps = []
+    for t in range(1, _PI_ITERS + 1):
+        steps.append(
+            f"s{t} AS MATERIALIZED (SELECT cov.i AS i, sum(cov.c * it{t - 1}.val) AS w "
+            f"FROM cov JOIN it{t - 1} ON cov.j = it{t - 1}.i GROUP BY cov.i)"
+        )
+        steps.append(
+            f"it{t} AS MATERIALIZED (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM s{t}) "
+            f"AS val FROM s{t})"
+        )
+    last = f"it{_PI_ITERS}"
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    mu AS MATERIALIZED (SELECT i, sum(x) / (SELECT n FROM nn) AS m FROM v GROUP BY i),
+    gram AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+      FROM v a JOIN v b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    cov AS MATERIALIZED (
+      SELECT gram.i, gram.j,
+             gram.g / (SELECT n FROM nn) - ma.m * mb.m AS c
+      FROM gram
+      JOIN mu ma ON gram.i = ma.i
+      JOIN mu mb ON gram.j = mb.i
+    ),
+    it0 AS MATERIALIZED (SELECT i, 1.0 / sqrt({_EMB_DIM}.0) AS val FROM mu),
+    {",".join(steps)},
+    sgn AS (
+      SELECT CASE WHEN (SELECT val FROM {last}
+                        ORDER BY abs(val) DESC, i ASC LIMIT 1) < 0
+                  THEN -1.0 ELSE 1.0 END AS s
+    ),
+    lam AS (
+      SELECT sum(a.val * cov.c * b.val) AS l
+      FROM {last} a
+      JOIN cov ON cov.i = a.i
+      JOIN {last} b ON cov.j = b.i
+    ),
+    tr AS (SELECT sum(c) AS t FROM cov WHERE i = j)
+    SELECT CAST(it.i AS INT) AS pos,
+           round(it.val * (SELECT s FROM sgn), 4) AS loading,
+           round((SELECT l FROM lam), 4) AS lambda1,
+           round((SELECT l FROM lam) / (SELECT t FROM tr), 4) AS var_share,
+           CAST((SELECT n FROM nn) AS BIGINT) AS n_vecs
+    FROM {last} it
+    ORDER BY pos
+    """
+
+
+@register("q166_embedding_anisotropy", oracle=_pi_oracle())
+def q166_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy audit: the top principal component of the
+    embedding covariance and its variance share — the collapsed-encoder
+    gate. A healthy embedding space spreads variance across directions; a
+    dominant component (var_share near 1) means the encoder collapsed and
+    every cosine similarity downstream (q70/q71/q116) is measuring the
+    rogue direction, not semantics. Complements q153's norm hygiene
+    (scale outliers) with a SPECTRAL check (direction outliers).
+
+    Mechanics: one distributed pass accumulates (n, Σx, ΣxxT) via BLAS
+    partials (operators/linalg.second_moments — the kmeans_train shape:
+    corpus work in Arrow batches, O(dim²) model state collected); then a
+    FIXED 12-step power iteration from the deterministic uniform start,
+    sign-normalized. The oracle replays the identical unrolled iteration
+    as chained CTEs over the same exactly-summed covariance, so the
+    comparison checks real arithmetic, not an eigensolver's internals.
+    Fixed iteration count (not a convergence test) is what makes the
+    cross-engine replay exact.
+
+    Scale posture: the only corpus-sized work is the single mapInPandas
+    moment pass (map-only, one bounded row per partition); the shuffle
+    carries partitions × O(dim²) doubles. Everything after is model math
+    on 64×64 state — the audit costs one scan regardless of corpus size.
+
+    Reference has no vector surface (§7 extension)."""
+    from ..operators.linalg import power_iteration, second_moments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, _mu, cov = second_moments(emb, "embedding", _EMB_DIM)
+    v, lam = power_iteration(cov, _PI_ITERS)
+    trace = float(cov.trace())
+    rows = [
+        (i + 1, float(v[i]), lam, lam / trace, n) for i in range(_EMB_DIM)
+    ]
+    out = spark.createDataFrame(
+        rows, "pos int, loading double, lambda1 double, var_share double, n_vecs bigint"
+    )
+    return out.select(
+        "pos",
+        F.round("loading", 4).alias("loading"),
+        F.round("lambda1", 4).alias("lambda1"),
+        F.round("var_share", 4).alias("var_share"),
+        "n_vecs",
+    ).orderBy("pos")

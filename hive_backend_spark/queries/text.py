@@ -1665,3 +1665,85 @@ def q162_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("source")
     )
+
+
+# --- q165: robust outlier census (median/MAD) --------------------------------
+
+_MAD_SIGMA = 1.4826  # consistency constant: MAD -> sigma under normality
+_MAD_Z = 3.0
+
+
+@register(
+    "q165_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT *, median(value) OVER (PARTITION BY event_type) AS med
+      FROM events
+    ),
+    dev AS (
+      SELECT *, median(abs(value - med)) OVER (PARTITION BY event_type) AS mad
+      FROM med
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(med), 4) AS med,
+           round(any_value(mad), 4) AS mad,
+           CAST(sum(CASE WHEN abs(value - med) > {_MAD_Z} * {_MAD_SIGMA} * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN abs(value - med) > {_MAD_Z} * {_MAD_SIGMA} * mad
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS outlier_share,
+           round(max(abs(value - med) / ({_MAD_SIGMA} * mad)), 4)
+             AS max_robust_z
+    FROM dev
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q165_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median/MAD (median absolute
+    deviation, scaled by {_MAD_SIGMA} for normal consistency) instead of
+    mean/stddev — the detector that still works when the contamination
+    itself inflates the scale estimate, which is exactly when z-scores go
+    blind. Flags |x - med| > {_MAD_Z}σ̂ and reports the per-type outlier
+    mass plus the worst robust z — the metric-quality gate for a value
+    column feeding training signals (q122's winsorized stats are the
+    LIMITING treatment; this is the DETECTING one).
+
+    Determinism: both engines compute interpolated medians (Spark
+    `percentile`, DuckDB `median`) over the same doubles; counts are
+    exact integers, ratios rounded to 4.
+
+    Scale posture: two window-attached medians sharing ONE event_type
+    hash partition (the second median consumes the first in the same
+    exchange — no join, no second corpus shuffle), then the grouped
+    census on the same key. Group cardinality is the event-type dimension
+    — bounded — so every aggregation is a map-side-combine shuffle of
+    k rows."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    med = events.withColumn("med", F.expr("percentile(value, 0.5)").over(w))
+    dev = med.withColumn(
+        "mad", F.expr("percentile(abs(value - med), 0.5)").over(w)
+    )
+    is_out = (
+        F.abs(F.col("value") - F.col("med")) > _MAD_Z * _MAD_SIGMA * F.col("mad")
+    ).cast("int")
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(is_out).cast("bigint").alias("n_outliers"),
+            F.round(F.sum(is_out) / F.count(F.lit(1)), 4).alias("outlier_share"),
+            F.round(
+                F.max(
+                    F.abs(F.col("value") - F.col("med"))
+                    / (_MAD_SIGMA * F.col("mad"))
+                ),
+                4,
+            ).alias("max_robust_z"),
+        )
+        .orderBy("event_type")
+    )

@@ -460,3 +460,22 @@ def test_round5_additions_plan_shapes(spark, sf_dir):
     plan = P.formatted_plan(q163)
     assert "MapInPandas" in plan
     P.assert_plan(q163, requires=["BroadcastHashJoin"], forbids=["SortMergeJoin"])
+
+    # q165: both window-attached medians and the final census share the
+    # single event_type-keyed exchange (plus the rate limiter's (user,hour)
+    # key for q164) — no join-based percentile attach, no extra shuffle.
+    q165 = _df(spark, sf_dir, "q165_mad_outliers")
+    plan = q165._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    q164 = _df(spark, sf_dir, "q164_rate_limit_admission")
+    plan = q164._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+    # q166: the distributed part is the single Arrow moment pass; the
+    # returned report is driver-built model state (a local 64-row table —
+    # its tiny report sort is the only exchange; no grouping shuffles, no
+    # joins in the returned plan).
+    q166 = _df(spark, sf_dir, "q166_embedding_anisotropy")
+    plan = q166._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    P.assert_plan(q166, forbids=["SortMergeJoin", "BroadcastHashJoin"])
