@@ -127,6 +127,8 @@ HEADLINE = [
     "q164_rate_limit_admission",
     "q165_mad_outliers",
     "q166_embedding_anisotropy",
+    "q167_budget_waterfill",
+    "q168_lsh_recall_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

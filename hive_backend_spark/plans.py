@@ -174,6 +174,12 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row heavy-key count scalar (q118)",
     ("queries/dedup.py", 'train_b.join(F.broadcast(eval_b), ["band_idx", "band_sig"])'):
         "fuzzy decontamination eval side: benchmark-sized, bounded (q133)",
+    ("queries/dedup.py", "s.crossJoin(F.broadcast(t))"):
+        "1-row true-pair count scalar (q168 audit report)",
+    ("queries/dedup.py", ".crossJoin(F.broadcast(c))"):
+        "1-row candidate-pair count scalar (q168 audit report)",
+    ("queries/dedup.py", ".crossJoin(F.broadcast(g))"):
+        "1-row caught-pair count scalar (q168 audit report)",
     ("queries/text.py", ".crossJoin(F.broadcast(n_docs))"):
         "1-row corpus count scalar for idf (q84)",
     ("queries/text.py", 'train.join(F.broadcast(eval_fps), "fp")  # bounded: eval benchmark side'):
@@ -272,6 +278,10 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/corpus.py", "exact.crossJoin(F.broadcast(tot))"):
         "1-row total-token-count scalar: the heavy-hitter support "
         "threshold (q163)",
+    ("queries/corpus.py", "src.crossJoin(F.broadcast(tot))"):
+        "1-row corpus-total/source-count scalar (q167)",
+    ("queries/corpus.py", "srt.crossJoin(F.broadcast(th))"):
+        "1-row waterfilling level scalar (q167)",
     ("queries/corpus.py", 'return local.join(F.broadcast(offsets), "bucket").select('):
         "256-row packing bucket offsets (q124)",
     ("queries/similarity.py", ".crossJoin(F.broadcast(query))"):

@@ -1319,3 +1319,107 @@ def q163_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), F.col("term").asc())
     )
+
+
+# --- q167: token-budget waterfilling allocation ------------------------------
+
+_WF_BUDGET_FRAC = 0.5  # allocate half the corpus's tokens
+
+
+@register(
+    "q167_budget_waterfill",
+    oracle=f"""
+    WITH src AS MATERIALIZED (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+               AS DOUBLE) AS avail
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(avail) AS t, CAST(count(*) AS DOUBLE) AS n FROM src),
+    srt AS MATERIALIZED (
+      SELECT source, avail,
+             row_number() OVER (ORDER BY avail, source) AS rn,
+             sum(avail) OVER (ORDER BY avail, source
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             lag(avail) OVER (ORDER BY avail, source) AS prev
+      FROM src
+    ),
+    th AS (
+      SELECT min(({_WF_BUDGET_FRAC} * (SELECT t FROM tot) - (cum - avail))
+                 / ((SELECT n FROM tot) - rn + 1)) AS theta
+      FROM srt
+      WHERE ({_WF_BUDGET_FRAC} * (SELECT t FROM tot) - (cum - avail))
+            / ((SELECT n FROM tot) - rn + 1) <= avail
+        AND ({_WF_BUDGET_FRAC} * (SELECT t FROM tot) - (cum - avail))
+            / ((SELECT n FROM tot) - rn + 1) > coalesce(prev, 0.0)
+    )
+    SELECT source,
+           CAST(avail AS BIGINT) AS avail_tokens,
+           round(least(avail, (SELECT theta FROM th)), 4) AS alloc_tokens,
+           avail > (SELECT theta FROM th) AS capped,
+           round(least(avail, (SELECT theta FROM th))
+                 / ({_WF_BUDGET_FRAC} * (SELECT t FROM tot)), 4) AS budget_share
+    FROM srt
+    ORDER BY source
+    """,
+)
+def q167_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfilling: given a training budget of
+    {_WF_BUDGET_FRAC:.0%} of the corpus's tokens, allocate each source
+    min(avail, θ) where the water level θ solves Σ min(avail_s, θ) = B —
+    the equal-share-with-caps allocation a mixture planner uses when no
+    source may be oversampled past its inventory and surplus must
+    redistribute to sources that can absorb it. Closed form, no iteration:
+    over sources sorted by availability, the level lies in the unique
+    segment where θ_k = (B − cum_{{k-1}})/(n−k+1) falls between adjacent
+    availabilities; both engines evaluate the identical prefix-sum
+    arithmetic. Complements q113 (hard per-lang budgets) and q143
+    (temperature reweighting) with the redistribution law both of those
+    punt on.
+
+    Scale posture: one per-source token aggregation (bounded source
+    dimension), then window math over |sources| rows and a 1-row θ
+    scalar attached by broadcast — corpus cost is the single token-count
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.select(
+            "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("tk")
+        )
+        .groupBy("source")
+        .agg(F.sum("tk").cast("double").alias("avail"))
+        # the |sources|-row availability table feeds four consumers (total,
+        # sorted window, theta segment search, final report); checkpoint it
+        # so the corpus token scan runs ONCE, not once per consumer
+        .localCheckpoint()
+    )
+    tot = src.agg(
+        F.sum("avail").alias("t"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = Window.orderBy("avail", "source")
+    srt = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("avail").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("prev", F.lag("avail").over(w))
+    )
+    budget = _WF_BUDGET_FRAC * F.col("t")
+    theta_k = (budget - (F.col("cum") - F.col("avail"))) / (F.col("n") - F.col("rn") + 1)
+    th = (
+        srt.filter(
+            (theta_k <= F.col("avail")) & (theta_k > F.coalesce(F.col("prev"), F.lit(0.0)))
+        )
+        .agg(F.min(theta_k).alias("theta"))
+    )
+    alloc = F.least(F.col("avail"), F.col("theta"))
+    return (
+        srt.crossJoin(F.broadcast(th))
+        .select(
+            "source",
+            F.col("avail").cast("bigint").alias("avail_tokens"),
+            F.round(alloc, 4).alias("alloc_tokens"),
+            (F.col("avail") > F.col("theta")).alias("capped"),
+            F.round(alloc / (_WF_BUDGET_FRAC * F.col("t")), 4).alias("budget_share"),
+        )
+        .orderBy("source")
+    )

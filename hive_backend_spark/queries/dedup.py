@@ -864,3 +864,138 @@ def q157_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_leads"))
     )
+
+
+# --- q168: LSH recall/precision audit on a bounded sample --------------------
+
+_AUDIT_K = 200  # fixed sample size — bounded regardless of corpus scale
+_AUDIT_TAU = 0.5  # exact-Jaccard threshold defining a true near-dup
+
+
+@register(
+    "q168_lsh_recall_audit",
+    oracle=f"""
+    WITH samp AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2), doc_id
+      LIMIT {_AUDIT_K}
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text),'\\s+')) - 1, 1)),
+               i -> concat_ws(' ', regexp_split_to_array(trim(text),'\\s+')[i],
+                              regexp_split_to_array(trim(text),'\\s+')[i+1],
+                              regexp_split_to_array(trim(text),'\\s+')[i+2]))) AS shingles
+      FROM samp
+    ),
+    truth AS MATERIALIZED (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      WHERE len(list_distinct(list_concat(x.shingles, y.shingles))) > 0
+        AND CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.shingles, y.shingles)))
+            >= {_AUDIT_TAU}
+    ),
+    cand AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+      WHERE a.doc_id IN (SELECT doc_id FROM samp)
+        AND b.doc_id IN (SELECT doc_id FROM samp)
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    caught AS (
+      SELECT count(*) AS c FROM truth
+      WHERE (doc_a, doc_b) IN (SELECT (doc_a, doc_b) FROM cand)
+    )
+    SELECT CAST((SELECT count(*) FROM samp) AS BIGINT) AS sample_docs,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS true_pairs,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS candidate_pairs,
+           CAST((SELECT c FROM caught) AS BIGINT) AS caught_pairs,
+           CAST((SELECT count(*) FROM truth) - (SELECT c FROM caught)
+                AS BIGINT) AS missed_pairs,
+           round((SELECT c FROM caught) * 1.0
+                 / nullif((SELECT count(*) FROM truth), 0), 4) AS recall,
+           round((SELECT c FROM caught) * 1.0
+                 / nullif((SELECT count(*) FROM cand), 0), 4) AS precision
+    """,
+)
+def q168_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the MinHash-LSH dedup stack (q82/q67)
+    against exact ground truth on a FIXED {_AUDIT_K}-document hash-ordered
+    sample: enumerate every pair inside the sample, score exact shingle
+    Jaccard, call pairs ≥ {_AUDIT_TAU} true near-dups, and measure how
+    many the production banding surfaces as candidates. This closes the
+    measurement loop for text dedup the way q154 does for ANN: banding
+    has a THEORETICAL s-curve (q136 audits the estimator's variance);
+    this measures the operating point actually achieved on this corpus.
+
+    Scale posture: ground truth is quadratic, so it runs on a sample
+    whose size is an absolute constant ({_AUDIT_K} docs -> <=19,900 pairs),
+    selected by hash order (TakeOrdered — deterministic, no full sort)
+    regardless of corpus size; the all-pairs scoring is ONE
+    applyInPandas group doing set ops at C speed. The candidate side
+    reuses the full production band table, semi-joined down to the
+    sample — auditing the real artifact, not a re-derivation."""
+    import pandas as pd
+
+    from ..operators.dedup import shingles_udf
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    samp = (
+        docs.select("doc_id", "text", hash_bucket("doc_id").alias("hb"))
+        .orderBy("hb", "doc_id")
+        .limit(_AUDIT_K)
+    )
+    sh = samp.select("doc_id", shingles_udf()(F.col("text")).alias("shingles"))
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].tolist()
+        sets = [set(s) for s in pdf["shingles"]]
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        out_a, out_b = [], []
+        for ii in range(len(order)):
+            a = order[ii]
+            for jj in range(ii + 1, len(order)):
+                b = order[jj]
+                union = len(sets[a] | sets[b])
+                if union and len(sets[a] & sets[b]) / union >= _AUDIT_TAU:
+                    out_a.append(ids[a])
+                    out_b.append(ids[b])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    truth = sh.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda _k, pdf: pairs(pdf), "doc_a bigint, doc_b bigint"
+    )
+    ids = samp.select("doc_id")
+    cand = (
+        _lsh_pairs(spark, sf_dir)
+        .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    caught = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
+    c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("candidate_pairs"))
+    g = caught.agg(F.count(F.lit(1)).cast("bigint").alias("caught_pairs"))
+    s = samp.agg(F.count(F.lit(1)).cast("bigint").alias("sample_docs"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "sample_docs",
+            "true_pairs",
+            "candidate_pairs",
+            "caught_pairs",
+            (F.col("true_pairs") - F.col("caught_pairs")).alias("missed_pairs"),
+            F.round(
+                F.col("caught_pairs") / F.nullif(F.col("true_pairs"), F.lit(0)), 4
+            ).alias("recall"),
+            F.round(
+                F.col("caught_pairs") / F.nullif(F.col("candidate_pairs"), F.lit(0)), 4
+            ).alias("precision"),
+        )
+    )

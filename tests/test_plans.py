@@ -381,6 +381,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q154_ann_recall_audit",  # 5-row probe set + k-row centroid table
         "q158_stopword_coverage_gate",  # 1-row top-25 stopword array
         "q163_heavy_hitters",  # 1-row token-total support threshold
+        "q167_budget_waterfill",  # 1-row totals + water-level scalars
+        "q168_lsh_recall_audit",  # 1-row audit-count scalars
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
@@ -479,3 +481,17 @@ def test_round5_additions_plan_shapes(spark, sf_dir):
     plan = q166._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 0, plan
     P.assert_plan(q166, forbids=["SortMergeJoin", "BroadcastHashJoin"])
+
+    # q167: sample/window math happens on |sources| rows; the corpus-sized
+    # work is exactly one token-count aggregation (one hash exchange), and
+    # the sample selection in q168 is TakeOrdered (no full corpus sort).
+    q167 = _df(spark, sf_dir, "q167_budget_waterfill")
+    plan = q167._jdf.queryExecution().executedPlan().toString()
+    # the corpus token aggregation is checkpointed into a |sources|-row
+    # table before fan-out to its four consumers, so the returned plan does
+    # all remaining math shuffle-free on the checkpoint
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    q168 = _df(spark, sf_dir, "q168_lsh_recall_audit")
+    plan = P.formatted_plan(q168)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
