@@ -129,6 +129,9 @@ HEADLINE = [
     "q166_embedding_anisotropy",
     "q167_budget_waterfill",
     "q168_lsh_recall_audit",
+    "q169_quality_calibration",
+    "q170_template_prefix_census",
+    "q171_decontamination_ladder",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -143,6 +146,7 @@ SHARES_BAND_CACHE = [
     "q133_fuzzy_decontamination",
     "q136_minhash_jaccard_error",
     "q152_dedup_aware_shards",
+    "q171_decontamination_ladder",
 ]
 
 

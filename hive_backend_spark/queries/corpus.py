@@ -37,17 +37,18 @@ _ORACLE_GRAMS8 = """
 """
 
 
-@register(
-    "q106_decontamination",
-    oracle=f"""
+# Named so the q171 ladder rollup can reuse the identical flagged-doc rule.
+ORACLE_EXACT_FLAGGED = f"""
     WITH g AS ({_ORACLE_GRAMS8}),
     ev AS (SELECT DISTINCT gram FROM g WHERE bucket >= 'f0')
     SELECT c.doc_id, count(*) AS n_shared_grams
     FROM g c JOIN ev ON c.gram = ev.gram
     WHERE c.bucket < 'f0'
     GROUP BY c.doc_id
-    """,
-)
+    """
+
+
+@register("q106_decontamination", oracle=ORACLE_EXACT_FLAGGED)
 def q106_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag training documents that share any
     8-token n-gram with the held-out eval split (here: the ~6% of docs whose
@@ -1422,4 +1423,91 @@ def q167_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(alloc / (_WF_BUDGET_FRAC * F.col("t")), 4).alias("budget_share"),
         )
         .orderBy("source")
+    )
+
+
+# --- q171: decontamination-ladder rollup -------------------------------------
+
+from .dedup import ORACLE_FUZZY_FLAGGED  # noqa: E402
+from .text import ORACLE_WINNOW_FLAGGED  # noqa: E402
+
+
+@register(
+    "q171_decontamination_ladder",
+    oracle=f"""
+    WITH ex AS MATERIALIZED ({ORACLE_EXACT_FLAGGED}),
+    wn AS MATERIALIZED ({ORACLE_WINNOW_FLAGGED}),
+    fz AS MATERIALIZED ({ORACLE_FUZZY_FLAGGED}),
+    train AS (
+      SELECT doc_id FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
+    )
+    SELECT t.doc_id,
+           ex.doc_id IS NOT NULL AS exact_hit,
+           wn.doc_id IS NOT NULL AS winnow_hit,
+           fz.doc_id IS NOT NULL AS fuzzy_hit,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN wn.doc_id IS NOT NULL OR fz.doc_id IS NOT NULL
+                  THEN 'suspect'
+                ELSE 'clean' END AS verdict
+    FROM train t
+    LEFT JOIN ex ON ex.doc_id = t.doc_id
+    LEFT JOIN wn ON wn.doc_id = t.doc_id
+    LEFT JOIN fz ON fz.doc_id = t.doc_id
+    """,
+)
+def q171_decontamination_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination-ladder rollup: one per-training-doc verdict
+    combining all three rungs — exact 8-gram overlap (q106), winnowing
+    fingerprints (q139), and MinHash-LSH fuzzy match (q133). Exact
+    overlap is conclusive ('contaminated'); either probabilistic rung
+    alone is 'suspect' (winnowing guarantees recall only for runs >=
+    gram+window-1 tokens; banding is probabilistic by design); otherwise
+    'clean'. This is the artifact a release review actually consumes —
+    one row per doc with the evidence trail, rather than three separate
+    flag tables whose joins every consumer re-derives. Second composition
+    capstone beside q124 (which gates on exact grams only).
+
+    Scale posture: each rung keeps its own posture (eval sides broadcast,
+    corpus text never shuffles — see the component docstrings); the
+    rollup adds three left joins keyed on doc_id against flag tables
+    bounded by |flagged docs| (rare by construction), which AQE
+    broadcasts. The verdict column is a map-side CASE."""
+    from .dedup import q133_fuzzy_decontamination
+    from .text import q139_fingerprint_decontamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(hash_bucket("doc_id") < "f0").select("doc_id")
+    ex = (
+        q106_decontamination(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("exact_hit", F.lit(True))
+    )
+    wn = (
+        q139_fingerprint_decontamination(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("winnow_hit", F.lit(True))
+    )
+    fz = (
+        q133_fuzzy_decontamination(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("fuzzy_hit", F.lit(True))
+    )
+    j = (
+        train.join(ex, "doc_id", "left")
+        .join(wn, "doc_id", "left")
+        .join(fz, "doc_id", "left")
+    )
+    exact_hit = F.coalesce(F.col("exact_hit"), F.lit(False))
+    winnow_hit = F.coalesce(F.col("winnow_hit"), F.lit(False))
+    fuzzy_hit = F.coalesce(F.col("fuzzy_hit"), F.lit(False))
+    return j.select(
+        "doc_id",
+        exact_hit.alias("exact_hit"),
+        winnow_hit.alias("winnow_hit"),
+        fuzzy_hit.alias("fuzzy_hit"),
+        F.when(exact_hit, "contaminated")
+        .when(winnow_hit | fuzzy_hit, "suspect")
+        .otherwise("clean")
+        .alias("verdict"),
     )

@@ -668,9 +668,8 @@ def q136_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q133_fuzzy_decontamination",
-    oracle=f"""
+# Named so the q171 ladder rollup can reuse the identical flagged-doc rule.
+ORACLE_FUZZY_FLAGGED = f"""
     WITH sh AS ({_ORACLE_SHINGLES}),
     cand AS (
       SELECT a.doc_id AS train_id, b.doc_id AS eval_id
@@ -694,8 +693,10 @@ def q136_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY train_id ORDER BY jaccard DESC, eval_id ASC) AS rn
       FROM scored
     ) WHERE rn = 1 AND max_jaccard >= 0.5
-    """,
-)
+    """
+
+
+@register("q133_fuzzy_decontamination", oracle=ORACLE_FUZZY_FLAGGED)
 def q133_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy train/eval decontamination — the MinHash-LSH companion to
     q106's exact n-gram check (the Llama/GPT-3-style near-match rule that

@@ -843,9 +843,8 @@ def q138_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q139_fingerprint_decontamination",
-    oracle=rf"""
+# Named so the q171 ladder rollup can reuse the identical flagged-doc rule.
+ORACLE_WINNOW_FLAGGED = rf"""
     WITH base AS (
       SELECT doc_id,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
@@ -876,8 +875,10 @@ def q138_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f JOIN ev USING (fp)
     WHERE f.bucket < 'f0'
     GROUP BY f.doc_id
-    """,
-)
+    """
+
+
+@register("q139_fingerprint_decontamination", oracle=ORACLE_WINNOW_FLAGGED)
 def q139_fingerprint_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint decontamination — the middle rung of the
     decontamination ladder: cheaper than exact 8-gram overlap (q106, which
@@ -1746,4 +1747,170 @@ def q165_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_robust_z"),
         )
         .orderBy("event_type")
+    )
+
+
+# --- q169: per-source quality calibration ------------------------------------
+
+_CAL_FRAC = 0.10  # bottom decile gate
+
+
+@register(
+    "q169_quality_calibration",
+    oracle=f"""
+    WITH q AS (
+      SELECT source,
+             LEAST(n_tokens / 100.0, 1.0) * 0.5
+             + LEAST(stop_hits / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.5
+               AS raw
+      FROM (
+        SELECT source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t)))
+                 AS stop_hits
+        FROM documents
+      )
+    ),
+    thr AS (SELECT quantile_cont(raw, {_CAL_FRAC}) AS p10 FROM q),
+    r AS (
+      SELECT source, raw,
+             percent_rank() OVER (PARTITION BY source ORDER BY raw) AS pr
+      FROM q
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN raw < (SELECT p10 FROM thr) THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged_global,
+           CAST(sum(CASE WHEN pr < {_CAL_FRAC} THEN 1 ELSE 0 END) AS BIGINT)
+             AS flagged_calibrated,
+           CAST(sum(CASE WHEN (raw < (SELECT p10 FROM thr))
+                          <> (pr < {_CAL_FRAC}) THEN 1 ELSE 0 END) AS BIGINT)
+             AS disagreements,
+           round(sum(CASE WHEN (raw < (SELECT p10 FROM thr))
+                           <> (pr < {_CAL_FRAC}) THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS disagreement_share
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q169_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-gate calibration: contrast a single GLOBAL
+    quality threshold (corpus-wide bottom {_CAL_FRAC:.0%} of q62's score)
+    with a PER-SOURCE calibrated gate (bottom {_CAL_FRAC:.0%} percentile
+    rank within each source). A global cutoff silently ejects whole
+    low-register sources and passes every doc of high-register ones; the
+    calibrated gate removes each source's own worst tail. The report
+    counts, per source, how many docs each rule flags and where they
+    disagree — the evidence for choosing a thresholding policy before a
+    filtering run, the same exact-beside-alternative shape as q145/q154.
+
+    Determinism: identical score arithmetic in both engines; percentile
+    ranks share tie structure because the scores are bit-identical
+    doubles; the global threshold is one interpolated quantile.
+
+    Scale posture: one source-partitioned window (the percent_rank) and
+    the per-source census share a single hash exchange; the global
+    quantile is a 1-row scalar attached by broadcast. Nothing else
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens.cast(
+        "double"
+    )
+    raw = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.5
+    )
+    q = docs.select("source", raw.alias("raw"))
+    thr = q.agg(F.expr(f"percentile(raw, {_CAL_FRAC})").alias("p10"))
+    r = q.withColumn(
+        "pr", F.percent_rank().over(Window.partitionBy("source").orderBy("raw"))
+    ).crossJoin(F.broadcast(thr))
+    g_flag = (F.col("raw") < F.col("p10")).cast("int")
+    c_flag = (F.col("pr") < _CAL_FRAC).cast("int")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(g_flag).cast("bigint").alias("flagged_global"),
+            F.sum(c_flag).cast("bigint").alias("flagged_calibrated"),
+            F.sum((g_flag != c_flag).cast("int")).cast("bigint").alias("disagreements"),
+            F.round(
+                F.sum((g_flag != c_flag).cast("int")) / F.count(F.lit(1)), 4
+            ).alias("disagreement_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- q170: template-prefix census --------------------------------------------
+
+_TPL_K = 2  # prefix length in tokens
+_TPL_MIN = 3  # minimum docs sharing a prefix to report
+
+
+@register(
+    "q170_template_prefix_census",
+    oracle=f"""
+    WITH p AS (
+      SELECT concat_ws(' ', regexp_split_to_array(trim(text), '\\s+')[1],
+                       regexp_split_to_array(trim(text), '\\s+')[2]) AS prefix,
+             source,
+             md5(trim(text)) AS fp
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= {_TPL_K}
+    ),
+    g1 AS (
+      SELECT prefix, source, fp, count(*) AS cnt
+      FROM p GROUP BY prefix, source, fp
+    )
+    SELECT prefix,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+           round(count(DISTINCT fp) * 1.0 / sum(cnt), 4) AS text_diversity
+    FROM g1
+    GROUP BY prefix
+    HAVING sum(cnt) >= {_TPL_MIN}
+    ORDER BY n_docs DESC, prefix
+    """,
+)
+def q170_template_prefix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-prefix census: group documents by their first {_TPL_K}
+    tokens and report prefixes shared by >= {_TPL_MIN} docs with source
+    spread and text diversity. Boilerplate farms and templated spam open
+    identically while varying the tail — exactly the shape full-document
+    hashing (q64) misses and shingle LSH only catches pair-by-pair; low
+    text_diversity at high n_docs = exact-dup mass, high diversity =
+    live template. Complements q128's within-doc boilerplate removal
+    with a cross-doc generator-level view.
+
+    Scale posture: the prefix is a two-token map-side projection (no
+    shingling, no UDF); the first aggregation groups (prefix, source,
+    fingerprint) — corpus-sized but one shuffle of short digests — and
+    the distinct counts run on that already-reduced table, so the
+    count-distinct Expand touches group rows, not corpus rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    p = docs.filter(F.size(toks) >= _TPL_K).select(
+        F.concat_ws(
+            " ", F.element_at(toks, 1), F.element_at(toks, 2)
+        ).alias("prefix"),
+        "source",
+        F.md5(F.trim(F.col("text"))).alias("fp"),
+    )
+    g1 = p.groupBy("prefix", "source", "fp").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        g1.groupBy("prefix")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("fp").cast("bigint").alias("n_distinct_texts"),
+            F.round(F.countDistinct("fp") / F.sum("cnt"), 4).alias("text_diversity"),
+        )
+        .filter(F.col("n_docs") >= _TPL_MIN)
+        .orderBy(F.col("n_docs").desc(), F.col("prefix").asc())
     )

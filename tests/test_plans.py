@@ -383,6 +383,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q163_heavy_hitters",  # 1-row token-total support threshold
         "q167_budget_waterfill",  # 1-row totals + water-level scalars
         "q168_lsh_recall_audit",  # 1-row audit-count scalars
+        "q169_quality_calibration",  # 1-row global-decile scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
@@ -495,3 +496,18 @@ def test_round5_additions_plan_shapes(spark, sf_dir):
     plan = P.formatted_plan(q168)
     assert "TakeOrderedAndProject" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+    # q169: the source-partitioned percent_rank window and the per-source
+    # census share ONE source hash exchange; the global decile is a 1-row
+    # broadcast scalar.
+    q169 = _df(spark, sf_dir, "q169_quality_calibration")
+    plan = q169._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # q170: the count-distinct Expand must sit ABOVE the first (prefix,
+    # source, fp) aggregation, so the corpus-sized shuffle happens once
+    # (g1) and the Expand + final exchanges carry already-reduced slim
+    # rows: exactly three hash exchanges, Expand between them.
+    q170 = _df(spark, sf_dir, "q170_template_prefix_census")
+    plan = q170._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "Expand" in plan, plan
