@@ -11,6 +11,7 @@ from .pipeline import (
     correlate_streams,
     dedup_stream,
     drift_monitor_stream,
+    rate_limit_stream,
     read_event_stream,
     rollup_stream,
     route_events,
@@ -28,6 +29,7 @@ __all__ = [
     "correlate_streams",
     "dedup_stream",
     "drift_monitor_stream",
+    "rate_limit_stream",
     "read_event_stream",
     "rollup_stream",
     "route_events",

@@ -397,3 +397,60 @@ def drift_monitor_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def rate_limit_stream(events: DataFrame, cap: int = 3) -> DataFrame:
+    """Streaming rate-limit admission — the live form of the q164 batch
+    replay: each user admits at most `cap` events per clock-hour window;
+    excess arrivals are emitted with admitted=False. Keyed state is ONE
+    counter per (user, hour) group (the already-admitted count), so state
+    size is bounded by active keys and a watermark can evict closed hours
+    in a live deployment. Within a micro-batch, rows are processed in
+    (ts, event_id) order — the same total order the batch kernel ranks
+    by — so on in-order ingest the admitted set is identical to the
+    batch replay (asserted by the parity test); on out-of-order ingest
+    the stream necessarily admits in arrival order, which is the
+    semantics a live limiter actually has.
+
+    Emits (event_id, user_id, window_start, rk, admitted) per event."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_id bigint, user_id bigint, window_start timestamp, "
+        "rk bigint, admitted boolean"
+    )
+    state_schema = "n_admitted bigint"
+
+    def limiter(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        user_id, window_start = key
+        (n,) = state.get if state.exists else (0,)
+        frames = []
+        for pdf in pdfs:
+            if len(pdf):
+                frames.append(pdf[["event_id", "ts"]])
+        if not frames:
+            state.update((n,))
+            return
+        batch = pd.concat(frames).sort_values(["ts", "event_id"])
+        rks = range(n + 1, n + 1 + len(batch))
+        out = pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(),
+                "user_id": user_id,
+                "window_start": window_start,
+                "rk": list(rks),
+            }
+        )
+        out["admitted"] = out["rk"] <= cap
+        state.update((n + len(batch),))
+        yield out
+
+    keyed = events.withColumn(
+        "window_start", F.date_trunc("hour", F.col("ts"))
+    ).groupBy("user_id", "window_start")
+    return keyed.applyInPandasWithState(
+        limiter, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

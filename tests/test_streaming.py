@@ -670,3 +670,37 @@ def test_streaming_integration_sf01_midstream_restart(spark, tmp_path):
     for r in missing:
         lag_h = (max_ts - r["selection_ts"]).total_seconds() / 3600
         assert lag_h <= 1.5, f"pair missing though watermark closed it: {r}"
+
+
+def test_rate_limit_stream_batch_parity(spark, stream_src):
+    """The streaming limiter's admitted set on in-order ingest equals the
+    batch replay's rank rule (row_number over (user, hour) in (ts,
+    event_id) order, rank <= cap) — counts survive micro-batch splits
+    because the state carries the already-admitted count per key."""
+    from pyspark.sql.window import Window
+
+    got = _run_to_memory(
+        spark,
+        S.rate_limit_stream(S.read_event_stream(spark, stream_src), cap=1),
+        "rate_limited",
+        mode="update",
+    )
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    # cap=1 so the limit actually binds at the tiny fixture's density
+    want = batch.select(
+        "event_id", F.row_number().over(w).alias("rk")
+    ).withColumn("admitted", F.col("rk") <= 1)
+
+    assert got.count() == batch.count()  # one verdict per event
+    j = got.select("event_id", F.col("rk").alias("s_rk"), F.col("admitted").alias("s_adm")).join(
+        want, "event_id"
+    )
+    assert j.filter(F.col("s_rk") != F.col("rk")).count() == 0
+    assert j.filter(F.col("s_adm") != F.col("admitted")).count() == 0
+    # the cap binds: some events rejected, none admitted past the cap
+    assert got.filter(~F.col("admitted")).count() > 0
+    per_key = got.filter(F.col("admitted")).groupBy("user_id", "window_start").count()
+    assert per_key.filter(F.col("count") > 1).count() == 0
