@@ -132,6 +132,7 @@ HEADLINE = [
     "q169_quality_calibration",
     "q170_template_prefix_census",
     "q171_decontamination_ladder",
+    "q172_dedup_survivorship",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -147,6 +148,7 @@ SHARES_BAND_CACHE = [
     "q136_minhash_jaccard_error",
     "q152_dedup_aware_shards",
     "q171_decontamination_ladder",
+    "q172_dedup_survivorship",
 ]
 
 

@@ -1000,3 +1000,82 @@ def q168_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+# --- q172: dedup survivorship report -----------------------------------------
+
+
+@register(
+    "q172_dedup_survivorship",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node)
+    SELECT lab.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(min(d.doc_id) AS BIGINT) AS canonical_doc,
+           CAST(sum(d.n_chars) AS BIGINT) AS bytes_total,
+           CAST(arg_min(d.n_chars, d.doc_id) AS BIGINT) AS bytes_kept,
+           CAST(sum(d.n_chars) - arg_min(d.n_chars, d.doc_id) AS BIGINT)
+             AS bytes_saved,
+           round((sum(d.n_chars) - arg_min(d.n_chars, d.doc_id)) * 1.0
+                 / sum(d.n_chars), 4) AS savings_frac
+    FROM lab JOIN documents d ON d.doc_id = lab.doc_id
+    GROUP BY lab.cluster_id
+    ORDER BY lab.cluster_id
+    """,
+)
+def q172_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship report: per near-dup cluster, what dedup actually
+    buys — member count, source spread, the kept canonical (min doc_id,
+    q90's rule), and bytes retired vs retained. This is the artifact that
+    justifies the dedup pipeline's cost to its owners and feeds capacity
+    planning (how much of each ingest is redundant mass); the per-cluster
+    grain also exposes pathological families (one cluster spanning many
+    sources = syndicated boilerplate, q157's signal at cluster grain).
+
+    Scale posture: reuses the cached cluster-label table (the persisted
+    assignment, |clustered docs| rows); one doc_id-keyed join against the
+    corpus (label side corpus-growing -> left plain for AQE, q112
+    discipline) and one cluster-keyed aggregation. The oracle replays
+    clustering as the recursive reachability CTE, so the iterative stage
+    stays value-checked end to end."""
+    labels = _cluster_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    j = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")).join(
+        docs, "doc_id"
+    )
+    kept = F.min_by("n_chars", "doc_id").cast("bigint")
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.sum("n_chars").cast("bigint").alias("bytes_total"),
+            kept.alias("bytes_kept"),
+            (F.sum("n_chars") - kept).cast("bigint").alias("bytes_saved"),
+            F.round(
+                (F.sum("n_chars") - kept) / F.sum("n_chars").cast("double"), 4
+            ).alias("savings_frac"),
+        )
+        .orderBy("cluster_id")
+    )
