@@ -133,6 +133,7 @@ HEADLINE = [
     "q170_template_prefix_census",
     "q171_decontamination_ladder",
     "q172_dedup_survivorship",
+    "q173_incremental_lsh_update",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -149,6 +150,7 @@ SHARES_BAND_CACHE = [
     "q152_dedup_aware_shards",
     "q171_decontamination_ladder",
     "q172_dedup_survivorship",
+    "q173_incremental_lsh_update",
 ]
 
 

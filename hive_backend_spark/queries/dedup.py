@@ -1079,3 +1079,82 @@ def q172_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- q173: incremental LSH index maintenance ---------------------------------
+
+_INC_DELTA = "e0"  # docs with md5 bucket >= this are the "new arrivals"
+
+
+@register(
+    "q173_incremental_lsh_update",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared_bands
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared_bands,
+           CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) >= '{_INC_DELTA}'
+                 AND substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) >= '{_INC_DELTA}'
+                THEN 'delta-delta' ELSE 'delta-base' END AS pair_kind
+    FROM pairs
+    WHERE substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) >= '{_INC_DELTA}'
+       OR substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) >= '{_INC_DELTA}'
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q173_incremental_lsh_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance: when a delta of new documents
+    arrives (md5 bucket >= '{_INC_DELTA}', ~12%), ONLY the delta pays the
+    tokenize->shingle->minhash->band signature pass; every new candidate
+    pair — delta-vs-base and delta-vs-delta — falls out of probing the
+    delta's bands against the persisted band index, because a pair needs
+    at least one new side to be new. The report is exactly the pairs a
+    full recompute would add (the oracle computes the full join and
+    filters to delta-involving pairs — identical output, quadratically
+    more signature work). This is the contract that lets a 100 TB dedup
+    index absorb daily ingest without re-signing the corpus: the q105
+    exact-hash story lifted to the near-dup index.
+
+    Scale posture: the base band table is the persisted index (cached
+    here, as in q67); the delta bands are a separate pass over delta
+    docs only; the probe join is band-digest-keyed. The union's
+    delta-delta half stays inside the probe (delta bands join the full
+    index, which contains them), so one join serves both pair kinds;
+    orientation (doc_a < doc_b) plus the band group-by dedups."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .sampling import hash_bucket
+
+    is_delta = hash_bucket("doc_id") >= _INC_DELTA
+    # persisted index: the full band table (base + already-absorbed deltas)
+    index = _bands(spark, sf_dir)
+    delta_b = D.explode_bands(docs.filter(is_delta), "doc_id").select(
+        F.col("doc_id").alias("probe_id"), "band_idx", "band_sig"
+    )
+    hits = delta_b.join(index, ["band_idx", "band_sig"]).filter(
+        F.col("probe_id") != F.col("doc_id")
+    )
+    oriented = hits.select(
+        F.least("probe_id", "doc_id").alias("doc_a"),
+        F.greatest("probe_id", "doc_id").alias("doc_b"),
+        "band_idx",
+    )
+    pairs = (
+        oriented.select("doc_a", "doc_b", "band_idx")
+        .distinct()  # a delta-delta pair is probed from both sides
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
+    )
+    both_delta = (hash_bucket("doc_a") >= _INC_DELTA) & (
+        hash_bucket("doc_b") >= _INC_DELTA
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        F.when(both_delta, "delta-delta").otherwise("delta-base").alias("pair_kind"),
+    ).orderBy("doc_a", "doc_b")
