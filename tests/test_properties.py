@@ -363,3 +363,68 @@ def test_mg_spark_candidates_superset(spark):
     for t, c in true.items():
         if c * 8 > n:
             assert t in cand, (t, c)
+
+
+# --- waterfilling closed form vs iterative simulation ------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=40),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(max_examples=80, deadline=None)
+def test_waterfill_closed_form_matches_simulation(avails, frac):
+    """q167's segment-search water level against a reference bisection:
+    the closed form must satisfy sum(min(a_i, theta)) == B to float
+    precision, allocate every uncapped source exactly its availability,
+    and never exceed any availability."""
+    total = sum(avails)
+    budget = frac * total
+    n = len(avails)
+    # closed form exactly as the query computes it
+    srt = sorted(avails)
+    cum = 0.0
+    theta = None
+    prev = 0.0
+    for k, a in enumerate(srt, start=1):
+        t = (budget - cum) / (n - k + 1)
+        if prev < t <= a:
+            theta = t if theta is None else min(theta, t)
+        cum += a
+        prev = a
+    assert theta is not None, (avails, frac)
+    # reference: bisection on the monotone residual
+    lo, hi = 0.0, float(max(avails))
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(a, mid) for a in avails) < budget:
+            lo = mid
+        else:
+            hi = mid
+    assert abs(theta - hi) < 1e-6 * max(1.0, hi), (theta, hi)
+    assert abs(sum(min(a, theta) for a in avails) - budget) < 1e-6 * total
+
+
+# --- one-pass second moments vs direct numpy ---------------------------------
+
+
+def test_second_moments_match_direct_numpy(spark):
+    """operators/linalg.second_moments: the distributed Gram/mean fold over
+    an awkwardly-partitioned vector table must equal the direct numpy
+    computation on the collected matrix (same population-covariance
+    formula) to float-sum tolerance."""
+    import numpy as np
+
+    from hive_backend_spark.operators.linalg import second_moments
+
+    rng_rows = [
+        (i, [float(((i * 31 + j * 17) % 97) - 48) / 7.0 for j in range(8)])
+        for i in range(123)
+    ]
+    df = spark.createDataFrame(rng_rows, "id bigint, v array<double>").repartition(7)
+    n, mu, cov = second_moments(df, "v", 8)
+    m = np.array([v for _, v in rng_rows])
+    assert n == 123
+    np.testing.assert_allclose(mu, m.mean(axis=0), rtol=0, atol=1e-12)
+    direct = (m.T @ m) / len(m) - np.outer(m.mean(axis=0), m.mean(axis=0))
+    np.testing.assert_allclose(cov, direct, rtol=0, atol=1e-10)
