@@ -134,6 +134,8 @@ HEADLINE = [
     "q171_decontamination_ladder",
     "q172_dedup_survivorship",
     "q173_incremental_lsh_update",
+    "q174_source_welch_drift",
+    "q175_langid_confusion",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -151,6 +153,8 @@ SHARES_BAND_CACHE = [
     "q171_decontamination_ladder",
     "q172_dedup_survivorship",
     "q173_incremental_lsh_update",
+    "q174_source_welch_drift",
+    "q175_langid_confusion",
 ]
 
 

@@ -194,6 +194,10 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row top-25 stopword array, head-bounded (q158)",
     ("queries/text.py", ").crossJoin(F.broadcast(thr))"):
         "1-row global quality-quantile scalar (q169)",
+    ("queries/text.py", "j = per.crossJoin(F.broadcast(tot))"):
+        "1-row global-sums scalar: Welch complement moments (q174)",
+    ("queries/text.py", ".crossJoin(F.broadcast(g))"):
+        "1-row global precision/recall scalar (q175)",
     ("queries/queue.py", 'events.join(F.broadcast(batch), "event_id", "left_semi")'):
         "two-phase mark batch: top-100 dequeue slice (q52)",
     ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):

@@ -1914,3 +1914,179 @@ def q170_template_prefix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= _TPL_MIN)
         .orderBy(F.col("n_docs").desc(), F.col("prefix").asc())
     )
+
+
+# --- q174: per-source Welch t-test drift audit -------------------------------
+
+
+@register(
+    "q174_source_welch_drift",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS x
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n1,
+             sum(x) AS s1, sum(x * x) AS ss1
+      FROM d GROUP BY source
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS s, sum(x * x) AS ss FROM d),
+    m AS (
+      SELECT source, n1, s1 / n1 AS m1,
+             (ss1 - n1 * (s1 / n1) * (s1 / n1)) / (n1 - 1) AS v1,
+             (SELECT n FROM tot) - n1 AS n2,
+             ((SELECT s FROM tot) - s1) / ((SELECT n FROM tot) - n1) AS m2,
+             ((SELECT ss FROM tot) - ss1
+              - ((SELECT n FROM tot) - n1)
+                * (((SELECT s FROM tot) - s1) / ((SELECT n FROM tot) - n1))
+                * (((SELECT s FROM tot) - s1) / ((SELECT n FROM tot) - n1)))
+             / ((SELECT n FROM tot) - n1 - 1) AS v2
+      FROM per
+    )
+    SELECT source,
+           CAST(n1 AS BIGINT) AS n_docs,
+           round(m1, 4) AS mean_tokens,
+           round(m2, 4) AS mean_rest,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
+                 4) AS welch_df,
+           abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) > 1.96 AS significant
+    FROM m
+    ORDER BY source
+    """,
+)
+def q174_source_welch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean-shift audit: Welch's t between each source's token
+    counts and the rest of the corpus — the parametric companion to
+    q147's KS test (KS sees any distributional change; this isolates MEAN
+    drift with a significance call, the alarm wired to ingest when a
+    source silently changes its chunking or truncation). One-vs-rest
+    comes free from the algebra: the complement's moments are the global
+    sums minus the source's sums, so there is no per-pair work and no
+    second scan.
+
+    Determinism: every input to the float math is an exact integer sum;
+    both engines then evaluate the identical closed-form expressions
+    (variance from sums, Welch-Satterthwaite df), so the rounded outputs
+    agree bit-for-bit.
+
+    Scale posture: ONE aggregation per source (bounded dimension) and a
+    1-row global-sums scalar attached by broadcast; everything downstream
+    is arithmetic on |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    d = docs.select("source", x.alias("x"))
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n1"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("ss1"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    m1 = F.col("s1") / F.col("n1")
+    v1 = (F.col("ss1") - F.col("n1") * m1 * m1) / (F.col("n1") - 1)
+    n2 = F.col("n") - F.col("n1")
+    m2 = (F.col("s") - F.col("s1")) / n2
+    v2 = (F.col("ss") - F.col("ss1") - n2 * m2 * m2) / (n2 - 1)
+    se2 = v1 / F.col("n1") + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(v1 / F.col("n1"), 2) / (F.col("n1") - 1) + F.pow(v2 / n2, 2) / (n2 - 1)
+    )
+    return j.select(
+        "source",
+        F.col("n1").cast("bigint").alias("n_docs"),
+        F.round(m1, 4).alias("mean_tokens"),
+        F.round(m2, 4).alias("mean_rest"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 4).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant"),
+    ).orderBy("source")
+
+
+# --- q175: classifier-vs-label agreement audit -------------------------------
+
+
+@register(
+    "q175_langid_confusion",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t))) >= 3
+                  THEN 1 ELSE 0 END AS pred_en
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN lang = 'en' AND pred_en = 1 THEN 1 ELSE 0 END)
+               AS DOUBLE) AS tp,
+             CAST(sum(pred_en) AS DOUBLE) AS pred_pos,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS actual_pos
+      FROM p
+    )
+    SELECT lang AS labeled_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pred_en) AS BIGINT) AS pred_en_like,
+           CAST(count(*) - sum(pred_en) AS BIGINT) AS pred_other,
+           round(sum(CASE WHEN (lang = 'en') = (pred_en = 1) THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS class_accuracy,
+           round((SELECT tp / pred_pos FROM g), 4) AS precision_en,
+           round((SELECT tp / actual_pos FROM g), 4) AS recall_en
+    FROM p
+    GROUP BY lang
+    ORDER BY labeled_lang
+    """,
+)
+def q175_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-vs-metadata agreement audit: q66's stopword lang-ID
+    against the corpus's own lang labels — per labeled language, how the
+    classifier splits its docs, the per-class accuracy, and the global
+    precision/recall of the 'en' prediction. Label-quality auditing cuts
+    both ways: a language with low agreement either has mislabeled docs
+    or exposes a classifier blind spot — and at 100 TB nobody inspects
+    either by hand; this census is how the disagreement mass gets
+    budgeted before a re-labeling run.
+
+    Scale posture: the classifier feature is map-side (stopword hits in
+    codegen), one bounded per-language aggregation, and the global
+    precision/recall is a 1-row scalar broadcast onto the report rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pred_en = (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) >= 3).cast("int")
+    p = docs.select(F.col("lang"), pred_en.alias("pred_en"))
+    g = p.agg(
+        F.sum(F.when((F.col("lang") == "en") & (F.col("pred_en") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("tp"),
+        F.sum("pred_en").cast("double").alias("pred_pos"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("double").alias("actual_pos"),
+    )
+    agree = ((F.col("lang") == "en") == (F.col("pred_en") == 1)).cast("int")
+    return (
+        p.groupBy(F.col("lang").alias("labeled_lang"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pred_en").cast("bigint").alias("pred_en_like"),
+            (F.count(F.lit(1)) - F.sum("pred_en")).cast("bigint").alias("pred_other"),
+            F.round(F.sum(agree) / F.count(F.lit(1)), 4).alias("class_accuracy"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "labeled_lang",
+            "n_docs",
+            "pred_en_like",
+            "pred_other",
+            "class_accuracy",
+            F.round(F.col("tp") / F.col("pred_pos"), 4).alias("precision_en"),
+            F.round(F.col("tp") / F.col("actual_pos"), 4).alias("recall_en"),
+        )
+        .orderBy("labeled_lang")
+    )

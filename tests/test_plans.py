@@ -384,6 +384,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q167_budget_waterfill",  # 1-row totals + water-level scalars
         "q168_lsh_recall_audit",  # 1-row audit-count scalars
         "q169_quality_calibration",  # 1-row global-decile scalar
+        "q174_source_welch_drift",  # 1-row global-sums scalar
+        "q175_langid_confusion",  # 1-row precision/recall scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
