@@ -136,6 +136,9 @@ HEADLINE = [
     "q173_incremental_lsh_update",
     "q174_source_welch_drift",
     "q175_langid_confusion",
+    "q176_pq_distortion",
+    "q177_shard_balance_audit",
+    "q178_cluster_purity",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -155,6 +158,9 @@ SHARES_BAND_CACHE = [
     "q173_incremental_lsh_update",
     "q174_source_welch_drift",
     "q175_langid_confusion",
+    "q176_pq_distortion",
+    "q177_shard_balance_audit",
+    "q178_cluster_purity",
 ]
 
 

@@ -180,6 +180,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row candidate-pair count scalar (q168 audit report)",
     ("queries/dedup.py", ".crossJoin(F.broadcast(g))"):
         "1-row caught-pair count scalar (q168 audit report)",
+    ("queries/dedup.py", "per.crossJoin(F.broadcast(g))"):
+        "1-row shard balance stats scalar (q177)",
     ("queries/text.py", ".crossJoin(F.broadcast(n_docs))"):
         "1-row corpus count scalar for idf (q84)",
     ("queries/text.py", 'train.join(F.broadcast(eval_fps), "fp")  # bounded: eval benchmark side'):
@@ -310,4 +312,6 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "k-row centroid table: probe routing side (q154)",
     ("queries/similarity.py", "F.broadcast(best),"):
         "5-row probe->cell routing table (q154)",
+    ("queries/similarity.py", "agg.crossJoin(F.broadcast(tot))"):
+        "1-row total-distortion scalar (q176)",
 }

@@ -1158,3 +1158,187 @@ def q173_incremental_lsh_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_bands",
         F.when(both_delta, "delta-delta").otherwise("delta-base").alias("pair_kind"),
     ).orderBy("doc_a", "doc_b")
+
+
+# --- q177: dedup-shard token-balance audit -----------------------------------
+
+
+@register(
+    "q177_shard_balance_audit",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+    sharded AS (
+      SELECT substr(md5(CAST(COALESCE(lab.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)
+               AS shard,
+             len(regexp_split_to_array(trim(d.text), '\\s+')) AS toks
+      FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+    ),
+    per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS tokens
+      FROM sharded GROUP BY shard
+    ),
+    g AS (SELECT sum(tokens) AS t, avg(tokens) AS m,
+                 stddev_pop(tokens) AS sd FROM per)
+    SELECT shard, n_docs, tokens,
+           round(tokens * 1.0 / (SELECT t FROM g), 4) AS token_share,
+           round(tokens / (SELECT m FROM g), 4) AS vs_mean,
+           round((SELECT sd FROM g) / (SELECT m FROM g), 4) AS shard_cv
+    FROM per
+    ORDER BY shard
+    """,
+)
+def q177_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass balance audit of the dedup-aware shard layout (q152):
+    cluster-keyed sharding is exact for dedup but risks hot shards if a
+    giant near-dup family lands on one key — this measures what the
+    co-location guarantee costs in balance. Per shard: docs, tokens,
+    share of corpus, deviation from the mean shard, and the global
+    coefficient of variation — the number you watch before giving every
+    shard the same executor budget (q118's skew report, applied to the
+    layout the pipeline itself chose).
+
+    Scale posture: reuses the cached cluster labels; one doc_id join +
+    one 16-row aggregation; balance stats are a 1-row scalar broadcast
+    back onto the 16 report rows."""
+    from .sampling import hash_bucket  # noqa: F401 (shard rule documented)
+
+    labels = _cluster_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    j = docs.join(
+        labels.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
+    )
+    shard = F.substring(
+        F.md5(F.coalesce(F.col("label"), F.col("doc_id")).cast("string")), 1, 1
+    )
+    per = (
+        j.select(shard.alias("shard"), toks.alias("toks"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("tokens"),
+        )
+    )
+    g = per.agg(
+        F.sum("tokens").alias("t"),
+        F.avg("tokens").alias("m"),
+        F.stddev_pop("tokens").alias("sd"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "shard",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("t"), 4).alias("token_share"),
+            F.round(F.col("tokens") / F.col("m"), 4).alias("vs_mean"),
+            F.round(F.col("sd") / F.col("m"), 4).alias("shard_cv"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --- q178: near-dup cluster purity audit -------------------------------------
+
+_PURITY_TAU = 0.5
+
+
+@register(
+    "q178_cluster_purity",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS ({_ORACLE_SHINGLES}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+    scored AS (
+      SELECT l.cluster_id,
+             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.shingles, y.shingles))) AS j
+      FROM cand
+      JOIN lab l ON l.doc_id = cand.doc_a
+      JOIN sh x ON x.doc_id = cand.doc_a
+      JOIN sh y ON y.doc_id = cand.doc_b
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_scored_pairs,
+           round(min(j), 4) AS min_jaccard,
+           round(avg(j), 4) AS avg_jaccard,
+           min(j) < {_PURITY_TAU} AS impure
+    FROM scored
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def q178_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster purity audit: connected components merge by
+    TRANSITIVITY, so a chain a~b~c can glue documents that are not
+    themselves similar — the classic LSH-chaining over-merge. Per
+    cluster, score every candidate edge's exact shingle Jaccard and
+    report the count, minimum, mean, and an impure flag (weakest edge
+    below {_PURITY_TAU}) — the audit that decides whether cluster-level
+    canonical selection (q90/q112) is safe or a cluster must be split
+    before dedup drops its members. Closes the quality loop on q79 the
+    way q168 closes it on q67's recall.
+
+    Scale posture: reuses the cached band and label tables; edge scoring
+    is q68's candidate-bounded join (O(candidates), never all pairs);
+    the purity rollup groups by cluster id — |clusters| rows."""
+    labels = _cluster_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.spread(docs).select(
+        "doc_id", D.shingles_udf()(F.col("text")).alias("shingles")
+    )
+    cand = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    x, y = sh.alias("x"), sh.alias("y")
+    scored = (
+        cand.join(labels.select(F.col("node").alias("doc_a"), "label"), "doc_a")
+        .join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, F.col("y.doc_id") == F.col("doc_b"))
+        .select(
+            F.col("label").alias("cluster_id"),
+            D.jaccard(F.col("x.shingles"), F.col("y.shingles")).alias("j"),
+        )
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored_pairs"),
+            F.round(F.min("j"), 4).alias("min_jaccard"),
+            F.round(F.avg("j"), 4).alias("avg_jaccard"),
+            (F.min("j") < _PURITY_TAU).alias("impure"),
+        )
+        .orderBy("cluster_id")
+    )

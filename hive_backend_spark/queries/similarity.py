@@ -797,6 +797,19 @@ _Q127_ENC = f"""
 """
 
 
+def _pq_q8(m):
+    """int8 scalar quantization with q88's exact rounding semantics:
+    floor(x + 0.5) == round-half-away-from-zero for nonnegative x — the
+    semantics of DuckDB round() and Spark F.round; np.round is
+    half-to-even and would flip codes on .5 midpoints. Shared by the PQ
+    encode (q127) and the PQ distortion audit (q176)."""
+    mn = m.min(axis=1, keepdims=True)
+    mx = m.max(axis=1, keepdims=True)
+    import numpy as np
+
+    return np.floor((m - mn) / ((mx - mn) / 255.0) + 0.5).astype(np.int64) - 128
+
+
 @register(
     "q127_pq_ann",
     oracle=f"""
@@ -847,13 +860,7 @@ def q127_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def _q8(m: "np.ndarray") -> "np.ndarray":
-        mn = m.min(axis=1, keepdims=True)
-        mx = m.max(axis=1, keepdims=True)
-        # floor(x + 0.5) == round-half-away-from-zero for nonnegative x —
-        # the exact semantics of DuckDB round() and Spark F.round (q88);
-        # np.round is half-to-even and would flip codes on .5 midpoints.
-        return np.floor((m - mn) / ((mx - mn) / 255.0) + 0.5).astype(np.int64) - 128
+    _q8 = _pq_q8
 
     # Codebook + query: tiny fixed-id slice, quantized driver-side with the
     # exact same formula the distributed pass uses (q88 semantics).
@@ -1558,3 +1565,89 @@ def q166_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("var_share", 4).alias("var_share"),
         "n_vecs",
     ).orderBy("pos")
+
+
+# --- q176: PQ codebook distortion audit --------------------------------------
+
+
+@register(
+    "q176_pq_distortion",
+    oracle=f"""
+    WITH enc AS ({_Q127_ENC}),
+    best AS (
+      SELECT vec_id, s, min(dist) AS d2 FROM enc GROUP BY vec_id, s
+    )
+    SELECT CAST(s AS INT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(d2) AS BIGINT) AS total_sqerr,
+           round(sum(d2) * 1.0 / count(*), 4) AS mse,
+           round(sum(d2) * 1.0 / (SELECT sum(d2) FROM best), 4)
+             AS distortion_share
+    FROM best GROUP BY s ORDER BY subspace
+    """,
+)
+def q176_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook distortion audit: per subspace, the quantization error
+    the 4-byte code representation actually costs — mean squared distance
+    from each vector's int8 subvector to its assigned (argmin) centroid.
+    q154 measures what routing LOSES (recall); this measures what
+    encoding DESTROYS, and its per-subspace split shows whether one
+    subspace's centroids are starved (high distortion share = that slice
+    of the embedding carries structure 8 centroids can't represent —
+    retrain or re-split). The codebook-quality metric every IVF-PQ
+    deployment tracks beside recall.
+
+    Determinism: all distances are integer sums over int8 codes (exact
+    under any summation order); the min per (vector, subspace) needs no
+    tie-break since equal minima are the same value.
+
+    Scale posture: same shape as q127's encode — the KB codebook ships
+    into one Arrow mapInPandas pass that emits per-batch per-subspace
+    partial sums (4 x partitions rows), folded by one tiny aggregation.
+    One corpus scan, nothing corpus-sized shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import spread
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    head = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id") < _PQ_CENTS).collect()
+    }
+    cents = _pq_q8(np.stack([head[j] for j in range(_PQ_CENTS)]))
+    C = cents.reshape(_PQ_CENTS, _PQ_SUBS, _PQ_SUBDIM).transpose(1, 0, 2)
+
+    def partials(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = _pq_q8(m).reshape(len(m), _PQ_SUBS, _PQ_SUBDIM)
+            rows = []
+            for s in range(_PQ_SUBS):
+                d = ((q[:, s, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+                rows.append(
+                    {
+                        "s": s,
+                        "n": len(m),
+                        "sqerr": int(d.min(axis=1).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    part = spread(emb).mapInPandas(partials, "s int, n bigint, sqerr bigint")
+    agg = part.groupBy("s").agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.sum("sqerr").cast("bigint").alias("total_sqerr"),
+    )
+    tot = agg.agg(F.sum("total_sqerr").cast("bigint").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("subspace"),
+            "n_vecs",
+            "total_sqerr",
+            F.round(F.col("total_sqerr") / F.col("n_vecs"), 4).alias("mse"),
+            F.round(F.col("total_sqerr") / F.col("t"), 4).alias("distortion_share"),
+        )
+        .orderBy("subspace")
+    )

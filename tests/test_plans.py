@@ -386,6 +386,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q169_quality_calibration",  # 1-row global-decile scalar
         "q174_source_welch_drift",  # 1-row global-sums scalar
         "q175_langid_confusion",  # 1-row precision/recall scalar
+        "q176_pq_distortion",  # 1-row total-distortion scalar
+        "q177_shard_balance_audit",  # 1-row balance-stats scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
