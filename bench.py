@@ -139,6 +139,8 @@ HEADLINE = [
     "q176_pq_distortion",
     "q177_shard_balance_audit",
     "q178_cluster_purity",
+    "q179_containment_pairs",
+    "q180_psi_drift",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -161,6 +163,7 @@ SHARES_BAND_CACHE = [
     "q176_pq_distortion",
     "q177_shard_balance_audit",
     "q178_cluster_purity",
+    "q179_containment_pairs",
 ]
 
 

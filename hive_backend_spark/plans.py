@@ -200,6 +200,12 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row global-sums scalar: Welch complement moments (q174)",
     ("queries/text.py", ".crossJoin(F.broadcast(g))"):
         "1-row global precision/recall scalar (q175)",
+    ("queries/text.py", "b = d.crossJoin(F.broadcast(cuts)).select("):
+        "1-row 9-value reference-decile array (q180)",
+    ("queries/text.py", "sh = per.crossJoin(F.broadcast(tot)).select("):
+        "1-row ref/incoming totals scalar (q180)",
+    ("queries/text.py", "sh.crossJoin(F.broadcast(psi))"):
+        "1-row PSI total scalar (q180)",
     ("queries/queue.py", 'events.join(F.broadcast(batch), "event_id", "left_semi")'):
         "two-phase mark batch: top-100 dequeue slice (q52)",
     ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):

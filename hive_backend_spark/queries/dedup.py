@@ -1342,3 +1342,88 @@ def q178_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- q179: containment-based asymmetric near-dup -----------------------------
+
+_CONT_TAU = 0.7
+
+
+@register(
+    "q179_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(x.shingles) AS BIGINT) AS n_shingles_a,
+           CAST(len(y.shingles) AS BIGINT) AS n_shingles_b,
+           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                 / least(len(x.shingles), len(y.shingles)), 4) AS containment,
+           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+             AS jaccard,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / least(len(x.shingles), len(y.shingles)) >= {_CONT_TAU}
+           AND CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shingles, y.shingles)))
+               < {_CONT_TAU} AS asymmetric_dup
+    FROM cand
+    JOIN sh x ON x.doc_id = doc_a
+    JOIN sh y ON y.doc_id = doc_b
+    WHERE len(x.shingles) > 0 AND len(y.shingles) > 0
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q179_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment scoring of LSH candidates (Broder's resemblance vs
+    containment distinction): containment |A∩B| / min(|A|, |B|) catches
+    the SUBSET case Jaccard is blind to — a short document embedded
+    whole inside a long one scores near-zero Jaccard (the union is huge)
+    but containment ~1. Pairs flagged asymmetric_dup (containment >=
+    {_CONT_TAU}, Jaccard < {_CONT_TAU}) are quote-or-wrapper
+    relationships: exactly the boilerplate-wrapped reposts and
+    quoted-in-full chains that survive resemblance-threshold dedup and
+    leak near-identical text into training.
+
+    Scale posture: identical to q68 — scoring runs on O(candidates)
+    rows only, shingle sets attach by doc_id equi-joins (AQE chooses),
+    nothing all-pairs. Note the candidate set itself is MinHash-based
+    (tuned for resemblance), so recall for extreme containment at tiny
+    Jaccard is bounded by banding — the docstring caveat a production
+    deployment answers with a suffix-based second pass (q142)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.spread(docs).select(
+        "doc_id", D.shingles_udf()(F.col("text")).alias("shingles")
+    )
+    cand = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    x, y = sh.alias("x"), sh.alias("y")
+    na = F.size(F.col("x.shingles")).cast("double")
+    nb = F.size(F.col("y.shingles")).cast("double")
+    inter = F.size(F.array_intersect(F.col("x.shingles"), F.col("y.shingles"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("x.shingles"), F.col("y.shingles"))).cast(
+        "double"
+    )
+    cont = inter / F.least(na, nb)
+    jac = inter / union
+    return (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, F.col("y.doc_id") == F.col("doc_b"))
+        .filter((na > 0) & (nb > 0))
+        .select(
+            "doc_a",
+            "doc_b",
+            na.cast("bigint").alias("n_shingles_a"),
+            nb.cast("bigint").alias("n_shingles_b"),
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+            ((cont >= _CONT_TAU) & (jac < _CONT_TAU)).alias("asymmetric_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

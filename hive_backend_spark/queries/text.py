@@ -2090,3 +2090,116 @@ def q175_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang")
     )
+
+
+# --- q180: PSI distribution-drift audit --------------------------------------
+
+_PSI_EPS = 0.0005  # floor for shares so empty buckets stay finite
+_PSI_ALERT = 0.2  # industry convention: PSI > 0.2 = significant shift
+
+
+@register(
+    "q180_psi_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS x,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_ref
+      FROM documents
+    ),
+    cuts AS (
+      SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+      FROM d WHERE is_ref
+    ),
+    b AS (
+      SELECT len(list_filter((SELECT c FROM cuts), v -> v < x)) AS bucket, is_ref
+      FROM d
+    ),
+    per AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS inc_n
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT sum(ref_n) AS rt, sum(inc_n) AS it FROM per),
+    sh AS (
+      SELECT bucket, ref_n, inc_n,
+             greatest(ref_n * 1.0 / (SELECT rt FROM tot), {_PSI_EPS}) AS p,
+             greatest(inc_n * 1.0 / (SELECT it FROM tot), {_PSI_EPS}) AS q
+      FROM per
+    ),
+    psi AS (SELECT sum((q - p) * ln(q / p)) AS v FROM sh)
+    SELECT CAST(bucket AS INT) AS bucket, ref_n, inc_n,
+           round(p, 4) AS ref_share,
+           round(q, 4) AS inc_share,
+           round((q - p) * ln(q / p), 6) AS psi_term,
+           round((SELECT v FROM psi), 4) AS psi_total,
+           (SELECT v FROM psi) > {_PSI_ALERT} AS drifted
+    FROM sh
+    ORDER BY bucket
+    """,
+)
+def q180_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index on the token-count distribution between
+    the reference half and the incoming half (md5 split, q147's rule):
+    bucket by the REFERENCE's own deciles, compare bucket shares, and sum
+    (q-p)·ln(q/p). PSI completes the drift triad — q147's KS answers "did
+    the distribution change at all", q174's Welch isolates mean shift,
+    PSI localizes WHICH region of the distribution moved (the per-bucket
+    psi_term is the evidence trail) with the industry's conventional
+    alarm at {_PSI_ALERT}. Shares are floored at {_PSI_EPS} so an empty
+    incoming bucket reports a large finite term instead of infinity —
+    identical clamping in both engines.
+
+    Scale posture: one scan computes the feature map-side; the reference
+    deciles are ONE interpolated-percentile aggregate broadcast as a
+    9-value array; bucket assignment is an O(9) array probe in codegen;
+    the report is a 10-row aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    d = docs.select(
+        x.alias("x"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8").alias(
+            "is_ref"
+        ),
+    )
+    cuts = d.filter("is_ref").agg(
+        F.expr(
+            "percentile(x, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
+        ).alias("c")
+    )
+    b = d.crossJoin(F.broadcast(cuts)).select(
+        F.size(F.filter(F.col("c"), lambda v: v < F.col("x"))).alias("bucket"),
+        "is_ref",
+    )
+    per = b.groupBy("bucket").agg(
+        F.sum(F.col("is_ref").cast("int")).cast("bigint").alias("ref_n"),
+        F.sum((~F.col("is_ref")).cast("int")).cast("bigint").alias("inc_n"),
+    )
+    tot = per.agg(F.sum("ref_n").alias("rt"), F.sum("inc_n").alias("it"))
+    p_share = F.greatest(F.col("ref_n") / F.col("rt"), F.lit(_PSI_EPS))
+    q_share = F.greatest(F.col("inc_n") / F.col("it"), F.lit(_PSI_EPS))
+    sh = per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "ref_n",
+        "inc_n",
+        p_share.alias("p"),
+        q_share.alias("q"),
+    )
+    psi = sh.agg(
+        F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))).alias("v")
+    )
+    return (
+        sh.crossJoin(F.broadcast(psi))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "ref_n",
+            "inc_n",
+            F.round("p", 4).alias("ref_share"),
+            F.round("q", 4).alias("inc_share"),
+            F.round((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")), 6)
+            .alias("psi_term"),
+            F.round("v", 4).alias("psi_total"),
+            (F.col("v") > _PSI_ALERT).alias("drifted"),
+        )
+        .orderBy("bucket")
+    )
