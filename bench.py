@@ -141,6 +141,9 @@ HEADLINE = [
     "q178_cluster_purity",
     "q179_containment_pairs",
     "q180_psi_drift",
+    "q181_hapax_census",
+    "q182_vocab_coverage",
+    "q183_analyze_column_stats",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -206,6 +206,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row ref/incoming totals scalar (q180)",
     ("queries/text.py", "sh.crossJoin(F.broadcast(psi))"):
         "1-row PSI total scalar (q180)",
+    ("queries/text.py", ".crossJoin(F.broadcast(tot))"):
+        "1-row vocab/token totals scalar (q182)",
     ("queries/queue.py", 'events.join(F.broadcast(batch), "event_id", "left_semi")'):
         "two-phase mark batch: top-100 dequeue slice (q52)",
     ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):

@@ -1048,3 +1048,143 @@ def q118_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_heavy_keys",
         )
     )
+
+
+# --- q183: ANALYZE-style column statistics -----------------------------------
+
+
+@register(
+    "q183_analyze_column_stats",
+    oracle="""
+    WITH s AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(event_id) AS BIGINT) AS null_event_id,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS ndv_event_id,
+             CAST(min(event_id) AS DOUBLE) AS min_event_id,
+             CAST(max(event_id) AS DOUBLE) AS max_event_id,
+             CAST(count(*) - count(user_id) AS BIGINT) AS null_user_id,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_user_id,
+             CAST(min(user_id) AS DOUBLE) AS min_user_id,
+             CAST(max(user_id) AS DOUBLE) AS max_user_id,
+             CAST(count(*) - count(value) AS BIGINT) AS null_value,
+             CAST(count(DISTINCT value) AS BIGINT) AS ndv_value,
+             round(min(value), 4) AS min_value,
+             round(max(value), 4) AS max_value,
+             CAST(count(*) - count(event_type) AS BIGINT) AS null_event_type,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS ndv_event_type,
+             min(event_type) AS mins_event_type,
+             max(event_type) AS maxs_event_type,
+             CAST(count(*) - count(props) AS BIGINT) AS null_props,
+             CAST(count(DISTINCT props) AS BIGINT) AS ndv_props,
+             min(props) AS mins_props,
+             max(props) AS maxs_props
+      FROM events
+    )
+    SELECT 'event_id' AS col_name, n_rows, null_event_id AS null_n,
+           ndv_event_id AS ndv_exact, TRUE AS approx_within_bound,
+           min_event_id AS min_num, max_event_id AS max_num,
+           NULL AS min_str, NULL AS max_str
+    FROM s
+    UNION ALL
+    SELECT 'user_id', n_rows, null_user_id, ndv_user_id, TRUE,
+           min_user_id, max_user_id, NULL, NULL FROM s
+    UNION ALL
+    SELECT 'value', n_rows, null_value, ndv_value, TRUE,
+           min_value, max_value, NULL, NULL FROM s
+    UNION ALL
+    SELECT 'event_type', n_rows, null_event_type, ndv_event_type, TRUE,
+           NULL, NULL, mins_event_type, maxs_event_type FROM s
+    UNION ALL
+    SELECT 'props', n_rows, null_props, ndv_props, TRUE,
+           NULL, NULL, mins_props, maxs_props FROM s
+    ORDER BY col_name
+    """,
+)
+def q183_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE table pass: row count,
+    null count, exact NDV with an HLL-estimate bound flag (the q36
+    discipline — sketches are engine-specific so the estimate itself
+    can't hash-compare, but an out-of-bound estimate flips the boolean
+    and breaks the driver hash), and min/max (numeric columns as rounded
+    doubles, string columns lexicographic — ASCII data, so byte order
+    agrees across engines). This is the optimizer-stats surface behind
+    the reference's ANALYZE half of T5 (db.mjs vacuum/analyze); the
+    stats a CBO consumes for join sizing and a data engineer reads
+    before trusting a new feed.
+
+    Scale posture: every statistic folds in a single global aggregation —
+    one scan, map-side partials, a 1-row result stacked into the 5-row
+    report. The multi-column exact NDVs compile to the standard Expand
+    plan (5 slim shadow rows per input row, each carrying one column);
+    that is ANALYZE's inherent price and the per-row payload is a few
+    bytes — at 100 TB you sample first (q75 composes for that)."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("event_id")).cast("bigint").alias("null_event_id"),
+        F.countDistinct("event_id").cast("bigint").alias("ndv_event_id"),
+        F.approx_count_distinct("event_id", 0.01).alias("adv_event_id"),
+        F.min("event_id").cast("double").alias("min_event_id"),
+        F.max("event_id").cast("double").alias("max_event_id"),
+        (F.count(F.lit(1)) - F.count("user_id")).cast("bigint").alias("null_user_id"),
+        F.countDistinct("user_id").cast("bigint").alias("ndv_user_id"),
+        F.approx_count_distinct("user_id", 0.01).alias("adv_user_id"),
+        F.min("user_id").cast("double").alias("min_user_id"),
+        F.max("user_id").cast("double").alias("max_user_id"),
+        (F.count(F.lit(1)) - F.count("value")).cast("bigint").alias("null_value"),
+        F.countDistinct("value").cast("bigint").alias("ndv_value"),
+        F.approx_count_distinct("value", 0.01).alias("adv_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        (F.count(F.lit(1)) - F.count("event_type"))
+        .cast("bigint")
+        .alias("null_event_type"),
+        F.countDistinct("event_type").cast("bigint").alias("ndv_event_type"),
+        F.approx_count_distinct("event_type", 0.01).alias("adv_event_type"),
+        F.min("event_type").alias("mins_event_type"),
+        F.max("event_type").alias("maxs_event_type"),
+        (F.count(F.lit(1)) - F.count("props")).cast("bigint").alias("null_props"),
+        F.countDistinct("props").cast("bigint").alias("ndv_props"),
+        F.approx_count_distinct("props", 0.01).alias("adv_props"),
+        F.min("props").alias("mins_props"),
+        F.max("props").alias("maxs_props"),
+    )
+
+    def in_bound(col: str) -> F.Column:
+        rel = F.abs(F.col(f"adv_{col}") - F.col(f"ndv_{col}")) / F.col(f"ndv_{col}")
+        return rel <= 0.05
+
+    rows = []
+    for col in ("event_id", "user_id", "value"):
+        rows.append(
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.col("n_rows"),
+                F.col(f"null_{col}").alias("null_n"),
+                F.col(f"ndv_{col}").alias("ndv_exact"),
+                in_bound(col).alias("approx_within_bound"),
+                F.col(f"min_{col}").alias("min_num"),
+                F.col(f"max_{col}").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for col in ("event_type", "props"):
+        rows.append(
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.col("n_rows"),
+                F.col(f"null_{col}").alias("null_n"),
+                F.col(f"ndv_{col}").alias("ndv_exact"),
+                in_bound(col).alias("approx_within_bound"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"mins_{col}").alias("min_str"),
+                F.col(f"maxs_{col}").alias("max_str"),
+            )
+        )
+    return (
+        s.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )

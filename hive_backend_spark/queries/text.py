@@ -2203,3 +2203,142 @@ def q180_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- q181: hapax legomena census ---------------------------------------------
+
+
+@register(
+    "q181_hapax_census",
+    oracle="""
+    WITH tc AS (
+      SELECT source, term, count(*) AS c
+      FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY source, term
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
+           CAST(sum(c) AS BIGINT) AS tokens,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS hapax_frac
+    FROM tc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q181_hapax_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena census: per source, the fraction of vocabulary terms
+    occurring exactly once. Natural corpora sit near 40-60% hapax (the
+    Heaps/Zipf tail that makes the q114 vocabulary-map bound sublinear —
+    this query is that argument's empirical check); templated or
+    synthetic text collapses the fraction, OCR noise and mojibake inflate
+    it with junk singletons. The vocabulary-health gate beside q141's
+    Zipf slope, at per-source grain so one bad feed stands out.
+
+    Scale posture: one (source, term) count — the q78 vocabulary shuffle
+    keyed by source — then a bounded per-source rollup. Nothing but
+    digest-sized rows move."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("hapax_terms"),
+            F.sum("c").cast("bigint").alias("tokens"),
+            F.round(
+                F.sum((F.col("c") == 1).cast("int")) / F.count(F.lit(1)), 4
+            ).alias("hapax_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- q182: vocabulary coverage curve -----------------------------------------
+
+_COV_KS = (5, 10, 20, 30, 40)  # head sizes to report (fixture vocab ~40 terms)
+_COV_HEAD = 40
+
+
+@register(
+    "q182_vocab_coverage",
+    oracle=f"""
+    WITH tc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS v FROM tc),
+    head AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk
+      FROM tc ORDER BY c DESC, term LIMIT {_COV_HEAD}
+    ),
+    cum AS (
+      SELECT rk, sum(c) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum_c
+      FROM head
+    )
+    SELECT CAST(rk AS INT) AS vocab_k,
+           CAST(cum_c AS BIGINT) AS tokens_covered,
+           round(cum_c * 1.0 / (SELECT t FROM tot), 4) AS coverage,
+           CAST((SELECT v FROM tot) AS BIGINT) AS vocab_size,
+           CAST((SELECT t FROM tot) AS BIGINT) AS tokens_total
+    FROM cum
+    WHERE rk IN {_COV_KS}
+    ORDER BY vocab_k
+    """,
+)
+def q182_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all tokens the top-k
+    vocabulary covers, at fixed head sizes — the tokenizer-budget planning
+    view (choose the smallest vocab whose coverage clears the OOV target)
+    beside q138's fertility and q141's Zipf slope. A healthy Zipf corpus
+    covers most mass with a tiny head; a flat curve means vocabulary
+    explosion (noise, code, concatenated IDs).
+
+    Scale posture: vocabulary-bounded count (the q78 shuffle), then the
+    curve is computed on a TakeOrdered top-{_COV_HEAD} head only — the
+    single-partition cumulative window runs over {_COV_HEAD} rows by
+    construction, never the full Heaps-bounded vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = tc.agg(
+        F.sum("c").cast("bigint").alias("t"), F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    head = tc.orderBy(F.col("c").desc(), F.col("term").asc()).limit(_COV_HEAD)
+    w = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        head.select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("term").asc()))
+            .alias("rk"),
+        )
+        .withColumn("cum_c", F.sum("c").over(w))
+    )
+    return (
+        cum.filter(F.col("rk").isin(*_COV_KS))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rk").cast("int").alias("vocab_k"),
+            F.col("cum_c").cast("bigint").alias("tokens_covered"),
+            F.round(F.col("cum_c") / F.col("t"), 4).alias("coverage"),
+            F.col("v").alias("vocab_size"),
+            F.col("t").alias("tokens_total"),
+        )
+        .orderBy("vocab_k")
+    )
