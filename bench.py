@@ -144,6 +144,7 @@ HEADLINE = [
     "q181_hapax_census",
     "q182_vocab_coverage",
     "q183_analyze_column_stats",
+    "q184_bloom_decontamination",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

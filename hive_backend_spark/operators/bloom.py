@@ -1,0 +1,110 @@
+"""Distributed Bloom-filter build and probe for semi-join prefiltering.
+
+The 100 TB problem this solves: decontamination/dedup joins (q106/q139)
+broadcast a DISTINCT key set whose size is the eval benchmark's gram count
+times ~32 bytes per digest. A Bloom filter compresses that to m bits
+REGARDLESS of key width — 1% FPR at ~9.6 bits/key — so the thing shipped
+to every executor shrinks ~25x, and the (rare) false positives are killed
+by an exact join that now touches only the prefiltered survivors. The
+candidate-then-verify discipline (q163's sketch shape): the sketch routes,
+the exact pass decides, so results are bit-identical to the plain join.
+
+Build is one Arrow pass: keys are hashed JVM-side (xxhash64 with k seeds —
+vectorized, engine-deterministic), partitions OR their local bitmaps, and
+the per-partition bitmaps (m/64-long arrays, partition-bounded rows) fold
+elementwise to the final bitmap — the kmeans/second_moments reduce shape.
+The bitmap is bounded model state (m bits by construction), so holding it
+driver-side and closure-shipping it to the probe pass is the centroid/
+codebook pattern, not a corpus-sized collect.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def optimal_params(n_keys: int, fpr: float) -> tuple[int, int]:
+    """Textbook sizing: m = -n ln(p) / ln(2)^2 bits, k = (m/n) ln 2 hashes
+    (rounded, clamped to >= 1; m rounded up to a multiple of 64)."""
+    n_keys = max(n_keys, 1)
+    m = int(math.ceil(-n_keys * math.log(fpr) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n_keys * math.log(2)))
+    return m, k
+
+
+def _hash_positions(col: Column, m_bits: int, k: int) -> Column:
+    """k bit positions per value: xxhash64(value, seed=i) mod m — computed
+    JVM-side (vectorized, no Python in the hash path) and identical for
+    build and probe by construction. pmod keeps positions nonnegative."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+    )
+
+
+def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> np.ndarray:
+    """One pass over df[col]: returns the filter as a uint64 bitmap array
+    of length m_bits/64. Nulls are skipped (a null key joins nothing)."""
+    words = m_bits // 64
+    hashed = df.filter(F.col(col).isNotNull()).select(
+        _hash_positions(F.col(col), m_bits, k).alias("pos")
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.zeros(words, dtype=np.uint64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            pos = np.concatenate(pdf["pos"].to_numpy()).astype(np.int64)
+            np.bitwise_or.at(bm, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+        if seen:
+            # longs, not uint64: Spark's bigint is signed; view keeps bits
+            yield pd.DataFrame({"w": [bm.view(np.int64).tolist()]})
+
+    part = hashed.mapInPandas(partials, "w array<bigint>")
+    zero = F.array_repeat(F.lit(0).cast("bigint"), words)
+    folded = part.agg(
+        F.aggregate(
+            F.collect_list("w"),
+            zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a.bitwiseOR(b)),
+        ).alias("bm")
+    ).collect()[0]["bm"]  # m-bit model state — the pass's single action
+    return np.array(folded, dtype=np.int64).view(np.uint64)
+
+
+def probe_bloom(
+    df: DataFrame, col: str, bitmap: np.ndarray, m_bits: int, k: int,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Adds a boolean `out_col`: True iff all k bits for df[col] are set.
+    Guaranteed True for every key the filter was built from (no false
+    negatives); False positives occur at the configured rate and MUST be
+    killed by an exact join downstream when exactness matters."""
+    words = bitmap.copy()  # closure-shipped model state (m bits, bounded)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(**{out_col: pd.Series([], dtype=bool)})
+                continue
+            pos = np.stack(pdf["__pos"].to_numpy()).astype(np.int64)  # (n, k)
+            bits = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+            out = pdf.drop(columns=["__pos"]).assign(
+                **{out_col: bits.all(axis=1)}
+            )
+            yield out
+
+    with_pos = df.withColumn("__pos", _hash_positions(F.col(col), m_bits, k))
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} boolean"
+    return with_pos.mapInPandas(probe, schema)

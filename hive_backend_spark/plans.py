@@ -145,6 +145,9 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
         "partition-bounded: exactly one moment-partial row per partition "
         "(dim + dim^2 doubles each), folded to O(dim^2) model state "
         "(second_moments reduce)",
+    ("operators/bloom.py", 'F.collect_list("w"),'):
+        "partition-bounded: exactly one m-bit bitmap row per partition, "
+        "OR-folded to the final m-bit filter (build_bloom reduce)",
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {

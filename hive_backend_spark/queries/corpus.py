@@ -1511,3 +1511,54 @@ def q171_decontamination_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("clean")
         .alias("verdict"),
     )
+
+
+# --- q184: Bloom-prefiltered decontamination ---------------------------------
+
+_BLOOM_FPR = 0.01
+
+
+@register("q184_bloom_decontamination", oracle=ORACLE_EXACT_FLAGGED)
+def q184_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q106's exact-gram decontamination with the eval set shipped as a
+    BLOOM FILTER (operators/bloom): ~9.6 bits per eval gram at
+    {_BLOOM_FPR:.0%} FPR instead of a ~32-byte digest each — the ~25x
+    broadcast shrink that keeps the pattern viable when the eval suite
+    grows past comfortable broadcast size. Training grams probe the
+    bitmap map-side (JVM xxhash64 positions, vectorized numpy bit test);
+    only the survivors — true hits plus the ~{_BLOOM_FPR:.0%} false
+    positives — reach the exact semi-join that kills the false
+    positives. Output is therefore bit-identical to q106 (same oracle),
+    while the shuffled/broadcast volume is the sketch, not the set: the
+    candidate-then-verify discipline (q163) applied to the join
+    prefilter.
+
+    Scale posture: filter sizing reads one count (model sizing, like k
+    or dim); the bitmap is m-bit bounded model state built by a
+    partition-OR fold and closure-shipped to the probe pass; the exact
+    verify join touches only prefiltered survivors, and at real FPRs the
+    verify side's traffic is dominated by TRUE hits — which any exact
+    method must move anyway."""
+    from ..operators.bloom import build_bloom, optimal_params, probe_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = D.spread(docs).select(
+        "doc_id",
+        hash_bucket("doc_id").alias("bucket"),
+        F.explode(D.shingles_udf(_DECON_N)(F.col("text"))).alias("gram"),
+    )
+    eval_grams = grams.filter(F.col("bucket") >= "f0").select("gram").distinct()
+    eval_grams = eval_grams.localCheckpoint()  # one signature pass serves count+build+verify
+    n_keys = eval_grams.count()
+    m_bits, k = optimal_params(n_keys, _BLOOM_FPR)
+    bitmap = build_bloom(eval_grams, "gram", m_bits, k)
+
+    train = grams.filter(F.col("bucket") < "f0").select("doc_id", "gram")
+    candidates = probe_bloom(train, "gram", bitmap, m_bits, k).filter(
+        F.col("bloom_hit")
+    )
+    return (
+        candidates.join(eval_grams, "gram")  # exact verify kills false positives
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

@@ -428,3 +428,30 @@ def test_second_moments_match_direct_numpy(spark):
     np.testing.assert_allclose(mu, m.mean(axis=0), rtol=0, atol=1e-12)
     direct = (m.T @ m) / len(m) - np.outer(m.mean(axis=0), m.mean(axis=0))
     np.testing.assert_allclose(cov, direct, rtol=0, atol=1e-10)
+
+
+# --- Bloom filter guarantees -------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """operators/bloom: every inserted key probes True (structural
+    guarantee), and the false-positive rate on disjoint keys stays within
+    3x the configured target (generous vs sampling noise)."""
+    from hive_backend_spark.operators.bloom import (
+        build_bloom,
+        optimal_params,
+        probe_bloom,
+    )
+
+    members = [(f"key_{i}",) for i in range(2000)]
+    others = [(f"other_{i}",) for i in range(4000)]
+    mdf = spark.createDataFrame(members, "gram string").repartition(5)
+    odf = spark.createDataFrame(others, "gram string").repartition(5)
+    m_bits, k = optimal_params(len(members), 0.01)
+    bm = build_bloom(mdf, "gram", m_bits, k)
+
+    got = probe_bloom(mdf, "gram", bm, m_bits, k).collect()
+    assert all(r["bloom_hit"] for r in got), "false negative — structurally impossible"
+
+    fp = sum(1 for r in probe_bloom(odf, "gram", bm, m_bits, k).collect() if r["bloom_hit"])
+    assert fp / len(others) <= 0.03, f"FPR {fp / len(others):.4f} >> target 0.01"
