@@ -145,6 +145,7 @@ HEADLINE = [
     "q182_vocab_coverage",
     "q183_analyze_column_stats",
     "q184_bloom_decontamination",
+    "q185_event_bursts",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

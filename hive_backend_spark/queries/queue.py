@@ -339,3 +339,75 @@ def q164_rate_limit_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q185: temporal burst detection ------------------------------------------
+
+_BURST_SIGMA = 1.4826
+_BURST_Z = 3.0
+
+
+@register(
+    "q185_event_bursts",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    med AS (
+      SELECT *, median(n) OVER (PARTITION BY event_type) AS med
+      FROM buckets
+    ),
+    dev AS (
+      SELECT *, median(abs(n - med)) OVER (PARTITION BY event_type) AS mad
+      FROM med
+    )
+    SELECT event_type, hour_start, n,
+           round(med, 4) AS med,
+           round(mad, 4) AS mad,
+           round((n - med) / ({_BURST_SIGMA} * mad), 4) AS robust_z
+    FROM dev
+    WHERE (n - med) / ({_BURST_SIGMA} * mad) > {_BURST_Z}
+    ORDER BY event_type, hour_start
+    """,
+)
+def q185_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal burst detection: hour-bucketed arrival counts per event
+    type, flagged where the count exceeds the type's own median by
+    {_BURST_Z} robust sigmas (median/MAD across that type's hour buckets
+    — q165's estimator applied along TIME). Scraper storms, replay
+    floods, and upstream retries all show up as count bursts long before
+    they show up in value distributions; the robust location/scale means
+    the flood itself doesn't mask the detection (the failure mode of
+    mean/stddev burst alarms). One-sided: only positive spikes alert —
+    an idle hour is not an incident.
+
+    Scale posture: the hour rollup is the only corpus-sized aggregation
+    (keyed by (type, hour), the natural telemetry partitioning); the two
+    window-attached medians and the final filter run over |types x
+    hours| bucket rows sharing one event_type exchange."""
+    events = load_table(spark, sf_dir, "events")
+    buckets = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    med = buckets.withColumn("med", F.expr("percentile(n, 0.5)").over(w))
+    dev = med.withColumn("mad", F.expr("percentile(abs(n - med), 0.5)").over(w))
+    rz = (F.col("n") - F.col("med")) / (_BURST_SIGMA * F.col("mad"))
+    return (
+        dev.filter(rz > _BURST_Z)
+        .select(
+            "event_type",
+            "hour_start",
+            "n",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
