@@ -21,6 +21,7 @@ from .pipeline import (
     sliding_counts,
     stale_users_stream,
     tumbling_counts,
+    windowed_distinct_users,
 )
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "sliding_counts",
     "stale_users_stream",
     "tumbling_counts",
+    "windowed_distinct_users",
 ]

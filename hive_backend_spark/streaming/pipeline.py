@@ -454,3 +454,27 @@ def rate_limit_stream(events: DataFrame, cap: int = 3) -> DataFrame:
     return keyed.applyInPandasWithState(
         limiter, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame, size: str = "6 hours", delay: str = "1 hour"
+) -> DataFrame:
+    """Exact distinct users per tumbling window, streaming-safe: Structured
+    Streaming forbids COUNT(DISTINCT) in streaming aggregations, so the
+    standard recipe is dedup-then-count — dropDuplicates on (window,
+    user_id) holds one state row per distinct pair (watermark-evicted when
+    the window closes), and the downstream count is a plain streaming agg.
+    Same result as the batch count-distinct on identical input (parity
+    test), with state bounded by |active windows| x |users seen in them|
+    — the exact cost any engine pays for exact distinct over streams."""
+    withw = events.withWatermark("ts", delay).select(
+        F.window("ts", size).alias("w"), "user_id"
+    )
+    deduped = withw.dropDuplicates(["w", "user_id"])
+    return deduped.groupBy("w").agg(
+        F.count(F.lit(1)).alias("distinct_users")
+    ).select(
+        F.col("w").getField("start").alias("window_start"),
+        F.col("w").getField("end").alias("window_end"),
+        "distinct_users",
+    )

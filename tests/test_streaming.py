@@ -704,3 +704,30 @@ def test_rate_limit_stream_batch_parity(spark, stream_src):
     assert got.filter(~F.col("admitted")).count() > 0
     per_key = got.filter(F.col("admitted")).groupBy("user_id", "window_start").count()
     assert per_key.filter(F.col("count") > 1).count() == 0
+
+
+def test_windowed_distinct_users_stream_batch_parity(spark, stream_src):
+    """Exact distinct-user counts per tumbling window: the streaming
+    dedup-then-count recipe must equal the batch COUNT(DISTINCT)."""
+    got = _run_to_memory(
+        spark,
+        S.windowed_distinct_users(S.read_event_stream(spark, stream_src)),
+        "win_distinct",
+        mode="append",
+    )
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    want = (
+        batch.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+        .select(
+            F.col("w").getField("start").alias("window_start"),
+            F.col("w").getField("end").alias("window_end"),
+            "distinct_users",
+        )
+    )
+    # append mode emits only watermark-closed windows; every emitted row
+    # must match the batch truth, and most windows must have closed
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    closed = want.join(got.select("window_start"), "window_start", "left_semi")
+    assert closed.exceptAll(got.select(want.columns)).count() == 0
