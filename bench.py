@@ -146,6 +146,9 @@ HEADLINE = [
     "q183_analyze_column_stats",
     "q184_bloom_decontamination",
     "q185_event_bursts",
+    "q186_locf_imputation",
+    "q187_cusum_changepoint",
+    "q188_event_transitions",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

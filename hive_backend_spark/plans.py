@@ -213,6 +213,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row vocab/token totals scalar (q182)",
     ("queries/queue.py", 'events.join(F.broadcast(batch), "event_id", "left_semi")'):
         "two-phase mark batch: top-100 dequeue slice (q52)",
+    ("queries/sessions.py", ".crossJoin(F.broadcast(k))"):
+        "1-row event-type-count scalar: uniform baseline (q188)",
     ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):
         "nation dim: 25 rows",
     ("queries/tpch_extra.py", '.join(F.broadcast(region), F.col("nc.n_regionkey") == F.col("r_regionkey"))'):

@@ -1188,3 +1188,169 @@ def q183_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("col_name")
     )
+
+
+# --- q186: last-observation-carried-forward imputation -----------------------
+
+
+@register(
+    "q186_locf_imputation",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    filled AS (
+      SELECT event_id, user_id, ts, event_type, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS v_filled
+      FROM masked
+    )
+    SELECT event_id, user_id, event_type,
+           round(v, 4) AS value_raw,
+           round(v_filled, 4) AS value_filled,
+           v IS NULL AND v_filled IS NOT NULL AS imputed,
+           v IS NULL AND v_filled IS NULL AS unfillable
+    FROM filled
+    ORDER BY user_id, event_id
+    """,
+)
+def q186_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: treat 'error' rows'
+    readings as sensor dropouts (masked to NULL by a deterministic rule)
+    and fill each gap with the user's most recent valid reading — the
+    standard time-series imputation pass before any windowed feature
+    computation, expressed as last_value(IGNORE NULLS) over the user
+    timeline. Rows with no prior observation stay NULL and are flagged
+    unfillable (imputation must not invent a value before the first
+    reading — the classic LOCF bug).
+
+    Determinism: the timeline order carries an event_id tie-break;
+    masking is a pure CASE.
+
+    Scale posture: one user-keyed window — the same single exchange
+    every per-user timeline op in the registry rides (q29/q30/q57);
+    LOCF at 100 TB is exactly this partitioning or it is wrong."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = events.select(
+        "event_id", "user_id", "ts", "event_type", v.alias("v")
+    ).withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+    return filled.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("v", 4).alias("value_raw"),
+        F.round("v_filled", 4).alias("value_filled"),
+        (F.col("v").isNull() & F.col("v_filled").isNotNull()).alias("imputed"),
+        (F.col("v").isNull() & F.col("v_filled").isNull()).alias("unfillable"),
+    ).orderBy("user_id", "event_id")
+
+
+# --- q187: CUSUM change-point detection --------------------------------------
+
+
+@register(
+    "q187_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             avg(value) AS m, CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    g AS (
+      SELECT event_type, avg(m) AS gm FROM daily GROUP BY event_type
+    ),
+    c AS (
+      SELECT d.event_type, d.day, d.m, d.n,
+             sum(d.m - g.gm) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cusum
+      FROM daily d JOIN g ON d.event_type = g.event_type
+    ),
+    best AS (
+      SELECT event_type, day, cusum,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY abs(cusum) DESC, day
+             ) AS rn
+      FROM c
+    )
+    SELECT c.event_type,
+           b.day AS change_day,
+           round(b.cusum, 4) AS max_abs_cusum,
+           round(avg(CASE WHEN c.day <= b.day THEN c.m END), 4) AS mean_before,
+           round(avg(CASE WHEN c.day > b.day THEN c.m END), 4) AS mean_after
+    FROM c
+    JOIN (SELECT event_type, day, cusum FROM best WHERE rn = 1) b
+      ON b.event_type = c.event_type
+    GROUP BY c.event_type, b.day, b.cusum
+    ORDER BY c.event_type
+    """,
+)
+def q187_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: cumulative sum of
+    daily-mean deviations from the type's own grand mean; the day where
+    |CUSUM| peaks is the most likely single change point, reported with
+    the before/after means — the retrospective answer to "WHEN did this
+    metric shift", completing the drift family (q147 whether, q174 how
+    much, q180 where in the distribution, this one when in time).
+
+    Determinism: the cumulative order is (day) with day-unique rows per
+    type; the argmax carries a day tie-break; all inputs are exact-sum
+    averages rounded at the edge.
+
+    Scale posture: one (type, day) rollup is the only corpus-sized
+    aggregation; the CUSUM window, argmax, and before/after split all
+    run over |types x days| bucket rows sharing the event_type hash
+    partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.avg("value").alias("m"), F.count(F.lit(1)).cast("bigint").alias("n"))
+    g = daily.groupBy("event_type").agg(F.avg("m").alias("gm"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = daily.join(g, "event_type").withColumn(
+        "cusum", F.sum(F.col("m") - F.col("gm")).over(wcum)
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    best = (
+        c.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("day").alias("change_day"), F.col("cusum").alias("bc"))
+    )
+    j = c.join(best, "event_type")
+    return (
+        j.groupBy("event_type", "change_day", "bc")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("day") <= F.col("change_day"), F.col("m"))), 4
+            ).alias("mean_before"),
+            F.round(
+                F.avg(F.when(F.col("day") > F.col("change_day"), F.col("m"))), 4
+            ).alias("mean_after"),
+        )
+        .select(
+            "event_type",
+            "change_day",
+            F.round("bc", 4).alias("max_abs_cusum"),
+            "mean_before",
+            "mean_after",
+        )
+        .orderBy("event_type")
+    )

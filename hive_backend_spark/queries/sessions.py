@@ -206,3 +206,82 @@ def q129_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).isNull().alias("is_current"),
         F.row_number().over(w).cast("bigint").alias("version"),
     )
+
+
+# --- q188: behavioral Markov transition model --------------------------------
+
+_MK_MIN_COUNT = 5
+
+
+@register(
+    "q188_event_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    r AS (
+      SELECT *, CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
+      FROM t
+    )
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / row_total, 4) AS p,
+           round(n * 1.0 / row_total, 4)
+             > 1.0 / (SELECT count(DISTINCT event_type) FROM events) + 0.02
+             AS over_represented
+    FROM r
+    WHERE n >= {_MK_MIN_COUNT}
+    ORDER BY from_type, to_type
+    """,
+)
+def q188_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov model: per-user event sequences
+    (ordered by time, event_id tie-break) reduced to a transition matrix
+    P(next_type | type), with transitions whose probability beats the
+    uniform baseline by 2 points flagged — q151's bigram-LM shape applied
+    to user behavior instead of text. The over-represented cells are the
+    habitual paths (view->click, error->error retry storms); a transition
+    matrix drifting from its baseline is bot traffic or a UI change.
+
+    Determinism: the sequence order carries event_id; probabilities are
+    ratios of exact counts rounded at the edge.
+
+    Scale posture: ONE user-keyed window builds successor pairs (the
+    q29/q57/q186 exchange), then the transition aggregation is bounded by
+    |event types|^2; the uniform baseline is a 1-row scalar subquery in
+    both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = t.withColumn(
+        "row_total", F.sum("n").over(Window.partitionBy("from_type")).cast("bigint")
+    )
+    k = events.agg(F.countDistinct("event_type").cast("double").alias("k"))
+    p = F.col("n") / F.col("row_total")
+    return (
+        r.filter(F.col("n") >= _MK_MIN_COUNT)
+        .crossJoin(F.broadcast(k))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(p, 4).alias("p"),
+            (F.round(p, 4) > 1.0 / F.col("k") + 0.02).alias("over_represented"),
+        )
+        .orderBy("from_type", "to_type")
+    )

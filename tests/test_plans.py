@@ -390,6 +390,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q177_shard_balance_audit",  # 1-row balance-stats scalar
         "q180_psi_drift",  # 1-row decile-array + totals scalars
         "q182_vocab_coverage",  # 1-row vocab-totals scalar
+        "q188_event_transitions",  # 1-row uniform-baseline scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
