@@ -149,6 +149,7 @@ HEADLINE = [
     "q186_locf_imputation",
     "q187_cusum_changepoint",
     "q188_event_transitions",
+    "q189_value_trend",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

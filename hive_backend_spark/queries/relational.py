@@ -1354,3 +1354,61 @@ def q187_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q189: grouped linear trend via regr_* aggregates ------------------------
+
+
+@register(
+    "q189_value_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00') AS DOUBLE)
+               / 86400.0 AS day_x,
+             value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, day_x), 6) AS slope_per_day,
+           round(regr_intercept(value, day_x), 4) AS intercept,
+           round(regr_r2(value, day_x), 6) AS r2,
+           abs(regr_slope(value, day_x)) > 0.1 AS trending
+    FROM d
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q189_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares trend: slope/intercept/R² of value over time
+    (days since epoch start) per event type, via the SQL-standard regr_*
+    aggregate family — the one-pass algebraic form of "is this metric
+    drifting linearly", complementing the detection family (q147/q174/
+    q180/q187 say whether/where/when; this fits the rate). R² near zero
+    with a flagged slope separates genuine trends from noise fitting.
+
+    Determinism: both engines implement the textbook moment formulas over
+    identical doubles (the x offset is a fixed literal, keeping moments
+    small so summation-order residue stays under the rounding grain).
+
+    Scale posture: regr_* aggregates are algebraic — partial moment sums
+    merge map-side — so the whole fit is one bounded-cardinality
+    aggregation, the same single shuffle as q11."""
+    events = load_table(spark, sf_dir, "events")
+    day_x = (
+        F.col("ts").cast("double")
+        - F.lit("2024-01-01 00:00:00").cast("timestamp").cast("double")
+    ) / 86400.0
+    d = events.select("event_type", day_x.alias("day_x"), "value")
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.regr_slope("value", "day_x"), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("value", "day_x"), 4).alias("intercept"),
+            F.round(F.regr_r2("value", "day_x"), 6).alias("r2"),
+            (F.abs(F.regr_slope("value", "day_x")) > 0.1).alias("trending"),
+        )
+        .orderBy("event_type")
+    )
