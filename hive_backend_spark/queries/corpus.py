@@ -1309,7 +1309,13 @@ def q163_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    tot = toks().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # total token count WITHOUT a third explode: sum of per-doc token-array
+    # sizes equals the exploded row count, at a narrow map's cost
+    tot = docs.agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n")
+    )
     return (
         exact.crossJoin(F.broadcast(tot))
         .filter(F.col("cnt") * _MG_CAPACITY > F.col("n"))
