@@ -518,3 +518,18 @@ def test_round5_additions_plan_shapes(spark, sf_dir):
     plan = q170._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 3, plan
     assert "Expand" in plan, plan
+
+
+def test_analyze_stats_expand_stays_hash_aggregated(spark, sf_dir):
+    """q183: the exact-NDV Expand must aggregate by HASH. A keyed
+    SortAggregate here means a string min/max buffer leaked back into the
+    Expand pass, forcing a full sort of the 10x-expanded corpus (the
+    measured-80s regression this pin exists to prevent). Keyless
+    SortAggregates (global folds, no sort performed) are fine."""
+    import re
+
+    df = _df(spark, sf_dir, "q183_analyze_column_stats")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    keyed_sort_aggs = re.findall(r"SortAggregate\(key=\[[^\]]", plan)
+    assert not keyed_sort_aggs, plan
