@@ -150,6 +150,7 @@ HEADLINE = [
     "q187_cusum_changepoint",
     "q188_event_transitions",
     "q189_value_trend",
+    "q190_bloom_fpr_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -173,6 +173,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "region dim: 5 rows",
     ("queries/relational.py", "per_key.crossJoin(F.broadcast(stats))"):
         "1-row skew stats scalar (q118)",
+    ("queries/relational.py", "s = exact.crossJoin(F.broadcast(approx))"):
+        "1-row sketch/min-max/null stats scalar: second ANALYZE pass "
+        "(q183)",
     ("queries/relational.py", "stats.crossJoin(F.broadcast(heavy))"):
         "1-row heavy-key count scalar (q118)",
     ("queries/dedup.py", 'train_b.join(F.broadcast(eval_b), ["band_idx", "band_sig"])'):
@@ -303,6 +306,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row corpus-total/source-count scalar (q167)",
     ("queries/corpus.py", "srt.crossJoin(F.broadcast(th))"):
         "1-row waterfilling level scalar (q167)",
+    ("queries/corpus.py", "member_probe.crossJoin(F.broadcast(neg_probe))"):
+        "1-row negative-probe census scalar (q190)",
     ("queries/corpus.py", 'return local.join(F.broadcast(offsets), "bucket").select('):
         "256-row packing bucket offsets (q124)",
     ("queries/similarity.py", ".crossJoin(F.broadcast(query))"):

@@ -1568,3 +1568,80 @@ def q184_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+# --- q190: Bloom filter FPR audit --------------------------------------------
+
+_BLOOM_AUDIT_MARGIN = 3.0  # observed FPR must stay within 3x configured
+
+
+@register(
+    "q190_bloom_fpr_audit",
+    oracle=f"""
+    WITH g AS ({_ORACLE_GRAMS8}),
+    ev AS (SELECT DISTINCT gram FROM g WHERE bucket >= 'f0'),
+    neg AS (
+      SELECT DISTINCT gram FROM g WHERE bucket < 'f0'
+        AND gram NOT IN (SELECT gram FROM ev)
+    )
+    SELECT CAST((SELECT count(*) FROM ev) AS BIGINT) AS n_member_grams,
+           CAST((SELECT count(*) FROM neg) AS BIGINT) AS n_negative_probes,
+           TRUE AS members_all_hit,
+           TRUE AS fpr_within_bound
+    """,
+)
+def q190_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter quality audit, closing the measurement loop on q184
+    the way q154 does for ANN routing and q168 for LSH banding: build the
+    eval-gram filter exactly as q184 does, then (a) probe every MEMBER —
+    all must hit (the no-false-negative guarantee, structurally true but
+    audited anyway: a violation means hash-path skew between build and
+    probe), and (b) probe every distinct NON-member training gram and
+    check the observed false-positive rate stays within
+    {_BLOOM_AUDIT_MARGIN}x the configured {_BLOOM_FPR:.0%}. Sketch
+    internals are engine-specific, so the oracle pins the exact set
+    cardinalities and expects TRUE for both booleans (the q36
+    discipline) — an out-of-spec filter breaks the driver hash instead
+    of passing silently.
+
+    Scale posture: same passes as q184 (bitmap build fold + map-side
+    probes); the booleans reduce by AND/count map-side."""
+    from ..operators.bloom import build_bloom, optimal_params, probe_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = D.spread(docs).select(
+        hash_bucket("doc_id").alias("bucket"),
+        F.explode(D.shingles_udf(_DECON_N)(F.col("text"))).alias("gram"),
+    )
+    ev = grams.filter(F.col("bucket") >= "f0").select("gram").distinct()
+    ev = ev.localCheckpoint()
+    n_keys = ev.count()
+    m_bits, k = optimal_params(n_keys, _BLOOM_FPR)
+    bitmap = build_bloom(ev, "gram", m_bits, k)
+
+    neg = (
+        grams.filter(F.col("bucket") < "f0")
+        .select("gram")
+        .distinct()
+        .join(ev, "gram", "left_anti")
+    )
+    member_probe = probe_bloom(ev, "gram", bitmap, m_bits, k).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_member_grams"),
+        F.min(F.col("bloom_hit").cast("int")).alias("all_hit"),
+    )
+    neg_probe = probe_bloom(neg, "gram", bitmap, m_bits, k).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_negative_probes"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias("fp_hits"),
+    )
+    return (
+        member_probe.crossJoin(F.broadcast(neg_probe))
+        .select(
+            "n_member_grams",
+            "n_negative_probes",
+            (F.col("all_hit") == 1).alias("members_all_hit"),
+            (
+                F.col("fp_hits")
+                <= _BLOOM_AUDIT_MARGIN * _BLOOM_FPR * F.col("n_negative_probes")
+            ).alias("fpr_within_bound"),
+        )
+    )

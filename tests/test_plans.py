@@ -391,6 +391,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q180_psi_drift",  # 1-row decile-array + totals scalars
         "q182_vocab_coverage",  # 1-row vocab-totals scalar
         "q188_event_transitions",  # 1-row uniform-baseline scalar
+        "q190_bloom_fpr_audit",  # 1-row negative-probe stats scalar
+        "q183_analyze_column_stats",  # 1-row second-pass stats scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
