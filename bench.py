@@ -151,6 +151,7 @@ HEADLINE = [
     "q188_event_transitions",
     "q189_value_trend",
     "q190_bloom_fpr_audit",
+    "q191_supplier_hhi",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

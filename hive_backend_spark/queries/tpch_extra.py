@@ -435,3 +435,80 @@ def q99_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(20)
     )
+
+
+# --- q191: supplier revenue concentration (HHI), pure-SQL facade -------------
+
+
+@register(
+    "q191_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, s.s_suppkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, s.s_suppkey
+    ),
+    share AS (
+      SELECT nation,
+             CAST(r / sum(r) OVER (PARTITION BY nation) AS DOUBLE) AS p
+      FROM rev
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(CAST(sum(p * p) AS DOUBLE), 6) AS hhi,
+           round(CAST(1.0 AS DOUBLE) / count(*), 6) AS hhi_floor,
+           CAST(sum(p * p) AS DOUBLE) > CAST(2.0 AS DOUBLE) / count(*)
+             AS concentrated
+    FROM share
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def q191_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation (Herfindahl-Hirschman
+    index: Σ share²), flagged where HHI exceeds twice the uniform floor
+    1/n — the supply-chain-risk view of the TPC-H schema (one dominant
+    supplier per nation = a single point of failure). Expressed through
+    the SQL FACADE — temp views + spark.sql — deliberately: every other
+    registered query uses the DataFrame API, and this one pins that the
+    engine's second entry path compiles to the same Catalyst plans
+    (broadcast dims, windowed shares, grouped fold) users of a SQL
+    gateway would get.
+
+    Determinism: revenue sums are decimal-exact (q40's discipline);
+    shares and HHI round at the edge.
+
+    Scale posture: dimension joins broadcast (25-row nation, supplier
+    dim); the fact side shuffles once on (nation, suppkey); the share
+    window and final fold reuse the nation key on |suppliers| rows."""
+    for name in ("lineitem", "supplier", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT n.n_name AS nation, s.s_suppkey,
+                 sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+          FROM v_lineitem l
+          JOIN v_supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN v_nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY n.n_name, s.s_suppkey
+        ),
+        share AS (
+          SELECT nation,
+                 CAST(r / sum(r) OVER (PARTITION BY nation) AS DOUBLE) AS p
+          FROM rev
+        )
+        SELECT nation,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               round(CAST(sum(p * p) AS DOUBLE), 6) AS hhi,
+               round(CAST(1.0 AS DOUBLE) / count(*), 6) AS hhi_floor,
+               CAST(sum(p * p) AS DOUBLE) > CAST(2.0 AS DOUBLE) / count(*)
+                 AS concentrated
+        FROM share
+        GROUP BY nation
+        ORDER BY nation
+        """
+    )
