@@ -152,6 +152,7 @@ HEADLINE = [
     "q189_value_trend",
     "q190_bloom_fpr_audit",
     "q191_supplier_hhi",
+    "q192_sketch_union_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

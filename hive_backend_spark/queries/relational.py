@@ -1424,3 +1424,68 @@ def q189_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q192: mergeable-sketch union audit --------------------------------------
+
+
+@register(
+    "q192_sketch_union_audit",
+    oracle="""
+    WITH halves AS (
+      SELECT user_id,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' AS is_ref
+      FROM events
+    )
+    SELECT CAST(count(DISTINCT CASE WHEN is_ref THEN user_id END) AS BIGINT)
+             AS exact_ref,
+           CAST(count(DISTINCT CASE WHEN NOT is_ref THEN user_id END) AS BIGINT)
+             AS exact_inc,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union,
+           TRUE AS union_within_bound,
+           TRUE AS merge_consistent
+    FROM halves
+    """,
+)
+def q192_sketch_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch union audit: build per-half DataSketches HLL
+    sketches of distinct users (md5 split of events), UNION them, and
+    check (a) the merged estimate sits within 5% of the exact union NDV
+    and (b) merging the halves' sketches gives the SAME estimate as
+    sketching the whole — the mergeability property itself. This is the
+    100 TB operational pattern the estimate-only queries (q36/q183) rest
+    on: store one small sketch per partition/day/source, answer
+    arbitrary-slice NDV questions by merging sketches at query time,
+    never rescanning — sketches are only useful at scale BECAUSE they
+    merge, and this query pins that contract. Sketch bytes are
+    engine-specific, so the oracle pins the exact NDVs and expects TRUE
+    for both booleans (the q36 discipline).
+
+    Scale posture: one pass builds both half-sketches (conditional
+    sketch aggregates in a single aggregation); the union is O(sketch
+    size) model math on the 1-row result."""
+    events = load_table(spark, sf_dir, "events")
+    is_ref = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8"
+    u = F.col("user_id").cast("string")
+    s = events.agg(
+        F.hll_sketch_agg(F.when(is_ref, u), F.lit(12)).alias("sk_ref"),
+        F.hll_sketch_agg(F.when(~is_ref, u), F.lit(12)).alias("sk_inc"),
+        F.hll_sketch_agg(u, F.lit(12)).alias("sk_all"),
+        F.countDistinct(F.when(is_ref, F.col("user_id")))
+        .cast("bigint")
+        .alias("exact_ref"),
+        F.countDistinct(F.when(~is_ref, F.col("user_id")))
+        .cast("bigint")
+        .alias("exact_inc"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_union"),
+    )
+    merged = F.hll_sketch_estimate(F.hll_union("sk_ref", "sk_inc"))
+    whole = F.hll_sketch_estimate("sk_all")
+    rel_err = F.abs(merged - F.col("exact_union")) / F.col("exact_union")
+    return s.select(
+        "exact_ref",
+        "exact_inc",
+        "exact_union",
+        (rel_err <= 0.05).alias("union_within_bound"),
+        (merged == whole).alias("merge_consistent"),
+    )
