@@ -153,6 +153,7 @@ HEADLINE = [
     "q190_bloom_fpr_audit",
     "q191_supplier_hhi",
     "q192_sketch_union_audit",
+    "q193_quality_skyline",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -2342,3 +2342,110 @@ def q182_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_k")
     )
+
+
+# --- q193: skyline (Pareto-optimal) operator ---------------------------------
+
+
+def _pareto_skyline_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Exact 2D skyline of (quality max, n_chars min) via the sort-based
+    sweep: order by quality desc then length asc; a quality-group's
+    minimum length survives iff it beats the running minimum of all
+    strictly-higher-quality groups; within a group only min-length rows
+    survive (equal (q, l) duplicates are mutually non-dominating and all
+    survive). O(n log n), no pairwise comparisons."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    if not len(pdf):
+        return pdf
+    s = pdf.sort_values(["q", "l", "doc_id"], ascending=[False, True, True])
+    keep_rows = []
+    thresh = np.inf
+    for _, grp in s.groupby("q", sort=False):
+        gl = grp["l"].iloc[0]
+        if gl < thresh:
+            keep_rows.append(grp[grp["l"] == gl])
+            thresh = gl
+    return pd.concat(keep_rows) if keep_rows else s.iloc[0:0]
+
+
+@register(
+    "q193_quality_skyline",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             LEAST(n_tokens / 100.0, 1.0) * 0.5
+             + LEAST(stop_hits / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.5
+               AS q
+      FROM (
+        SELECT doc_id, n_chars,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t)))
+                 AS stop_hits
+        FROM documents
+      )
+    )
+    SELECT a.doc_id, round(a.q, 4) AS quality, a.n_chars
+    FROM f a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM f b
+      WHERE b.q >= a.q AND b.n_chars <= a.n_chars
+        AND (b.q > a.q OR b.n_chars < a.n_chars)
+    )
+    ORDER BY a.doc_id
+    """,
+)
+def q193_quality_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-optimal set) over (quality maximize, length
+    minimize): the documents no other document beats on both axes — the
+    classic OLAP skyline operator, used here as the "best value per
+    token" shortlist a budget-constrained curation pass starts from
+    (every non-skyline doc has a strictly better-or-equal alternative).
+
+    Distributed via the canonical two-phase algorithm: each partition
+    computes its LOCAL skyline with the O(n log n) sort-sweep (a global
+    non-dominated point is non-dominated in its own partition, so local
+    skylines are a superset), and one final pass merges the survivors —
+    the single-task input is the union of local skylines, typically
+    orders of magnitude smaller than the corpus (worst case, fully
+    anti-correlated axes, it IS the skyline — which any algorithm must
+    materialize anyway). The oracle uses the quadratic NOT EXISTS
+    dominance definition, so the sweep is checked against the
+    definition, not against itself.
+
+    Determinism: dominance is exact arithmetic on exact inputs; equal
+    (quality, length) pairs are mutually non-dominating and all
+    survive."""
+    import pandas as pd  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens.cast(
+        "double"
+    )
+    q = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.5
+    )
+    f = docs.select("doc_id", "n_chars", q.alias("q"))
+    schema = "doc_id bigint, n_chars bigint, q double"
+
+    def local(it):
+        for pdf in it:
+            yield _pareto_skyline_pdf(pdf.rename(columns={"n_chars": "l"})).rename(
+                columns={"l": "n_chars"}
+            )
+
+    survivors = f.mapInPandas(local, schema)
+    final = survivors.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda _k, pdf: _pareto_skyline_pdf(
+            pdf.rename(columns={"n_chars": "l"})
+        ).rename(columns={"l": "n_chars"}),
+        schema,
+    )
+    return final.select(
+        "doc_id", F.round("q", 4).alias("quality"), "n_chars"
+    ).orderBy("doc_id")

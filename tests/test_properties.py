@@ -455,3 +455,45 @@ def test_bloom_no_false_negatives_and_fpr(spark):
 
     fp = sum(1 for r in probe_bloom(odf, "gram", bm, m_bits, k).collect() if r["bloom_hit"])
     assert fp / len(others) <= 0.03, f"FPR {fp / len(others):.4f} >> target 0.01"
+
+
+# --- skyline sweep vs quadratic dominance definition -------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_skyline_sweep_matches_dominance_definition(points):
+    """q193's O(n log n) sort-sweep against the O(n^2) NOT EXISTS
+    definition on randomized (quality, length) grids — including ties and
+    duplicate points (mutually non-dominating, all survive)."""
+    import pandas as pd
+
+    from hive_backend_spark.queries.text import _pareto_skyline_pdf
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(points)),
+            "q": [float(p[0]) for p in points],
+            "l": [p[1] for p in points],
+        }
+    )
+    got = set(_pareto_skyline_pdf(pdf)["doc_id"])
+    want = set()
+    for i, (qi, li) in enumerate(points):
+        dominated = any(
+            (qj >= qi and lj <= li and (qj > qi or lj < li))
+            for j, (qj, lj) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want, (points, got, want)
