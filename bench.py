@@ -154,6 +154,7 @@ HEADLINE = [
     "q191_supplier_hhi",
     "q192_sketch_union_audit",
     "q193_quality_skyline",
+    "q194_frequent_pairs",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -308,6 +308,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row waterfilling level scalar (q167)",
     ("queries/corpus.py", "member_probe.crossJoin(F.broadcast(neg_probe))"):
         "1-row negative-probe census scalar (q190)",
+    ("queries/corpus.py", "counts.crossJoin(F.broadcast(nd))"):
+        "1-row document-count scalar: the a-priori support bar (q194)",
     ("queries/corpus.py", 'return local.join(F.broadcast(offsets), "bucket").select('):
         "256-row packing bucket offsets (q124)",
     ("queries/similarity.py", ".crossJoin(F.broadcast(query))"):

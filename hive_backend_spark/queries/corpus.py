@@ -1645,3 +1645,107 @@ def q190_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fpr_within_bound"),
         )
     )
+
+
+# --- q194: a-priori frequent co-occurring token pairs ------------------------
+
+_AP_MINSUP = 0.6  # fraction of documents a token/pair must appear in
+
+
+@register(
+    "q194_frequent_pairs",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    ),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM dt),
+    freq AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df
+      FROM dt GROUP BY t
+      HAVING count(*) >= {_AP_MINSUP} * (SELECT n FROM nd)
+    ),
+    pairs AS (
+      SELECT a.t AS tok_a, b.t AS tok_b, CAST(count(*) AS BIGINT) AS pair_df
+      FROM dt a
+      JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+      WHERE a.t IN (SELECT t FROM freq) AND b.t IN (SELECT t FROM freq)
+      GROUP BY a.t, b.t
+      HAVING count(*) >= {_AP_MINSUP} * (SELECT n FROM nd)
+    )
+    SELECT p.tok_a, p.tok_b, p.pair_df,
+           fa.df AS df_a, fb.df AS df_b,
+           round(p.pair_df * (SELECT n FROM nd) / (fa.df * fb.df), 4) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.t = p.tok_a
+    JOIN freq fb ON fb.t = p.tok_b
+    ORDER BY tok_a, tok_b
+    """,
+)
+def q194_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent itemset mining, pair stage: token pairs
+    co-occurring in >= {_AP_MINSUP:.0%} of documents, with document
+    frequencies and lift — template/boilerplate phrase books and
+    co-mentioned entity pairs surface here even when never adjacent
+    (q148's PMI sees only adjacent bigrams; this sees document-level
+    co-occurrence). The a-priori downward-closure prune is the scale
+    story: a pair can only be frequent if BOTH members are, so the pair
+    join runs on tokens that already cleared the support bar — the
+    candidate space shrinks from |vocab|^2 to |frequent|^2, and
+    |frequent| is bounded by avg-doc-length / minsup by counting (each
+    doc contributes at most its length in distinct-token mass).
+
+    Determinism: supports are exact distinct-doc counts; lift rounds a
+    ratio of exact integers times the exact doc count.
+
+    Scale posture: one (doc, token) distinct shuffle; the support filter
+    semi-joins the bounded frequent set (AQE side choice); the per-doc
+    pair self-join is keyed by doc_id with per-doc width bounded by the
+    doc's own frequent-token count; the pair aggregation shuffles pair
+    digests only."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    nd = dt.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    counts = dt.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    freq = (
+        counts.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") >= _AP_MINSUP * F.col("n"))
+        .select("t", "df", "n")
+    )
+    ft = dt.join(freq.select("t"), "t", "left_semi")
+    a = ft.alias("a")
+    b = ft.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("tok_a"), F.col("b.t").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_df"))
+    )
+    fa = freq.select(F.col("t").alias("tok_a"), F.col("df").alias("df_a"), "n")
+    fb = freq.select(F.col("t").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(fa, "tok_a")
+        .join(fb, "tok_b")
+        .filter(F.col("pair_df") >= _AP_MINSUP * F.col("n"))
+        .select(
+            "tok_a",
+            "tok_b",
+            "pair_df",
+            "df_a",
+            "df_b",
+            F.round(
+                F.col("pair_df") * F.col("n") / (F.col("df_a") * F.col("df_b")), 4
+            ).alias("lift"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )

@@ -393,6 +393,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q188_event_transitions",  # 1-row uniform-baseline scalar
         "q190_bloom_fpr_audit",  # 1-row negative-probe stats scalar
         "q183_analyze_column_stats",  # 1-row second-pass stats scalar
+        "q194_frequent_pairs",  # 1-row doc-count support-bar scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
