@@ -153,6 +153,10 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("streaming/pipeline.py", 'return events.join(F.broadcast(dim), on, "inner")'):
         "stream-static dim lookup: dim table is fixed-cardinality by contract",
+    ("streaming/pipeline.py",
+     'b = tagged.join(F.broadcast(cuts), "event_type", "left").select('):
+        "reference decile table: |event types| x 9 values, bounded "
+        "dimension (batch_value_psi)",
     ("operators/layout.py", "with_key = df.crossJoin(F.broadcast(stats)).withColumn("):
         "1-row min/max stats scalar for Z-order key scaling",
     ("operators/mutation.py",

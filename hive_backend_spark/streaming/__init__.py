@@ -8,6 +8,7 @@ end-to-end in ``tests/test_streaming.py``.
 from .pipeline import (
     EVENT_SCHEMA,
     batch_value_drift,
+    batch_value_psi,
     correlate_streams,
     dedup_stream,
     drift_monitor_stream,
@@ -27,6 +28,7 @@ from .pipeline import (
 __all__ = [
     "EVENT_SCHEMA",
     "batch_value_drift",
+    "batch_value_psi",
     "correlate_streams",
     "dedup_stream",
     "drift_monitor_stream",

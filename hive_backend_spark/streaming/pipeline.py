@@ -478,3 +478,67 @@ def windowed_distinct_users(
         F.col("w").getField("end").alias("window_end"),
         "distinct_users",
     )
+
+
+def batch_value_psi(
+    current: DataFrame, reference: DataFrame, eps: float = 0.0005
+) -> DataFrame:
+    """Population Stability Index on the `value` distribution per
+    event_type between `current` and `reference` — q180's batch kernel
+    generalized to any two frames, completing the streaming drift pair
+    (``batch_value_drift`` answers WHETHER via KS; this localizes WHICH
+    decile region moved and reports the industry 0.2-alarm). Buckets are
+    the REFERENCE's own per-type deciles; shares floored at `eps` so an
+    empty bucket contributes a large finite term, never infinity. A type
+    with no reference rows has no bucket basis: emitted with psi NULL and
+    drifted TRUE (a brand-new type IS a population shift).
+
+    Returns one row per event_type: (event_type, n_ref, n_cur, psi,
+    drifted). Shuffle shape: one decile aggregate per type on the
+    reference, broadcast as a 9-value array; bucket assignment rides the
+    scan; the report reduces |types x 10| bucket rows."""
+    cuts = reference.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("c")
+    )
+    tagged = reference.select(
+        "event_type", "value", F.lit(1).alias("is_ref")
+    ).unionByName(current.select("event_type", "value", F.lit(0).alias("is_ref")))
+    b = tagged.join(F.broadcast(cuts), "event_type", "left").select(
+        "event_type",
+        "is_ref",
+        F.when(
+            F.col("c").isNotNull(),
+            F.size(F.filter(F.col("c"), lambda v: v < F.col("value"))),
+        ).alias("bucket"),
+    )
+    per = b.groupBy("event_type", "bucket").agg(
+        F.sum("is_ref").cast("bigint").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("cur_n"),
+    )
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy("event_type")
+    sh = per.select(
+        "event_type",
+        "bucket",
+        F.sum("ref_n").over(wall).alias("nr"),
+        F.sum("cur_n").over(wall).alias("nc"),
+        F.greatest(
+            F.try_divide(F.col("ref_n"), F.sum("ref_n").over(wall).cast("double")),
+            F.lit(eps),
+        ).alias("p"),
+        F.greatest(
+            F.try_divide(F.col("cur_n"), F.sum("cur_n").over(wall).cast("double")),
+            F.lit(eps),
+        ).alias("q"),
+    )
+    term = (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))
+    no_basis = (F.max("nr") == 0) | (F.min(F.col("bucket").isNull().cast("int")) == 1)
+    return sh.groupBy("event_type").agg(
+        F.max("nr").cast("bigint").alias("n_ref"),
+        F.max("nc").cast("bigint").alias("n_cur"),
+        F.round(F.sum(term), 6).alias("psi"),
+        F.when(no_basis, F.lit(True)).otherwise(F.sum(term) > 0.2).alias("drifted"),
+    )

@@ -731,3 +731,21 @@ def test_windowed_distinct_users_stream_batch_parity(spark, stream_src):
     assert got.exceptAll(want).count() == 0
     closed = want.join(got.select("window_start"), "window_start", "left_semi")
     assert closed.exceptAll(got.select(want.columns)).count() == 0
+
+
+def test_batch_value_psi_self_and_shifted(spark, stream_src):
+    """PSI kernel sanity: a distribution compared against itself scores
+    ~0 (every bucket share matches); the same distribution shifted by a
+    constant larger than its spread scores far above the 0.2 alarm; a
+    type absent from the reference reports drifted=True with NULL psi."""
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    self_psi = S.batch_value_psi(batch, batch).collect()
+    assert self_psi and all(abs(r["psi"]) < 0.02 and not r["drifted"] for r in self_psi)
+
+    shifted = batch.withColumn("value", F.col("value") + F.lit(10000.0))
+    moved = S.batch_value_psi(shifted, batch).collect()
+    assert all(r["psi"] > 0.2 and r["drifted"] for r in moved)
+
+    new_type = batch.withColumn("event_type", F.lit("brand_new"))
+    novel = {r["event_type"]: r for r in S.batch_value_psi(new_type, batch).collect()}
+    assert novel["brand_new"]["drifted"] is True
