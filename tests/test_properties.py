@@ -497,3 +497,32 @@ def test_skyline_sweep_matches_dominance_definition(points):
         if not dominated:
             want.add(i)
     assert got == want, (points, got, want)
+
+
+# --- MinHash signature mergeability ------------------------------------------
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=12), min_size=1, max_size=30),
+    st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=12), min_size=1, max_size=30),
+)
+@settings(max_examples=60, deadline=None)
+def test_minhash_signature_is_mergeable(sa, sb):
+    """MinHash signatures are mergeable summaries: the signature of a
+    shingle-set UNION equals the elementwise MIN of the parts' signatures
+    — the property that lets a persisted signature table absorb appended
+    content per key (update = min-merge) without re-reading old text,
+    and the foundation q173's incremental index maintenance stands on.
+    Checked against the library's exact hash recipe (md5 of 'seed|s')."""
+    import hashlib
+
+    from hive_backend_spark.operators.dedup import N_HASHES
+
+    def sig(shingles):
+        return [
+            min(hashlib.md5(f"{seed}|{s}".encode()).hexdigest() for s in shingles)
+            for seed in range(N_HASHES)
+        ]
+
+    merged = [min(a, b) for a, b in zip(sig(sa), sig(sb))]
+    assert merged == sig(list(set(sa) | set(sb)))
