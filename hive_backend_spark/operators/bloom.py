@@ -94,7 +94,11 @@ def probe_bloom(
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
-                yield pdf.assign(**{out_col: pd.Series([], dtype=bool)})
+                # same shape as the non-empty path: __pos dropped here too,
+                # not left for Arrow's name-based pruning to discard
+                yield pdf.drop(columns=["__pos"]).assign(
+                    **{out_col: pd.Series([], dtype=bool)}
+                )
                 continue
             pos = np.stack(pdf["__pos"].to_numpy()).astype(np.int64)  # (n, k)
             bits = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)

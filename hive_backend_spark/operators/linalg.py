@@ -55,6 +55,11 @@ def second_moments(vecs: DataFrame, vec_col: str, dim: int):
     row = part.agg(
         F.sum("n").alias("n"), fold("s", zero_s).alias("s"), fold("g", zero_g).alias("g")
     ).collect()[0]  # 1 row of O(dim^2) model state — the pass's single action
+    if row["n"] is None or row["n"] == 0:
+        # every partition was empty: sum(n) aggregates no rows -> NULL.
+        # Fail loudly (kmeans_train's non-convergence discipline) instead of
+        # an opaque TypeError/NaN cascade downstream.
+        raise ValueError("second_moments: no vectors in input")
     n = int(row["n"])
     mu = np.array(row["s"], dtype=np.float64) / n
     gram = np.array(row["g"], dtype=np.float64).reshape(dim, dim)

@@ -367,9 +367,9 @@ _BURST_Z = 3.0
     SELECT event_type, hour_start, n,
            round(med, 4) AS med,
            round(mad, 4) AS mad,
-           round((n - med) / ({_BURST_SIGMA} * mad), 4) AS robust_z
+           round((n - med) / ({_BURST_SIGMA} * nullif(mad, 0)), 4) AS robust_z
     FROM dev
-    WHERE (n - med) / ({_BURST_SIGMA} * mad) > {_BURST_Z}
+    WHERE (n - med) / ({_BURST_SIGMA} * nullif(mad, 0)) > {_BURST_Z}
     ORDER BY event_type, hour_start
     """,
 )
@@ -398,7 +398,11 @@ def q185_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type")
     med = buckets.withColumn("med", F.expr("percentile(n, 0.5)").over(w))
     dev = med.withColumn("mad", F.expr("percentile(abs(n - med), 0.5)").over(w))
-    rz = (F.col("n") - F.col("med")) / (_BURST_SIGMA * F.col("mad"))
+    # MAD == 0 is legal (over half the buckets at the median — plausible for
+    # integer hour counts). nullif pins the degenerate-scale case to NULL in
+    # BOTH engines (NULL > z filters the row), instead of Spark ANSI
+    # DIVIDE_BY_ZERO vs DuckDB IEEE inf diverging data-dependently.
+    rz = (F.col("n") - F.col("med")) / (_BURST_SIGMA * F.nullif(F.col("mad"), F.lit(0)))
     return (
         dev.filter(rz > _BURST_Z)
         .select(

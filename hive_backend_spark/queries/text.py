@@ -1694,7 +1694,7 @@ _MAD_Z = 3.0
            round(sum(CASE WHEN abs(value - med) > {_MAD_Z} * {_MAD_SIGMA} * mad
                           THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
              AS outlier_share,
-           round(max(abs(value - med) / ({_MAD_SIGMA} * mad)), 4)
+           round(max(abs(value - med) / ({_MAD_SIGMA} * nullif(mad, 0))), 4)
              AS max_robust_z
     FROM dev
     GROUP BY event_type
@@ -1738,10 +1738,13 @@ def q165_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("mad"), 4).alias("mad"),
             F.sum(is_out).cast("bigint").alias("n_outliers"),
             F.round(F.sum(is_out) / F.count(F.lit(1)), 4).alias("outlier_share"),
+            # nullif(mad, 0): a type whose values are >50% at the median has
+            # MAD 0 — both engines then report max_robust_z NULL instead of
+            # Spark ANSI DIVIDE_BY_ZERO vs DuckDB inf diverging.
             F.round(
                 F.max(
                     F.abs(F.col("value") - F.col("med"))
-                    / (_MAD_SIGMA * F.col("mad"))
+                    / (_MAD_SIGMA * F.nullif(F.col("mad"), F.lit(0)))
                 ),
                 4,
             ).alias("max_robust_z"),

@@ -539,6 +539,8 @@ def batch_value_psi(
     return sh.groupBy("event_type").agg(
         F.max("nr").cast("bigint").alias("n_ref"),
         F.max("nc").cast("bigint").alias("n_cur"),
-        F.round(F.sum(term), 6).alias("psi"),
+        F.when(no_basis, F.lit(None).cast("double"))
+        .otherwise(F.round(F.sum(term), 6))
+        .alias("psi"),
         F.when(no_basis, F.lit(True)).otherwise(F.sum(term) > 0.2).alias("drifted"),
     )

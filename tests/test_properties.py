@@ -430,6 +430,18 @@ def test_second_moments_match_direct_numpy(spark):
     np.testing.assert_allclose(cov, direct, rtol=0, atol=1e-10)
 
 
+def test_second_moments_empty_input_raises(spark):
+    """A zero-row vector table must fail loudly (ValueError), not crash
+    with an opaque TypeError on the NULL aggregate or emit NaNs."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.linalg import second_moments
+
+    df = spark.createDataFrame([], "id bigint, v array<double>")
+    with _pytest.raises(ValueError, match="no vectors"):
+        second_moments(df, "v", 8)
+
+
 # --- Bloom filter guarantees -------------------------------------------------
 
 

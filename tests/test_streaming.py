@@ -749,3 +749,6 @@ def test_batch_value_psi_self_and_shifted(spark, stream_src):
     new_type = batch.withColumn("event_type", F.lit("brand_new"))
     novel = {r["event_type"]: r for r in S.batch_value_psi(new_type, batch).collect()}
     assert novel["brand_new"]["drifted"] is True
+    # no reference rows -> no bucket basis -> the documented NULL sentinel,
+    # not a finite eps-absorbed score
+    assert novel["brand_new"]["psi"] is None
