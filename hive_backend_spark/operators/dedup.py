@@ -190,9 +190,40 @@ def minhash_sig_udf(k: int = N_HASHES):
     return sig_of
 
 
-def explode_bands(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def collapse_exact(df: DataFrame, id_col: str, text_col: str = "text"):
+    """Exact-duplicate pre-collapse for the signature pass: returns
+    (members, reps) where members = (fp, id) — a map-side md5 projection,
+    no text ever shuffles — and reps = ONE (fp, text) row per DISTINCT
+    text (md5-keyed groupBy; first() partially aggregates map-side, so the
+    shuffled text volume is per-partition-distinct texts, which is exactly
+    what a boilerplate flood collapses to).
+
+    Why this exists: identical documents produce identical MinHash
+    signatures in EVERY band, so without the collapse a flood of K copies
+    (millions of identical error pages at web scale) puts K rows in the
+    same bucket of every band and the band self-join emits O(K^2) pairs —
+    an output-size explosion AQE skew splitting cannot fix. Running the
+    shingle->MinHash->band pass once per distinct text bounds both the
+    signature CPU and the self-join by DISTINCT texts; exact-duplicate
+    membership is reattached afterwards (expansion joins in
+    ``lsh_candidate_pairs`` / the queries' cluster-label stage)."""
+    fp = F.md5(F.col(text_col))
+    members = df.select(fp.alias("fp"), F.col(id_col))
+    # distinct() on (fp, text), not groupBy(fp).agg(first/min(text)): a
+    # string-valued aggregate BUFFER forces SortAggregate (UnsafeRow can't
+    # mutate var-length fields), while distinct is a HashAggregate whose
+    # grouping keys may be strings — map-side combine, no per-partition sort
+    reps = df.select(fp.alias("fp"), F.col(text_col)).distinct()
+    return members, reps
+
+
+def explode_bands(
+    df: DataFrame, id_col: str, text_col: str = "text", id_type: str = "bigint"
+) -> DataFrame:
     """(id, band_idx, band_sig) — the LSH bucket table, the join key for
-    candidate generation. One row per doc per band.
+    candidate generation. One row per doc per band. `id_type` lets the
+    same pass run over bigint doc ids or the string fingerprints of the
+    exact-dup pre-collapse (``collapse_exact``).
 
     Implemented with mapInPandas rather than posexplode(udf(...)): a
     Generate over a python-UDF column re-evaluates the UDF once per
@@ -245,30 +276,82 @@ def explode_bands(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
             yield pd.DataFrame({id_col: ids, "band_idx": idxs, "band_sig": sigs})
 
     return spread(df.select(id_col, text_col)).mapInPandas(
-        gen, schema=f"{id_col} bigint, band_idx int, band_sig string"
+        gen, schema=f"{id_col} {id_type}, band_idx int, band_sig string"
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Distinct candidate pairs (a < b) with the number of agreeing bands.
-    Self-equi-join on (band_idx, band_sig): shuffle by digest, pairs are
-    generated per bucket only."""
-    bands = explode_bands(df, id_col, text_col)
-    a = bands.alias("a")
-    b = bands.alias("b")
+def fp_candidate_pairs(fp_bands: DataFrame) -> DataFrame:
+    """Fingerprint-level candidate pairs (fp_a < fp_b, n_shared_bands) from
+    a (fp, band_idx, band_sig) table over DISTINCT texts. The self-join's
+    output is bounded by distinct-text bucket sizes — the exact-dup flood
+    case never reaches this join (it was collapsed to one row per text
+    upstream), which removes the quadratic cliff a corpus-sized bucket
+    would otherwise be. Near-identical (not byte-identical) floods remain
+    visible in the band-population audit (q195), the monitoring hook for
+    raising the band width before a bucket grows hot."""
+    a = fp_bands.alias("a")
+    b = fp_bands.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.fp") < F.col("b.fp")),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        .groupBy(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) with the number of agreeing
+    bands — byte-identical output to the naive per-document band self-join,
+    computed flood-safely: exact duplicates are collapsed to one fingerprint
+    BEFORE the self-join (``collapse_exact``), pairs are generated at the
+    distinct-text level (``fp_candidate_pairs``), then membership expands
+    them back to documents:
+
+      - cross-fingerprint: every member of fp_a pairs with every member of
+        fp_b, inheriting the fingerprint pair's n_shared_bands (identical
+        texts have identical band digests, so the doc-level count equals
+        the fp-level count);
+      - within-fingerprint: byte-identical documents agree on ALL non-null
+        bands, so each multi-member fingerprint with a band identity
+        contributes its member pairs with n_shared_bands = its band count
+        (empty-shingle texts have NULL bands and never become candidates).
+
+    The expansion joins are output-bounded: they emit exactly the pairs the
+    naive join would, but the quadratic work now happens only where the
+    OUTPUT is genuinely quadratic, never inside a shuffle bucket."""
+    members, reps = collapse_exact(df, id_col, text_col)
+    fpb = explode_bands(reps, "fp", text_col, id_type="string")
+    fpp = fp_candidate_pairs(fpb)
+    ma = members.select(F.col("fp").alias("fp_a"), F.col(id_col).alias("__ida"))
+    mb = members.select(F.col("fp").alias("fp_b"), F.col(id_col).alias("__idb"))
+    cross = (
+        fpp.join(ma, "fp_a")
+        .join(mb, "fp_b")
+        .select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            "n_shared_bands",
+        )
+    )
+    n_banded = (
+        fpb.filter(F.col("band_sig").isNotNull())
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    w1 = members.join(n_banded, "fp").select(
+        "fp", F.col(id_col).alias("doc_a"), "n_shared_bands"
+    )
+    w2 = members.select("fp", F.col(id_col).alias("doc_b"))
+    within = (
+        w1.join(w2, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_shared_bands")
+    )
+    return cross.unionByName(within)
 
 
 # --- SimHash ---------------------------------------------------------------

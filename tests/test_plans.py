@@ -536,3 +536,27 @@ def test_analyze_stats_expand_stays_hash_aggregated(spark, sf_dir):
     assert "Expand" in plan
     keyed_sort_aggs = re.findall(r"SortAggregate\(key=\[[^\]]", plan)
     assert not keyed_sort_aggs, plan
+
+
+def test_lsh_band_build_pre_collapses_exact_dups(spark, sf_dir):
+    """q67: the signature/band pass must run over DISTINCT texts — the plan
+    contains the md5-fingerprint projection feeding a HashAggregate keyed
+    by (fp, text) (the exact-dup collapse, map-side combined, never a
+    SortAggregate) in front of the band self-join. Without it, K
+    byte-identical documents occupy the same bucket of every band and
+    candidate generation emits O(K^2) pairs — the boilerplate-flood cliff
+    at web scale."""
+    import hive_backend_spark.queries.dedup as QD
+
+    QD.clear_bands_cache()  # a cached band table would hide the build plan
+    try:
+        df = _df(spark, sf_dir, "q67_lsh_candidates")
+        plan = P.formatted_plan(df)
+        assert "md5(cast(text" in plan, "exact-fingerprint projection missing"
+        assert "Keys [2]: [fp" in plan, "(fp, text) collapse aggregate missing"
+        assert "SortAggregate" not in plan, (
+            "collapse fell back to SortAggregate — keep it a distinct() so "
+            "the dedup is a HashAggregate with map-side combine"
+        )
+    finally:
+        QD.clear_bands_cache()

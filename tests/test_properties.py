@@ -538,3 +538,58 @@ def test_minhash_signature_is_mergeable(sa, sb):
 
     merged = [min(a, b) for a, b in zip(sig(sa), sig(sb))]
     assert merged == sig(list(set(sa) | set(sb)))
+
+
+# --- exact-dup pre-collapse bounds LSH candidate generation ------------------
+
+
+def test_lsh_flood_collapses_to_distinct_squared(spark):
+    """A corpus with K byte-identical copies of one text must generate
+    candidate pairs from O(distinct^2) self-join work, not O(K^2): the
+    fingerprint-level pair table is bounded by C(n_distinct, 2), while the
+    doc-level OUTPUT (which is genuinely quadratic for a flood) still
+    contains the full K-clique with all bands agreeing — byte-identical to
+    the naive per-document band self-join."""
+    K = 40
+    flood = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, flood) for i in range(K)]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta mu"),
+        (1002, "completely different content with many unique words present here"),
+        (1003, "xy"),  # < 3 tokens: no shingles, NULL bands, never a candidate
+        (1004, "xy"),  # identical to 1003 — still must NOT cluster (no band identity)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    members, reps = D.collapse_exact(df, "doc_id")
+    n_distinct = reps.count()
+    assert n_distinct == 5
+    fpb = D.explode_bands(reps, "fp", id_type="string")
+    fp_pairs = D.fp_candidate_pairs(fpb)
+    # the flood never reaches the self-join: pair table bounded by distinct^2
+    assert fp_pairs.count() <= n_distinct * (n_distinct - 1) // 2
+
+    got = D.lsh_candidate_pairs(df, "doc_id")
+    # the K-clique is present in the OUTPUT with every band agreeing
+    in_flood = got.filter((F.col("doc_a") < K) & (F.col("doc_b") < K))
+    assert in_flood.count() == K * (K - 1) // 2
+    assert in_flood.agg(F.min("n_shared_bands")).first()[0] == D.N_BANDS
+    # gram-less identical docs never become candidates
+    assert got.filter(F.col("doc_a") >= 1003).count() == 0
+
+    # byte-identical to the naive per-document band self-join
+    bands = D.explode_bands(df, "doc_id")
+    a, b = bands.alias("a"), bands.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
