@@ -5,8 +5,9 @@ Reference semantics reproduced (sites cited per row of SURVEY §2.9):
   Q3        bounded prioritized consume    -> per-micro-batch top-k in
             ``run_two_phase`` (per-batch ordering IS the reference contract:
             the reference orders within one poll's LIMIT, db.mjs:289-290)
-  Q4/Q5     two-phase completion,          -> idempotent append of the
-            at-least-once redelivery          processed batch, keyed by id
+  Q4/Q5     two-phase completion,          -> batch_id-partitioned dynamic
+            at-least-once redelivery          overwrite of the processed
+                                              batch (replay-idempotent sink)
   Q6        dedup on unique id             -> ``dedup_stream``
             (dropDuplicatesWithinWatermark)
   Q7        heartbeat staleness            -> ``stale_users_stream``
@@ -180,11 +181,19 @@ def run_two_phase(
     batch_size: int = 100,
 ) -> None:
     """Q3+Q4+Q5 end to end: stream -> route -> per-micro-batch prioritized
-    top-k -> append the processed batch (processed=true, processed_at=
-    batch time surrogate) to parquet. Restart-safe via checkpoint;
-    at-least-once like the reference (redelivered rows are deduplicated
-    downstream on id — Q5/Q6). Runs with availableNow and blocks until the
-    backlog drains."""
+    top-k -> write the processed batch (processed=true, batch_id-stamped)
+    to parquet. Runs with availableNow and blocks until the backlog drains.
+
+    Sink idempotence: foreachBatch is at-least-once — a crash between the
+    sink write and the checkpoint commit replays that batch on restart. A
+    plain append would duplicate the replayed batch's rows, so each batch
+    writes its own batch_id partition with dynamic partition overwrite
+    (the drift-monitor sink's pattern): a replay overwrites ONLY its own
+    partition, leaving every other batch intact — exactly-once per
+    batch_id in the TABLE without a transactional format. The CONSUMER
+    contract stays at-least-once like the reference (a consumer may have
+    seen the pre-crash rows before the overwrite; redelivered rows are
+    deduplicated downstream on id — Q5/Q6)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         picked = (
@@ -197,7 +206,12 @@ def run_two_phase(
             .withColumn("processed", F.lit(True))
             .withColumn("batch_id", F.lit(batch_id))
         )
-        picked.write.mode("append").parquet(processed_dir)
+        (
+            picked.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(processed_dir)
+        )
 
     stream = route_events(read_event_stream(spark, source_dir))
     q = (

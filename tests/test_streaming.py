@@ -752,3 +752,35 @@ def test_batch_value_psi_self_and_shifted(spark, stream_src):
     # no reference rows -> no bucket basis -> the documented NULL sentinel,
     # not a finite eps-absorbed score
     assert novel["brand_new"]["psi"] is None
+
+
+def test_two_phase_replay_after_crash_is_idempotent(spark, stream_src, tmp_path):
+    """Kill/restart across the at-least-once window: delete the LAST commit
+    marker from the checkpoint (simulating a crash between the sink write
+    and the checkpoint commit), restart, and require zero duplicate rows in
+    the processed table WITHOUT any read-side dedup — the batch_id dynamic
+    overwrite must absorb the replay."""
+    import os
+
+    processed = str(tmp_path / "processed")
+    ckpt = str(tmp_path / "ckpt")
+    S.run_two_phase(spark, stream_src, processed, ckpt, batch_size=50)
+    before = spark.read.parquet(processed)
+    n_before = before.count()
+    ids_before = sorted(r["id"] for r in before.select("id").collect())
+
+    commits = os.path.join(ckpt, "two_phase", "commits")
+    last = max(
+        (f for f in os.listdir(commits) if not f.startswith(".")), key=int
+    )
+    os.remove(os.path.join(commits, last))  # crash window: written, not committed
+    crc = os.path.join(commits, f".{last}.crc")  # local-FS checksum shadow
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    S.run_two_phase(spark, stream_src, processed, ckpt, batch_size=50)
+    after = spark.read.parquet(processed)
+    assert after.count() == n_before
+    assert sorted(r["id"] for r in after.select("id").collect()) == ids_before
+    # no duplicate (id, batch_id) even at file level
+    assert after.groupBy("id", "batch_id").count().filter("count > 1").count() == 0
