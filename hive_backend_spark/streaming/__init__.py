@@ -7,6 +7,7 @@ end-to-end in ``tests/test_streaming.py``.
 
 from .pipeline import (
     EVENT_SCHEMA,
+    ROUTED_SCHEMA,
     batch_value_drift,
     batch_value_psi,
     correlate_streams,
@@ -16,6 +17,7 @@ from .pipeline import (
     read_event_stream,
     rollup_stream,
     route_events,
+    run_prioritized_carryover,
     run_two_phase,
     session_counts,
     enrich_stream,
@@ -27,6 +29,7 @@ from .pipeline import (
 
 __all__ = [
     "EVENT_SCHEMA",
+    "ROUTED_SCHEMA",
     "batch_value_drift",
     "batch_value_psi",
     "correlate_streams",
@@ -36,6 +39,7 @@ __all__ = [
     "read_event_stream",
     "rollup_stream",
     "route_events",
+    "run_prioritized_carryover",
     "run_two_phase",
     "session_counts",
     "enrich_stream",

@@ -28,7 +28,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -558,3 +560,112 @@ def batch_value_psi(
         .alias("psi"),
         F.when(no_basis, F.lit(True)).otherwise(F.sum(term) > 0.2).alias("drifted"),
     )
+
+
+ROUTED_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("type", StringType()),
+        StructField("source_type", StringType()),
+        StructField("target_type", StringType()),
+        StructField("content", StringType()),
+        StructField("processed", BooleanType()),
+        StructField("acknowledged", BooleanType()),
+        StructField("priority", IntegerType()),
+        StructField("created_at", TimestampType()),
+    ]
+)
+
+
+def run_prioritized_carryover(
+    spark: SparkSession,
+    source_dir: str,
+    processed_dir: str,
+    pending_dir: str,
+    checkpoint_dir: str,
+    batch_size: int = 100,
+) -> None:
+    """Q3 extension — priority order held ACROSS triggers, not just within
+    one micro-batch: unserved rows carry forward, so a high-priority
+    message that missed its arrival batch's quota is served before any
+    lower-priority later arrival (the semantics a production queue needs;
+    the reference's per-poll LIMIT, db.mjs:285-293, is the per-batch form
+    ``run_two_phase`` mirrors).
+
+    Mechanics: the pending backlog lives in a VERSIONED parquet state table
+    (pending_dir/state_version=N = the backlog after batch N). Each
+    micro-batch unions the new arrivals with version N-1, takes the global
+    top-k by (priority desc, created_at, id) — TakeOrderedAndProject, a
+    distributed per-partition top-k + k-row merge, never a global sort or
+    a single-task state funnel — serves it to the processed table's
+    batch_id partition, and overwrites version N with the remainder.
+
+    Restart idempotence: a replay of batch N re-reads version N-1 (still
+    present — only versions <= N-2 are pruned) and overwrites exactly its
+    own outputs (processed batch_id=N partition, state_version=N), so the
+    crash window between sink write and checkpoint commit duplicates
+    nothing. State size is the backlog itself — the irreducible state of
+    any queue — held distributed in parquet, not in executor memory."""
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(pending_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(pending_dir)
+            if d.startswith("state_version=")
+        )
+
+    def sink(arrivals: DataFrame, batch_id: int) -> None:
+        sess = arrivals.sparkSession
+        prior = [v for v in _versions() if v < batch_id]
+        if prior:
+            carry = sess.read.schema(ROUTED_SCHEMA).parquet(
+                os.path.join(pending_dir, f"state_version={prior[-1]}")
+            )
+            avail = arrivals.unionByName(carry)
+        else:
+            avail = arrivals
+        # (priority, created_at, id) is a TOTAL order (id unique), so the
+        # served set is deterministic — a replay picks the same rows
+        picked = (
+            avail.orderBy(
+                F.coalesce(F.col("priority"), F.lit(0)).desc(),
+                F.col("created_at").asc(),
+                F.col("id").asc(),
+            )
+            .limit(batch_size)
+            .localCheckpoint()  # k rows, pinned so serve and remainder agree
+        )
+        rest = avail.join(picked.select("id"), "id", "left_anti").select(
+            *[f.name for f in ROUTED_SCHEMA.fields]
+        )
+        (
+            picked.withColumn("processed", F.lit(True))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(processed_dir)
+        )
+        rest.write.mode("overwrite").parquet(
+            os.path.join(pending_dir, f"state_version={batch_id}")
+        )
+        # prune versions a replay can never need (replay of N reads N-1)
+        import shutil
+
+        for v in _versions():
+            if v <= batch_id - 2:
+                shutil.rmtree(
+                    os.path.join(pending_dir, f"state_version={v}"),
+                    ignore_errors=True,
+                )
+
+    stream = route_events(read_event_stream(spark, source_dir))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "carryover"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -784,3 +784,96 @@ def test_two_phase_replay_after_crash_is_idempotent(spark, stream_src, tmp_path)
     assert sorted(r["id"] for r in after.select("id").collect()) == ids_before
     # no duplicate (id, batch_id) even at file level
     assert after.groupBy("id", "batch_id").count().filter("count > 1").count() == 0
+
+
+def _greedy_carryover_simulation(chunks, batch_size):
+    """Pure-Python ground truth for run_prioritized_carryover: per trigger,
+    serve the top batch_size of (pending + arrivals) by
+    (priority desc, created_at asc, id asc); the rest carries forward.
+    Returns (served_ids_per_batch, final_pending_ids)."""
+    pending: list[tuple] = []  # (neg_priority, created_at, id)
+    served = []
+    for chunk in chunks:
+        pending.extend(chunk)
+        pending.sort()
+        take = pending[:batch_size]
+        pending = pending[batch_size:]
+        served.append({t[2] for t in take})
+    return served, {t[2] for t in pending}
+
+
+def test_carryover_matches_greedy_simulation(spark, stream_src, tmp_path):
+    """Priority order must hold ACROSS triggers: the served set per batch
+    equals a greedy simulation where unserved rows compete in every later
+    batch — a high-priority row that missed its arrival batch's quota beats
+    any lower-priority later arrival. Also: processed + pending partitions
+    exactly the routed input (no loss, no duplication)."""
+    processed = str(tmp_path / "processed")
+    pending = str(tmp_path / "pending")
+    ckpt = str(tmp_path / "ckpt")
+    BATCH = 40
+    S.run_prioritized_carryover(spark, stream_src, processed, pending, ckpt, batch_size=BATCH)
+
+    chunks = []
+    for f in sorted(os.listdir(stream_src)):
+        routed = S.route_events(
+            spark.read.schema(S.EVENT_SCHEMA).parquet(os.path.join(stream_src, f))
+        )
+        chunks.append(
+            [
+                (-(r["priority"] or 0), r["created_at"], r["id"])
+                for r in routed.select("priority", "created_at", "id").collect()
+            ]
+        )
+    want_served, want_pending = _greedy_carryover_simulation(chunks, BATCH)
+
+    out = spark.read.parquet(processed)
+    got_served = {
+        r["batch_id"]: set()
+        for r in out.select("batch_id").distinct().collect()
+    }
+    for r in out.select("id", "batch_id").collect():
+        got_served[r["batch_id"]].add(r["id"])
+    assert got_served == {i: s for i, s in enumerate(want_served)}
+
+    latest = max(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(pending)
+        if d.startswith("state_version=")
+    )
+    left = spark.read.schema(S.ROUTED_SCHEMA).parquet(
+        os.path.join(pending, f"state_version={latest}")
+    )
+    assert {r["id"] for r in left.select("id").collect()} == want_pending
+    # carryover actually happened: some batch-0 arrival served later than 0
+    batch0_ids = {t[2] for t in chunks[0]}
+    assert any(got_served[b] & batch0_ids for b in got_served if b > 0)
+
+
+def test_carryover_replay_after_crash_is_idempotent(spark, stream_src, tmp_path):
+    """Crash between sink write and checkpoint commit: the replayed batch
+    re-reads state_version N-1 (never pruned) and overwrites exactly its
+    own outputs — processed table and final pending state are unchanged."""
+    processed = str(tmp_path / "processed")
+    pending = str(tmp_path / "pending")
+    ckpt = str(tmp_path / "ckpt")
+    S.run_prioritized_carryover(spark, stream_src, processed, pending, ckpt, batch_size=40)
+    before = spark.read.parquet(processed)
+    served_before = sorted(
+        (r["id"], r["batch_id"]) for r in before.select("id", "batch_id").collect()
+    )
+
+    commits = os.path.join(ckpt, "carryover", "commits")
+    last = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    S.run_prioritized_carryover(spark, stream_src, processed, pending, ckpt, batch_size=40)
+    after = spark.read.parquet(processed)
+    served_after = sorted(
+        (r["id"], r["batch_id"]) for r in after.select("id", "batch_id").collect()
+    )
+    assert served_after == served_before
+    assert after.groupBy("id").count().filter("count > 1").count() == 0
