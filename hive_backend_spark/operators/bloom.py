@@ -13,9 +13,11 @@ Build is one Arrow pass: keys are hashed JVM-side (xxhash64 with k seeds —
 vectorized, engine-deterministic), partitions OR their local bitmaps, and
 the per-partition bitmaps (m/64-long arrays, partition-bounded rows) fold
 elementwise to the final bitmap — the kmeans/second_moments reduce shape.
-The bitmap is bounded model state (m bits by construction), so holding it
-driver-side and closure-shipping it to the probe pass is the centroid/
-codebook pattern, not a corpus-sized collect.
+The bitmap is bounded model state (m bits by construction, ceiling-checked
+against MAX_M_BITS), so holding it driver-side is the centroid/codebook
+pattern, not a corpus-sized collect; the probe pass receives it as a
+torrent-broadcast variable — fetched once per executor, never serialized
+into task closures.
 """
 
 from __future__ import annotations
@@ -28,13 +30,31 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Driver-memory ceiling for the folded bitmap — the recorded bound in the
+# BROADCAST_ALLOWLIST style: the bitmap is model state BY CONSTRUCTION
+# (m bits, set when the filter is sized, independent of corpus row count),
+# and this constant pins how large that construction may get. 2^33 bits =
+# 1 GiB of driver heap, ~900M keys at 1% FPR. Beyond it, shard the filter
+# (split the key space, one filter per shard) instead of raising the cap —
+# a single larger bitmap also costs every executor that much resident
+# memory, so sharding is the correct scale path, not bigger broadcasts.
+MAX_M_BITS = 1 << 33
+
 
 def optimal_params(n_keys: int, fpr: float) -> tuple[int, int]:
     """Textbook sizing: m = -n ln(p) / ln(2)^2 bits, k = (m/n) ln 2 hashes
-    (rounded, clamped to >= 1; m rounded up to a multiple of 64)."""
+    (rounded, clamped to >= 1; m rounded up to a multiple of 64). Raises
+    once the bitmap would exceed the documented driver/executor ceiling
+    (MAX_M_BITS) — the caller should shard the key space instead."""
     n_keys = max(n_keys, 1)
     m = int(math.ceil(-n_keys * math.log(fpr) / (math.log(2) ** 2)))
     m = ((m + 63) // 64) * 64
+    if m > MAX_M_BITS:
+        raise ValueError(
+            f"bloom filter of {m} bits exceeds MAX_M_BITS={MAX_M_BITS} "
+            f"(~{MAX_M_BITS >> 33} GiB); shard the key space into "
+            f"{math.ceil(m / MAX_M_BITS)} filters instead"
+        )
     k = max(1, round(m / n_keys * math.log(2)))
     return m, k
 
@@ -88,10 +108,17 @@ def probe_bloom(
     """Adds a boolean `out_col`: True iff all k bits for df[col] are set.
     Guaranteed True for every key the filter was built from (no false
     negatives); False positives occur at the configured rate and MUST be
-    killed by an exact join downstream when exactness matters."""
-    words = bitmap.copy()  # closure-shipped model state (m bits, bounded)
+    killed by an exact join downstream when exactness matters.
+
+    The bitmap ships as a TorrentBroadcast variable, not a task closure:
+    a closure is serialized into EVERY task (at the MAX_M_BITS ceiling
+    that is 1 GiB per task through the scheduler, over
+    spark.rpc.message.maxSize), while a broadcast is fetched once per
+    executor in 4 MB chunks and shared by all its tasks."""
+    bc = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(bitmap))
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        words = bc.value
         for pdf in batches:
             if not len(pdf):
                 # same shape as the non-empty path: __pos dropped here too,

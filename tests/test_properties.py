@@ -593,3 +593,15 @@ def test_lsh_flood_collapses_to_distinct_squared(spark):
     )
     assert got.exceptAll(naive).count() == 0
     assert naive.exceptAll(got).count() == 0
+
+
+def test_bloom_sizing_ceiling_raises():
+    """optimal_params must refuse a bitmap beyond the documented
+    driver/executor ceiling and tell the caller to shard."""
+    from hive_backend_spark.operators.bloom import MAX_M_BITS, optimal_params
+
+    with pytest.raises(ValueError, match="shard the key space"):
+        optimal_params(int(MAX_M_BITS / 9.0), 0.01)  # ~9.6 bits/key at 1% FPR
+    # at the scale the repo actually uses, sizing still succeeds
+    m, k = optimal_params(1_000_000, 0.01)
+    assert m % 64 == 0 and k >= 1
