@@ -1749,3 +1749,199 @@ def q194_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok_a", "tok_b")
     )
+
+
+# --- q197/q199: per-source token-distribution comparisons ---------------------
+
+# Shared oracle fragment: per-source unigram counts over whitespace tokens.
+_ORACLE_SOURCE_UNIGRAMS = """
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents)
+  GROUP BY source, token
+"""
+
+
+def _source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, token, c): the per-source unigram count table — one explode
+    of the token stream with map-side combine on (source, token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+@register(
+    "q197_js_source_divergence",
+    oracle=f"""
+    WITH u AS ({_ORACLE_SOURCE_UNIGRAMS}),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+            FROM u GROUP BY source),
+    p AS (SELECT u.source, token, c / CAST(n AS DOUBLE) AS p FROM u JOIN tot USING (source)),
+    sh AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared,
+             sum(0.5 * a.p * log2(2 * a.p / (a.p + b.p))
+                 + 0.5 * b.p * log2(2 * b.p / (a.p + b.p))) AS sh_term,
+             sum(a.p) AS pa_sh, sum(b.p) AS pb_sh
+      FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    pairs AS (SELECT a.source AS source_a, a.v AS va, b.source AS source_b, b.v AS vb
+              FROM tot a JOIN tot b ON a.source < b.source)
+    SELECT source_a, source_b,
+           CAST(va + vb - coalesce(n_shared, 0) AS BIGINT) AS n_union,
+           CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+           round(coalesce(sh_term, 0)
+                 + 0.5 * (1 - coalesce(pa_sh, 0))
+                 + 0.5 * (1 - coalesce(pb_sh, 0)), 6) AS jsd_bits
+    FROM pairs LEFT JOIN sh USING (source_a, source_b)
+    ORDER BY source_a, source_b
+    """,
+)
+def q197_js_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits, in [0,1]) between every source
+    pair's unigram distribution — the mixture-design distance matrix: which
+    crawl sources are near-duplicates in DISTRIBUTION (merge their
+    sampling budgets) and which are genuinely diverse (q149's vocab
+    overlap counts shared types; this weighs them by probability mass).
+    Tokens private to one side contribute their full half-mass (p*log2(2)
+    = p), so only the SHARED-token join is materialized and the private
+    remainder folds in closed form: jsd = sh_term + (1-pa_sh)/2 +
+    (1-pb_sh)/2 — no union-vocab expansion.
+
+    Determinism: probabilities are exact-integer counts over exact totals;
+    both engines sum the same float terms, rounded to 6.
+
+    Scale posture: one token explode with map-side combine on (source,
+    token); the self-join is keyed by token (df(token)^2 pair rows per
+    token, the classic co-occurrence shape — AQE splits hot stopword
+    tokens); everything else is |sources|^2 rows, a bounded dimension."""
+    u = _source_unigrams(spark, sf_dir)
+    tot = u.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"), F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    p = u.join(tot, "source").select(
+        "source", "token", (F.col("c") / F.col("n").cast("double")).alias("p")
+    )
+    a = p.select(F.col("source").alias("source_a"), "token", F.col("p").alias("pa"))
+    b = p.select(F.col("source").alias("source_b"), "token", F.col("p").alias("pb"))
+    m = F.col("pa") + F.col("pb")
+    sh = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(
+                0.5 * F.col("pa") * F.log2(2 * F.col("pa") / m)
+                + 0.5 * F.col("pb") * F.log2(2 * F.col("pb") / m)
+            ).alias("sh_term"),
+            F.sum("pa").alias("pa_sh"),
+            F.sum("pb").alias("pb_sh"),
+        )
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("v").alias("va"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("v").alias("vb"))
+    pairs = ta.crossJoin(tb).filter(F.col("source_a") < F.col("source_b"))
+    z = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
+    return (
+        pairs.join(sh, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("va") + F.col("vb") - z(F.col("n_shared"))).cast("bigint").alias("n_union"),
+            z(F.col("n_shared")).cast("bigint").alias("n_shared"),
+            F.round(
+                z(F.col("sh_term"))
+                + 0.5 * (1 - z(F.col("pa_sh")))
+                + 0.5 * (1 - z(F.col("pb_sh"))),
+                6,
+            ).alias("jsd_bits"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_XENT_ALPHA = 0.5  # add-alpha smoothing mass per vocab type
+
+
+@register(
+    "q199_cross_source_xent",
+    oracle=f"""
+    WITH u AS ({_ORACLE_SOURCE_UNIGRAMS}),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM u GROUP BY source),
+    vocab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM u),
+    p AS (SELECT u.source, token, c / CAST(n AS DOUBLE) AS p FROM u JOIN tot USING (source)),
+    sh AS (
+      SELECT d.source AS data_source, m.source AS model_source,
+             sum(d.p * log2(m.c + {_XENT_ALPHA})) AS sh_log,
+             sum(d.p) AS sh_mass
+      FROM p d JOIN u m ON d.token = m.token
+      GROUP BY d.source, m.source
+    ),
+    pairs AS (SELECT d.source AS data_source, m.source AS model_source, m.n AS n_model
+              FROM tot d, tot m)
+    SELECT data_source, model_source,
+           round(coalesce(sh_mass, 0), 6) AS shared_mass,
+           round(log2(n_model + {_XENT_ALPHA} * v)
+                 - coalesce(sh_log, 0)
+                 - (1 - coalesce(sh_mass, 0)) * log2({_XENT_ALPHA}), 6) AS xent_bits
+    FROM pairs LEFT JOIN sh USING (data_source, model_source), vocab
+    ORDER BY data_source, model_source
+    """,
+)
+def q199_cross_source_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy matrix H(data_source || model_source) in bits
+    per token, with add-{_XENT_ALPHA} smoothing over the global vocabulary
+    — the perplexity-filtering primitive (CCNet-style): score each source's
+    text under every other source's language model; a source whose xent
+    under the reference sources is high is out-of-domain (or garbage), and
+    the DIAGONAL is each source's own smoothed entropy (the floor). The
+    smoothed model q(t) = (c+a)/(n+aV) decomposes so only SHARED tokens
+    join: xent = log2(n+aV) - sum_sh p*log2(c+a) - (1-sh_mass)*log2(a).
+
+    Scale posture: identical to q197 — one (source, token) count table,
+    one token-keyed join, |sources|^2 bounded output; the vocab count and
+    per-source totals are dimension-sized side inputs."""
+    u = _source_unigrams(spark, sf_dir)
+    tot = u.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    vocab = u.agg(F.countDistinct("token").cast("bigint").alias("v"))
+    p = u.join(tot, "source").select(
+        "source", "token", (F.col("c") / F.col("n").cast("double")).alias("p")
+    )
+    d = p.select(F.col("source").alias("data_source"), "token", "p")
+    mdl = u.select(F.col("source").alias("model_source"), "token", "c")
+    sh = (
+        d.join(mdl, "token")
+        .groupBy("data_source", "model_source")
+        .agg(
+            F.sum(F.col("p") * F.log2(F.col("c") + _XENT_ALPHA)).alias("sh_log"),
+            F.sum("p").alias("sh_mass"),
+        )
+    )
+    pairs = (
+        tot.select(F.col("source").alias("data_source"))
+        .crossJoin(tot.select(F.col("source").alias("model_source"), F.col("n").alias("n_model")))
+    )
+    z = lambda c: F.coalesce(c, F.lit(0.0))  # noqa: E731
+    import math
+
+    return (
+        pairs.join(sh, ["data_source", "model_source"], "left")
+        .crossJoin(vocab)
+        .select(
+            "data_source",
+            "model_source",
+            F.round(z(F.col("sh_mass")), 6).alias("shared_mass"),
+            F.round(
+                F.log2(F.col("n_model") + _XENT_ALPHA * F.col("v"))
+                - z(F.col("sh_log"))
+                - (1 - z(F.col("sh_mass"))) * math.log2(_XENT_ALPHA),
+                6,
+            ).alias("xent_bits"),
+        )
+        .orderBy("data_source", "model_source")
+    )

@@ -415,3 +415,64 @@ def q185_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_start")
     )
+
+
+# --- q198: inter-arrival gap census -------------------------------------------
+
+
+@register(
+    "q198_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_ms, 0.5), 4) AS median_gap_ms,
+           round(quantile_cont(gap_ms, 0.95), 4) AS p95_gap_ms,
+           CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+           round(avg(gap_ms), 4) AS mean_gap_ms,
+           round(stddev_pop(gap_ms) / nullif(avg(gap_ms), 0), 4) AS cv
+    FROM gaps
+    WHERE gap_ms IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q198_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap census per event type: median/p95/max gap plus the
+    coefficient of variation — the rate-stability audit beside q185's burst
+    alarm (bursts flag WHEN arrivals spiked; this characterizes the arrival
+    process itself: CV ~= 1 is Poisson-like, >> 1 is bursty/clumped, << 1 is
+    metronomic — a scheduled scraper pretending to be organic traffic).
+    Consecutive-gap multiset is order-stable under timestamp ties (equal
+    values sit adjacent regardless of tiebreak), so both engines derive
+    identical statistics. nullif guards the all-simultaneous degenerate
+    case (mean gap 0) identically in both engines.
+
+    Scale posture: one window pass partitioned by event_type (the natural
+    telemetry key; a type's rows sort within its partition — the cost any
+    per-stream gap analysis pays), then a bounded |types| aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_ms").cast("bigint").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_ms, 0.5)"), 4).alias("median_gap_ms"),
+            F.round(F.expr("percentile(gap_ms, 0.95)"), 4).alias("p95_gap_ms"),
+            F.max("gap_ms").cast("bigint").alias("max_gap_ms"),
+            F.round(F.avg("gap_ms"), 4).alias("mean_gap_ms"),
+            F.round(
+                F.stddev_pop("gap_ms") / F.nullif(F.avg("gap_ms"), F.lit(0)), 4
+            ).alias("cv"),
+        )
+        .orderBy("event_type")
+    )

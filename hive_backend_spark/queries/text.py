@@ -2452,3 +2452,134 @@ def q193_quality_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "doc_id", F.round("q", 4).alias("quality"), "n_chars"
     ).orderBy("doc_id")
+
+
+# --- q196: chi-square categorical drift --------------------------------------
+
+# chi2 inverse CDF at alpha=0.01 by dof — a fixed lookup shared verbatim by
+# both engines (no closed form in SQL); extend if a corpus ever has >13 types
+_CHI2_CRIT_99 = {
+    1: 6.6349, 2: 9.2103, 3: 11.3449, 4: 13.2767, 5: 15.0863, 6: 16.8119,
+    7: 18.4753, 8: 20.0902, 9: 21.666, 10: 23.2093, 11: 24.725, 12: 26.217,
+}
+_CHI2_CASE_SQL = "CAST(CASE dof " + " ".join(
+    f"WHEN {d} THEN {c}" for d, c in _CHI2_CRIT_99.items()
+) + " END AS DOUBLE)"
+
+
+@register(
+    "q196_chi2_type_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS thr FROM events
+    ),
+    halves AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN epoch_ms(ts) > thr THEN 0 ELSE 1 END) AS BIGINT) AS n_early,
+             CAST(sum(CASE WHEN epoch_ms(ts) > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+      FROM events, b GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n_early) AS BIGINT) AS tot_e,
+             CAST(sum(n_late) AS BIGINT) AS tot_l,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM halves
+    ),
+    terms AS (
+      SELECT event_type, n_early, n_late,
+             (n_early + n_late) * tot_e / CAST(tot_e + tot_l AS DOUBLE) AS exp_early,
+             (n_early + n_late) * tot_l / CAST(tot_e + tot_l AS DOUBLE) AS exp_late,
+             n_types
+      FROM halves, tot
+    ),
+    scored AS (
+      SELECT event_type, n_early, n_late,
+             round(exp_early, 4) AS exp_early, round(exp_late, 4) AS exp_late,
+             (CASE WHEN exp_early > 0 THEN (n_early - exp_early) * (n_early - exp_early) / exp_early ELSE 0 END
+              + CASE WHEN exp_late > 0 THEN (n_late - exp_late) * (n_late - exp_late) / exp_late ELSE 0 END)
+               AS term,
+             n_types
+      FROM terms
+    )
+    SELECT event_type, n_early, n_late, exp_early, exp_late,
+           round(term, 4) AS chi2_term,
+           round(sum(term) OVER (), 4) AS chi2_total,
+           CAST(n_types - 1 AS BIGINT) AS dof,
+           chi2_crit_99,
+           sum(term) OVER () > chi2_crit_99 AS drifted
+    FROM (SELECT *, n_types - 1 AS dof FROM scored),
+         LATERAL (SELECT {_CHI2_CASE_SQL} AS chi2_crit_99)
+    ORDER BY event_type
+    """,
+)
+def q196_chi2_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of event-TYPE composition between the time halves of
+    the stream — the categorical member of the drift family (KS q147 asks
+    about numeric values, PSI q180 about their decile shares, Welch q174
+    about means; none of them sees a new route mix). The timeline splits at
+    the midpoint between min and max epoch-ms; expected counts come from
+    the standard independence model (row total x column share); per-type
+    terms localize WHICH type moved and the total tests at alpha=0.01
+    against the fixed dof lookup both engines share verbatim.
+
+    Scale posture: one corpus aggregation keyed by event_type (map-side
+    combined after a 1-row min/max bounds pass rides in); everything after
+    runs over |types| rows in a single partition — bounded by the type
+    dimension, not the corpus."""
+    events = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    bounds = events.agg(
+        ((F.min(ms) + F.max(ms)) / F.lit(2)).cast("bigint").alias("thr")
+    )
+    late = (ms > F.col("thr")).cast("int")
+    halves = (
+        events.crossJoin(bounds)
+        .groupBy("event_type")
+        .agg(
+            F.sum(1 - late).cast("bigint").alias("n_early"),
+            F.sum(late).cast("bigint").alias("n_late"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()  # |types| rows — bounded
+    tot_e = F.sum("n_early").over(wall)
+    tot_l = F.sum("n_late").over(wall)
+    n_types = F.count(F.lit(1)).over(wall)
+    row_tot = F.col("n_early") + F.col("n_late")
+    exp_e = row_tot * tot_e / (tot_e + tot_l).cast("double")
+    exp_l = row_tot * tot_l / (tot_e + tot_l).cast("double")
+    term = F.when(exp_e > 0, (F.col("n_early") - exp_e) ** 2 / exp_e).otherwise(
+        F.lit(0.0)
+    ) + F.when(exp_l > 0, (F.col("n_late") - exp_l) ** 2 / exp_l).otherwise(F.lit(0.0))
+    scored = halves.select(
+        "event_type",
+        "n_early",
+        "n_late",
+        F.round(exp_e, 4).alias("exp_early"),
+        F.round(exp_l, 4).alias("exp_late"),
+        term.alias("term"),
+        (n_types - 1).cast("bigint").alias("dof"),
+    )
+    crit = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _CHI2_CRIT_99.items() for x in kv]
+        ),
+        F.col("dof").cast("int"),
+    )
+    w2 = Window.partitionBy()
+    return (
+        scored.select(
+            "event_type",
+            "n_early",
+            "n_late",
+            "exp_early",
+            "exp_late",
+            F.round("term", 4).alias("chi2_term"),
+            F.round(F.sum("term").over(w2), 4).alias("chi2_total"),
+            "dof",
+            crit.alias("chi2_crit_99"),
+            (F.sum("term").over(w2) > crit).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
