@@ -284,6 +284,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row N/avgdl scalar (q108)",
     ("queries/corpus.py", 'avail.join(F.broadcast(w), "lang")'):
         "language weight table: 5 rows (q113)",
+    ("queries/corpus.py", ".crossJoin(F.broadcast(query))"):
+        "1-row query embedding (q200): dim-bounded model state",
     ("queries/corpus.py", "docs.crossJoin(F.broadcast(m))"):
         "1-row unigram vocab map + total (q114): Heaps-bounded V ~ K*N^0.5, "
         "O(GB) at 100 TB — see the COLLECT_LIST_ALLOWLIST vmap entry for "

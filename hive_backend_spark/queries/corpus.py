@@ -1945,3 +1945,140 @@ def q199_cross_source_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("data_source", "model_source")
     )
+
+
+# --- q200: reciprocal-rank fusion (hybrid retrieval) ---------------------------
+
+_RRF_K = 60
+_RRF_LIST = 100  # per-ranker candidate list depth — the scale bound
+
+
+@register(
+    "q200_rrf_fusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+      FROM documents WHERE doc_id <> 0
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len(tok)) AS DOUBLE) / count(*) AS avgdl
+      FROM t
+    ),
+    tf AS (
+      SELECT doc_id, len(tok) AS dl, term,
+             len(list_filter(tok, x -> x = term)) AS tf
+      FROM t, (SELECT unnest({list(_BM25_TERMS)!r}::VARCHAR[]) AS term) terms
+      WHERE len(list_filter(tok, x -> x = term)) > 0
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * ({_BM25_K1} + 1.0)
+                 / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))) AS bm25
+      FROM tf JOIN df USING (term), stats
+      GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+      FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT {_RRF_LIST}
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS cs
+      FROM embeddings, q WHERE vec_id <> 0
+    ),
+    vec AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS vec_rank
+      FROM cos ORDER BY cs DESC, doc_id ASC LIMIT {_RRF_LIST}
+    )
+    SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           round(coalesce(1.0 / ({_RRF_K} + lex_rank), 0)
+                 + coalesce(1.0 / ({_RRF_K} + vec_rank), 0), 6) AS rrf_score
+    FROM lex FULL OUTER JOIN vec USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q200_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the lexical ranking
+    (BM25 over the fixed query terms, q108's exact formula) and the vector
+    ranking (cosine to the vec_id=0 query embedding, q70's form) each
+    produce a top-{_RRF_LIST} candidate list; fused score = sum of
+    1/({_RRF_K}+rank) over the lists a document appears in, top 20 kept.
+    RRF is the standard score-free fusion — it needs no calibration
+    between BM25's unbounded scores and cosine's [-1,1].
+
+    Scale posture: each ranker ends in TakeOrderedAndProject (top-
+    {_RRF_LIST}), so the global row_number windows and the fusion join run
+    over two bounded {_RRF_LIST}-row lists, never the corpus; the corpus-
+    sized work is the two scoring passes, each map-side (term-filtered
+    explode / one broadcast query vector)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("tok"))
+    tf = (
+        base.select("doc_id", F.size("tok").alias("dl"), F.explode("tok").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size("tok")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    bm = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_RRF_LIST)
+    )
+    from pyspark.sql.window import Window
+
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = bm.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+
+    from .similarity import cosine  # shared JVM-side dot/cosine helper
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    query = vecs.filter(F.col("doc_id") == 0).select(F.col("v").alias("qv"))
+    cos = (
+        vecs.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select("doc_id", cosine(F.col("v"), F.col("qv")).alias("cs"))
+        .orderBy(F.col("cs").desc(), F.col("doc_id").asc())
+        .limit(_RRF_LIST)
+    )
+    wv = Window.orderBy(F.col("cs").desc(), F.col("doc_id").asc())
+    vec = cos.select("doc_id", F.row_number().over(wv).alias("vec_rank"))
+
+    fused = lex.join(vec, "doc_id", "full_outer")
+    rr = lambda c: F.coalesce(1.0 / (_RRF_K + c), F.lit(0.0))  # noqa: E731
+    return (
+        fused.select(
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
+            F.round(rr(F.col("lex_rank")) + rr(F.col("vec_rank")), 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -1608,3 +1608,86 @@ def q195_band_population_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_idx")
     )
+
+
+# --- q202: near-dup split leakage audit ----------------------------------------
+
+
+@register(
+    "q202_near_dup_split_leakage",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+    tagged AS (
+      SELECT cluster_id, doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+                  ELSE 'train' END AS split
+      FROM lab
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           string_agg(DISTINCT split, ',' ORDER BY split) AS splits,
+           CAST(sum(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS BIGINT)
+             AS eval_members
+    FROM tagged
+    GROUP BY cluster_id
+    HAVING count(DISTINCT split) > 1
+    ORDER BY cluster_id
+    """,
+)
+def q202_near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup split leakage: duplicate clusters (q79's LSH connected
+    components) whose members straddle the q77 train/val/test hash split —
+    eval rows with a near-duplicate in train are contamination the
+    exact-fingerprint audit (q161) cannot see, because near-dups differ in
+    bytes. Emits each straddling cluster with its member count, the splits
+    it touches, and how many members sit in eval splits (the leaked mass a
+    cluster-atomic split assignment would retire). The remedy is q161's
+    content-keyed rule applied at CLUSTER grain: hash the cluster id, not
+    the doc id.
+
+    Scale posture: reuses the cached cluster-label table (|clustered docs|
+    rows); split assignment is a map-side md5 of the id; one cluster-keyed
+    aggregation. The oracle replays clustering as the recursive CTE, so
+    the whole composition is value-checked."""
+    labels = _cluster_labels(spark, sf_dir)
+    h2 = F.substring(F.md5(F.col("node").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "0d", "test").when(h2 < "1a", "val").otherwise("train")
+    )
+    tagged = labels.select(
+        F.col("label").alias("cluster_id"),
+        F.col("node").alias("doc_id"),
+        split.alias("split"),
+    )
+    return (
+        tagged.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.countDistinct("split").cast("bigint").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+            F.sum((F.col("split") != "train").cast("int")).cast("bigint").alias(
+                "eval_members"
+            ),
+        )
+        .filter(F.col("n_splits") > 1)
+        .orderBy("cluster_id")
+    )

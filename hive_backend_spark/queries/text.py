@@ -2583,3 +2583,67 @@ def q196_chi2_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q201: token-frequency Gini concentration ---------------------------------
+
+
+@register(
+    "q201_token_gini",
+    oracle="""
+    WITH u AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents)
+      GROUP BY source, token
+    ),
+    r AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c ASC, token ASC) AS i
+      FROM u
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           round(2.0 * sum(i * c) / (count(*) * sum(c))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def q201_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the token-frequency distribution per source —
+    the concentration gauge beside q141's Zipf slope (a fitted exponent)
+    and q181's hapax share (the tail's edge): Gini reads the WHOLE Lorenz
+    curve, so template spam (few types carrying most mass) scores near 1
+    even when the Zipf fit looks ordinary. Uses the rank formula
+    G = 2*sum(i*c_i)/(k*sum(c)) - (k+1)/k over counts sorted ascending;
+    ties in c are order-invariant for the sum, so the token tiebreak only
+    pins both engines to one plan, not the value.
+
+    Scale posture: one (source, token) count pass (map-side combined);
+    the rank window partitions by source over VOCABULARY rows — Heaps-
+    sublinear in corpus size, the same bound q114's vocab map records."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        docs.select(
+            "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").asc(), F.col("token").asc())
+    r = u.select("source", "c", F.row_number().over(w).alias("i"))
+    k = F.count(F.lit(1))
+    return (
+        r.groupBy("source")
+        .agg(
+            k.cast("bigint").alias("n_types"),
+            F.sum("c").cast("bigint").alias("total_tokens"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("c")) / (k * F.sum("c"))
+                - (k + 1.0) / k,
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )
