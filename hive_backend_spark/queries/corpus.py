@@ -1952,11 +1952,9 @@ def q199_cross_source_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_K = 60
 _RRF_LIST = 100  # per-ranker candidate list depth — the scale bound
 
-
-@register(
-    "q200_rrf_fusion",
-    oracle=f"""
-    WITH t AS (
+# Shared oracle CTE chain: the two rankers' top-N lists (lex, vec). Used by
+# the fusion (q200) and the ranker-agreement audit (q204).
+_RRF_RANKERS_SQL = f"""t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
       FROM documents WHERE doc_id <> 0
     ),
@@ -1995,7 +1993,13 @@ _RRF_LIST = 100  # per-ranker candidate list depth — the scale bound
     vec AS (
       SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS vec_rank
       FROM cos ORDER BY cs DESC, doc_id ASC LIMIT {_RRF_LIST}
-    )
+    )"""
+
+
+@register(
+    "q200_rrf_fusion",
+    oracle=f"""
+    WITH {_RRF_RANKERS_SQL}
     SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
            CAST(lex_rank AS BIGINT) AS lex_rank,
            CAST(vec_rank AS BIGINT) AS vec_rank,
@@ -2020,6 +2024,26 @@ def q200_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     over two bounded {_RRF_LIST}-row lists, never the corpus; the corpus-
     sized work is the two scoring passes, each map-side (term-filtered
     explode / one broadcast query vector)."""
+    lex, vec = _rrf_rankers(spark, sf_dir)
+    fused = lex.join(vec, "doc_id", "full_outer")
+    rr = lambda c: F.coalesce(1.0 / (_RRF_K + c), F.lit(0.0))  # noqa: E731
+    return (
+        fused.select(
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
+            F.round(rr(F.col("lex_rank")) + rr(F.col("vec_rank")), 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _rrf_rankers(spark: SparkSession, sf_dir: str):
+    """(lex, vec): the two top-N ranked candidate lists — BM25 over the
+    fixed query terms and cosine to the vec_id=0 query embedding. Both end
+    in TakeOrderedAndProject(N={_RRF_LIST}); the row_number windows run on
+    the bounded lists only."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = docs.select("doc_id", toks.alias("tok"))
@@ -2069,16 +2093,71 @@ def q200_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wv = Window.orderBy(F.col("cs").desc(), F.col("doc_id").asc())
     vec = cos.select("doc_id", F.row_number().over(wv).alias("vec_rank"))
+    return lex, vec
 
-    fused = lex.join(vec, "doc_id", "full_outer")
-    rr = lambda c: F.coalesce(1.0 / (_RRF_K + c), F.lit(0.0))  # noqa: E731
+
+@register(
+    "q204_ranker_agreement",
+    oracle=f"""
+    WITH {_RRF_RANKERS_SQL},
+    shared AS (SELECT lex.doc_id, lex_rank, vec_rank FROM lex JOIN vec USING (doc_id)),
+    rr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY lex_rank) AS rl,
+             row_number() OVER (ORDER BY vec_rank) AS rv
+      FROM shared
+    )
+    SELECT CAST((SELECT count(*) FROM lex) AS BIGINT) AS n_lex,
+           CAST((SELECT count(*) FROM vec) AS BIGINT) AS n_vec,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           round(count(*) / CAST((SELECT count(*) FROM lex) AS DOUBLE), 4) AS overlap_of_lex,
+           round(1 - 6.0 * sum((rl - rv) * (rl - rv))
+                 / nullif(count(*) * (CAST(count(*) AS DOUBLE) * count(*) - 1.0), 0), 6)
+             AS spearman_rho
+    FROM rr
+    """,
+)
+def q204_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker-agreement audit for the q200 hybrid: list overlap and
+    Spearman rho between the lexical and vector rankings, re-ranked within
+    their intersection (distinct ranks, so the closed form
+    1 - 6*sum(d^2)/(n(n^2-1)) is exact). Low overlap with low |rho| means
+    the rankers see DIFFERENT relevance — fusion adds recall; overlap near
+    1 with rho near 1 means one ranker is redundant and its scoring pass
+    can be retired. nullif guards the n<=1 degenerate case identically in
+    both engines.
+
+    Scale posture: both inputs are the bounded top-{_RRF_LIST} lists; every
+    window and join here runs on at most {_RRF_LIST} rows."""
+    lex, vec = _rrf_rankers(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    shared = lex.join(vec, "doc_id")
+    rr_ = shared.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("lex_rank")).alias("rl"),
+        F.row_number().over(Window.orderBy("vec_rank")).alias("rv"),
+    )
+    n_lex = lex.agg(F.count(F.lit(1)).cast("bigint").alias("n_lex"))
+    n_vec = vec.agg(F.count(F.lit(1)).cast("bigint").alias("n_vec"))
+    n = F.count(F.lit(1))
+    d2 = F.sum((F.col("rl") - F.col("rv")) * (F.col("rl") - F.col("rv")))
+    agg = rr_.agg(
+        n.cast("bigint").alias("n_shared"),
+        F.round(
+            1 - 6.0 * d2 / F.nullif(n * (n.cast("double") * n - 1.0), F.lit(0.0)), 6
+        ).alias("spearman_rho"),
+    )
     return (
-        fused.select(
-            "doc_id",
-            F.col("lex_rank").cast("bigint").alias("lex_rank"),
-            F.col("vec_rank").cast("bigint").alias("vec_rank"),
-            F.round(rr(F.col("lex_rank")) + rr(F.col("vec_rank")), 6).alias("rrf_score"),
+        n_lex.crossJoin(n_vec)
+        .crossJoin(agg)
+        .select(
+            "n_lex",
+            "n_vec",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_lex").cast("double"), 4).alias(
+                "overlap_of_lex"
+            ),
+            "spearman_rho",
         )
-        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
-        .limit(20)
     )

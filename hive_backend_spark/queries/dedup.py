@@ -1691,3 +1691,82 @@ def q202_near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_splits") > 1)
         .orderBy("cluster_id")
     )
+
+
+# --- q203: duplicate-aware sampling weights -------------------------------------
+
+
+@register(
+    "q203_dedup_weighted_mass",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+    size AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY cluster_id),
+    w AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN csize IS NULL THEN 1.0 ELSE 1.0 / csize END AS wt,
+             CASE WHEN csize IS NULL THEN 0 ELSE 1 END AS clustered
+      FROM documents d
+      LEFT JOIN lab USING (doc_id) LEFT JOIN size USING (cluster_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(clustered) AS BIGINT) AS clustered_docs,
+           round(sum(wt), 4) AS effective_docs,
+           round(1.0 - sum(wt) / count(*), 4) AS dedup_discount
+    FROM w GROUP BY source ORDER BY source
+    """,
+)
+def q203_dedup_weighted_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware sampling weights — the SOFT alternative to hard
+    dedup (q90 keeps one doc per cluster; this keeps them all at weight
+    1/cluster_size, the standard repetition-discount for training
+    mixtures): per source, raw vs EFFECTIVE document mass and the dedup
+    discount — how much of the source's apparent volume is duplicate
+    inflation. Feeding effective_docs (not n_docs) into the q113 mixture
+    planner stops boilerplate-heavy sources from buying sampling budget
+    with copies.
+
+    Scale posture: reuses the cached cluster-label table; cluster sizes
+    are one |clusters|-row aggregate; the weight attach is a doc_id-keyed
+    left join (label side corpus-growing, left to AQE) and the rollup is
+    keyed by the bounded source dimension."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
+    lab = labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"), "csize"
+    )
+    w = docs.select("doc_id", "source").join(lab, "doc_id", "left").select(
+        "source",
+        F.when(F.col("csize").isNull(), F.lit(1.0))
+        .otherwise(1.0 / F.col("csize"))
+        .alias("wt"),
+        F.when(F.col("csize").isNull(), 0).otherwise(1).alias("clustered"),
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("clustered").cast("bigint").alias("clustered_docs"),
+            F.round(F.sum("wt"), 4).alias("effective_docs"),
+            F.round(1.0 - F.sum("wt") / F.count(F.lit(1)), 4).alias("dedup_discount"),
+        )
+        .orderBy("source")
+    )

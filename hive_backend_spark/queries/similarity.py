@@ -1651,3 +1651,95 @@ def q176_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+
+# --- q206: cosine threshold sweep (dedup calibration) --------------------------
+
+_SWEEP_THRESHOLDS = (0.30, 0.35, 0.40, 0.45)
+
+
+@register(
+    "q206_cosine_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS cs
+      FROM ({_IVF_ASSIGN_SQL}) a JOIN ({_IVF_ASSIGN_SQL}) b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    thr AS (SELECT CAST(unnest([{', '.join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS DOUBLE) AS threshold),
+    hit AS (SELECT threshold, va, vb, cs FROM thr JOIN pairs ON cs > threshold)
+    SELECT threshold,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST((SELECT count(DISTINCT x) FROM (
+                   SELECT va AS x FROM hit h2 WHERE h2.threshold = hit.threshold
+                   UNION ALL
+                   SELECT vb FROM hit h3 WHERE h3.threshold = hit.threshold))
+                AS BIGINT) AS n_docs_touched,
+           round(avg(cs), 6) AS mean_cosine
+    FROM hit
+    GROUP BY threshold
+    ORDER BY threshold
+    """,
+)
+def q206_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup threshold calibration: the pair count, touched-doc
+    count, and mean similarity at each candidate cosine cutoff, from ONE
+    scoring pass (pairs materialize once at the loosest threshold; the
+    sweep is conditional aggregation). This is the knob-setting artifact
+    for q71/q116 — the elbow where n_pairs inflects separates true
+    near-dups from the semantic-neighborhood background, and
+    n_docs_touched is the collateral (how many docs a merge at that
+    cutoff would pull in). Same IVF-cell blocking as q71, so the sweep
+    calibrates exactly the operator that will run.
+
+    Scale posture: one cell-blocked matmul pass (q71's shape) emitting
+    pairs above min(thresholds); the 4-row threshold dimension expands
+    only the retained pairs; dedup of touched docs is keyed by
+    (threshold, vec_id)."""
+    import numpy as np
+    import pandas as pd
+
+    lo = min(_SWEEP_THRESHOLDS)
+    assigned = _ivf_assign(spark, sf_dir)
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = sims[ia, ib] > lo
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "va": ids[ia[keep]],
+                "vb": ids[ib[keep]],
+                "cs": sims[ia[keep], ib[keep]],
+            }
+        )
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        block_pairs, schema="va bigint, vb bigint, cs double"
+    )
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    hit = pairs.select("va", "vb", "cs", thr).filter(F.col("cs") > F.col("threshold"))
+    stats = hit.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("cs"), 6).alias("mean_cosine"),
+    )
+    touched = (
+        hit.select("threshold", F.col("va").alias("x"))
+        .unionAll(hit.select("threshold", F.col("vb").alias("x")))
+        .groupBy("threshold")
+        .agg(F.countDistinct("x").cast("bigint").alias("n_docs_touched"))
+    )
+    return (
+        stats.join(touched, "threshold")
+        .select("threshold", "n_pairs", "n_docs_touched", "mean_cosine")
+        .orderBy("threshold")
+    )

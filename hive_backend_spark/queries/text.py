@@ -2647,3 +2647,119 @@ def q201_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q205: per-source dataset card --------------------------------------------
+
+
+@register(
+    "q205_source_dataset_card",
+    oracle=f"""
+    WITH feat AS (
+      SELECT source, lang, md5(text) AS fp,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t))) AS stop_hits
+      FROM documents
+    ),
+    fpc AS (SELECT fp, count(*) AS k FROM feat GROUP BY fp),
+    scored AS (
+      SELECT source, lang, n_tokens,
+             LEAST(n_tokens / 100.0, 1.0) * 0.5
+             + LEAST(stop_hits / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.5 AS quality,
+             CASE WHEN k > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM feat JOIN fpc USING (fp)
+    ),
+    langs AS (
+      SELECT source, lang, count(*) AS c,
+             row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rn,
+             sum(count(*)) OVER (PARTITION BY source) AS tot
+      FROM scored GROUP BY source, lang
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 2) AS mean_tokens,
+           round(avg(quality), 4) AS mean_quality,
+           round(sum(is_dup) / CAST(count(*) AS DOUBLE), 4) AS exact_dup_rate,
+           any_value(l.lang) AS top_lang,
+           round(any_value(l.c) / CAST(any_value(l.tot) AS DOUBLE), 4) AS top_lang_share
+    FROM scored s JOIN (SELECT * FROM langs WHERE rn = 1) l USING (source)
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def q205_source_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset card: the one-stop rollup a mixture owner
+    reads before granting a source sampling budget — volume (docs,
+    tokens), quality (q62's score averaged), redundancy (share of docs
+    whose exact fingerprint repeats corpus-wide), and language composition
+    (dominant lang and its share). Each column exists as a standalone
+    audit (q62/q64/q65/q77); this composes them at the grain decisions
+    are made at.
+
+    Scale posture: one map-side feature pass (tokens, stopword hits, md5);
+    the duplicate flag joins a digest-keyed count table (32-char shuffle
+    keys); language ranking and the final rollup run per (source, lang) —
+    bounded dimensions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    feat = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("fp"),
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+    )
+    fpc = feat.groupBy("fp").agg(F.count(F.lit(1)).alias("k"))
+    quality = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + F.least(F.col("stop_hits") / F.col("n_tokens").cast("double") * 5.0, F.lit(1.0))
+        * 0.5
+    )
+    scored = feat.join(fpc, "fp").select(
+        "source",
+        "lang",
+        "n_tokens",
+        quality.alias("quality"),
+        F.when(F.col("k") > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    lw = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("lang").asc())
+    lt = Window.partitionBy("source")
+    langs = (
+        scored.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "source",
+            "lang",
+            "c",
+            F.row_number().over(lw).alias("rn"),
+            F.sum("c").over(lt).alias("tot"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("mean_tokens"),
+        F.round(F.avg("quality"), 4).alias("mean_quality"),
+        F.round(F.sum("is_dup") / F.count(F.lit(1)).cast("double"), 4).alias(
+            "exact_dup_rate"
+        ),
+    )
+    return (
+        per.join(langs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_tokens",
+            "mean_quality",
+            "exact_dup_rate",
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("c") / F.col("tot").cast("double"), 4).alias("top_lang_share"),
+        )
+        .orderBy("source")
+    )
