@@ -8,6 +8,7 @@ end-to-end in ``tests/test_streaming.py``.
 from .pipeline import (
     EVENT_SCHEMA,
     ROUTED_SCHEMA,
+    batch_type_chi2,
     batch_value_drift,
     batch_value_psi,
     correlate_streams,
@@ -30,6 +31,7 @@ from .pipeline import (
 __all__ = [
     "EVENT_SCHEMA",
     "ROUTED_SCHEMA",
+    "batch_type_chi2",
     "batch_value_drift",
     "batch_value_psi",
     "correlate_streams",

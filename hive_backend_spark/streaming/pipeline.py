@@ -669,3 +669,66 @@ def run_prioritized_carryover(
         .start()
     )
     q.awaitTermination()
+
+
+def batch_type_chi2(current: DataFrame, reference: DataFrame) -> DataFrame:
+    """Chi-square test of the event_type COMPOSITION between `current` and
+    `reference` — the categorical member of the streaming drift trio
+    (``batch_value_drift`` = numeric KS, ``batch_value_psi`` = decile
+    shares; neither sees a route-mix change where VALUES stay put). Same
+    independence model as the batch audit (q196): expected count = row
+    total x side share; types absent from one side still contribute (their
+    expected mass is nonzero as long as the side has any rows). Returns
+    one row per event_type: (event_type, n_ref, n_cur, chi2_term) plus the
+    test verdict columns (chi2_total, dof, chi2_crit_99, drifted) repeated
+    per row. A side with zero rows total has no composition to compare:
+    chi2 columns NULL, drifted TRUE.
+
+    Shuffle shape: both sides reduce to |types| count rows before anything
+    global happens; the test arithmetic runs on that bounded relation."""
+    from ..queries.text import _CHI2_CRIT_99  # shared dof -> critical lookup
+    from pyspark.sql.window import Window
+
+    tagged = reference.select("event_type", F.lit(1).alias("is_ref")).unionByName(
+        current.select("event_type", F.lit(0).alias("is_ref"))
+    )
+    per = tagged.groupBy("event_type").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    wall = Window.partitionBy()  # |types| rows — bounded
+    tot_r = F.sum("n_ref").over(wall)
+    tot_c = F.sum("n_cur").over(wall)
+    n_types = F.count(F.lit(1)).over(wall)
+    row_tot = F.col("n_ref") + F.col("n_cur")
+    exp_r = row_tot * tot_r / (tot_r + tot_c).cast("double")
+    exp_c = row_tot * tot_c / (tot_r + tot_c).cast("double")
+    term = F.when(exp_r > 0, (F.col("n_ref") - exp_r) ** 2 / exp_r).otherwise(
+        F.lit(0.0)
+    ) + F.when(exp_c > 0, (F.col("n_cur") - exp_c) ** 2 / exp_c).otherwise(F.lit(0.0))
+    one_sided = (tot_r == 0) | (tot_c == 0)
+    scored = per.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.when(one_sided, F.lit(None).cast("double")).otherwise(term).alias("term"),
+        (n_types - 1).cast("bigint").alias("dof"),
+        one_sided.alias("one_sided"),
+    )
+    crit = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _CHI2_CRIT_99.items() for x in kv]),
+        F.col("dof").cast("int"),
+    )
+    w2 = Window.partitionBy()
+    return scored.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round("term", 4).alias("chi2_term"),
+        F.round(F.sum("term").over(w2), 4).alias("chi2_total"),
+        "dof",
+        crit.alias("chi2_crit_99"),
+        F.when(F.col("one_sided"), F.lit(True))
+        .otherwise(F.sum("term").over(w2) > crit)
+        .alias("drifted"),
+    )

@@ -877,3 +877,39 @@ def test_carryover_replay_after_crash_is_idempotent(spark, stream_src, tmp_path)
     )
     assert served_after == served_before
     assert after.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_batch_type_chi2_kernel(spark, stream_src):
+    """Categorical drift kernel: self-comparison scores ~0 and calm; a
+    composition change (one type removed from current) alarms; an empty
+    reference has no composition basis -> NULL chi2, drifted TRUE. Against
+    the batch audit: comparing the two timeline halves must reproduce
+    q196's chi2_total exactly (same independence model, same lookup)."""
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    calm = S.batch_type_chi2(batch, batch).collect()
+    assert calm and all(r["chi2_total"] == 0.0 and not r["drifted"] for r in calm)
+
+    a_type = batch.select("event_type").first()["event_type"]
+    moved = S.batch_type_chi2(batch.filter(F.col("event_type") != a_type), batch)
+    rows = moved.collect()
+    assert all(r["drifted"] for r in rows)
+    assert any(r["n_cur"] == 0 for r in rows)  # the removed type still appears
+
+    empty = batch.filter(F.lit(False))
+    novel = S.batch_type_chi2(batch, empty).collect()
+    assert novel and all(r["chi2_term"] is None and r["drifted"] for r in novel)
+
+    # parity with the batch audit q196 on the same midpoint split
+    from hive_backend_spark.registry import all_queries
+
+    ms = F.unix_millis(F.col("ts"))
+    b = batch.agg(((F.min(ms) + F.max(ms)) / F.lit(2)).cast("bigint").alias("thr"))
+    tagged = batch.crossJoin(b)
+    early = tagged.filter(ms <= F.col("thr"))
+    late = tagged.filter(ms > F.col("thr"))
+    got = S.batch_type_chi2(late, early).select("event_type", "chi2_total", "drifted")
+    want = all_queries()["q196_chi2_type_drift"].fn(spark, SF_DIR).select(
+        "event_type", "chi2_total", "drifted"
+    )
+    # the streaming fixture IS the sf fixture's events table re-chunked
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
