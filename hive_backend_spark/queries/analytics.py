@@ -740,3 +740,72 @@ def q134_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "lang", "n_docs", "exact_p50", "exact_p99", within.alias("approx_within_bound")
     )
+
+
+# --- q207: foreign-key integrity audit ----------------------------------------
+
+
+@register(
+    "q207_fk_integrity_audit",
+    oracle="""
+    SELECT 'orders.custkey' AS fk, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.orderkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.partkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.suppkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'customer.nationkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY fk
+    """,
+)
+def q207_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for every FK edge (orders->customer, lineitem->orders/part/supplier,
+    customer->nation) — the ingest-validation gate a warehouse runs after
+    every load, since parquet enforces no constraints (the reference gets
+    this for free from SQLite FKs, db.mjs DDL). Zero orphans is the
+    contract; a nonzero count names the broken edge.
+
+    Scale posture: each edge is one LEFT join probing the smaller parent
+    side (dimension parents broadcast under AQE; the lineitem->orders edge
+    shuffles on the natural key, exactly what validating a corpus-sized FK
+    costs); counts are map-side-combined aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, ckey, parent, pkey):
+        return (
+            child.select(F.col(ckey))
+            .join(parent.select(F.col(pkey)), child[ckey] == parent[pkey], "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col(pkey).isNull().cast("int")).cast("bigint").alias("orphans"),
+            )
+            .select("fk", "n_rows", "orphans")
+        )
+
+    return (
+        edge("orders.custkey", o, "o_custkey", c, "c_custkey")
+        .unionByName(edge("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(edge("lineitem.partkey", li, "l_partkey", p, "p_partkey"))
+        .unionByName(edge("lineitem.suppkey", li, "l_suppkey", s, "s_suppkey"))
+        .unionByName(edge("customer.nationkey", c, "c_nationkey", n, "n_nationkey"))
+        .orderBy("fk")
+    )

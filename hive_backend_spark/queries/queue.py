@@ -476,3 +476,70 @@ def q198_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q208: watermark-lag audit --------------------------------------------------
+
+
+@register(
+    "q208_watermark_lag_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type,
+             greatest(max(epoch_ms(ts))
+                        OVER (ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      - epoch_ms(ts), 0) AS lag_ms
+      FROM events
+    ),
+    lagged AS (SELECT * FROM arr WHERE lag_ms IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN lag_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+           round(quantile_cont(lag_ms, 0.95), 4) AS p95_lag_ms,
+           round(quantile_cont(lag_ms, 0.99), 4) AS p99_lag_ms,
+           CAST(max(lag_ms) AS BIGINT) AS max_lag_ms,
+           CAST(sum(CASE WHEN lag_ms > 3600000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_at_1h
+    FROM lagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q208_watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay calibration: replay the stream in ARRIVAL order
+    (event_id is the ingest sequence) and measure each event's lag behind
+    the running event-time high-water mark — exactly the quantity a
+    Structured Streaming watermark trades off (delay too short: late rows
+    silently dropped; too long: state lingers). Reports per type the
+    out-of-order share, p95/p99/max lag, and how many rows a 1-hour
+    watermark (the q57/q147 streaming default) would actually drop. The
+    first-arriving row has no preceding mark and is excluded (NULL lag),
+    matching both engines' frame semantics.
+
+    Scale posture: ONE global arrival-order window (running max) — the
+    audit is inherently a replay of the ingest sequence, priced once;
+    everything downstream is a bounded |types| aggregation. In production
+    this runs per ingest partition (the source's real arrival order),
+    which re-keys the window by partition."""
+    events = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    arr = events.select(
+        "event_type",
+        F.greatest(F.max(ms).over(w) - ms, F.lit(0)).alias("lag_ms"),
+    ).filter(F.col("lag_ms").isNotNull())
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("lag_ms") > 0).cast("int")).cast("bigint").alias("n_out_of_order"),
+            F.round(F.expr("percentile(lag_ms, 0.95)"), 4).alias("p95_lag_ms"),
+            F.round(F.expr("percentile(lag_ms, 0.99)"), 4).alias("p99_lag_ms"),
+            F.max("lag_ms").cast("bigint").alias("max_lag_ms"),
+            F.sum((F.col("lag_ms") > 3600000).cast("int")).cast("bigint").alias(
+                "dropped_at_1h"
+            ),
+        )
+        .orderBy("event_type")
+    )
