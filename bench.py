@@ -155,6 +155,20 @@ HEADLINE = [
     "q192_sketch_union_audit",
     "q193_quality_skyline",
     "q194_frequent_pairs",
+    "q195_band_population_audit",
+    "q196_chi2_type_drift",
+    "q197_js_source_divergence",
+    "q198_interarrival_stats",
+    "q199_cross_source_xent",
+    "q200_rrf_fusion",
+    "q201_token_gini",
+    "q202_near_dup_split_leakage",
+    "q203_dedup_weighted_mass",
+    "q204_ranker_agreement",
+    "q205_source_dataset_card",
+    "q206_cosine_threshold_sweep",
+    "q207_fk_integrity_audit",
+    "q208_watermark_lag_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -178,6 +192,9 @@ SHARES_BAND_CACHE = [
     "q177_shard_balance_audit",
     "q178_cluster_purity",
     "q179_containment_pairs",
+    "q195_band_population_audit",
+    "q202_near_dup_split_leakage",
+    "q203_dedup_weighted_mass",
 ]
 
 
