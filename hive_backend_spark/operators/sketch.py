@@ -65,3 +65,66 @@ def misra_gries_terms(terms: DataFrame, capacity: int) -> DataFrame:
             )
 
     return terms.select("term").mapInPandas(gen, _SUMMARY_SCHEMA)
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_position(row, token) -> "Column":
+    """Counter position of `token` in CMS row `row` (both Columns): the
+    first 8 hex chars of md5(row || '|' || token) mod width. md5-derived
+    (not xxhash64) so the DuckDB oracle replays the identical placement —
+    the same portability rule the MinHash signatures follow."""
+    from pyspark.sql import functions as F
+
+    digest = F.md5(F.concat(row.cast("string"), F.lit("|"), token))
+    return F.pmod(
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint"), F.lit(CMS_WIDTH)
+    )
+
+
+def cms_build(counts: DataFrame, key_col: str, cnt_col: str) -> DataFrame:
+    """Count-Min sketch as a RELATION (cms_row, pos, total) from a
+    pre-aggregated (key, count) table: each key adds its count at one
+    position per row. The classic array form is this relation pivoted;
+    keeping it relational makes the sketch a first-class mergeable table —
+    union two sketches and re-aggregate to merge, exactly the
+    slice-and-merge contract the HLL audit (q192) pins.
+
+    Scale note: expanding AFTER the per-key aggregation means the x-depth
+    blow-up applies to VOCABULARY rows (Heaps-sublinear), not the token
+    stream."""
+    from pyspark.sql import functions as F
+
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    ).alias("cms_row")
+    return (
+        counts.select(F.col(key_col).alias("k"), F.col(cnt_col).alias("c"), rows)
+        .select("cms_row", cms_position(F.col("cms_row"), F.col("k")).alias("pos"), "c")
+        .groupBy("cms_row", "pos")
+        .agg(F.sum("c").alias("total"))
+    )
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
+    """Point-frequency estimates: est(key) = min over rows of the counter
+    at that key's position — joined per (row, pos), never collected. The
+    estimate NEVER underestimates (every counter the key touches contains
+    its full count plus collisions); the q36 discipline applies: report
+    beside exact values with a bound flag, and let an exact pass decide
+    when exactness matters."""
+    from pyspark.sql import functions as F
+
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("cms_row")
+    placed = probes.select(F.col(key_col), rows).select(
+        key_col, "cms_row", cms_position(F.col("cms_row"), F.col(key_col)).alias("pos")
+    )
+    return (
+        placed.join(cms, ["cms_row", "pos"])
+        .groupBy(key_col)
+        .agg(F.min("total").alias("cms_estimate"))
+    )

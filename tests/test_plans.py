@@ -394,6 +394,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q190_bloom_fpr_audit",  # 1-row negative-probe stats scalar
         "q183_analyze_column_stats",  # 1-row second-pass stats scalar
         "q194_frequent_pairs",  # 1-row doc-count support-bar scalar
+        "q196_chi2_type_drift",  # 1-row min/max epoch-ms bounds scalar
+        "q197_js_source_divergence",  # |sources|^2 pair frame (bounded dim x dim)
+        "q199_cross_source_xent",  # |sources|^2 pair frame + 1-row vocab scalar
+        "q200_rrf_fusion",  # 1-row BM25 stats + 1-row query vector
+        "q204_ranker_agreement",  # two 1-row list-count scalars
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
@@ -560,3 +565,12 @@ def test_lsh_band_build_pre_collapses_exact_dups(spark, sf_dir):
         )
     finally:
         QD.clear_bands_cache()
+
+
+def test_rrf_rankers_end_in_take_ordered(spark, sf_dir):
+    """q200: each ranker's candidate list must be a TakeOrderedAndProject
+    (top-N merge), never a global Sort — the property that keeps the
+    fusion windows and join on bounded lists at 100 TB."""
+    df = _df(spark, sf_dir, "q200_rrf_fusion")
+    plan = P.formatted_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
