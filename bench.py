@@ -169,6 +169,7 @@ HEADLINE = [
     "q206_cosine_threshold_sweep",
     "q207_fk_integrity_audit",
     "q208_watermark_lag_audit",
+    "q209_countmin_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -2763,3 +2763,90 @@ def q205_source_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q209: Count-Min sketch frequency audit -----------------------------------
+
+_CMS_TOPK = 20
+
+
+@register(
+    "q209_countmin_audit",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    rows_ AS (SELECT unnest(range(0, 4)) AS cms_row),
+    cms AS (
+      SELECT cms_row,
+             CAST(concat('0x', substr(md5(concat(cms_row, '|', token)), 1, 8)) AS BIGINT)
+               % 1024 AS pos,
+             CAST(sum(c) AS BIGINT) AS total
+      FROM cnt, rows_
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS stream_n FROM cnt),
+    top AS (SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT {_CMS_TOPK}),
+    probe AS (
+      SELECT p.token, p.c, min(cms.total) AS est
+      FROM (SELECT t.token, t.c, r.cms_row,
+                   CAST(concat('0x', substr(md5(concat(r.cms_row, '|', t.token)), 1, 8)) AS BIGINT)
+                     % 1024 AS pos
+            FROM top t, rows_ r) p
+      JOIN cms USING (cms_row, pos)
+      GROUP BY p.token, p.c
+    )
+    SELECT token, c AS exact_count, CAST(est AS BIGINT) AS cms_estimate,
+           est >= c AS no_underestimate,
+           (est - c) <= CAST(ceil(2.718281828459045 * stream_n / 1024.0) AS BIGINT)
+             AS within_eps_bound
+    FROM probe, n
+    ORDER BY exact_count DESC, token ASC
+    """,
+)
+def q209_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency audit — the frequency member of the
+    sketch family (HLL distinct q36/q192, Misra-Gries heavy hitters q163,
+    Bloom membership q184/q190, GK percentiles q134): build the 4x1024
+    sketch as a relation from the vocabulary count table, probe the top
+    {_CMS_TOPK} exact tokens, and report estimate beside exact with the two
+    contract flags — no_underestimate (guaranteed: every counter a key
+    touches holds its full count plus collisions) and the e*N/w error
+    bound (probabilistic, ~certain at depth 4). md5-derived positions make
+    the DuckDB oracle replay the sketch bit for bit.
+
+    Scale posture: the depth-x expansion happens AFTER the per-token
+    aggregation (vocabulary rows, Heaps-sublinear — the cms_build
+    discipline), so the sketch build shuffles |V| x 4 short rows; the
+    sketch itself is 4096 counters — mergeable model state (union two
+    sketch relations and re-sum to merge slices, q192's contract)."""
+    from ..operators.sketch import CMS_WIDTH, cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cms = cms_build(cnt, "token", "c")
+    top = cnt.orderBy(F.col("c").desc(), F.col("token").asc()).limit(_CMS_TOPK)
+    est = cms_estimate(cms, top.select("token"), "token")
+    n = cnt.agg(F.sum("c").cast("bigint").alias("stream_n"))
+    import math
+
+    bound = F.ceil(math.e * F.col("stream_n") / float(CMS_WIDTH)).cast("bigint")
+    return (
+        top.join(est, "token")
+        .crossJoin(n)
+        .select(
+            "token",
+            F.col("c").alias("exact_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") >= F.col("c")).alias("no_underestimate"),
+            ((F.col("cms_estimate") - F.col("c")) <= bound).alias("within_eps_bound"),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+    )

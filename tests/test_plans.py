@@ -399,6 +399,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q199_cross_source_xent",  # |sources|^2 pair frame + 1-row vocab scalar
         "q200_rrf_fusion",  # 1-row BM25 stats + 1-row query vector
         "q204_ranker_agreement",  # two 1-row list-count scalars
+        "q209_countmin_audit",  # 1-row stream-total scalar for the eps bound
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):

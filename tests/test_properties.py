@@ -605,3 +605,41 @@ def test_bloom_sizing_ceiling_raises():
     # at the scale the repo actually uses, sizing still succeeds
     m, k = optimal_params(1_000_000, 0.01)
     assert m % 64 == 0 and k >= 1
+
+
+# --- Count-Min sketch guarantees ---------------------------------------------
+
+
+def test_countmin_no_underestimate_and_mergeable(spark):
+    """CMS contract on a skewed key set: every point estimate >= the exact
+    count (guaranteed), and building from two disjoint slices then
+    re-aggregating the unioned relations equals building from the whole
+    stream — the mergeable-sketch contract (q192's)."""
+    from pyspark.sql import functions as F
+
+    from hive_backend_spark.operators.sketch import cms_build, cms_estimate
+
+    rows = [(f"k{i % 37}", 1 + (i * 7) % 13) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, c long").repartition(5)
+    cnt = df.groupBy("k").agg(F.sum("c").alias("c"))
+
+    cms = cms_build(cnt, "k", "c")
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in cms_estimate(cms, cnt.select("k"), "k").collect()
+    }
+    exact = {r["k"]: r["c"] for r in cnt.collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+    ha = cnt.filter(F.col("k") < "k3")
+    hb = cnt.filter(F.col("k") >= "k3")
+    merged = (
+        cms_build(ha, "k", "c")
+        .unionByName(cms_build(hb, "k", "c"))
+        .groupBy("cms_row", "pos")
+        .agg(F.sum("total").alias("total"))
+    )
+    whole = {(r["cms_row"], r["pos"]): r["total"] for r in cms.collect()}
+    got = {(r["cms_row"], r["pos"]): r["total"] for r in merged.collect()}
+    assert got == whole
