@@ -47,6 +47,48 @@ def read_schemas(df: DataFrame) -> list[str]:
     return _READSCHEMA_RE.findall(formatted_plan(df))
 
 
+def unpartitioned_window_specs(df: DataFrame) -> list[str]:
+    """Every ``windowspecdefinition(...)`` in the EXECUTED plan whose
+    partition spec is empty — the single-task funnel shape (Exchange
+    SinglePartition + one-task sort over the window's whole input). A spec
+    is unpartitioned iff its first argument is already a sort order
+    (``col ASC/DESC NULLS ...``) or, for order-less global frames, the
+    ``specifiedwindowframe(...)`` itself. Parsed with a paren-balanced
+    scanner so partition EXPRESSIONS containing commas/parens classify
+    correctly."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    marker = "windowspecdefinition("
+    out = []
+    i = 0
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            break
+        depth, k = 1, j + len(marker)
+        args, last = [], j + len(marker)
+        while depth and k < len(plan):
+            c = plan[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(plan[last:k])
+            elif c == "," and depth == 1:
+                args.append(plan[last:k])
+                last = k + 1
+            k += 1
+        i = k
+        first = args[0].strip() if args else ""
+        if (
+            " ASC NULLS" in first
+            or " DESC NULLS" in first
+            or first.startswith("specifiedwindowframe(")
+        ):
+            out.append(marker + ", ".join(a.strip() for a in args) + ")")
+    return out
+
+
 def assert_plan(df: DataFrame, requires: list[str] = (), forbids: list[str] = ()) -> None:
     """Assert operator presence/absence by name substring."""
     ops = physical_ops(df)
@@ -55,6 +97,55 @@ def assert_plan(df: DataFrame, requires: list[str] = (), forbids: list[str] = ()
     for op in forbids:
         assert not any(op in o for o in ops), f"plan contains forbidden {op!r}: {ops}"
 
+
+# --- unpartitioned-window invariant -----------------------------------------
+# A window with an empty partition spec moves its ENTIRE input through one
+# task (Exchange SinglePartition + single-task sort) — correct at any sf,
+# a funnel at 100x. It is allowed ONLY when the window's input is BOUNDED
+# BY CONSTRUCTION: a TakeOrdered-limited report head, a fixed bucket-head
+# table (256 packing/prefix chunks), a value-bounded dimension (a rounded
+# score's codomain, |sources|, |event types|). A global window over a
+# corpus-sized relation — ranking all documents, a running mark over all
+# events — must be decomposed with the q107 two-level prefix discipline
+# (per-chunk window partitioned by chunk + one bounded chunk-head window)
+# or replaced by closed-form boundary arithmetic (q144).
+#
+# tests/test_plans.py::test_unpartitioned_windows_are_bounded enforces this
+# mechanically over every registered query's EXECUTED plan: any query whose
+# plan contains a windowspecdefinition with no partition columns must appear
+# here with its recorded input bound. q208/q144 shipped exactly this funnel
+# in round 6 and would have failed the sweep at commit time.
+UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
+    "q107_sequence_packing":
+        "256-row packing bucket-head table (two-level prefix sum, level 2)",
+    "q115_packed_shards":
+        "256-row packing bucket-head table (two-level prefix sum, level 2)",
+    "q124_training_pipeline":
+        "256-row packing bucket-head table (two-level prefix sum, level 2)",
+    "q141_zipf_slope":
+        "top-30 zipf head, pre-limited by TakeOrderedAndProject before the "
+        "rank window",
+    "q144_curriculum_stages":
+        "<= 10001-row per-score population table: the rounded quality "
+        "score's codomain (running count, two-level rank level 2)",
+    "q167_budget_waterfill":
+        "|sources|-row availability table: bounded dimension (waterfill "
+        "prefix scan)",
+    "q182_vocab_coverage":
+        "top-k vocabulary head, pre-limited by TakeOrderedAndProject before "
+        "the rank/cumulative windows",
+    "q196_chi2_type_drift":
+        "|event types|-row contingency table: bounded dimension (chi2 "
+        "totals as Window.partitionBy() over the type census)",
+    "q200_rrf_fusion":
+        "top-k ranker heads, pre-limited by TakeOrderedAndProject before "
+        "the rank windows",
+    "q204_ranker_agreement":
+        "top-k ranker heads, pre-limited by TakeOrderedAndProject before "
+        "the rank windows",
+    "q208_watermark_lag_audit":
+        "256-row chunk-head prior-max table (two-level prefix max, level 2)",
+}
 
 # --- explicit-broadcast invariant -------------------------------------------
 # An explicit F.broadcast() hint is allowed ONLY on a side whose cardinality
@@ -220,6 +311,16 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row vocab/token totals scalar (q182)",
     ("queries/queue.py", 'events.join(F.broadcast(batch), "event_id", "left_semi")'):
         "two-phase mark batch: top-100 dequeue slice (q52)",
+    ("queries/queue.py", "t = events.crossJoin(F.broadcast(bounds)).select("):
+        "1-row event_id min/max bounds scalar: 256-way order-preserving "
+        "bucketing for the two-level prefix max (q208)",
+    ("queries/queue.py", 'local.join(F.broadcast(offsets), "bucket")'):
+        "256-row chunk-head prior-max table (q208 two-level prefix max)",
+    ("queries/sampling.py", 'scored.join(F.broadcast(cum), "q")'):
+        "per-score cumulative-population table: <= 10001 rows (the rounded "
+        "quality score's codomain), value-bounded dimension (q144)",
+    ("queries/sampling.py", ".crossJoin(F.broadcast(tot))"):
+        "1-row corpus-count scalar: ntile boundary ranks (q144)",
     ("queries/sessions.py", ".crossJoin(F.broadcast(k))"):
         "1-row event-type-count scalar: uniform baseline (q188)",
     ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):

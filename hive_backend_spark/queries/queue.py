@@ -514,21 +514,55 @@ def q208_watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently dropped; too long: state lingers). Reports per type the
     out-of-order share, p95/p99/max lag, and how many rows a 1-hour
     watermark (the q57/q147 streaming default) would actually drop. The
-    first-arriving row has no preceding mark and is excluded (NULL lag),
-    matching both engines' frame semantics.
+    first-arriving row has no preceding mark: both engines' greatest()
+    skips the NULL running max, so it scores lag_ms = 0 and counts toward
+    n_events (the isNotNull filter mirrors the oracle's shape and is
+    vacuous by the same NULL-skipping — documented, not semantic).
 
-    Scale posture: ONE global arrival-order window (running max) — the
-    audit is inherently a replay of the ingest sequence, priced once;
-    everything downstream is a bounded |types| aggregation. In production
-    this runs per ingest partition (the source's real arrival order),
-    which re-keys the window by partition."""
+    Scale posture: the running max is a TWO-LEVEL prefix max (the q107
+    packing discipline), never an unpartitioned window over the corpus:
+    events are range-bucketed into 256 order-preserving chunks of the
+    event_id span (bounds from a 1-row min/max scalar, the q196 pattern),
+    the within-chunk running max is a window PARTITIONED by chunk
+    (parallel), per-chunk maxima reduce to a 256-row head table whose own
+    running max is the only unpartitioned window (bounded by construction,
+    allowlisted in plans.UNPARTITIONED_WINDOW_ALLOWLIST), and
+    greatest(prior-chunk max, within-chunk running max) reassembles the
+    exact global prefix — the oracle computes the same mark with one flat
+    window, proving the decomposition. Everything downstream is a bounded
+    |types| aggregation."""
     events = load_table(spark, sf_dir, "events")
     ms = F.unix_millis(F.col("ts"))
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    arr = events.select(
-        "event_type",
-        F.greatest(F.max(ms).over(w) - ms, F.lit(0)).alias("lag_ms"),
-    ).filter(F.col("lag_ms").isNotNull())
+    bounds = events.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo") + 1
+    bucket = F.floor((F.col("event_id") - F.col("lo")) * 256 / span)
+    t = events.crossJoin(F.broadcast(bounds)).select(
+        "event_id", "event_type", bucket.alias("bucket"), ms.alias("ms")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = t.withColumn("local_prev_max", F.max("ms").over(w_local))
+    heads = t.groupBy("bucket").agg(F.max("ms").alias("bucket_max"))
+    w_head = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )  # 256 rows — bounded by construction
+    offsets = heads.select(
+        "bucket", F.max("bucket_max").over(w_head).alias("prior_max")
+    )
+    prev_mark = F.greatest("prior_max", "local_prev_max")  # skips NULLs
+    arr = (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "event_type",
+            F.greatest(prev_mark - F.col("ms"), F.lit(0)).alias("lag_ms"),
+        )
+        .filter(F.col("lag_ms").isNotNull())
+    )
     return (
         arr.groupBy("event_type")
         .agg(

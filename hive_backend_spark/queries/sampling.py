@@ -204,15 +204,24 @@ def q144_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage (population, score range, token mass, language spread) is what a
     schedule designer checks before committing shard order.
 
-    Determinism: the stage assignment is ntile over a TOTAL order (rounded
-    score desc, doc_id) — identical in both engines; every reported value
-    is an integer or a rounded double of one.
+    Determinism: the stage assignment reproduces ntile over a TOTAL order
+    (rounded score desc, doc_id) — identical in both engines; every
+    reported value is an integer or a rounded double of one.
 
-    Scale posture: the unpartitioned ntile is a rank-by-global-order — at
-    100 TB this becomes rangepartition + per-range offsets (the q107
-    two-level prefix-sum discipline); at report granularity the single
-    window is the right local form, and everything after it is one
-    4-group aggregate."""
+    Scale posture: the global rank is NEVER a corpus-wide unpartitioned
+    window. The score is rounded to 4 decimals, so its codomain is <=
+    10001 distinct values — a bounded dimension. The q107 two-level
+    prefix discipline, keyed by VALUE instead of bucket: (1) per-score
+    populations (HashAggregate, parallel), (2) a running count over that
+    bounded score table (the only unpartitioned window, <= 10001 rows,
+    allowlisted in plans.UNPARTITIONED_WINDOW_ALLOWLIST) gives each score
+    its strictly-better population n_above, (3) the within-score rank is
+    a window PARTITIONED by score (parallel), so global rn = n_above +
+    within-score row_number, and (4) the ntile boundary ranks come in
+    closed form from the 1-row corpus count (first N%4 tiles take the
+    extra row — the exact ntile contract), attached as a broadcast
+    scalar. The oracle keeps the flat ntile window, proving the
+    decomposition exact."""
     from .text import STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents")
@@ -229,9 +238,33 @@ def q144_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", "lang", n_tokens.alias("n_tokens"), q.alias("q")
     )
-    w = Window.orderBy(F.col("q").desc(), F.col("doc_id"))
+    counts = scored.groupBy("q").agg(F.count(F.lit(1)).alias("n_at"))
+    w_above = (
+        Window.orderBy(F.col("q").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # <= 10001 rows: the rounded score codomain, bounded by construction
+    cum = counts.select(
+        "q", F.coalesce(F.sum("n_at").over(w_above), F.lit(0)).alias("n_above")
+    )
+    tot = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    w_in = Window.partitionBy("q").orderBy("doc_id")
+    base = F.floor(F.col("n_total") / 4)
+    rem = F.col("n_total") % 4
+    rn = F.col("n_above") + F.row_number().over(w_in)
+
+    def boundary(k: int):  # last global rank of tile k (ntile contract)
+        return k * base + F.least(F.lit(k), rem)
+
+    stage = (
+        F.lit(1)
+        + (rn > boundary(1)).cast("int")
+        + (rn > boundary(2)).cast("int")
+        + (rn > boundary(3)).cast("int")
+    ).cast("int")
     return (
-        scored.select("lang", "n_tokens", "q", F.ntile(4).over(w).alias("stage"))
+        scored.join(F.broadcast(cum), "q")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "n_tokens", "q", stage.alias("stage"))
         .groupBy("stage")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

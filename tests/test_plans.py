@@ -375,6 +375,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q140_kmeans_refine",  # k-row centroid table scoring side
         "q141_zipf_slope",  # 1-row vocab totals attached to the 1-row fold
         "q143_temperature_mixture",  # 1-row token total + weight normalizer
+        "q144_curriculum_stages",  # 1-row corpus-count scalar (ntile bounds)
         "q148_pmi_bigrams",  # 1-row unigram/bigram totals
         "q150_term_burstiness",  # 1-row corpus doc count
         "q151_bigram_logprob",  # 1-row vocab-size scalar
@@ -399,6 +400,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q199_cross_source_xent",  # |sources|^2 pair frame + 1-row vocab scalar
         "q200_rrf_fusion",  # 1-row BM25 stats + 1-row query vector
         "q204_ranker_agreement",  # two 1-row list-count scalars
+        "q208_watermark_lag_audit",  # 1-row event_id-bounds scalar (bucketing)
         "q209_countmin_audit",  # 1-row stream-total scalar for the eps bound
     }
     offenders = {}
@@ -415,6 +417,63 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     assert not offenders, f"scale-hostile operators in plans: {offenders}"
 
 
+def test_unpartitioned_windows_are_bounded(spark, sf_dir):
+    """The unpartitioned-window invariant (plans.UNPARTITIONED_WINDOW_
+    ALLOWLIST): a window with no partition columns funnels its whole input
+    through ONE task; it is tolerable only over an input bounded by
+    construction (report heads, 256-row chunk-head tables, value-bounded
+    dimensions). Sweep every registered query's executed plan; any query
+    showing an empty-partition windowspecdefinition must carry a recorded
+    input bound — a corpus-sized global window (the round-6 q208/q144
+    shape) fails here at commit time. Stale allowlist entries (the funnel
+    was since decomposed) fail too, so the list never overstates."""
+    offenders, seen = {}, set()
+    for name, spec in sorted(all_queries().items()):
+        specs = P.unpartitioned_window_specs(spec.fn(spark, sf_dir))
+        if not specs:
+            continue
+        seen.add(name)
+        if name not in P.UNPARTITIONED_WINDOW_ALLOWLIST:
+            offenders[name] = specs
+    assert not offenders, (
+        "unpartitioned (single-task) windows without a recorded input bound "
+        f"in plans.UNPARTITIONED_WINDOW_ALLOWLIST:\n{offenders}"
+    )
+    stale = [n for n in P.UNPARTITIONED_WINDOW_ALLOWLIST if n not in seen]
+    assert not stale, (
+        f"stale UNPARTITIONED_WINDOW_ALLOWLIST entries (no such window in "
+        f"the plan anymore): {stale}"
+    )
+
+
+def test_two_level_rewrites_keep_chunk_partitioned_windows(spark, sf_dir):
+    """q208/q144 round-7 pins: the corpus-facing window in each rewrite is
+    PARTITIONED (by chunk bucket / by score), and the only unpartitioned
+    window left runs over the bounded head table — asserted by name via
+    the windowspecdefinition partition args."""
+    import re
+
+    def specs(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return re.findall(r"windowspecdefinition\(([^)]*)", plan)
+
+    q208 = _df(spark, sf_dir, "q208_watermark_lag_audit")
+    up208 = P.unpartitioned_window_specs(q208)
+    assert len(up208) == 1 and "bucket#" in up208[0], up208
+    assert any(s.strip().startswith("bucket#") for s in specs(q208)), (
+        "q208 lost its chunk-partitioned within-bucket window"
+    )
+
+    q144 = _df(spark, sf_dir, "q144_curriculum_stages")
+    up144 = P.unpartitioned_window_specs(q144)
+    assert len(up144) == 1 and up144[0].startswith(
+        "windowspecdefinition(q#"
+    ), up144
+    assert any(s.strip().startswith("q#") for s in specs(q144)), (
+        "q144 lost its score-partitioned within-score rank window"
+    )
+
+
 def test_round4_additions_plan_shapes(spark, sf_dir):
     """Round-4 query plan pins: the new operators keep the shapes they
     were designed for.
@@ -427,9 +486,10 @@ def test_round4_additions_plan_shapes(spark, sf_dir):
       centroid table (BroadcastNestedLoopJoin on the scalar-attach
       pattern), never a shuffled cross product.
     - q142's island windows partition by doc_id — no unpartitioned
-      window over the corpus (the two intentionally-global windows in
-      the registry are q141's 30-row head rank and q144's report-
-      granularity ntile)."""
+      window over the corpus (every remaining empty-partition window in
+      the registry is bounded-input and recorded in
+      plans.UNPARTITIONED_WINDOW_ALLOWLIST — see
+      test_unpartitioned_windows_are_bounded)."""
     q146 = _df(spark, sf_dir, "q146_token_entropy")
     P.assert_plan(q146, forbids=["Exchange", "Generate"])
 
