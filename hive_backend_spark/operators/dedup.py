@@ -280,17 +280,62 @@ def explode_bands(
     )
 
 
-def fp_candidate_pairs(fp_bands: DataFrame) -> DataFrame:
+# Per-(band_idx, band_sig) fingerprint ceiling for candidate generation.
+# The exact-dup collapse bounds a bucket by DISTINCT texts, but a
+# NEAR-identical template flood (a boilerplate page whose K variants differ
+# by one token) can still populate one bucket with K distinct fingerprints
+# and make the self-join's output C(K, 2) — an output-size explosion no
+# partitioning fixes. Buckets beyond the cap are EXCLUDED from pair
+# generation (their pairs are overwhelmingly template noise, not signal)
+# and surfaced by ``overpopulated_buckets`` / the q195 census, whose
+# documented escalation is raising the band width (more rows per band →
+# finer buckets) rather than raising this cap. The default sits far above
+# any legitimate distinct-text bucket at the tested scale factors, so the
+# oracle-checked outputs are unchanged; floods are the only thing it cuts.
+BUCKET_CAP = 4096
+
+
+def overpopulated_buckets(
+    fp_bands: DataFrame, bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
+    """The dropped-bucket report beside ``fp_candidate_pairs``: every
+    (band_idx, band_sig, n_fps) bucket whose distinct-fingerprint
+    population exceeds the cap — the buckets candidate generation refused
+    to expand, each one C(n_fps, 2) pairs of avoided output. Non-empty
+    output is the raise-the-band-width alarm (q195's monitoring purpose)."""
+    return (
+        fp_bands.filter(F.col("band_sig").isNotNull())
+        .groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+        .filter(F.col("n_fps") > bucket_cap)
+    )
+
+
+def fp_candidate_pairs(
+    fp_bands: DataFrame, bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
     """Fingerprint-level candidate pairs (fp_a < fp_b, n_shared_bands) from
     a (fp, band_idx, band_sig) table over DISTINCT texts. The self-join's
     output is bounded by distinct-text bucket sizes — the exact-dup flood
     case never reaches this join (it was collapsed to one row per text
-    upstream), which removes the quadratic cliff a corpus-sized bucket
-    would otherwise be. Near-identical (not byte-identical) floods remain
-    visible in the band-population audit (q195), the monitoring hook for
-    raising the band width before a bucket grows hot."""
-    a = fp_bands.alias("a")
-    b = fp_bands.alias("b")
+    upstream) — AND by the per-bucket ceiling: buckets over ``bucket_cap``
+    fingerprints (a near-identical template flood) are excluded before the
+    join, so the pair output is <= sum over surviving buckets of
+    C(min(n, cap), 2) by construction. The bucket census is a window
+    PARTITIONED by the join key itself, so it rides the self-join's own
+    shuffle; NULL band signatures (gram-less texts) are filtered up front —
+    they can never equi-join and would only skew the census partition."""
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band_idx", "band_sig")
+    sized = (
+        fp_bands.filter(F.col("band_sig").isNotNull())
+        .withColumn("__bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bucket_n") <= bucket_cap)
+        .drop("__bucket_n")
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
     return (
         a.join(
             b,

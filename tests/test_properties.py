@@ -595,6 +595,63 @@ def test_lsh_flood_collapses_to_distinct_squared(spark):
     assert naive.exceptAll(got).count() == 0
 
 
+def test_near_clone_flood_bounded_by_bucket_cap(spark):
+    """NEAR-identical (not byte-identical) template floods: K variants of
+    one boilerplate text are K DISTINCT fingerprints, so the exact-dup
+    collapse cannot absorb them and they land together in the LSH buckets.
+    The per-bucket ceiling must (1) exclude over-populated buckets from
+    pair generation — output bounded by the surviving buckets' own pair
+    budget, never C(K, 2) — and (2) surface every dropped bucket with its
+    population in the overpopulated_buckets report. At the default cap the
+    same input is untouched (the oracle-unchanged guarantee) and the
+    report is empty."""
+    K, CAP = 30, 8
+    base = "the quick brown fox jumps over the lazy dog again and again token"
+    rows = [(i, f"{base} variant{i}") for i in range(K)]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta mu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    _members, reps = D.collapse_exact(df, "doc_id")
+    assert reps.count() == K + 2  # near-clones do NOT collapse
+    fpb = D.explode_bands(reps, "fp", id_type="string")
+
+    # the flood really does concentrate: at least one bucket over the cap
+    report = D.overpopulated_buckets(fpb, CAP)
+    dropped = {(r["band_idx"], r["band_sig"]): r["n_fps"] for r in report.collect()}
+    assert dropped and max(dropped.values()) > CAP
+
+    # capped pair output <= the surviving buckets' own pair budget
+    census = (
+        fpb.filter(F.col("band_sig").isNotNull())
+        .groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    budget = sum(r["n"] * (r["n"] - 1) // 2 for r in census if r["n"] <= CAP)
+    capped = D.fp_candidate_pairs(fpb, bucket_cap=CAP)
+    n_capped = capped.count()
+    assert n_capped <= budget < K * (K - 1) // 2
+
+    # default cap: report empty, pairs identical to the uncapped self-join
+    assert D.overpopulated_buckets(fpb).count() == 0
+    a, b = fpb.alias("a"), fpb.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.fp") < F.col("b.fp")),
+        )
+        .groupBy(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    got = D.fp_candidate_pairs(fpb)
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
 def test_bloom_sizing_ceiling_raises():
     """optimal_params must refuse a bitmap beyond the documented
     driver/executor ceiling and tell the caller to shard."""
