@@ -101,6 +101,37 @@ def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> np.ndarray:
     return np.array(folded, dtype=np.int64).view(np.uint64)
 
 
+# bitmap id -> live Broadcast; entries evict (and unpersist executor-side
+# blocks) via weakref finalizer when the owning ndarray is collected
+_BITMAP_BROADCASTS: dict[int, object] = {}
+
+
+def _bitmap_broadcast(sc, bitmap: np.ndarray):
+    """Broadcast `bitmap` once per array object and cache the variable.
+    The cache key is the array's identity; a weakref finalizer on the
+    array unpersists the broadcast and evicts the entry, so a long-lived
+    session probing many filters holds executor memory only for bitmaps
+    the driver still references."""
+    import weakref
+
+    key = id(bitmap)
+    bc = _BITMAP_BROADCASTS.get(key)
+    if bc is None:
+        bc = sc.broadcast(np.ascontiguousarray(bitmap))
+        _BITMAP_BROADCASTS[key] = bc
+
+        def _evict(k: int = key) -> None:
+            var = _BITMAP_BROADCASTS.pop(k, None)
+            if var is not None:
+                try:
+                    var.unpersist()
+                except Exception:
+                    pass  # context already stopped; blocks died with it
+
+        weakref.finalize(bitmap, _evict)
+    return bc
+
+
 def probe_bloom(
     df: DataFrame, col: str, bitmap: np.ndarray, m_bits: int, k: int,
     out_col: str = "bloom_hit",
@@ -114,8 +145,13 @@ def probe_bloom(
     a closure is serialized into EVERY task (at the MAX_M_BITS ceiling
     that is 1 GiB per task through the scheduler, over
     spark.rpc.message.maxSize), while a broadcast is fetched once per
-    executor in 4 MB chunks and shared by all its tasks."""
-    bc = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(bitmap))
+    executor in 4 MB chunks and shared by all its tasks. ONE broadcast per
+    bitmap object, not per probe call: repeated probes against the same
+    filter reuse the cached variable (re-broadcasting a 1 GiB bitmap per
+    call would accumulate block-manager memory for the session's
+    lifetime), and the broadcast's lifetime is tied to the bitmap's — a
+    weakref finalizer unpersists it when the caller drops the array."""
+    bc = _bitmap_broadcast(df.sparkSession.sparkContext, bitmap)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         words = bc.value

@@ -113,10 +113,16 @@ def cms_build(counts: DataFrame, key_col: str, cnt_col: str) -> DataFrame:
 def cms_estimate(cms: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
     """Point-frequency estimates: est(key) = min over rows of the counter
     at that key's position — joined per (row, pos), never collected. The
-    estimate NEVER underestimates (every counter the key touches contains
-    its full count plus collisions); the q36 discipline applies: report
-    beside exact values with a bound flag, and let an exact pass decide
-    when exactness matters."""
+    relation form stores only NONZERO counters, so a probe position absent
+    from the sketch relation means counter value 0: the join is a LEFT
+    join with coalesce(total, 0), which keeps the point-estimate contract
+    exact — a key hitting an empty counter contributes 0 to the min
+    (estimate 0, correctly, since CMS never underestimates), and a key the
+    stream never saw still gets a row with estimate ~0 instead of
+    vanishing. The estimate NEVER underestimates (every counter the key
+    touches contains its full count plus collisions); the q36 discipline
+    applies: report beside exact values with a bound flag, and let an
+    exact pass decide when exactness matters."""
     from pyspark.sql import functions as F
 
     rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("cms_row")
@@ -124,7 +130,7 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
         key_col, "cms_row", cms_position(F.col("cms_row"), F.col(key_col)).alias("pos")
     )
     return (
-        placed.join(cms, ["cms_row", "pos"])
+        placed.join(cms, ["cms_row", "pos"], "left")
         .groupBy(key_col)
-        .agg(F.min("total").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("total"), F.lit(0))).alias("cms_estimate"))
     )

@@ -2466,6 +2466,41 @@ _CHI2_CASE_SQL = "CAST(CASE dof " + " ".join(
     f"WHEN {d} THEN {c}" for d, c in _CHI2_CRIT_99.items()
 ) + " END AS DOUBLE)"
 
+# Beyond the exact table the critical value comes from the Wilson-Hilferty
+# cube approximation (chi2_p(k) ~= k * (1 - 2/9k + z_p * sqrt(2/9k))^3,
+# within ~0.1% of exact at k > 12), so a monitor wired to `drifted` keeps
+# alarming when event-type cardinality outgrows the lookup instead of
+# silently emitting NULL — the ADVICE r6 failure mode. Both engines share
+# the identical formula text; the result is rounded to 4 decimals so the
+# double agrees across engines.
+_CHI2_Z99 = 2.3263478740408408  # Phi^-1(0.99)
+_CHI2_WH_SQL = (
+    "round(dof * power(1.0 - 2.0/(9.0*dof) + "
+    f"{_CHI2_Z99} * sqrt(2.0/(9.0*dof)), 3.0), 4)"
+)
+_CHI2_CRIT_SQL = f"COALESCE({_CHI2_CASE_SQL}, {_CHI2_WH_SQL})"
+
+
+def chi2_crit_99_col(dof):
+    """alpha=0.01 chi-square critical value as a Column: the exact shared
+    lookup for dof <= 12, the Wilson-Hilferty approximation (rounded to 4
+    decimals) beyond — never NULL for dof >= 1."""
+    table = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _CHI2_CRIT_99.items() for x in kv]),
+        dof.cast("int"),
+    )
+    d = dof.cast("double")
+    wh = F.round(
+        d
+        * F.pow(
+            F.lit(1.0) - F.lit(2.0) / (d * 9.0)
+            + F.lit(_CHI2_Z99) * F.sqrt(F.lit(2.0) / (d * 9.0)),
+            F.lit(3.0),
+        ),
+        4,
+    )
+    return F.coalesce(table, wh)
+
 
 @register(
     "q196_chi2_type_drift",
@@ -2508,7 +2543,7 @@ _CHI2_CASE_SQL = "CAST(CASE dof " + " ".join(
            chi2_crit_99,
            sum(term) OVER () > chi2_crit_99 AS drifted
     FROM (SELECT *, n_types - 1 AS dof FROM scored),
-         LATERAL (SELECT {_CHI2_CASE_SQL} AS chi2_crit_99)
+         LATERAL (SELECT {_CHI2_CRIT_SQL} AS chi2_crit_99)
     ORDER BY event_type
     """,
 )
@@ -2520,7 +2555,9 @@ def q196_chi2_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the midpoint between min and max epoch-ms; expected counts come from
     the standard independence model (row total x column share); per-type
     terms localize WHICH type moved and the total tests at alpha=0.01
-    against the fixed dof lookup both engines share verbatim.
+    against the shared dof lookup (exact table to dof 12, Wilson-Hilferty
+    beyond — the verdict never goes NULL as type cardinality grows; both
+    engines share the formula text verbatim).
 
     Scale posture: one corpus aggregation keyed by event_type (map-side
     combined after a 1-row min/max bounds pass rides in); everything after
@@ -2561,12 +2598,7 @@ def q196_chi2_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         term.alias("term"),
         (n_types - 1).cast("bigint").alias("dof"),
     )
-    crit = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in _CHI2_CRIT_99.items() for x in kv]
-        ),
-        F.col("dof").cast("int"),
-    )
+    crit = chi2_crit_99_col(F.col("dof"))
     w2 = Window.partitionBy()
     return (
         scored.select(

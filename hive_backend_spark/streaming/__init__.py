@@ -16,6 +16,7 @@ from .pipeline import (
     drift_monitor_stream,
     rate_limit_stream,
     read_event_stream,
+    read_pending_state,
     rollup_stream,
     route_events,
     run_prioritized_carryover,
@@ -39,6 +40,7 @@ __all__ = [
     "drift_monitor_stream",
     "rate_limit_stream",
     "read_event_stream",
+    "read_pending_state",
     "rollup_stream",
     "route_events",
     "run_prioritized_carryover",

@@ -577,6 +577,63 @@ ROUTED_SCHEMA = StructType(
 )
 
 
+def _state_fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path class) for `path` — version discovery and
+    pruning go through the Hadoop FS API so the state table works on any
+    supported filesystem (local, HDFS, S3A), not just driver-local disk."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), (
+        spark._jvm.org.apache.hadoop.fs.Path
+    )
+
+
+def _band_versions(spark: SparkSession, pending_dir: str) -> dict[int, list[int]]:
+    """{priority band -> sorted state versions present} from the
+    band=B/state_version=N directory layout, via the Hadoop FS API."""
+    fs, Path = _state_fs(spark, pending_dir)
+    root = Path(pending_dir)
+    if not fs.exists(root):
+        return {}
+    out: dict[int, list[int]] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("band="):
+            continue
+        vers = sorted(
+            int(s.getPath().getName().split("=", 1)[1])
+            for s in fs.listStatus(st.getPath())
+            if s.getPath().getName().startswith("state_version=")
+        )
+        if vers:
+            out[int(name.split("=", 1)[1])] = vers
+    return out
+
+
+def read_pending_state(
+    spark: SparkSession, pending_dir: str, before_batch: int | None = None
+) -> DataFrame:
+    """The backlog as of a batch boundary: per priority band, the latest
+    state_version (< before_batch if given), unioned. Empty-schema
+    DataFrame when no state exists yet."""
+    parts = []
+    for band, vers in _band_versions(spark, pending_dir).items():
+        use = [v for v in vers if before_batch is None or v < before_batch]
+        if use:
+            parts.append(
+                spark.read.schema(ROUTED_SCHEMA).parquet(
+                    os.path.join(
+                        pending_dir, f"band={band}", f"state_version={use[-1]}"
+                    )
+                )
+            )
+    if not parts:
+        return spark.createDataFrame([], ROUTED_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def run_prioritized_carryover(
     spark: SparkSession,
     source_dir: str,
@@ -592,40 +649,36 @@ def run_prioritized_carryover(
     the reference's per-poll LIMIT, db.mjs:285-293, is the per-batch form
     ``run_two_phase`` mirrors).
 
-    Mechanics: the pending backlog lives in a VERSIONED parquet state table
-    (pending_dir/state_version=N = the backlog after batch N). Each
-    micro-batch unions the new arrivals with version N-1, takes the global
-    top-k by (priority desc, created_at, id) — TakeOrderedAndProject, a
-    distributed per-partition top-k + k-row merge, never a global sort or
-    a single-task state funnel — serves it to the processed table's
-    batch_id partition, and overwrites version N with the remainder.
+    Mechanics: the pending backlog lives in a VERSIONED parquet state
+    table PARTITIONED BY PRIORITY BAND
+    (pending_dir/band=B/state_version=N = band B's backlog after the last
+    batch <= N that TOUCHED it). Each micro-batch unions the new arrivals
+    with every band's latest prior version, takes the global top-k by
+    (priority desc, created_at, id) — TakeOrderedAndProject, a distributed
+    per-partition top-k + k-row merge, never a global sort or a
+    single-task state funnel — serves it to the processed table's batch_id
+    partition, and rewrites ONLY the bands the trigger touched (bands with
+    arrivals or served rows). An untouched band's state files are not
+    rewritten at all — per-trigger write cost is O(touched backlog), not
+    O(total backlog), which is what lets a deep low-priority backlog sit
+    cheaply while the hot band churns.
 
-    Restart idempotence: a replay of batch N re-reads version N-1 (still
-    present — only versions <= N-2 are pruned) and overwrites exactly its
-    own outputs (processed batch_id=N partition, state_version=N), so the
-    crash window between sink write and checkpoint commit duplicates
-    nothing. State size is the backlog itself — the irreducible state of
-    any queue — held distributed in parquet, not in executor memory."""
-
-    def _versions() -> list[int]:
-        if not os.path.isdir(pending_dir):
-            return []
-        return sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(pending_dir)
-            if d.startswith("state_version=")
-        )
+    Restart idempotence: a replay of batch N re-reads each band's latest
+    version < N (pruning keeps it: per band, the newest version <= N-1
+    survives until a LATER batch supersedes it) and overwrites exactly its
+    own outputs (processed batch_id=N partition, band/state_version=N for
+    the same deterministic touched set), so the crash window between sink
+    write and checkpoint commit duplicates nothing. All state discovery
+    and pruning go through the Hadoop FS API (``_state_fs``), so
+    checkpoint/state dirs on HDFS or S3 behave identically to local disk.
+    State size is the backlog itself — the irreducible state of any
+    queue — held distributed in parquet, not in executor memory."""
+    band_of = F.coalesce(F.col("priority"), F.lit(0))
 
     def sink(arrivals: DataFrame, batch_id: int) -> None:
         sess = arrivals.sparkSession
-        prior = [v for v in _versions() if v < batch_id]
-        if prior:
-            carry = sess.read.schema(ROUTED_SCHEMA).parquet(
-                os.path.join(pending_dir, f"state_version={prior[-1]}")
-            )
-            avail = arrivals.unionByName(carry)
-        else:
-            avail = arrivals
+        carry = read_pending_state(sess, pending_dir, before_batch=batch_id)
+        avail = arrivals.unionByName(carry)
         # (priority, created_at, id) is a TOTAL order (id unique), so the
         # served set is deterministic — a replay picks the same rows
         picked = (
@@ -637,6 +690,15 @@ def run_prioritized_carryover(
             .limit(batch_size)
             .localCheckpoint()  # k rows, pinned so serve and remainder agree
         )
+        # touched = bands with new arrivals (state grows) or served rows
+        # (state shrinks) — a |bands|-bounded collect (priority codomain)
+        touched = {
+            r["b"]
+            for r in arrivals.select(band_of.alias("b")).distinct().collect()
+        } | {
+            r["b"]
+            for r in picked.select(band_of.alias("b")).distinct().collect()
+        }
         rest = avail.join(picked.select("id"), "id", "left_anti").select(
             *[f.name for f in ROUTED_SCHEMA.fields]
         )
@@ -648,18 +710,30 @@ def run_prioritized_carryover(
             .partitionBy("batch_id")
             .parquet(processed_dir)
         )
-        rest.write.mode("overwrite").parquet(
-            os.path.join(pending_dir, f"state_version={batch_id}")
-        )
-        # prune versions a replay can never need (replay of N reads N-1)
-        import shutil
-
-        for v in _versions():
-            if v <= batch_id - 2:
-                shutil.rmtree(
-                    os.path.join(pending_dir, f"state_version={v}"),
-                    ignore_errors=True,
+        for band in sorted(touched):
+            rest.filter(band_of == band).write.mode("overwrite").parquet(
+                os.path.join(
+                    pending_dir, f"band={band}", f"state_version={batch_id}"
                 )
+            )
+        # prune: per band, a replay of batch N needs only the newest
+        # version <= N-1; keep that and anything newer, drop the rest
+        fs, Path = _state_fs(sess, pending_dir)
+        for band, vers in _band_versions(sess, pending_dir).items():
+            prior = [v for v in vers if v <= batch_id - 1]
+            keep = set(prior[-1:]) | {v for v in vers if v >= batch_id}
+            for v in vers:
+                if v not in keep:
+                    fs.delete(
+                        Path(
+                            os.path.join(
+                                pending_dir,
+                                f"band={band}",
+                                f"state_version={v}",
+                            )
+                        ),
+                        True,
+                    )
 
     stream = route_events(read_event_stream(spark, source_dir))
     q = (
@@ -686,7 +760,7 @@ def batch_type_chi2(current: DataFrame, reference: DataFrame) -> DataFrame:
 
     Shuffle shape: both sides reduce to |types| count rows before anything
     global happens; the test arithmetic runs on that bounded relation."""
-    from ..queries.text import _CHI2_CRIT_99  # shared dof -> critical lookup
+    from ..queries.text import chi2_crit_99_col  # shared dof -> critical value
     from pyspark.sql.window import Window
 
     tagged = reference.select("event_type", F.lit(1).alias("is_ref")).unionByName(
@@ -715,10 +789,7 @@ def batch_type_chi2(current: DataFrame, reference: DataFrame) -> DataFrame:
         (n_types - 1).cast("bigint").alias("dof"),
         one_sided.alias("one_sided"),
     )
-    crit = F.element_at(
-        F.create_map(*[F.lit(x) for kv in _CHI2_CRIT_99.items() for x in kv]),
-        F.col("dof").cast("int"),
-    )
+    crit = chi2_crit_99_col(F.col("dof"))
     w2 = Window.partitionBy()
     return scored.select(
         "event_type",

@@ -469,6 +469,37 @@ def test_bloom_no_false_negatives_and_fpr(spark):
     assert fp / len(others) <= 0.03, f"FPR {fp / len(others):.4f} >> target 0.01"
 
 
+def test_bloom_probe_reuses_one_broadcast_per_bitmap(spark):
+    """A long-lived session probing the same filter repeatedly must hold
+    ONE broadcast of the bitmap, not one per probe call (each broadcast
+    pins up to MAX_M_BITS of block-manager memory); dropping the bitmap
+    must evict and unpersist the cached variable via its finalizer."""
+    import gc
+
+    import numpy as np
+
+    from hive_backend_spark.operators import bloom as B
+
+    mdf = spark.createDataFrame([(f"k{i}",) for i in range(100)], "gram string")
+    m_bits, k = B.optimal_params(100, 0.01)
+    bm = B.build_bloom(mdf, "gram", m_bits, k)
+    key = id(bm)
+    before = len(B._BITMAP_BROADCASTS)
+    for _ in range(3):
+        assert B.probe_bloom(mdf, "gram", bm, m_bits, k).count() == 100
+    assert len(B._BITMAP_BROADCASTS) == before + 1
+    assert key in B._BITMAP_BROADCASTS
+
+    other = np.array(bm)  # distinct object -> its own broadcast entry
+    B.probe_bloom(mdf, "gram", other, m_bits, k).count()
+    assert len(B._BITMAP_BROADCASTS) == before + 2
+
+    del bm, other
+    gc.collect()
+    assert key not in B._BITMAP_BROADCASTS
+    assert len(B._BITMAP_BROADCASTS) == before
+
+
 # --- skyline sweep vs quadratic dominance definition -------------------------
 
 
@@ -700,3 +731,33 @@ def test_countmin_no_underestimate_and_mergeable(spark):
     whole = {(r["cms_row"], r["pos"]): r["total"] for r in cms.collect()}
     got = {(r["cms_row"], r["pos"]): r["total"] for r in merged.collect()}
     assert got == whole
+
+
+def test_countmin_unseen_probe_estimates_near_zero(spark):
+    """Point-estimate contract for keys OUTSIDE the sketched stream: the
+    relation form stores only nonzero counters, so an unseen probe whose
+    positions miss every stored counter must still return a row — estimate
+    0 when any of its depth counters is empty, never a vanished key or an
+    inflated min over only the colliding rows."""
+    from pyspark.sql import functions as F
+
+    from hive_backend_spark.operators.sketch import CMS_DEPTH, cms_build, cms_estimate
+
+    cnt = spark.createDataFrame(
+        [("a", 100), ("b", 50)], "k string, c long"
+    )
+    cms = cms_build(cnt, "k", "c")
+    assert cms.count() <= 2 * CMS_DEPTH  # sparse relation: nonzero only
+    probes = spark.createDataFrame(
+        [("a",), ("zz_never_seen",), ("another_missing",)], "k string"
+    )
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in cms_estimate(cms, probes, "k").collect()
+    }
+    assert set(est) == {"a", "zz_never_seen", "another_missing"}
+    assert est["a"] >= 100
+    # with 2 keys in a 4x1024 sketch, an unseen probe's 4 positions are
+    # overwhelmingly empty somewhere -> min must fall through to 0
+    assert est["zz_never_seen"] == 0
+    assert est["another_missing"] == 0

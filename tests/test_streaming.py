@@ -836,14 +836,7 @@ def test_carryover_matches_greedy_simulation(spark, stream_src, tmp_path):
         got_served[r["batch_id"]].add(r["id"])
     assert got_served == {i: s for i, s in enumerate(want_served)}
 
-    latest = max(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(pending)
-        if d.startswith("state_version=")
-    )
-    left = spark.read.schema(S.ROUTED_SCHEMA).parquet(
-        os.path.join(pending, f"state_version={latest}")
-    )
+    left = S.read_pending_state(spark, pending)
     assert {r["id"] for r in left.select("id").collect()} == want_pending
     # carryover actually happened: some batch-0 arrival served later than 0
     batch0_ids = {t[2] for t in chunks[0]}
@@ -879,6 +872,67 @@ def test_carryover_replay_after_crash_is_idempotent(spark, stream_src, tmp_path)
     assert after.groupBy("id").count().filter("count > 1").count() == 0
 
 
+def test_carryover_untouched_band_not_rewritten(spark, tmp_path):
+    """Per-trigger state write cost must be O(touched backlog): a priority
+    band with no arrivals and no served rows in a trigger keeps its OLD
+    state_version directory untouched — no new version, no rewrite. Source:
+    batch 0 mixes view (band 0) and click (band 1) arrivals; batches 1-2
+    are click-only and the head is all clicks, so band 0 is never touched
+    again. After the run band=0 must still hold exactly state_version=0
+    (the batch-0 files, never rewritten), while band=1 advanced and pruned.
+    The final backlog must still equal the greedy simulation."""
+    import datetime
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = datetime.datetime(2020, 1, 1)
+
+    def mk(batch, rows):
+        df = spark.createDataFrame(
+            [
+                (i, t0 + datetime.timedelta(seconds=i), i, et, "{}")
+                for i, et in rows
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        import glob as g
+        import shutil
+
+        part = g.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"batch_{batch}.parquet"))
+
+    mk(0, [(i, "view") for i in range(10)] + [(100 + i, "click") for i in range(10)])
+    mk(1, [(200 + i, "click") for i in range(6)])
+    mk(2, [(300 + i, "click") for i in range(6)])
+
+    processed = str(tmp_path / "processed")
+    pending = str(tmp_path / "pending")
+    ckpt = str(tmp_path / "ckpt")
+    S.run_prioritized_carryover(spark, src.as_posix(), processed, pending, ckpt, batch_size=5)
+
+    assert sorted(os.listdir(os.path.join(pending, "band=0"))) == [
+        "state_version=0"
+    ], "band 0 was rewritten despite no arrivals and no serves after batch 0"
+    b1 = sorted(os.listdir(os.path.join(pending, "band=1")))
+    assert b1 == ["state_version=1", "state_version=2"], b1  # 0 pruned
+
+    # clicks always outrank views: all 22 clicks served across 3 batches
+    # of 5 would need 25 slots, so 15 clicks served, 7 pending; no view
+    # ever served — band 0 pending is all 10 views
+    left = S.read_pending_state(spark, pending)
+    got = {r["id"] for r in left.select("id").collect()}
+    served = {
+        r["id"]
+        for r in spark.read.parquet(processed).select("id").collect()
+    }
+    clicks = set(range(100, 110)) | set(range(200, 206)) | set(range(300, 306))
+    views = set(range(10))
+    assert served == set(sorted(clicks)[:15])
+    assert got == views | (clicks - served)
+
+
 def test_batch_type_chi2_kernel(spark, stream_src):
     """Categorical drift kernel: self-comparison scores ~0 and calm; a
     composition change (one type removed from current) alarms; an empty
@@ -898,6 +952,22 @@ def test_batch_type_chi2_kernel(spark, stream_src):
     empty = batch.filter(F.lit(False))
     novel = S.batch_type_chi2(batch, empty).collect()
     assert novel and all(r["chi2_term"] is None and r["drifted"] for r in novel)
+
+    # dof beyond the exact lookup (13+ types): the verdict must stay
+    # non-NULL — Wilson-Hilferty takes over, the monitor keeps alarming
+    wide = spark.createDataFrame(
+        [(f"type_{i % 20}",) for i in range(400)], "event_type string"
+    )
+    wide_rows = S.batch_type_chi2(wide, wide).collect()
+    assert wide_rows and all(
+        r["dof"] == 19
+        and r["chi2_crit_99"] is not None
+        and r["drifted"] is not None
+        for r in wide_rows
+    )
+    # WH at dof=19: exact table value would be 36.19; approximation ~36.2
+    assert abs(wide_rows[0]["chi2_crit_99"] - 36.19) < 0.2
+    assert not wide_rows[0]["drifted"]  # self-comparison stays calm
 
     # parity with the batch audit q196 on the same midpoint split
     from hive_backend_spark.registry import all_queries
