@@ -170,6 +170,11 @@ HEADLINE = [
     "q207_fk_integrity_audit",
     "q208_watermark_lag_audit",
     "q209_countmin_audit",
+    "q210_filter_cascade_attrition",
+    "q211_lsh_band_planner",
+    "q212_chunk_dedup_census",
+    "q213_hard_negative_mining",
+    "q214_cluster_transitivity_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -196,6 +201,8 @@ SHARES_BAND_CACHE = [
     "q195_band_population_audit",
     "q202_near_dup_split_leakage",
     "q203_dedup_weighted_mass",
+    "q211_lsh_band_planner",
+    "q214_cluster_transitivity_audit",
 ]
 
 

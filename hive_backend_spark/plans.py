@@ -213,6 +213,9 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
      'F.array_sort(F.collect_list(F.struct("start_offset", "text"))),'):
         "doc-bounded: one document's 512-token chunks per row (q120)",
     ("queries/corpus.py",
+     'F.array_sort(F.collect_list(F.struct("pos", "tok"))),'):
+        "doc-bounded: one document's chunk tokens per row (q212 fold)",
+    ("queries/corpus.py",
      'F.array_sort(F.collect_list(F.struct("rk", "x", "y"))).alias("a"),'):
         "head-bounded: top-30 zipf ranks, pre-limited by TakeOrdered (q141)",
     ("queries/corpus.py",
@@ -441,4 +444,6 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "5-row probe->cell routing table (q154)",
     ("queries/similarity.py", "agg.crossJoin(F.broadcast(tot))"):
         "1-row total-distortion scalar (q176)",
+    ("queries/similarity.py", "vecs.crossJoin(F.broadcast(probes))"):
+        "8-row fixed probe set: hard-negative mining scoring side (q213)",
 }

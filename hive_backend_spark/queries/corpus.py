@@ -2161,3 +2161,145 @@ def q204_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spearman_rho",
         )
     )
+
+
+# --- q212: content-defined chunk dedup census --------------------------------
+
+# CDC boundary rate: a token position opens a new chunk when the md5 of the
+# 3-gram starting there is divisible by _CDC_MOD (expected chunk length ~
+# _CDC_MOD tokens). Content-defined (not fixed-width) so an insertion early
+# in a document only reshapes the chunks it touches — the property that
+# makes chunk-level dedup robust to shifted boilerplate.
+_CDC_MOD = 8
+
+
+@register(
+    "q212_chunk_dedup_census",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS tok
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, source, tok,
+             list_filter(range(0, len(tok)), i -> i = 0 OR (i <= len(tok) - 3 AND
+               CAST(concat('0x', substr(md5(concat_ws(' ', tok[i+1], tok[i+2], tok[i+3])), 1, 8))
+                    AS BIGINT) % {_CDC_MOD} = 0)) AS bpos
+      FROM t
+    ),
+    chunks AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(bpos) + 1),
+               k -> array_to_string(list_slice(tok, bpos[k] + 1,
+                      CASE WHEN k < len(bpos) THEN bpos[k+1] ELSE len(tok) END), ' ')))
+               AS chunk_text
+      FROM tb
+    ),
+    d AS (SELECT source, md5(chunk_text) AS dg FROM chunks),
+    cw AS (SELECT dg, count(*) AS k, count(DISTINCT source) AS ns FROM d GROUP BY dg)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct_chunks,
+           round(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+             AS dup_instance_share,
+           CAST(count(DISTINCT CASE WHEN ns > 1 THEN dg END) AS BIGINT)
+             AS cross_source_chunks
+    FROM d JOIN cw USING (dg)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q212_chunk_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup census via content-defined chunking: documents
+    split at rolling-hash 3-gram boundaries (md5 divisible by
+    {_CDC_MOD} -> expected ~{_CDC_MOD}-token chunks), chunk identity by
+    md5 digest, and per source: chunk volume, distinct chunks, the share
+    of chunk INSTANCES whose text repeats corpus-wide, and how many of the
+    source's distinct chunks also appear in another source. This catches
+    the redundancy doc-level dedup (q64) cannot see — shared paragraphs
+    and templated sections inside otherwise-distinct documents — and the
+    content-defined boundaries keep chunks stable under insertions, unlike
+    fixed-width windows (q120's packing chunks). Complements q142 (within-
+    doc repeated spans) and q128 (corpus-frequent shingle removal).
+
+    Determinism: boundaries and digests are md5 arithmetic both engines
+    replay bit-for-bit; every output is a count or a 4-decimal share.
+
+    Scale posture: tokens explode to (doc, pos) grain and every windowed
+    step — the lead-gram, the document length, the running boundary
+    count — partitions by doc_id, so one doc-keyed exchange serves the
+    whole chunk assembly (the q151 per-document fold shape; higher-order
+    array lambdas were rejected because Spark evaluates them interpreted
+    and re-expands nested array subexpressions per element). The chunk
+    fold's collect_list is doc-bounded; the dup census shuffles 32-char
+    digests only; the final rollup is keyed by the bounded source
+    dimension. The per-chunk count attach is digest-keyed and
+    corpus-growing on both sides — left to AQE, never hinted."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    worder = wdoc.orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        F.col("tok"),
+        F.lead("tok", 1).over(worder),
+        F.lead("tok", 2).over(worder),
+    )
+    nt = F.count(F.lit(1)).over(wdoc)
+    digit = F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint"),
+        F.lit(_CDC_MOD),
+    )
+    flagged = tok.select(
+        "doc_id",
+        "source",
+        "pos",
+        "tok",
+        (
+            (F.col("pos") == 0) | ((F.col("pos") <= nt - 3) & (digit == 0))
+        ).cast("int").alias("b"),
+    )
+    chunked = flagged.withColumn(
+        "chunk_idx",
+        F.sum("b").over(
+            worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    d = (
+        chunked.groupBy("doc_id", "source", "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+        .select("source", F.md5("chunk_text").alias("dg"))
+    )
+    cw = d.groupBy("dg").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("source").alias("ns"),
+    )
+    return (
+        d.join(cw, "dg")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("dg").cast("bigint").alias("n_distinct_chunks"),
+            F.round(
+                F.sum((F.col("k") > 1).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_instance_share"),
+            F.countDistinct(F.when(F.col("ns") > 1, F.col("dg")))
+            .cast("bigint")
+            .alias("cross_source_chunks"),
+        )
+        .orderBy("source")
+    )

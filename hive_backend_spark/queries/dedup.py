@@ -1770,3 +1770,210 @@ def q203_dedup_weighted_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q211: LSH band-width planner --------------------------------------------
+
+# Candidate (bands x rows) splits of the 8-hash MinHash signature. The
+# S-curve P(candidate | jaccard=j) = 1 - (1 - j^r)^b steepens around
+# (1/b)^(1/r); more rows per band -> fewer, higher-precision candidates —
+# exactly the escalation the BUCKET_CAP dropped-bucket report recommends.
+_PLANNER_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+
+
+@register(
+    "q211_lsh_band_planner",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    j AS (
+      SELECT round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+      FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    ),
+    cfg AS (SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _PLANNER_CONFIGS)})
+            AS t(n_bands, n_rows)),
+    scored AS (
+      SELECT n_bands, n_rows, jaccard,
+             1.0 - power(1.0 - power(jaccard, n_rows), n_bands) AS p,
+             CASE WHEN jaccard >= {_AUDIT_TAU} THEN 1 ELSE 0 END AS is_true
+      FROM j, cfg
+    )
+    SELECT CAST(n_bands AS INT) AS n_bands, CAST(n_rows AS INT) AS n_rows,
+           round(power(1.0 / n_bands, 1.0 / n_rows), 4) AS threshold_j50,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(p), 4) AS exp_candidates,
+           CAST(sum(is_true) AS BIGINT) AS n_true,
+           round(sum(CASE WHEN is_true = 1 THEN p ELSE 0 END), 4) AS exp_caught,
+           round(sum(CASE WHEN is_true = 1 THEN p ELSE 0 END)
+                 / nullif(CAST(sum(is_true) AS DOUBLE), 0), 4) AS exp_recall,
+           round(sum(CASE WHEN is_true = 1 THEN p ELSE 0 END)
+                 / nullif(sum(p), 0), 4) AS exp_precision
+    FROM scored GROUP BY n_bands, n_rows ORDER BY n_bands DESC
+    """,
+)
+def q211_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (bands x rows) configuration planner from MEASURED pair
+    similarity: for every split of the 8-hash signature, score the S-curve
+    collision probability p(j) = 1 - (1 - j^r)^b against the verified
+    Jaccard of the observed candidate pairs and report, per config, the
+    S-curve midpoint, expected candidate volume, expected true-pair
+    capture, and the implied recall/precision trade. This is the decision
+    table behind the BUCKET_CAP escalation path ("raise the band width"):
+    when the dropped-bucket report fires, this query says what moving from
+    (4 x 2) to (2 x 4) actually costs in recall and buys in volume.
+
+    Honesty bound: the pair universe is the CURRENT config's candidate
+    set — pairs invisible to 4 x 2 banding cannot be measured without an
+    all-pairs pass, so the wider configs' candidate estimates are lower
+    bounds (stated, not hidden; the sampled-recall audit q168 covers the
+    blind spot from the other side).
+
+    Scale posture: reuses the cached signature tables; scoring is a 4-way
+    Generate over the O(candidates) verified-pair table, grouped to 4
+    rows — no new corpus pass, no join."""
+    jp = q68_jaccard_verify(spark, sf_dir)
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("n_bands"), F.lit(r).alias("n_rows")
+                )
+                for b, r in _PLANNER_CONFIGS
+            ]
+        )
+    ).alias("cfg")
+    e = jp.select("jaccard", cfg).select("jaccard", "cfg.*")
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("jaccard"), F.col("n_rows")), F.col("n_bands")
+    )
+    scored = e.select(
+        "n_bands",
+        "n_rows",
+        p.alias("p"),
+        (F.col("jaccard") >= _AUDIT_TAU).cast("int").alias("is_true"),
+    )
+    caught = F.sum(F.when(F.col("is_true") == 1, F.col("p")).otherwise(0.0))
+    return (
+        scored.groupBy("n_bands", "n_rows")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("p"), 4).alias("exp_candidates"),
+            F.sum("is_true").cast("bigint").alias("n_true"),
+            F.round(caught, 4).alias("exp_caught"),
+            F.round(
+                caught / F.nullif(F.sum("is_true").cast("double"), F.lit(0.0)), 4
+            ).alias("exp_recall"),
+            F.round(caught / F.nullif(F.sum("p"), F.lit(0.0)), 4).alias(
+                "exp_precision"
+            ),
+        )
+        .withColumn(
+            "threshold_j50",
+            F.round(
+                F.pow(F.lit(1.0) / F.col("n_bands"), F.lit(1.0) / F.col("n_rows")),
+                4,
+            ),
+        )
+        .orderBy(F.col("n_bands").desc())
+    )
+
+
+# --- q214: cluster transitivity audit ----------------------------------------
+
+# An edge below this verified Jaccard inside a formed cluster marks the
+# cluster as chain-merged: two dissimilar documents glued together through
+# intermediate near-dups — the classic false-merge mode of CC-based dedup.
+_WEAK_EDGE_TAU = 0.3
+
+
+@register(
+    "q214_cluster_transitivity_audit",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS ({_ORACLE_SHINGLES}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    j AS (
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+      FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id),
+    ej AS (SELECT l.cluster_id, j.jaccard FROM j JOIN lab l ON l.doc_id = j.doc_a)
+    SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           round(count(*) / (cluster_size * (cluster_size - 1) / 2.0), 4)
+             AS edge_density,
+           min(jaccard) AS min_edge_jaccard,
+           round(avg(jaccard), 4) AS mean_edge_jaccard,
+           (min(jaccard) < {_WEAK_EDGE_TAU}) AS weak_link
+    FROM ej JOIN sz USING (cluster_id)
+    GROUP BY cluster_id, cluster_size ORDER BY cluster_id
+    """,
+)
+def q214_cluster_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-merge audit of the dedup clusters: connected components are
+    TRANSITIVE, so A~B~C clusters A with C even when A and C share almost
+    nothing — removing "duplicates" that aren't. Per formed cluster this
+    reports size, verified-edge count, edge density against the C(size, 2)
+    clique bound, and the min/mean verified Jaccard over its candidate
+    edges; `weak_link` flags clusters glued through an edge below
+    {_WEAK_EDGE_TAU} — the review queue before a destructive canonical-
+    only keep (q90). Low density + low min on a large cluster is the
+    template-chain signature; density 1.0 with high min is a true clique.
+
+    Scale posture: reuses the cached label and signature tables; the edge
+    audit joins O(candidates) verified pairs to the |clustered docs| label
+    table (digest/id keys, corpus-growing sides left to AQE) and folds per
+    cluster — work bounded by the candidate set, the q68 contract."""
+    j = q68_jaccard_verify(spark, sf_dir)
+    labels = _cluster_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    ej = j.join(
+        labels.select(F.col("node").alias("doc_a"), "label"), "doc_a"
+    )
+    agg = ej.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.min("jaccard").alias("min_edge_jaccard"),
+        F.round(F.avg("jaccard"), 4).alias("mean_edge_jaccard"),
+    )
+    pairs_bound = (
+        F.col("cluster_size") * (F.col("cluster_size") - 1) / 2.0
+    )
+    return (
+        agg.join(sizes, "label")
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_edges",
+            F.round(F.col("n_edges") / pairs_bound, 4).alias("edge_density"),
+            "min_edge_jaccard",
+            "mean_edge_jaccard",
+            (F.col("min_edge_jaccard") < _WEAK_EDGE_TAU).alias("weak_link"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1743,3 +1743,101 @@ def q206_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("threshold", "n_pairs", "n_docs_touched", "mean_cosine")
         .orderBy("threshold")
     )
+
+
+# --- q213: hard-negative mining ----------------------------------------------
+
+_HN_PROBES = 8  # fixed probe set: vec_id < 8 — bounded regardless of corpus
+
+
+@register(
+    "q213_hard_negative_mining",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, label AS probe_label, e AS pe
+          FROM v WHERE vec_id < {_HN_PROBES}),
+    s AS (
+      SELECT probe_id, probe_label, vec_id,
+             round(list_dot_product(e, pe)
+                   / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pe, pe))), 6)
+               AS cos,
+             (label = probe_label) AS same
+      FROM v, p WHERE vec_id <> probe_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY probe_id, same
+                                       ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+    SELECT probe_id, probe_label,
+           CAST(max(CASE WHEN same THEN vec_id END) AS BIGINT) AS pos_id,
+           max(CASE WHEN same THEN cos END) AS pos_cos,
+           CAST(max(CASE WHEN NOT same THEN vec_id END) AS BIGINT) AS neg_id,
+           max(CASE WHEN NOT same THEN cos END) AS neg_cos,
+           round(max(CASE WHEN same THEN cos END)
+                 - max(CASE WHEN NOT same THEN cos END), 6) AS margin,
+           (max(CASE WHEN same THEN cos END)
+            < max(CASE WHEN NOT same THEN cos END)) AS confusable
+    FROM r WHERE rn = 1 GROUP BY probe_id, probe_label ORDER BY probe_id
+    """,
+)
+def q213_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining: for each probe vector, the nearest
+    SAME-label neighbor (the easy positive) and the nearest CROSS-label
+    neighbor (the hard negative) by exact cosine, with the margin between
+    them — the standard triplet-mining report for embedding-model
+    curriculum and for auditing label quality (margin < 0 = `confusable`:
+    a vector whose closest neighbor wears the wrong label, either a label
+    error or a genuinely hard example worth oversampling).
+
+    Determinism: cosines round to 6 decimals BEFORE ranking; ties break on
+    vec_id — the q70/q154 discipline.
+
+    Scale posture: the probe set is fixed-size by construction
+    ({_HN_PROBES} rows, broadcast — the q154 pattern); scoring is a
+    map-side pass over |corpus| x {_HN_PROBES} rows with no shuffle of the
+    big side; both rank windows partition by probe (parallel); the final
+    fold is {_HN_PROBES} rows. At a billion vectors the exact pass becomes
+    the IVF-routed q74 shape — the probes' cells only — with this exact
+    form as its recall oracle."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = vecs.filter(F.col("vec_id") < _HN_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("v").alias("pv"),
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos"),
+            (F.col("label") == F.col("probe_label")).alias("same"),
+        )
+    )
+    w = Window.partitionBy("probe_id", "same").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pos_cos = F.max(F.when(F.col("same"), F.col("cos")))
+    neg_cos = F.max(F.when(~F.col("same"), F.col("cos")))
+    return (
+        top.groupBy("probe_id", "probe_label")
+        .agg(
+            F.max(F.when(F.col("same"), F.col("vec_id")))
+            .cast("bigint")
+            .alias("pos_id"),
+            pos_cos.alias("pos_cos"),
+            F.max(F.when(~F.col("same"), F.col("vec_id")))
+            .cast("bigint")
+            .alias("neg_id"),
+            neg_cos.alias("neg_cos"),
+            F.round(pos_cos - neg_cos, 6).alias("margin"),
+            (pos_cos < neg_cos).alias("confusable"),
+        )
+        .orderBy("probe_id")
+    )

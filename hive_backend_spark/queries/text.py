@@ -2882,3 +2882,143 @@ def q209_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_count").desc(), F.col("token").asc())
     )
+
+
+# --- q210: filter-cascade attrition ------------------------------------------
+
+# Staged pre-training filter cascade (the FineWeb/C4 shape: cheap structural
+# filters first, ordered so each stage sees only prior survivors). Constants
+# chosen against the synthetic corpus so every stage has real attrition.
+_CASCADE_MIN_TOKENS = 20
+_CASCADE_MAX_TOKENS = 90
+_CASCADE_STOP_FLOOR = 0.03
+_CASCADE_DISTINCT_FLOOR = 0.4
+_CASCADE_STAGES = (
+    "min_tokens",
+    "max_tokens",
+    "stopword_floor",
+    "distinct_floor",
+)
+
+
+@register(
+    "q210_filter_cascade_attrition",
+    oracle=f"""
+    WITH f AS (
+      SELECT len(tok) AS n,
+             len(list_filter(tok, x -> list_contains({list(STOPWORDS)!r}::VARCHAR[], x)))
+               / CAST(len(tok) AS DOUBLE) AS stopr,
+             len(list_distinct(tok)) / CAST(len(tok) AS DOUBLE) AS distr
+      FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS tok FROM documents)
+    ),
+    flags AS (
+      SELECT n,
+             (n >= {_CASCADE_MIN_TOKENS}) AS c1,
+             (n >= {_CASCADE_MIN_TOKENS} AND n <= {_CASCADE_MAX_TOKENS}) AS c2,
+             (n >= {_CASCADE_MIN_TOKENS} AND n <= {_CASCADE_MAX_TOKENS}
+              AND stopr >= {_CASCADE_STOP_FLOOR}) AS c3,
+             (n >= {_CASCADE_MIN_TOKENS} AND n <= {_CASCADE_MAX_TOKENS}
+              AND stopr >= {_CASCADE_STOP_FLOOR}
+              AND distr >= {_CASCADE_DISTINCT_FLOOR}) AS c4
+      FROM f
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(sum(CASE WHEN c1 THEN n ELSE 0 END) AS BIGINT) AS t1,
+             CAST(sum(CASE WHEN c2 THEN n ELSE 0 END) AS BIGINT) AS t2,
+             CAST(sum(CASE WHEN c3 THEN n ELSE 0 END) AS BIGINT) AS t3,
+             CAST(sum(CASE WHEN c4 THEN n ELSE 0 END) AS BIGINT) AS t4
+      FROM flags
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS stage, 'min_tokens' AS stage_name,
+             n0 AS n_in, n1 AS n_pass, n0 - n1 AS n_fail,
+             round(n1 / CAST(nullif(n0, 0) AS DOUBLE), 4) AS pass_rate,
+             t1 AS tokens_retained
+      FROM agg
+      UNION ALL
+      SELECT 2, 'max_tokens', n1, n2, n1 - n2,
+             round(n2 / CAST(nullif(n1, 0) AS DOUBLE), 4), t2 FROM agg
+      UNION ALL
+      SELECT 3, 'stopword_floor', n2, n3, n2 - n3,
+             round(n3 / CAST(nullif(n2, 0) AS DOUBLE), 4), t3 FROM agg
+      UNION ALL
+      SELECT 4, 'distinct_floor', n3, n4, n3 - n4,
+             round(n4 / CAST(nullif(n3, 0) AS DOUBLE), 4), t4 FROM agg
+    ) ORDER BY stage
+    """,
+)
+def q210_filter_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged filter-cascade attrition census — the funnel report every
+    web-scale cleaning pipeline (C4, FineWeb) publishes: four structural
+    filters applied in sequence (token floor, token ceiling, stopword-
+    ratio floor ~ language-ness, distinct-token floor ~ repetition), each
+    stage reporting survivors-in, pass/fail counts, pass rate, and the
+    token mass retained by the cumulative cascade. The report is what a
+    pipeline owner reads to spot the stage that suddenly started eating
+    the corpus after an upstream change.
+
+    Determinism: every flag derives from exact integer token counts and
+    exact integer-ratio doubles — identical comparisons in both engines;
+    outputs are counts and 4-decimal rounded rates.
+
+    Scale posture: ONE map-side pass computes all four cumulative flags
+    per document (no per-stage rescan), a single partial-aggregated fold
+    reduces them to one row of counters, and the 4-row stage report is an
+    explode of that row — no shuffle wider than the 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    stopr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n.cast("double")
+    distr = F.size(F.array_distinct(toks)) / n.cast("double")
+    c1 = n >= _CASCADE_MIN_TOKENS
+    c2 = c1 & (n <= _CASCADE_MAX_TOKENS)
+    c3 = c2 & (stopr >= _CASCADE_STOP_FLOOR)
+    c4 = c3 & (distr >= _CASCADE_DISTINCT_FLOOR)
+    flags = docs.select(
+        n.alias("n"),
+        c1.alias("c1"),
+        c2.alias("c2"),
+        c3.alias("c3"),
+        c4.alias("c4"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        *[
+            F.sum(F.col(f"c{i}").cast("int")).cast("bigint").alias(f"n{i}")
+            for i in (1, 2, 3, 4)
+        ],
+        *[
+            F.sum(F.when(F.col(f"c{i}"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.col(f"n{i}").alias("n_in"),
+                F.col(f"n{i + 1}").alias("n_pass"),
+                (F.col(f"n{i}") - F.col(f"n{i + 1}")).alias("n_fail"),
+                F.round(
+                    F.col(f"n{i + 1}")
+                    / F.nullif(F.col(f"n{i}"), F.lit(0)).cast("double"),
+                    4,
+                ).alias("pass_rate"),
+                F.col(f"t{i + 1}").alias("tokens_retained"),
+            )
+            for i, name in enumerate(_CASCADE_STAGES)
+        ]
+    )
+    return (
+        agg.select(F.explode(stage_rows).alias("s"))
+        .select("s.*")
+        .orderBy("stage")
+    )

@@ -402,6 +402,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q204_ranker_agreement",  # two 1-row list-count scalars
         "q208_watermark_lag_audit",  # 1-row event_id-bounds scalar (bucketing)
         "q209_countmin_audit",  # 1-row stream-total scalar for the eps bound
+        "q213_hard_negative_mining",  # 8-row fixed probe set vs corpus
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
