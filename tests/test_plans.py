@@ -636,3 +636,43 @@ def test_rrf_rankers_end_in_take_ordered(spark, sf_dir):
     df = _df(spark, sf_dir, "q200_rrf_fusion")
     plan = P.formatted_plan(df)
     assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
+
+
+def test_round7_additions_plan_shapes(spark, sf_dir):
+    """Round-7 query plan pins.
+
+    - q210 (filter cascade): the four stage flags fold in ONE pass — a
+      single SinglePartition exchange for the 1-row aggregate, a Generate
+      for the 4-row stage explode, and no join.
+    - q212 (chunk dedup): every window partitions by doc_id — the chunk
+      assembly never funnels the corpus through one task (the q142
+      discipline); the array-lambda form this replaced would show neither.
+    - q213 (hard negatives): under autoBroadcastJoinThreshold=-1 the only
+      BroadcastExchange is the 8-row probe set, and both rank windows
+      partition by probe_id.
+    """
+    import re
+
+    q210 = _df(spark, sf_dir, "q210_filter_cascade_attrition")
+    plan210 = q210._jdf.queryExecution().executedPlan().toString()
+    assert plan210.count("Exchange SinglePartition") == 1, plan210
+    P.assert_plan(q210, requires=["Generate"], forbids=["Join"])
+
+    q212 = _df(spark, sf_dir, "q212_chunk_dedup_census")
+    plan212 = q212._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan212)
+    assert specs and all(s.strip().startswith("doc_id#") for s in specs), specs
+    assert not P.unpartitioned_window_specs(q212)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q213 = _df(spark, sf_dir, "q213_hard_negative_mining")
+        plan213 = q213._jdf.queryExecution().executedPlan().toString()
+        assert plan213.count("BroadcastExchange") == 1, plan213
+        specs = re.findall(r"windowspecdefinition\(([^)]*)", plan213)
+        assert specs and all(
+            s.strip().startswith("probe_id#") for s in specs
+        ), specs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
