@@ -175,6 +175,8 @@ HEADLINE = [
     "q212_chunk_dedup_census",
     "q213_hard_negative_mining",
     "q214_cluster_transitivity_audit",
+    "q215_epoch_repeat_schedule",
+    "q216_sampled_dedup_estimate",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -310,6 +310,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row ref/incoming totals scalar (q180)",
     ("queries/text.py", "sh.crossJoin(F.broadcast(psi))"):
         "1-row PSI total scalar (q180)",
+    ("queries/text.py", "return full.crossJoin(F.broadcast(samp)).select("):
+        "1-row sampled-dedup stats scalar (q216)",
     ("queries/text.py", ".crossJoin(F.broadcast(tot))"):
         "1-row vocab/token totals scalar (q182)",
     ("queries/queue.py", 'events.join(F.broadcast(batch), "event_id", "left_semi")'):
@@ -416,6 +418,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row corpus-total/source-count scalar (q167)",
     ("queries/corpus.py", "srt.crossJoin(F.broadcast(th))"):
         "1-row waterfilling level scalar (q167)",
+    ("queries/corpus.py", "per.crossJoin(F.broadcast(tot))"):
+        "1-row budget-totals scalar (q215 epoch schedule)",
     ("queries/corpus.py", "member_probe.crossJoin(F.broadcast(neg_probe))"):
         "1-row negative-probe census scalar (q190)",
     ("queries/corpus.py", "counts.crossJoin(F.broadcast(nd))"):

@@ -2303,3 +2303,131 @@ def q212_chunk_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q215: epoch / repeat schedule -------------------------------------------
+
+# Data-constrained scheduling constants: the token budget is a fixed
+# multiple of the corpus, each source's share is quality-weighted, epochs
+# cap at _MAX_EPOCHS (beyond ~4 repeats the marginal value of repeated
+# tokens decays sharply — the data-constrained scaling result), and the
+# value of the e-th epoch decays geometrically with _REPEAT_DECAY.
+_EPOCH_BUDGET_X = 2.0
+_MAX_EPOCHS = 3.0
+_REPEAT_DECAY = 0.5
+
+
+@register(
+    "q215_epoch_repeat_schedule",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.5
+             + LEAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> list_contains(['the', 'a', 'of', 'and']::VARCHAR[], t)))
+                     / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                     * 5.0, 1.0) * 0.5 AS q
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             avg(q) AS mean_quality, sum(n_tokens) * avg(q) AS w
+      FROM f GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens, sum(w) AS total_w FROM per),
+    s AS (
+      SELECT source, tokens, mean_quality,
+             w / total_w AS share,
+             {_EPOCH_BUDGET_X} * total_tokens * w / total_w AS alloc,
+             LEAST({_EPOCH_BUDGET_X} * total_tokens * w / total_w / tokens,
+                   {_MAX_EPOCHS}) AS epochs
+      FROM per, tot
+    )
+    SELECT source, tokens, round(mean_quality, 4) AS mean_quality,
+           round(share, 4) AS weight_share,
+           round(alloc, 2) AS alloc_tokens,
+           round(epochs, 4) AS epochs,
+           (alloc / tokens > {_MAX_EPOCHS}) AS capped,
+           round(GREATEST(alloc - tokens * {_MAX_EPOCHS}, 0), 2) AS excess_tokens,
+           round(tokens * (1 - power({_REPEAT_DECAY}, epochs))
+                 / (1 - {_REPEAT_DECAY}), 2) AS effective_tokens,
+           round(tokens * epochs - tokens * (1 - power({_REPEAT_DECAY}, epochs))
+                 / (1 - {_REPEAT_DECAY}), 2) AS repeat_discount
+    FROM s ORDER BY source
+    """,
+)
+def q215_epoch_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch scheduler (the repeat-budget companion to the
+    q113/q143 mixture planners and the q167 waterfill): a token budget of
+    {_EPOCH_BUDGET_X}x the corpus is split across sources by QUALITY-
+    weighted token mass, each source's allocation is expressed as epochs
+    over its own data capped at {_MAX_EPOCHS} (repeating a small
+    high-quality source beats one pass over everything — the data-
+    constrained scaling playbook), and the value of repeated tokens is
+    discounted geometrically ({_REPEAT_DECAY} per epoch) into an
+    `effective_tokens` column with the diminishing-returns loss stated as
+    `repeat_discount`. Capped sources report the budget they could not
+    absorb (`excess_tokens`) — redistribution is deliberately left to the
+    q167 waterfill, which owns that semantics.
+
+    Scale posture: one map-side quality/token pass, a |sources|-row
+    rollup, a 1-row totals scalar attached by broadcast — nothing wider
+    than the source dimension after the first aggregation."""
+    from .text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens.cast(
+        "double"
+    )
+    q = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.5
+    )
+    per = (
+        docs.select("source", n_tokens.alias("n_tokens"), q.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.avg("q").alias("mean_quality"),
+            (F.sum("n_tokens") * F.avg("q")).alias("w"),
+        )
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.sum("w").alias("total_w"),
+    )
+    alloc = (
+        F.lit(_EPOCH_BUDGET_X)
+        * F.col("total_tokens")
+        * F.col("w")
+        / F.col("total_w")
+    )
+    epochs = F.least(alloc / F.col("tokens"), F.lit(_MAX_EPOCHS))
+    effective = (
+        F.col("tokens")
+        * (F.lit(1.0) - F.pow(F.lit(_REPEAT_DECAY), epochs))
+        / (1.0 - _REPEAT_DECAY)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            F.round("mean_quality", 4).alias("mean_quality"),
+            F.round(F.col("w") / F.col("total_w"), 4).alias("weight_share"),
+            F.round(alloc, 2).alias("alloc_tokens"),
+            F.round(epochs, 4).alias("epochs"),
+            (alloc / F.col("tokens") > _MAX_EPOCHS).alias("capped"),
+            F.round(
+                F.greatest(alloc - F.col("tokens") * _MAX_EPOCHS, F.lit(0.0)), 2
+            ).alias("excess_tokens"),
+            F.round(effective, 2).alias("effective_tokens"),
+            F.round(F.col("tokens") * epochs - effective, 2).alias(
+                "repeat_discount"
+            ),
+        )
+        .orderBy("source")
+    )

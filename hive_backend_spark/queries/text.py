@@ -3022,3 +3022,86 @@ def q210_filter_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s.*")
         .orderBy("stage")
     )
+
+
+# --- q216: sampled dedup-rate estimator --------------------------------------
+
+# Fingerprint-stratified sample: keep documents whose md5(text) starts with
+# one of these hex digits (rate 4/16 = 1/4). Sampling BY FINGERPRINT keeps
+# every exact-duplicate group intact or absent as a unit — the property that
+# makes the within-sample duplicate share an unbiased estimate of the
+# corpus-wide one (a doc_id-keyed sample would split groups and bias low).
+_DEDUP_SAMPLE_PREFIXES = ("0", "1", "2", "3")
+
+
+@register(
+    "q216_sampled_dedup_estimate",
+    oracle=f"""
+    WITH d AS (SELECT md5(text) AS fp FROM documents),
+    cw AS (SELECT fp, count(*) AS k FROM d GROUP BY fp),
+    full_ AS (
+      SELECT CAST(sum(k) AS BIGINT) AS n_docs,
+             sum(CASE WHEN k > 1 THEN k ELSE 0 END)
+               / CAST(sum(k) AS DOUBLE) AS exact_share
+      FROM cw
+    ),
+    samp AS (
+      SELECT CAST(COALESCE(sum(k), 0) AS BIGINT) AS n_sampled,
+             sum(CASE WHEN k > 1 THEN k ELSE 0 END)
+               / CAST(nullif(sum(k), 0) AS DOUBLE) AS est_share
+      FROM cw WHERE substr(fp, 1, 1) IN {_DEDUP_SAMPLE_PREFIXES!r}
+    )
+    SELECT n_docs, n_sampled,
+           round(n_sampled / CAST(n_docs AS DOUBLE), 4) AS sample_rate,
+           round(est_share, 4) AS est_dup_share,
+           round(exact_share, 4) AS exact_dup_share,
+           round(abs(est_share - exact_share), 4) AS abs_error
+    FROM full_, samp
+    """,
+)
+def q216_sampled_dedup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate from a 1/4 fingerprint-stratified sample,
+    reported BESIDE the exact corpus-wide rate (the q36/q192/q209
+    estimate-beside-exact discipline). Sampling on the md5 prefix keeps
+    each duplicate group wholly in or wholly out — identical texts share a
+    fingerprint — so the within-sample duplicate-instance share estimates
+    the corpus share without the group-splitting bias a row sample would
+    have. At 100 TB the sampled pass is the cheap daily monitor (reads
+    1/4 of the digests, no corpus-wide group-by of the rest) and the
+    exact pass the weekly calibration; here both run so the error column
+    keeps the estimator honest.
+
+    Scale posture: one md5 projection feeds both sides; the group-by keys
+    are 32-char digests; both reports are 1-row folds joined by a
+    broadcast scalar attach."""
+    docs = load_table(spark, sf_dir, "documents")
+    cw = (
+        docs.select(F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    dup_mass = F.sum(F.when(F.col("k") > 1, F.col("k")).otherwise(0))
+    full = cw.agg(
+        F.sum("k").cast("bigint").alias("n_docs"),
+        (dup_mass / F.sum("k").cast("double")).alias("exact_share"),
+    )
+    samp = cw.filter(
+        F.substring("fp", 1, 1).isin(*_DEDUP_SAMPLE_PREFIXES)
+    ).agg(
+        F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        (dup_mass / F.nullif(F.sum("k"), F.lit(0)).cast("double")).alias(
+            "est_share"
+        ),
+    )
+    return full.crossJoin(F.broadcast(samp)).select(
+        "n_docs",
+        "n_sampled",
+        F.round(F.col("n_sampled") / F.col("n_docs").cast("double"), 4).alias(
+            "sample_rate"
+        ),
+        F.round("est_share", 4).alias("est_dup_share"),
+        F.round("exact_share", 4).alias("exact_dup_share"),
+        F.round(F.abs(F.col("est_share") - F.col("exact_share")), 4).alias(
+            "abs_error"
+        ),
+    )

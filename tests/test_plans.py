@@ -403,6 +403,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q208_watermark_lag_audit",  # 1-row event_id-bounds scalar (bucketing)
         "q209_countmin_audit",  # 1-row stream-total scalar for the eps bound
         "q213_hard_negative_mining",  # 8-row fixed probe set vs corpus
+        "q215_epoch_repeat_schedule",  # 1-row budget-totals scalar
+        "q216_sampled_dedup_estimate",  # 1-row sample-stats scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
