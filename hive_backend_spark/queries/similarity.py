@@ -718,7 +718,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = _PR_ITERS,
     damp: float = _PR_DAMP,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Power-iteration PageRank over a symmetric (src, dst) edge list:
     each round joins the rank vector against the degree-annotated edge
@@ -759,7 +759,7 @@ def q123_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Page et al. 1999; power iteration, damping 0.85, 5 iterations).
     Restricted to nodes with at least one edge, so the symmetric edge set
     guarantees no dangling mass. Iteration mechanics (cached degree-
-    annotated edges, rank-vector checkpointing every 4 rounds) live in
+    annotated edges, rank-vector checkpointing every 2 rounds) live in
     ``pagerank`` above, shared with the 20-iteration stress test in
     tests/test_operators.py. The oracle is the same recurrence unrolled as
     CTE stages; the final 6-decimal rounding absorbs summation-order drift
