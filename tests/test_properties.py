@@ -761,3 +761,88 @@ def test_countmin_unseen_probe_estimates_near_zero(spark):
     # overwhelmingly empty somewhere -> min must fall through to 0
     assert est["zz_never_seen"] == 0
     assert est["another_missing"] == 0
+
+
+# --- two-level window rewrites vs flat-window ground truth -------------------
+# The fixture proves the q144/q208 decompositions at its own shapes (500 docs
+# = 0 mod 4; mostly-ordered events). These adversarial inputs cover what the
+# fixture can't: an ntile population NOT divisible by 4 with heavy rounded-
+# score ties straddling the boundaries, and arrival orders that are fully
+# reversed / all-simultaneous.
+
+
+def _tmp_oracle(tmp_path, **tables):
+    import duckdb
+
+    con = duckdb.connect()
+    for t, df in tables.items():
+        path = str(tmp_path / f"{t}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
+    return con
+
+
+def test_q144_closed_form_matches_ntile_on_remainder_and_ties(spark, tmp_path):
+    """N = 23 (rem 3: the first three tiles take the extra row) and many
+    documents sharing one rounded score across a stage boundary — the
+    closed-form boundary + within-score doc_id rank must still reproduce
+    DuckDB's ntile exactly."""
+    from hive_backend_spark.registry import all_queries
+    from .conftest import assert_matches_oracle
+
+    # 12 identical 40-token docs (one shared q), 11 docs of varying length
+    text_same = " ".join(["the"] * 40)
+    rows = [(i, text_same, "en", "s0", len(text_same)) for i in range(12)]
+    rows += [
+        (100 + i, " ".join(["of"] * (10 + 7 * i)), "de", "s1", 10)
+        for i in range(11)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    con = _tmp_oracle(tmp_path, documents=docs)
+    spec = all_queries()["q144_curriculum_stages"]
+    df = spec.fn(spark, str(tmp_path))
+    assert_matches_oracle(df, con, spec.oracle, name="q144-adversarial")
+    # sanity: the population really is 23 = 5+6+6+6 or ntile's 6,6,6,5 split
+    got = {r["stage"]: r["n_docs"] for r in df.collect()}
+    assert sum(got.values()) == 23 and got[1] == 6
+
+
+def test_q208_two_level_prefix_max_on_adversarial_arrival_orders(spark, tmp_path):
+    """Fully-reversed arrival (every row out of order), all-simultaneous
+    timestamps (every lag 0), and a sparse non-contiguous event_id space —
+    the chunk decomposition must equal DuckDB's flat unbounded-preceding
+    window in all three."""
+    import datetime
+
+    from hive_backend_spark.registry import all_queries
+    from .conftest import assert_matches_oracle
+
+    t0 = datetime.datetime(2020, 1, 1)
+    spec = all_queries()["q208_watermark_lag_audit"]
+    cases = {
+        "reversed": [
+            (i * 997, t0 + datetime.timedelta(hours=200 - i), i, "click", 1.0, "{}")
+            for i in range(200)
+        ],
+        "simultaneous": [
+            (10_000_000 + i, t0, i, "view", 0.0, "{}") for i in range(50)
+        ],
+        "mixed_sparse": [
+            (i * i + 7, t0 + datetime.timedelta(minutes=(i * 37) % 101), i,
+             "click" if i % 3 else "error", float(i), "{}")
+            for i in range(150)
+        ],
+    }
+    for name, rows in cases.items():
+        events = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string",
+        )
+        d = tmp_path / name
+        d.mkdir()
+        con = _tmp_oracle(d, events=events)
+        df = spec.fn(spark, str(d))
+        assert_matches_oracle(df, con, spec.oracle, name=f"q208-{name}")
