@@ -177,6 +177,7 @@ HEADLINE = [
     "q214_cluster_transitivity_audit",
     "q215_epoch_repeat_schedule",
     "q216_sampled_dedup_estimate",
+    "q217_incremental_index_merge",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

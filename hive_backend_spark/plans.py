@@ -216,6 +216,10 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
      'F.array_sort(F.collect_list(F.struct("pos", "tok"))),'):
         "doc-bounded: one document's chunk tokens per row (q212 fold)",
     ("queries/corpus.py",
+     'F.sort_array(F.collect_list(F.when(F.col("rk") <= 20, F.col("doc_id")))).alias("head"),'):
+        "rank-bounded: per-term row_number <= 20 applied BEFORE the collect "
+        "(q217 partial-index posting head — the mergeable min-20 summary)",
+    ("queries/corpus.py",
      'F.array_sort(F.collect_list(F.struct("rk", "x", "y"))).alias("a"),'):
         "head-bounded: top-30 zipf ranks, pre-limited by TakeOrdered (q141)",
     ("queries/corpus.py",

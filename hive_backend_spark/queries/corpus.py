@@ -2431,3 +2431,105 @@ def q215_epoch_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q217: incremental inverted-index maintenance ----------------------------
+
+
+def _partial_index(docs: DataFrame) -> DataFrame:
+    """One partition's inverted index in q109's shape, with the posting
+    head kept as a sorted ARRAY (first 20 doc_ids) so two partial indexes
+    merge by array concat + re-sort + re-slice."""
+    posting = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wt = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        posting.withColumn("rk", F.row_number().over(wt))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.sort_array(F.collect_list(F.when(F.col("rk") <= 20, F.col("doc_id")))).alias("head"),
+        )
+    )
+
+
+@register(
+    "q217_incremental_index_merge",
+    oracle="""
+    WITH posting AS (
+      SELECT term, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY term, doc_id
+    )
+    SELECT term,
+           count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           array_to_string(list_sort(list(doc_id))[1:20], ',') AS posting_head
+    FROM posting
+    GROUP BY term
+    """,
+)
+def q217_incremental_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance, proven exact against a full
+    rebuild (the q126 merge==rebuild discipline applied to the q109
+    index): the corpus splits into a BASE partition and a DELTA batch (the
+    q173 md5-bucket arrival convention), each builds its own partial index
+    with the posting head as a sorted min-20 array, and the two merge with
+    a full-outer term join — df/cf add (disjoint doc sets), and the merged
+    head is sort(concat(heads))[:20], exact because a min-k head is a
+    MERGEABLE summary: the k smallest of a union are contained in the
+    union of the per-side k smallest. The oracle rebuilds from scratch
+    over all documents, so any merge drift fails the value check.
+
+    At scale this is how a standing index absorbs a daily crawl batch:
+    touch only delta terms' rows, never re-shuffle the base corpus —
+    the delta-side work is O(delta postings), and the join ships index
+    ROWS (term, counts, 20-id head), not documents.
+
+    Scale posture: both partial builds share q109's one-Exchange shape
+    (rank window + group-by on the term hash partitioning, head bounded
+    BEFORE collection); the merge join keys on term with both sides
+    corpus-growing — left to AQE, never hinted."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id")
+    base = _partial_index(docs.filter(bucket < "e0"))
+    delta = _partial_index(docs.filter(bucket >= "e0"))
+    b = base.select(
+        "term",
+        F.col("df").alias("df_b"),
+        F.col("cf").alias("cf_b"),
+        F.col("head").alias("head_b"),
+    )
+    d = delta.select(
+        "term",
+        F.col("df").alias("df_d"),
+        F.col("cf").alias("cf_d"),
+        F.col("head").alias("head_d"),
+    )
+    empty = F.array().cast("array<bigint>")
+    merged_head = F.slice(
+        F.sort_array(
+            F.concat(
+                F.coalesce(F.col("head_b"), empty),
+                F.coalesce(F.col("head_d"), empty),
+            )
+        ),
+        1,
+        20,
+    )
+    return b.join(d, "term", "full_outer").select(
+        "term",
+        (F.coalesce(F.col("df_b"), F.lit(0)) + F.coalesce(F.col("df_d"), F.lit(0))).alias("df"),
+        (F.coalesce(F.col("cf_b"), F.lit(0)) + F.coalesce(F.col("cf_d"), F.lit(0)))
+        .cast("bigint")
+        .alias("cf"),
+        F.concat_ws(",", merged_head.cast("array<string>")).alias("posting_head"),
+    )
