@@ -178,6 +178,7 @@ HEADLINE = [
     "q215_epoch_repeat_schedule",
     "q216_sampled_dedup_estimate",
     "q217_incremental_index_merge",
+    "q218_small_group_census",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -3105,3 +3105,62 @@ def q216_sampled_dedup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_error"
         ),
     )
+
+
+# --- q218: small-group suppression census ------------------------------------
+
+# k-anonymity floor for release grouping: a (source, lang) cell with fewer
+# documents than this is individually identifying at release granularity.
+_K_ANON = 5
+
+
+@register(
+    "q218_small_group_census",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, lang, count(*) AS n
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(sum(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT)
+             AS suppressed_docs,
+           round(sum(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END)
+                 / CAST(sum(n) AS DOUBLE), 4) AS suppressed_share,
+           CAST(min(n) AS BIGINT) AS min_group_size
+    FROM g GROUP BY source ORDER BY source
+    """,
+)
+def q218_small_group_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census at release granularity (the aggregate-side
+    privacy audit beside q160's content-side PII scrub): per source, how
+    many (source, lang) cells fall under the k={_K_ANON} floor, the
+    document mass a suppress-small-cells release policy would withhold,
+    and the smallest cell — the table a data-release reviewer signs off
+    on before publishing per-cell statistics or samples.
+
+    Scale posture: one grouped count (map-side combined), then a
+    |source x lang|-bounded rollup — nothing after the first aggregation
+    exceeds the bounded release-cell dimension."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    small = F.col("n") < _K_ANON
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(small.cast("int")).cast("bigint").alias("n_small_groups"),
+            F.sum(F.when(small, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("suppressed_docs"),
+            F.round(
+                F.sum(F.when(small, F.col("n")).otherwise(0))
+                / F.sum("n").cast("double"),
+                4,
+            ).alias("suppressed_share"),
+            F.min("n").cast("bigint").alias("min_group_size"),
+        )
+        .orderBy("source")
+    )
