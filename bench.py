@@ -179,6 +179,7 @@ HEADLINE = [
     "q216_sampled_dedup_estimate",
     "q217_incremental_index_merge",
     "q218_small_group_census",
+    "q220_multiprobe_lsh",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -234,6 +234,10 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
      'swl = head.agg(F.sort_array(F.collect_list("term")).alias("sw"))'):
         "head-bounded: top-25 stopword terms, pre-limited by TakeOrdered "
         "(q158)",
+    ("queries/similarity.py",
+     'F.array_sort(F.collect_list(F.struct("rn", "vec_id"))),'):
+        "rank-bounded: per-probe row_number <= 5 applied BEFORE the collect "
+        "(q220 approx-id list)",
     ("operators/clustering.py",
      'F.collect_list("s"), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)'):
         "partition-bounded: <= one k x dim partial-sum row per Arrow batch "
@@ -454,4 +458,10 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row total-distortion scalar (q176)",
     ("queries/similarity.py", "vecs.crossJoin(F.broadcast(probes))"):
         "8-row fixed probe set: hard-negative mining scoring side (q213)",
+    ("queries/similarity.py", 'cand = sig.join(F.broadcast(pb), "bucket").filter('):
+        "45-row probe-bucket key set (5 probes x 9 multi-probe buckets, "
+        "fixed by construction — q220)",
+    ("queries/similarity.py", 'sig.crossJoin(F.broadcast(probes.select("probe_id", "pv")))'):
+        "5-row fixed probe set: brute-force truth side of the recall "
+        "audit (q220)",
 }

@@ -521,6 +521,49 @@ _Q101_QUANT = """
 """
 
 
+def _hyperplane_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, bucket): every embedding with its 8-bit hyperplane-sign
+    signature — the shared bucketing pass behind q101 (pair generation) and
+    q220 (multi-probe search). Quantize + hyperplane-sign run in one
+    vectorized Arrow pass: the int8 codes and integer matmul make bucket
+    bits exact (associative integer sums), unlike a float dot whose
+    summation order varies by engine."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import spread
+
+    # single-file fixture parquet is unsplittable — fan out before the
+    # CPU-bound signature stage (no-op on a properly partitioned table)
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+
+    planes_t = np.array(_PLANES, dtype=np.int64).T  # (dim, planes)
+
+    def bucketize(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (n, dim)
+            mn = m.min(axis=1, keepdims=True)
+            mx = m.max(axis=1, keepdims=True)
+            # floor(x + 0.5), NOT np.round: numpy rounds half-to-even while
+            # DuckDB round() and Spark F.round (q88) round half away from
+            # zero; the scaled values are nonnegative, so floor(x + 0.5)
+            # reproduces both exactly at .5 midpoints.
+            q = np.floor((m - mn) / ((mx - mn) / 255.0) + 0.5).astype(np.int64) - 128
+            bits = (q @ planes_t) > 0  # integer matmul: exact, order-free
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": list(m),
+                    "bucket": ["".join("1" if b else "0" for b in row) for row in bits],
+                }
+            )
+            yield out
+
+    return emb.mapInPandas(
+        bucketize, schema="vec_id bigint, v array<double>, bucket string"
+    )
+
+
 @register(
     "q101_hyperplane_lsh",
     oracle=f"""
@@ -545,47 +588,15 @@ def q101_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     choices make it portable AND scale-safe: (1) the hyperplane dots run on
     the int8-quantized codes (q88) in pure INTEGER arithmetic — associative,
     so one numpy matmul per Arrow batch produces bit-identical buckets to
-    any evaluation order in any engine; (2) per-bucket pair scoring is one
-    BLAS matmul via applyInPandas (a join-per-pair formulation would grind
-    through interpreted lambdas per candidate — see q71); (3) ~2^8 buckets
+    any evaluation order in any engine (the shared ``_hyperplane_sig_df``
+    pass); (2) per-bucket pair scoring is one BLAS matmul via
+    applyInPandas (a join-per-pair formulation would grind through
+    interpreted lambdas per candidate — see q71); (3) ~2^8 buckets
     bound the shuffle, and AQE splits hot buckets. Top-20 pairs by cosine."""
     import numpy as np
     import pandas as pd
 
-    from ..operators.dedup import spread
-
-    # single-file fixture parquet is unsplittable — fan out before the
-    # CPU-bound signature stage (no-op on a properly partitioned table)
-    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-
-    planes_t = np.array(_PLANES, dtype=np.int64).T  # (dim, planes)
-
-    def bucketize(batches):
-        # quantize + hyperplane-sign in one vectorized pass: the int8 codes
-        # and integer matmul make bucket bits exact (associative integer
-        # sums), unlike a float dot whose summation order varies by engine
-        for pdf in batches:
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (n, dim)
-            mn = m.min(axis=1, keepdims=True)
-            mx = m.max(axis=1, keepdims=True)
-            # floor(x + 0.5), NOT np.round: numpy rounds half-to-even while
-            # DuckDB round() and Spark F.round (q88) round half away from
-            # zero; the scaled values are nonnegative, so floor(x + 0.5)
-            # reproduces both exactly at .5 midpoints.
-            q = np.floor((m - mn) / ((mx - mn) / 255.0) + 0.5).astype(np.int64) - 128
-            bits = (q @ planes_t) > 0  # integer matmul: exact, order-free
-            out = pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "v": list(m),
-                    "bucket": ["".join("1" if b else "0" for b in row) for row in bits],
-                }
-            )
-            yield out
-
-    sig = emb.mapInPandas(
-        bucketize, schema="vec_id bigint, v array<double>, bucket string"
-    )
+    sig = _hyperplane_sig_df(spark, sf_dir)
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -1838,6 +1849,182 @@ def q213_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             neg_cos.alias("neg_cos"),
             F.round(pos_cos - neg_cos, 6).alias("margin"),
             (pos_cos < neg_cos).alias("confusable"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+# --- q220: multi-probe hyperplane LSH ----------------------------------------
+
+_MP_PROBES = 5  # fixed probe set: vec_id < 5 — bounded regardless of corpus
+_MP_K = 5       # top-k per probe
+
+
+@register(
+    "q220_multiprobe_lsh",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, v, {_Q101_BUCKET_SQL} AS bucket
+      FROM ({_Q101_QUANT})
+    ),
+    p AS (SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket
+          FROM sig WHERE vec_id < {_MP_PROBES}),
+    pb AS (
+      SELECT probe_id, pv,
+             CASE WHEN j = 0 THEN pbucket
+                  ELSE substr(pbucket, 1, j - 1)
+                       || (CASE substr(pbucket, j, 1) WHEN '1' THEN '0' ELSE '1' END)
+                       || substr(pbucket, j + 1)
+             END AS bucket
+      FROM p, (SELECT unnest(range(0, {_N_PLANES} + 1)) AS j)
+    ),
+    cand AS (
+      SELECT probe_id, pv, s.vec_id, s.v
+      FROM pb JOIN sig s USING (bucket)
+      WHERE s.vec_id <> probe_id
+    ),
+    scored AS (
+      SELECT probe_id, vec_id,
+             round(list_dot_product(v, pv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 6)
+               AS cos
+      FROM cand
+    ),
+    ar AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos DESC, vec_id ASC) AS rn FROM scored),
+    truth AS (
+      SELECT p.probe_id, s.vec_id,
+             round(list_dot_product(s.v, p.pv)
+                   / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6)
+               AS cos
+      FROM p, sig s WHERE s.vec_id <> p.probe_id
+    ),
+    tr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos DESC, vec_id ASC) AS rn FROM truth),
+    nc AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_candidates
+           FROM cand GROUP BY probe_id),
+    a5 AS (SELECT probe_id,
+                  array_to_string(list(vec_id ORDER BY rn), ',') AS approx_ids
+           FROM ar WHERE rn <= {_MP_K} GROUP BY probe_id),
+    hits AS (
+      SELECT a.probe_id, CAST(count(*) AS BIGINT) AS h
+      FROM (SELECT probe_id, vec_id FROM ar WHERE rn <= {_MP_K}) a
+      JOIN (SELECT probe_id, vec_id FROM tr WHERE rn <= {_MP_K}) t
+        USING (probe_id, vec_id)
+      GROUP BY a.probe_id
+    )
+    SELECT p.probe_id,
+           COALESCE(nc.n_candidates, 0) AS n_candidates,
+           COALESCE(a5.approx_ids, '') AS approx_ids,
+           round(COALESCE(hits.h, 0) / CAST({_MP_K} AS DOUBLE), 4) AS recall_at_{_MP_K}
+    FROM p
+    LEFT JOIN nc USING (probe_id)
+    LEFT JOIN a5 USING (probe_id)
+    LEFT JOIN hits USING (probe_id)
+    ORDER BY probe_id
+    """,
+)
+def q220_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al.): instead of paying more hash
+    tables for recall, each probe searches its OWN bucket plus the
+    {_N_PLANES} Hamming-1 neighbor buckets (the signatures most likely to
+    hold near neighbors that fell on the other side of one hyperplane) —
+    9 bounded bucket lookups against the ONE signature table q101 already
+    maintains. The audit reports, per probe, the candidate volume the
+    probe sequence touched and exact recall@{_MP_K} against the brute-force
+    truth — the single-table-vs-multi-probe trade a vector-store operator
+    tunes.
+
+    Scale posture: the probe set is fixed ({_MP_PROBES} x 9 bucket keys,
+    broadcast); candidates come from equi-joining those keys against the
+    signature table (bucket-bounded, never a scan of vector pairs); exact
+    scoring and the rank windows run on O(candidates) rows partitioned by
+    probe. The brute-force truth side is the audit's own cost (|corpus| x
+    {_MP_PROBES} map-side rows, the q70/q213 shape) — production runs only
+    the probe side."""
+    from pyspark.sql.window import Window
+
+    sig = _hyperplane_sig_df(spark, sf_dir)
+    probes = sig.filter(F.col("vec_id") < _MP_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("bucket").alias("pbucket"),
+    )
+
+    def flip(j: int):  # 1-based bit position
+        flipped = F.when(
+            F.substring("pbucket", j, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        return F.concat(
+            F.substring("pbucket", 1, j - 1),
+            flipped,
+            F.substring("pbucket", j + 1, _N_PLANES - j),
+        )
+
+    variants = F.array(F.col("pbucket"), *[flip(j) for j in range(1, _N_PLANES + 1)])
+    pb = probes.select(
+        "probe_id", "pv", F.explode(variants).alias("bucket")
+    )
+    cand = sig.join(F.broadcast(pb), "bucket").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cand.select(
+        "probe_id",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos"),
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    ar = scored.withColumn("rn", F.row_number().over(wr))
+    truth = (
+        sig.crossJoin(F.broadcast(probes.select("probe_id", "pv")))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    nc = cand.groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    a5 = (
+        ar.filter(F.col("rn") <= _MP_K)
+        .groupBy("probe_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "vec_id"))),
+                    lambda s: s["vec_id"].cast("string"),
+                ),
+            ).alias("approx_ids")
+        )
+    )
+    hits = (
+        ar.filter(F.col("rn") <= _MP_K)
+        .select("probe_id", "vec_id")
+        .join(
+            truth.filter(F.col("rn") <= _MP_K).select("probe_id", "vec_id"),
+            ["probe_id", "vec_id"],
+        )
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+    )
+    return (
+        probes.select("probe_id")
+        .join(nc, "probe_id", "left")
+        .join(a5, "probe_id", "left")
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("approx_ids", F.lit("")).alias("approx_ids"),
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(_MP_K)), 4
+            ).alias(f"recall_at_{_MP_K}"),
         )
         .orderBy("probe_id")
     )
