@@ -2492,7 +2492,12 @@ def q217_incremental_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is how a standing index absorbs a daily crawl batch:
     touch only delta terms' rows, never re-shuffle the base corpus —
     the delta-side work is O(delta postings), and the join ships index
-    ROWS (term, counts, 20-id head), not documents.
+    ROWS (term, counts, 20-id head), not documents. Here the BASE partial
+    index is recomputed from the raw fixture (there is no persisted state
+    in a query), which prices both sides for the oracle comparison;
+    ``streaming.run_incremental_index`` is the production form — the base
+    side reads the STORED index partitions and only delta-term buckets
+    are rewritten per batch.
 
     Scale posture: both partial builds share q109's one-Exchange shape
     (rank window + group-by on the term hash partitioning, head bounded

@@ -15,8 +15,12 @@ from .pipeline import (
     dedup_stream,
     drift_monitor_stream,
     rate_limit_stream,
+    merge_partial_indexes,
+    read_document_stream,
     read_event_stream,
+    read_index_state,
     read_pending_state,
+    run_incremental_index,
     rollup_stream,
     route_events,
     run_prioritized_carryover,
@@ -39,8 +43,12 @@ __all__ = [
     "dedup_stream",
     "drift_monitor_stream",
     "rate_limit_stream",
+    "merge_partial_indexes",
+    "read_document_stream",
     "read_event_stream",
+    "read_index_state",
     "read_pending_state",
+    "run_incremental_index",
     "rollup_stream",
     "route_events",
     "run_prioritized_carryover",

@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -587,51 +588,102 @@ def _state_fs(spark: SparkSession, path: str):
     )
 
 
-def _band_versions(spark: SparkSession, pending_dir: str) -> dict[int, list[int]]:
-    """{priority band -> sorted state versions present} from the
-    band=B/state_version=N directory layout, via the Hadoop FS API."""
-    fs, Path = _state_fs(spark, pending_dir)
-    root = Path(pending_dir)
-    if not fs.exists(root):
-        return {}
-    out: dict[int, list[int]] = {}
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not name.startswith("band="):
-            continue
-        vers = sorted(
-            int(s.getPath().getName().split("=", 1)[1])
-            for s in fs.listStatus(st.getPath())
-            if s.getPath().getName().startswith("state_version=")
+class VersionedStateTable:
+    """Partitioned, versioned parquet state for foreachBatch sinks:
+    ``root/<part_key>=<P>/state_version=<N>`` holds partition P's state
+    after the last batch <= N that touched it. The contract every consumer
+    (queue backlog, standing index) relies on:
+
+      - a trigger rewrites ONLY the partitions it touched — per-trigger
+        write cost is O(touched state), not O(total state);
+      - a replay of batch N reads each partition's newest version < N
+        (pruning keeps it until a later batch supersedes it), so the
+        crash window between sink write and checkpoint commit is
+        idempotent for any deterministic sink;
+      - discovery and pruning go through the Hadoop FS API, so the state
+        dir works on local disk, HDFS, or S3A alike.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, schema, part_key: str):
+        self.spark = spark
+        self.root = root
+        self.schema = schema
+        self.part_key = part_key
+
+    def _part_dir(self, part, version: int) -> str:
+        return os.path.join(
+            self.root, f"{self.part_key}={part}", f"state_version={version}"
         )
-        if vers:
-            out[int(name.split("=", 1)[1])] = vers
-    return out
+
+    def versions(self) -> dict[str, list[int]]:
+        """{partition token -> sorted versions present}, via Hadoop FS."""
+        fs, Path = _state_fs(self.spark, self.root)
+        root = Path(self.root)
+        if not fs.exists(root):
+            return {}
+        out: dict[str, list[int]] = {}
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith(f"{self.part_key}="):
+                continue
+            vers = sorted(
+                int(s.getPath().getName().split("=", 1)[1])
+                for s in fs.listStatus(st.getPath())
+                if s.getPath().getName().startswith("state_version=")
+            )
+            if vers:
+                out[name.split("=", 1)[1]] = vers
+        return out
+
+    def read_latest(self, before_batch: int | None = None) -> DataFrame:
+        """The table as of a batch boundary: per partition, its latest
+        state_version (< before_batch if given), unioned. Empty-schema
+        DataFrame when no state exists yet."""
+        parts = []
+        for tok, vers in self.versions().items():
+            use = [v for v in vers if before_batch is None or v < before_batch]
+            if use:
+                parts.append(
+                    self.spark.read.schema(self.schema).parquet(
+                        self._part_dir(tok, use[-1])
+                    )
+                )
+        if not parts:
+            return self.spark.createDataFrame([], self.schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def overwrite_parts(self, df: DataFrame, part_col, touched, batch_id: int) -> None:
+        """Write batch_id's version of each touched partition (and only
+        those). `touched` is bounded by construction at every call site
+        (priority codomain, 16 hex term buckets)."""
+        for part in sorted(touched):
+            df.filter(part_col == part).write.mode("overwrite").parquet(
+                self._part_dir(part, batch_id)
+            )
+
+    def prune(self, batch_id: int) -> None:
+        """Per partition: a replay of batch N needs only the newest
+        version <= N-1; keep that and anything newer, drop the rest."""
+        fs, Path = _state_fs(self.spark, self.root)
+        for tok, vers in self.versions().items():
+            prior = [v for v in vers if v <= batch_id - 1]
+            keep = set(prior[-1:]) | {v for v in vers if v >= batch_id}
+            for v in vers:
+                if v not in keep:
+                    fs.delete(Path(self._part_dir(tok, v)), True)
 
 
 def read_pending_state(
     spark: SparkSession, pending_dir: str, before_batch: int | None = None
 ) -> DataFrame:
-    """The backlog as of a batch boundary: per priority band, the latest
-    state_version (< before_batch if given), unioned. Empty-schema
-    DataFrame when no state exists yet."""
-    parts = []
-    for band, vers in _band_versions(spark, pending_dir).items():
-        use = [v for v in vers if before_batch is None or v < before_batch]
-        if use:
-            parts.append(
-                spark.read.schema(ROUTED_SCHEMA).parquet(
-                    os.path.join(
-                        pending_dir, f"band={band}", f"state_version={use[-1]}"
-                    )
-                )
-            )
-    if not parts:
-        return spark.createDataFrame([], ROUTED_SCHEMA)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """The carryover backlog as of a batch boundary (the band-partitioned
+    VersionedStateTable read)."""
+    return VersionedStateTable(spark, pending_dir, ROUTED_SCHEMA, "band").read_latest(
+        before_batch
+    )
 
 
 def run_prioritized_carryover(
@@ -677,7 +729,8 @@ def run_prioritized_carryover(
 
     def sink(arrivals: DataFrame, batch_id: int) -> None:
         sess = arrivals.sparkSession
-        carry = read_pending_state(sess, pending_dir, before_batch=batch_id)
+        state = VersionedStateTable(sess, pending_dir, ROUTED_SCHEMA, "band")
+        carry = state.read_latest(before_batch=batch_id)
         avail = arrivals.unionByName(carry)
         # (priority, created_at, id) is a TOTAL order (id unique), so the
         # served set is deterministic — a replay picks the same rows
@@ -710,30 +763,8 @@ def run_prioritized_carryover(
             .partitionBy("batch_id")
             .parquet(processed_dir)
         )
-        for band in sorted(touched):
-            rest.filter(band_of == band).write.mode("overwrite").parquet(
-                os.path.join(
-                    pending_dir, f"band={band}", f"state_version={batch_id}"
-                )
-            )
-        # prune: per band, a replay of batch N needs only the newest
-        # version <= N-1; keep that and anything newer, drop the rest
-        fs, Path = _state_fs(sess, pending_dir)
-        for band, vers in _band_versions(sess, pending_dir).items():
-            prior = [v for v in vers if v <= batch_id - 1]
-            keep = set(prior[-1:]) | {v for v in vers if v >= batch_id}
-            for v in vers:
-                if v not in keep:
-                    fs.delete(
-                        Path(
-                            os.path.join(
-                                pending_dir,
-                                f"band={band}",
-                                f"state_version={v}",
-                            )
-                        ),
-                        True,
-                    )
+        state.overwrite_parts(rest, band_of, touched, batch_id)
+        state.prune(batch_id)
 
     stream = route_events(read_event_stream(spark, source_dir))
     q = (
@@ -803,3 +834,132 @@ def batch_type_chi2(current: DataFrame, reference: DataFrame) -> DataFrame:
         .otherwise(F.sum("term").over(w2) > crit)
         .alias("drifted"),
     )
+
+
+# --- incremental inverted-index maintenance ----------------------------------
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+INDEX_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("df", LongType()),
+        StructField("cf", LongType()),
+        StructField("head", ArrayType(LongType())),
+        StructField("tbucket", StringType()),
+    ]
+)
+
+_INDEX_HEAD_K = 20
+
+
+def read_document_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File-source stream over documents-shaped parquet — the crawl-batch
+    arrival feed for the standing index."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def merge_partial_indexes(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """q217's merge on (term, df, cf, head-array) rows: df/cf add over
+    disjoint doc sets; the merged posting head is sort(concat)[:k] — exact
+    because a min-k head is a mergeable summary. Returns rows with the
+    term's hex bucket recomputed (the index table's partition key)."""
+    b = base.select(
+        "term",
+        F.col("df").alias("df_b"),
+        F.col("cf").alias("cf_b"),
+        F.col("head").alias("head_b"),
+    )
+    d = delta.select(
+        "term",
+        F.col("df").alias("df_d"),
+        F.col("cf").alias("cf_d"),
+        F.col("head").alias("head_d"),
+    )
+    empty = F.array().cast("array<bigint>")
+    head = F.slice(
+        F.sort_array(
+            F.concat(
+                F.coalesce(F.col("head_b"), empty),
+                F.coalesce(F.col("head_d"), empty),
+            )
+        ),
+        1,
+        _INDEX_HEAD_K,
+    )
+    return b.join(d, "term", "full_outer").select(
+        "term",
+        (F.coalesce(F.col("df_b"), F.lit(0)) + F.coalesce(F.col("df_d"), F.lit(0)))
+        .cast("bigint")
+        .alias("df"),
+        (F.coalesce(F.col("cf_b"), F.lit(0)) + F.coalesce(F.col("cf_d"), F.lit(0)))
+        .cast("bigint")
+        .alias("cf"),
+        head.alias("head"),
+        F.substring(F.md5("term"), 1, 1).alias("tbucket"),
+    )
+
+
+def read_index_state(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The standing index's current state (term, df, cf, head, tbucket)."""
+    return VersionedStateTable(spark, index_dir, INDEX_SCHEMA, "tbucket").read_latest()
+
+
+def run_incremental_index(
+    spark: SparkSession, source_dir: str, index_dir: str, checkpoint_dir: str
+) -> None:
+    """Standing inverted index maintained incrementally from a document
+    stream — the production form of q217's merge==rebuild contract: each
+    micro-batch builds the DELTA's partial index (O(batch postings)),
+    reads only the 16-way term-bucket partitions its terms touch from the
+    VersionedStateTable, full-outer-merges index ROWS (term, counts,
+    min-{_INDEX_HEAD_K} head — never documents), and rewrites just those
+    buckets at the batch's version. The base corpus is never re-read and
+    untouched buckets are never rewritten.
+
+    Restart idempotence is the state table's contract: a replay re-reads
+    each bucket's newest version < N and deterministically rewrites its
+    own output. Equality with a from-scratch rebuild after every batch is
+    pinned in tests (merge==rebuild, the q126/q217 discipline)."""
+    from ..queries.corpus import _partial_index
+
+    def sink(docs: DataFrame, batch_id: int) -> None:
+        sess = docs.sparkSession
+        state = VersionedStateTable(sess, index_dir, INDEX_SCHEMA, "tbucket")
+        delta = _partial_index(docs).withColumn(
+            "tbucket", F.substring(F.md5("term"), 1, 1)
+        )
+        touched = {
+            r["tbucket"] for r in delta.select("tbucket").distinct().collect()
+        }  # <= 16 hex buckets — bounded by construction
+        if not touched:
+            state.prune(batch_id)
+            return
+        prior = state.read_latest(before_batch=batch_id).filter(
+            F.col("tbucket").isin(*touched)
+        )
+        merged = merge_partial_indexes(prior, delta)
+        state.overwrite_parts(merged, F.col("tbucket"), touched, batch_id)
+        state.prune(batch_id)
+
+    q = (
+        read_document_stream(spark, source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "inc_index"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

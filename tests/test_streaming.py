@@ -983,3 +983,124 @@ def test_batch_type_chi2_kernel(spark, stream_src):
     )
     # the streaming fixture IS the sf fixture's events table re-chunked
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def _mk_doc_batch(spark, tmp_path, src, batch, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "doc_stage"))
+    import glob as g
+    import shutil
+
+    part = g.glob(str(tmp_path / "doc_stage" / "part-*.parquet"))[0]
+    shutil.move(part, str(src / f"batch_{batch}.parquet"))
+
+
+def _index_rows(df):
+    return sorted(
+        (r["term"], r["df"], r["cf"], tuple(r["head"]))
+        for r in df.select("term", "df", "cf", "head").collect()
+    )
+
+
+def test_incremental_index_matches_full_rebuild(spark, tmp_path):
+    """The standing index after N micro-batches must equal a from-scratch
+    build over all documents seen (merge==rebuild through REPEATED merges,
+    not just one): term df/cf totals and the min-20 posting heads are
+    value-compared. Terms deliberately recur across batches so the merge
+    path (not just the insert path) is exercised."""
+    from hive_backend_spark.queries.corpus import _partial_index
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(i, "alpha beta gamma shared", "en", "s0", 10) for i in range(30)],
+        [(100 + i, "beta delta shared epsilon", "en", "s1", 10) for i in range(30)],
+        [(200 + i, "alpha zeta shared", "de", "s0", 10) for i in range(30)],
+    ]
+    for b, rows in enumerate(batches):
+        _mk_doc_batch(spark, tmp_path, src, b, rows)
+
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    S.run_incremental_index(spark, src.as_posix(), idx, ckpt)
+
+    got = _index_rows(S.read_index_state(spark, idx))
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    want = _index_rows(_partial_index(all_docs))
+    assert got == want
+    # the min-20 head really truncates (df > 20 for the shared term)
+    by_term = {t: (d, c, h) for t, d, c, h in got}
+    assert by_term["shared"][0] == 90 and len(by_term["shared"][2]) == 20
+    assert by_term["shared"][2] == tuple(range(20))  # 20 smallest doc_ids
+
+
+def test_incremental_index_replay_after_crash_is_idempotent(spark, tmp_path):
+    """Crash between index write and checkpoint commit: the replayed batch
+    re-reads each touched bucket's newest version < N and rewrites exactly
+    its own output — the final index is unchanged."""
+    from hive_backend_spark.queries.corpus import _partial_index
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(i, "alpha beta gamma", "en", "s0", 10) for i in range(10)],
+        [(100 + i, "beta delta", "en", "s1", 10) for i in range(10)],
+    ]
+    for b, rows in enumerate(batches):
+        _mk_doc_batch(spark, tmp_path, src, b, rows)
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    S.run_incremental_index(spark, src.as_posix(), idx, ckpt)
+    before = _index_rows(S.read_index_state(spark, idx))
+
+    commits = os.path.join(ckpt, "inc_index", "commits")
+    last = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    S.run_incremental_index(spark, src.as_posix(), idx, ckpt)
+    after = _index_rows(S.read_index_state(spark, idx))
+    assert after == before
+
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert after == _index_rows(_partial_index(all_docs))
+
+
+def test_incremental_index_untouched_bucket_not_rewritten(spark, tmp_path):
+    """A term bucket none of a batch's terms hash into keeps its OLD
+    state_version directory — the O(touched state) write contract. Batch 1
+    reuses exactly batch 0's vocabulary subset, so only those terms'
+    buckets are rewritten."""
+    import hashlib
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # vocab chosen so batch 1's term buckets are a strict subset
+    v0 = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    b0 = {hashlib.md5(t.encode()).hexdigest()[0] for t in v0}
+    only_b1 = ["alpha"]
+    b1 = {hashlib.md5(t.encode()).hexdigest()[0] for t in only_b1}
+    assert b1 < b0  # strict subset: some bucket is untouched in batch 1
+    _mk_doc_batch(spark, tmp_path, src, 0, [(1, " ".join(v0), "en", "s0", 9)])
+    _mk_doc_batch(spark, tmp_path, src, 1, [(2, "alpha alpha", "en", "s0", 9)])
+    idx = str(tmp_path / "index")
+    S.run_incremental_index(spark, src.as_posix(), idx, str(tmp_path / "ckpt"))
+
+    for tok in sorted(b0):
+        vers = sorted(os.listdir(os.path.join(idx, f"tbucket={tok}")))
+        if tok in b1:
+            # rewritten at batch 1; version 0 stays until a LATER batch
+            # supersedes it (a replay of batch 1 still reads it)
+            assert vers == ["state_version=0", "state_version=1"], (tok, vers)
+        else:
+            assert vers == ["state_version=0"], (tok, vers)  # never rewritten
