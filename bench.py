@@ -180,6 +180,7 @@ HEADLINE = [
     "q217_incremental_index_merge",
     "q218_small_group_census",
     "q220_multiprobe_lsh",
+    "q221_point_in_time_join",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -285,3 +285,88 @@ def q188_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --- q221: point-in-time (temporal) join -------------------------------------
+
+
+@register(
+    "q221_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS attr_value,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type <> 'error'
+    ),
+    pit AS (
+      SELECT e.event_id, d.attr_value,
+             epoch_ms(e.ts) - epoch_ms(d.valid_from) AS ms_into_state
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN dim d
+        ON d.user_id = e.user_id
+       AND d.valid_from <= e.ts
+       AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    )
+    SELECT attr_value,
+           CAST(count(*) AS BIGINT) AS n_errors,
+           round(avg(ms_into_state), 2) AS avg_ms_into_state,
+           CAST(max(ms_into_state) AS BIGINT) AS max_ms_into_state
+    FROM pit GROUP BY attr_value ORDER BY attr_value NULLS FIRST
+    """,
+)
+def q221_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the feature-store staple: each
+    label event (errors) is enriched with the dimension value that was
+    VALID AT ITS TIMESTAMP, never a later one (the leakage a naive
+    latest-value join commits). The dimension is the SCD2 interval table
+    q129 builds, here from the user's non-error activity; the join
+    predicate is the half-open containment valid_from <= ts < valid_to,
+    so a label landing exactly on a state change matches only the NEW
+    state and zero-length intervals (two changes at one timestamp) can
+    never match — deterministic in both engines. Errors before a user's
+    first state survive the left join as the NULL-state row (the
+    cold-start bucket a feature pipeline must count, not drop). Report:
+    per state, error volume and how far into the state errors land.
+
+    Scale posture: both sides shuffle once on user_id (the interval
+    window and the join share the key); the range predicate rides the
+    equi-join as a filter — the q39 bounded-interval shape; the rollup is
+    keyed by the bounded state dimension."""
+    events = load_table(spark, sf_dir, "events")
+    # lead orders by the oracle's exact (ts, event_id) total order over the
+    # FILTERED change stream, so interval bounds agree engine-for-engine
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        events.filter(F.col("event_type") != "error")
+        .select("user_id", "event_id", F.col("event_type").alias("attr_value"), "ts")
+        .select(
+            "user_id",
+            "attr_value",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    errs = events.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = errs.join(
+        dim,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("valid_from") <= F.col("e_ts"))
+        & (F.col("valid_to").isNull() | (F.col("e_ts") < F.col("valid_to"))),
+        "left",
+    )
+    ms_into = F.unix_millis(F.col("e_ts")) - F.unix_millis(F.col("valid_from"))
+    return (
+        joined.select("attr_value", ms_into.alias("ms_into_state"))
+        .groupBy("attr_value")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+            F.round(F.avg("ms_into_state"), 2).alias("avg_ms_into_state"),
+            F.max("ms_into_state").cast("bigint").alias("max_ms_into_state"),
+        )
+        .orderBy(F.col("attr_value").asc_nulls_first())
+    )
