@@ -181,6 +181,7 @@ HEADLINE = [
     "q218_small_group_census",
     "q220_multiprobe_lsh",
     "q221_point_in_time_join",
+    "q222_prefix_filter_join",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -1977,3 +1977,144 @@ def q214_cluster_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("cluster_id")
     )
+
+
+# --- q222: prefix-filtered exact similarity join -----------------------------
+
+# Shingle-set Jaccard threshold for the exact similarity join — the same
+# 3-gram sets and tau the LSH verify stage (q68) scores, so this operator is
+# the exact-recall ground truth for that pipeline. Prefix length for a set
+# of size s is s - ceil(tau*s) + 1 under the global rarest-first order: any
+# pair with J >= tau has overlap o >= tau*max(|A|,|B|), so a true pair's
+# common shingles cannot all hide in either suffix — each side's prefix
+# holds at least one element of the OTHER side's full set. Candidates come
+# from joining prefix shingles against full posting lists; because prefixes
+# hold the RAREST shingles (df mostly 1 — shingles are near-unique outside
+# real near-dups), the join is tiny (AllPairs, Bayardo et al. 2007).
+# SHINGLE sets, not token sets: on a small shared vocabulary token-set
+# Jaccard degenerates (nearly every pair clears 0.5 and the true output is
+# a corpus-sized clique); 3-gram shingles keep the output the actual
+# near-dup pairs.
+_PFX_TAU = 0.5
+
+
+@register(
+    "q222_prefix_filter_join",
+    oracle=f"""
+    WITH reps AS (
+      SELECT md5(text) AS fp, text, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY md5(text), text
+    ),
+    sh AS (
+      SELECT fp, n_docs,
+             list_distinct(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text),'\\s+')) - 1, 1)),
+               i -> concat_ws(' ', regexp_split_to_array(trim(text),'\\s+')[i],
+                              regexp_split_to_array(trim(text),'\\s+')[i+1],
+                              regexp_split_to_array(trim(text),'\\s+')[i+2]))) AS tok
+      FROM reps
+    ),
+    post AS (SELECT fp, unnest(tok) AS token FROM sh),
+    cand AS (
+      SELECT a.fp AS fp_a, b.fp AS fp_b
+      FROM post a JOIN post b ON a.token = b.token AND a.fp < b.fp
+      GROUP BY a.fp, b.fp
+    )
+    SELECT fp_a, fp_b,
+           round(CAST(len(list_intersect(x.tok, y.tok)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.tok, y.tok))), 6) AS jaccard,
+           x.n_docs AS n_docs_a, y.n_docs AS n_docs_b,
+           x.n_docs * y.n_docs AS n_doc_pairs
+    FROM cand JOIN sh x ON x.fp = fp_a JOIN sh y ON y.fp = fp_b
+    WHERE CAST(len(list_intersect(x.tok, y.tok)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.tok, y.tok))) >= {_PFX_TAU}
+    ORDER BY fp_a, fp_b
+    """,
+)
+def q222_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (3-gram shingle Jaccard >=
+    {_PFX_TAU}) via prefix filtering — the AllPairs discipline, the
+    exact-guarantee complement to MinHash-LSH: q67 trades false negatives
+    for speed and q168 SAMPLES recall; this returns EVERY qualifying pair,
+    with the pruning coming from a theorem instead of a hash, so it is
+    the full-recall ground truth for the banded pipeline at the exact
+    q68 similarity (same shingle sets, same tau). Each distinct text
+    emits only its first s - ceil(tau*s) + 1 shingles (global
+    rarest-first order) as probes; candidates are probe x full-posting
+    joins. A qualifying pair's overlap is >= tau*max(|A|,|B|), so its
+    common shingles cannot all sit in a suffix — completeness is
+    guaranteed, verified by the oracle's naive any-shared-shingle form
+    and a hypothesis property vs a quadratic all-pairs scan. Exact
+    Jaccard then verifies candidates (O(candidates) array math).
+
+    The relation is FINGERPRINT-grained (the round-6 exact-dup collapse
+    discipline): byte-identical documents share shingle sets, so a
+    boilerplate flood would make a doc-grained output quadratic in copy
+    count while adding zero information — each row carries both sides'
+    member counts and the implied doc-pair mass instead; within-
+    fingerprint (identical) mass is q64's exact-dup surface.
+
+    Scale posture: the join key is always a PREFIX shingle — rarest
+    first, df mostly 1 outside genuine near-dup families — so hot posting
+    lists never join; candidate volume is bounded by rare-shingle df x
+    posting length, and AQE splits whatever skew remains. The global
+    order is a df aggregation joined back; ranks partition by
+    fingerprint."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    members, rep_texts = D.collapse_exact(docs, "doc_id")
+    counts = members.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    # Arrow-batched shingles (the q68 form), not the column expression: the
+    # higher-order transform evaluates interpreted per shingle and this
+    # relation is read by three plan branches (postings + both verify sides)
+    reps = rep_texts.select(
+        "fp", D.shingles_udf()(F.col("text")).alias("tok")
+    ).join(counts, "fp")
+    post = reps.select(
+        "fp", F.size("tok").alias("s"), F.explode("tok").alias("token")
+    )
+    df_ = post.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
+    wd = Window.partitionBy("fp").orderBy("tdf", "token")
+    ranked = post.join(df_, "token").withColumn("rk", F.row_number().over(wd))
+    prefix_len = F.col("s") - F.ceil(F.lit(_PFX_TAU) * F.col("s")) + 1
+    probes = ranked.filter(F.col("rk") <= prefix_len).select("token", "fp")
+    full = post.select("token", F.col("fp").alias("fp_o"))
+    cand = (
+        probes.join(full, "token")
+        .filter(F.col("fp") != F.col("fp_o"))
+        .select(
+            F.least("fp", "fp_o").alias("fp_a"),
+            F.greatest("fp", "fp_o").alias("fp_b"),
+        )
+        .distinct()
+    )
+    x = reps.select(
+        F.col("fp").alias("fp_a"),
+        F.col("tok").alias("tok_a"),
+        F.col("n_docs").alias("n_docs_a"),
+    )
+    y = reps.select(
+        F.col("fp").alias("fp_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("n_docs").alias("n_docs_b"),
+    )
+    j = (
+        F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+        / F.size(F.array_union("tok_a", "tok_b"))
+    )
+    return (
+        cand.join(x, "fp_a")
+        .join(y, "fp_b")
+        .filter(j >= _PFX_TAU)
+        .select(
+            "fp_a",
+            "fp_b",
+            F.round(j, 6).alias("jaccard"),
+            "n_docs_a",
+            "n_docs_b",
+            (F.col("n_docs_a") * F.col("n_docs_b")).alias("n_doc_pairs"),
+        )
+        .orderBy("fp_a", "fp_b")
+    )

@@ -923,3 +923,71 @@ def test_q212_cdc_census_matches_python_ground_truth(spark, tmp_path):
     # the shared paragraph really is detected across sources despite the
     # different offsets — the property fixed-width chunking would miss
     assert want["s0"][3] > 0 and want["s1"][3] > 0
+
+
+# --- prefix-filtered similarity join vs quadratic all-pairs ------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_join_is_complete_and_exact(spark, tmp_path_factory, docs):
+    """The AllPairs completeness theorem, adversarially: on random short
+    docs over a 4-token vocabulary (dense shingle collisions, repeated and
+    byte-identical docs, sub-shingle-length docs — the worst cases for a
+    pruning bug) the prefix-filtered join must return EXACTLY the pairs a
+    quadratic all-pairs scan finds at the same threshold — no false
+    negative may slip through the prefix pruning, and exact-duplicate
+    groups must collapse to one fingerprint row with the right doc mass."""
+    from hive_backend_spark.queries.dedup import (
+        _PFX_TAU,
+        q222_prefix_filter_join,
+    )
+
+    rows = [
+        (i, " ".join(toks), "en", "s0", len(toks)) for i, toks in enumerate(docs)
+    ]
+    d = tmp_path_factory.mktemp("pfx")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {
+        (r["fp_a"], r["fp_b"]): (
+            r["jaccard"],
+            r["n_docs_a"],
+            r["n_docs_b"],
+            r["n_doc_pairs"],
+        )
+        for r in q222_prefix_filter_join(spark, str(d)).collect()
+    }
+
+    def sh(text: str) -> frozenset:
+        toks = text.split()
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+
+    by_text = {}
+    for _i, text, _l, _s, _n in rows:
+        by_text[text] = by_text.get(text, 0) + 1
+    items = sorted(
+        (hashlib.md5(text.encode()).hexdigest(), sh(text), k)
+        for text, k in by_text.items()
+    )
+    want = {}
+    for a in range(len(items)):
+        for b in range(a + 1, len(items)):
+            fa, sa, ka = items[a]
+            fb, sb, kb = items[b]
+            if not (sa | sb):
+                continue  # two sub-shingle docs: no similarity defined
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= _PFX_TAU:
+                want[(fa, fb)] = (round(jac, 6), ka, kb, ka * kb)
+    assert got == want
