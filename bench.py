@@ -179,6 +179,7 @@ HEADLINE = [
     "q216_sampled_dedup_estimate",
     "q217_incremental_index_merge",
     "q218_small_group_census",
+    "q219_dsir_importance",
     "q220_multiprobe_lsh",
     "q221_point_in_time_join",
     "q222_prefix_filter_join",

@@ -181,6 +181,10 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
 # same way as the broadcast allowlist: every `collect_list(` call site in the
 # library must appear here with its recorded bound.
 COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("queries/sampling.py",
+     'F.collect_list(F.struct("b", "v"))  # <= B=256 bucket pairs'):
+        "codomain-bounded: <= 256 (bucket, contribution) pairs per doc — "
+        "the 2-hex-char md5 bucket codomain (q219 DSIR ordered fold)",
     ("queries/similarity.py",
      "F.array_sort(F.collect_list(F.struct(F.col(\"pos\"), F.col(\"m\")))),"):
         "dim-bounded: 64 (pos, mean) pairs per centroid row (_ivf_centroids)",
@@ -334,6 +338,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "quality score's codomain), value-bounded dimension (q144)",
     ("queries/sampling.py", ".crossJoin(F.broadcast(tot))"):
         "1-row corpus-count scalar: ntile boundary ranks (q144)",
+    ("queries/sampling.py", ".crossJoin(F.broadcast(tots))"):
+        "1-row token-total scalar pair: DSIR smoothing denominators "
+        "(q219; re-aggregated from the B-bounded bucket census)",
     ("queries/sessions.py", ".crossJoin(F.broadcast(k))"):
         "1-row event-type-count scalar: uniform baseline (q188)",
     ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):

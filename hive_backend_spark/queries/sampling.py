@@ -467,3 +467,163 @@ def q161_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "straddling_clusters, leaked_docs)"
         )
     ).orderBy("split_rule")
+
+
+# q219 (DSIR): hashed-feature importance weighting. B=256 buckets (the
+# 2-hex-char md5 codomain) keeps BOTH feature distributions constant-size
+# model state; the published method uses ~10k hashed n-gram buckets — at
+# 100 TB you widen the prefix (nchars=3 -> 4096, 4 -> 65536), still a
+# bounded dimension, never corpus-coupled. k=0.5 Jeffreys smoothing keeps
+# never-seen-in-target buckets finite.
+_DSIR_B = 256
+_DSIR_SMOOTH = 0.5
+_DSIR_TOPK = 100
+_DSIR_TARGET = "src0"
+
+
+@register(
+    "q219_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tb AS (SELECT doc_id, source, substr(md5(term), 1, 2) AS bucket FROM tok),
+    allc AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS c_all FROM tb GROUP BY bucket
+    ),
+    tgtc AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS c_tgt
+      FROM tb WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
+    ),
+    tots AS (
+      SELECT (SELECT SUM(c_all) FROM allc) AS n_all,
+             (SELECT COALESCE(SUM(c_tgt), 0) FROM tgtc) AS n_tgt
+    ),
+    lr AS (
+      SELECT a.bucket,
+             ln((COALESCE(t.c_tgt, 0) + {_DSIR_SMOOTH})
+                / (n_tgt + {_DSIR_SMOOTH} * {_DSIR_B}))
+           - ln((a.c_all + {_DSIR_SMOOTH})
+                / (n_all + {_DSIR_SMOOTH} * {_DSIR_B})) AS lr
+      FROM allc a LEFT JOIN tgtc t USING (bucket), tots
+    ),
+    d AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM tb GROUP BY doc_id, bucket
+    ),
+    s AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.n) AS BIGINT) AS n_tokens,
+             list_sort(list(struct_pack(b := d.bucket, v := d.n * lr.lr)))
+               AS terms
+      FROM d JOIN lr USING (bucket)
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(list_sum(list_transform(terms, x -> x.v)), 4) AS log_weight
+    FROM s
+    ORDER BY log_weight DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def q219_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, public): score every document by how much more likely its
+    hashed-token feature vector is under a TARGET domain's distribution
+    (here source='src0') than under the raw corpus's, then keep the
+    top-k. log w(d) = sum_b n_{d,b} * [ln p_tgt(b) - ln p_raw(b)] with
+    add-0.5 smoothing over B=256 md5-prefix buckets. This is the standard
+    cheap proxy for "select pretraining data that looks like the target"
+    and the piece the registry lacked between q151's perplexity filter
+    (fluency) and q114's unigram divergence (corpus-level only — no
+    per-document selection).
+
+    Scale posture: feature hashing caps BOTH distributions at B buckets —
+    constant-size model state independent of corpus size (the published
+    method's whole point). Token bucketing is map-side arithmetic riding
+    the scan; the two global bucket censuses are B-bounded HashAggregates;
+    the log-ratio table (<= B rows) joins the per-doc bucket counts PLAIN
+    so AQE broadcasts it; the only explicit broadcast is the 1-row totals
+    scalar. Per-doc scoring folds the <= B (bucket, contribution) pairs in
+    bucket order (sort_array), so the floating-point sum matches the
+    oracle's list-order fold exactly. Selection is TakeOrderedAndProject
+    top-{_DSIR_TOPK} on (rounded weight desc, doc_id) — no global sort
+    materialization. Reference: no selection surface (SURVEY §7 Phase-3
+    extension alongside q75/q76's hash sampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tb = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.substring(F.md5("term"), 1, 2).alias("bucket"),
+        )
+    )
+    # ONE tokenize pass: the (doc_id, source, bucket) census is the sole
+    # corpus-sized aggregation (source is functionally dependent on doc_id,
+    # so adding it costs nothing). Both global distributions AND the 1-row
+    # totals re-aggregate the census's exchange — Spark's ReuseExchange
+    # dedupes the identical subtrees, so the corpus is scanned and hashed
+    # exactly once (verified in the formatted plan: one documents scan).
+    d = tb.groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cen = d.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("c_all"),
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("c_tgt"),
+    )
+    tots = cen.agg(
+        F.sum("c_all").alias("n_all"), F.sum("c_tgt").alias("n_tgt")
+    )
+    lr = (
+        cen
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("c_tgt") + F.lit(_DSIR_SMOOTH))
+                    / (F.col("n_tgt") + F.lit(_DSIR_SMOOTH * _DSIR_B))
+                )
+                - F.log(
+                    (F.col("c_all") + F.lit(_DSIR_SMOOTH))
+                    / (F.col("n_all") + F.lit(_DSIR_SMOOTH * _DSIR_B))
+                )
+            ).alias("lr"),
+        )
+    )
+    s = (
+        d.join(lr, "bucket")
+        .select(
+            "doc_id",
+            "n",
+            F.col("bucket").alias("b"),
+            (F.col("n") * F.col("lr")).alias("v"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sort_array(
+                F.collect_list(F.struct("b", "v"))  # <= B=256 bucket pairs
+            ).alias("terms"),
+        )
+    )
+    return (
+        s.select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.expr("aggregate(terms, 0D, (acc, x) -> acc + x.v)"), 4
+            ).alias("log_weight"),
+        )
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+    )

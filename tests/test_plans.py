@@ -405,6 +405,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q213_hard_negative_mining",  # 8-row fixed probe set vs corpus
         "q215_epoch_repeat_schedule",  # 1-row budget-totals scalar
         "q216_sampled_dedup_estimate",  # 1-row sample-stats scalar
+        "q219_dsir_importance",  # 1-row token-total smoothing denominators
         "q220_multiprobe_lsh",  # 5-row probe set truth side + 45-key bucket probe
     }
     offenders = {}
