@@ -183,6 +183,9 @@ HEADLINE = [
     "q220_multiprobe_lsh",
     "q221_point_in_time_join",
     "q222_prefix_filter_join",
+    "q223_neyman_allocation",
+    "q224_feature_mi_ranking",
+    "q225_dedup_growth_curve",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -145,6 +145,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
         "the rank windows",
     "q208_watermark_lag_audit":
         "256-row chunk-head prior-max table (two-level prefix max, level 2)",
+    "q225_dedup_growth_curve":
+        "10-row decile frame: running sums over the fixed decile dimension "
+        "(growth-curve cumulative counts)",
 }
 
 # --- explicit-broadcast invariant -------------------------------------------
@@ -341,6 +344,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/sampling.py", ".crossJoin(F.broadcast(tots))"):
         "1-row token-total scalar pair: DSIR smoothing denominators "
         "(q219; re-aggregated from the B-bounded bucket census)",
+    ("queries/sampling.py", "strata.crossJoin(F.broadcast(den))"):
+        "1-row allocation-denominator scalar: sum of N_h*S_h over the "
+        "|sources|-row strata table (q223 Neyman allocation)",
     ("queries/sessions.py", ".crossJoin(F.broadcast(k))"):
         "1-row event-type-count scalar: uniform baseline (q188)",
     ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):

@@ -10,7 +10,7 @@ bit-for-bit computation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -2141,3 +2141,110 @@ def q222_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fp_a", "fp_b")
     )
+
+
+# --- q225: duplication growth curve ------------------------------------------
+
+
+@register(
+    "q225_dedup_growth_curve",
+    oracle="""
+    WITH d AS (
+      SELECT md5(text) AS fp,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) * 10 // 256 AS decile
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY decile
+    ),
+    firsts AS (SELECT fp, min(decile) AS first_decile FROM d GROUP BY fp),
+    per_new AS (
+      SELECT first_decile AS decile, CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY first_decile
+    ),
+    curve AS (
+      SELECT p.decile, p.n_docs, COALESCE(n.n_new, 0) AS n_new,
+             SUM(p.n_docs) OVER w AS cum_docs,
+             SUM(COALESCE(n.n_new, 0)) OVER w AS cum_distinct
+      FROM per_doc p LEFT JOIN per_new n ON p.decile = n.decile
+      WINDOW w AS (ORDER BY p.decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile, n_docs, n_new,
+           CAST(cum_docs AS BIGINT) AS cum_docs,
+           CAST(cum_distinct AS BIGINT) AS cum_distinct,
+           round(1.0 - CAST(n_new AS DOUBLE) / n_docs, 6)
+             AS marginal_dup_rate,
+           round(1.0 - CAST(cum_distinct AS DOUBLE) / cum_docs, 6)
+             AS cum_dup_rate
+    FROM curve
+    ORDER BY decile
+    """,
+)
+def q225_dedup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication growth curve: how the exact-duplicate rate scales with
+    corpus size. Docs are assigned to 10 hash-order deciles of md5(doc_id)
+    — a deterministic stand-in for "the order the corpus was collected" —
+    and each distinct text is charged to the FIRST decile it appears in,
+    so the cumulative rows replay dedup over every 10%-growth prefix in a
+    single pass instead of 10 scans. A marginal rate that climbs with
+    prefix size is the planning signal that duplication grows
+    superlinearly (shared boilerplate accumulating cross-source) and dedup
+    capacity must be provisioned ahead of corpus growth.
+
+    Scale posture: two corpus-sized HashAggregates, both digest-keyed
+    (32-char md5 shuffle keys, map-side combined): docs-per-decile and
+    min-decile-per-fingerprint. Everything downstream — the left join,
+    the running sums, the rates — operates on the 10-row decile frame
+    (the unpartitioned windows are allowlisted with that bound). The
+    corpus text is never moved, only its digest. Determinism: decile
+    arithmetic is exact integer hex math, identical in both engines
+    (q75's idiom); counts are bigints; rates are exact-ratio rounding.
+    Reference: no dedup surface — §7 Phase-3 extension beside q216's
+    sampled estimator (this is the exact, prefix-resolved curve)."""
+    docs = load_table(spark, sf_dir, "documents")
+    decile = F.floor(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+        ).cast("bigint")
+        * 10
+        / 256
+    ).alias("decile")
+    d = docs.select(F.md5("text").alias("fp"), decile)
+    per_doc = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    per_new = (
+        d.groupBy("fp")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = (
+        per_doc.join(per_new, "decile", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .select(
+            "decile",
+            "n_docs",
+            "n_new",
+            F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+            F.sum("n_new").over(w).cast("bigint").alias("cum_distinct"),
+        )
+    )
+    return curve.select(
+        "decile",
+        "n_docs",
+        "n_new",
+        "cum_docs",
+        "cum_distinct",
+        F.round(1.0 - F.col("n_new").cast("double") / F.col("n_docs"), 6)
+        .alias("marginal_dup_rate"),
+        F.round(
+            1.0 - F.col("cum_distinct").cast("double") / F.col("cum_docs"), 6
+        ).alias("cum_dup_rate"),
+    ).orderBy("decile")

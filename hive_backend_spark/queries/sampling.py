@@ -627,3 +627,79 @@ def q219_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("log_weight").desc(), "doc_id")
         .limit(_DSIR_TOPK)
     )
+
+
+# q223: Neyman (minimum-variance) stratified allocation. Budget in docs;
+# the variable whose population mean the sample must estimate is document
+# length (the token-budget proxy). Classic survey-sampling result: for a
+# fixed total n, allocating n_h proportional to N_h * S_h minimizes the
+# variance of the stratified mean estimator (Neyman 1934, public).
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "q223_neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             COALESCE(stddev_pop(n_chars), 0.0) AS sd
+      FROM documents GROUP BY source
+    ),
+    den AS (
+      SELECT SUM(n_docs * sd) AS w_total, SUM(n_docs) AS n_total FROM strata
+    )
+    SELECT source, n_docs,
+           round(sd, 4) AS sd_chars,
+           round({_NEYMAN_BUDGET} * n_docs * sd / w_total, 2) AS neyman_alloc,
+           round({_NEYMAN_BUDGET} * n_docs / n_total, 2) AS prop_alloc,
+           round({_NEYMAN_BUDGET} * sd / w_total, 6) AS neyman_rate
+    FROM strata, den
+    ORDER BY source
+    """,
+)
+def q223_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-variance stratified sample design: given a fixed labeling /
+    eval budget of {_NEYMAN_BUDGET} docs, allocate to each source stratum
+    in proportion to N_h * S_h (stratum size x within-stratum length
+    stddev) — the Neyman allocation, which beats proportional allocation
+    exactly where strata have unequal spread (a source of uniform
+    boilerplate needs few probes; a high-variance scrape needs many).
+    Emitted next to the proportional allocation so the planner sees the
+    delta, plus the per-stratum sampling rate to feed q76-style hash
+    thresholds.
+
+    Scale posture: one map-side-combined HashAggregate over the corpus
+    (count + stddev_pop moments, constant state per stratum), then all
+    arithmetic on the |sources|-row table with a 1-row denominator scalar
+    attached by broadcast. Nothing else shuffles; the corpus is scanned
+    once, projecting only (source, n_chars). Determinism: both engines
+    compute textbook population stddev from exact integers; ratios are
+    rounded well above summation-order residue. Reference: no sampling
+    surface (SURVEY §2.4 A5 absent) — §7 Phase-3 extension beside q76's
+    rate-based and q167's budget-capped allocation."""
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.stddev_pop("n_chars"), F.lit(0.0)).alias("sd"),
+    )
+    den = strata.agg(
+        F.sum(F.col("n_docs") * F.col("sd")).alias("w_total"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    b = F.lit(_NEYMAN_BUDGET)
+    return (
+        strata.crossJoin(F.broadcast(den))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("sd"), 4).alias("sd_chars"),
+            F.round(b * F.col("n_docs") * F.col("sd") / F.col("w_total"), 2)
+            .alias("neyman_alloc"),
+            F.round(b * F.col("n_docs") / F.col("n_total"), 2)
+            .alias("prop_alloc"),
+            F.round(b * F.col("sd") / F.col("w_total"), 6)
+            .alias("neyman_rate"),
+        )
+        .orderBy("source")
+    )

@@ -370,3 +370,131 @@ def q221_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("attr_value").asc_nulls_first())
     )
+
+
+# q224: mutual-information feature ranking. Outcome = high-value event
+# (value >= the fixed literal below — a constant, not a data-dependent
+# percentile, so the label is reshuffle- and engine-stable). Features are
+# bounded-cardinality categoricals: event type (5), hour of day (24),
+# user hash-bucket (16).
+_MI_HI_VALUE = 100.0
+
+
+@register(
+    "q224_feature_mi_ranking",
+    oracle=f"""
+    WITH f AS (
+      SELECT 'event_type' AS feature, event_type AS level,
+             CASE WHEN value >= {_MI_HI_VALUE} THEN 1 ELSE 0 END AS hi
+      FROM events
+      UNION ALL
+      SELECT 'hour_of_day', CAST(hour(ts) AS VARCHAR),
+             CASE WHEN value >= {_MI_HI_VALUE} THEN 1 ELSE 0 END
+      FROM events
+      UNION ALL
+      SELECT 'user_bucket', CAST(user_id % 16 AS VARCHAR),
+             CASE WHEN value >= {_MI_HI_VALUE} THEN 1 ELSE 0 END
+      FROM events
+    ),
+    j AS (
+      SELECT feature, level, hi, CAST(count(*) AS BIGINT) AS c
+      FROM f GROUP BY feature, level, hi
+    ),
+    x AS (SELECT feature, level, SUM(c) AS cx FROM j GROUP BY feature, level),
+    y AS (SELECT feature, hi, SUM(c) AS cy FROM j GROUP BY feature, hi),
+    t AS (SELECT feature, SUM(c) AS n FROM j GROUP BY feature),
+    mi AS (
+      SELECT j.feature,
+             SUM((CAST(c AS DOUBLE) / n)
+                 * log2((CAST(c AS DOUBLE) * n)
+                        / (CAST(cx AS DOUBLE) * cy))) AS mi_bits
+      FROM j JOIN x USING (feature, level) JOIN y USING (feature, hi)
+             JOIN t USING (feature)
+      GROUP BY j.feature
+    ),
+    h AS (
+      SELECT x.feature,
+             CAST(count(*) AS BIGINT) AS n_levels,
+             SUM(-(CAST(cx AS DOUBLE) / n) * log2(CAST(cx AS DOUBLE) / n))
+               AS h_bits
+      FROM x JOIN t USING (feature)
+      GROUP BY x.feature
+    )
+    SELECT feature, n_levels,
+           round(h_bits, 6) AS h_feature_bits,
+           round(mi_bits, 6) AS mi_bits
+    FROM mi JOIN h USING (feature)
+    ORDER BY mi_bits DESC, feature
+    """,
+)
+def q224_feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking: I(feature; high-value outcome)
+    in bits for each candidate categorical feature, beside the feature's
+    own entropy — the standard filter-method feature selection step before
+    training a value model on event streams, and the audit that catches a
+    feature leaking the label (MI ~ H(outcome)) or carrying nothing
+    (MI ~ 0). Complements q162's Pearson audit (linear, numeric-numeric)
+    with the information-theoretic categorical form and q148's PMI (which
+    scores individual co-occurrences, not whole features).
+
+    Scale posture: the corpus-sized work is ONE pass — stack() fans each
+    event into its 3 (feature, level) framings map-side (no shuffle,
+    rides the scan), then a single HashAggregate onto the bounded
+    contingency frame (<= (5+24+16) levels x 2 outcomes = 90 cells).
+    Marginals, totals, MI and entropy are all re-aggregations of that
+    90-row table; AQE broadcasts every join. Determinism: counts are
+    exact bigints; the <= 48-term float sums are rounded at 1e-6, orders
+    of magnitude above summation-order residue. Reference: no feature
+    surface — §7 Phase-3 extension (SURVEY §2.9's value stream is the
+    input)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.selectExpr(
+        "stack(3, "
+        "'event_type', event_type, "
+        "'hour_of_day', cast(hour(ts) as string), "
+        "'user_bucket', cast(pmod(user_id, 16) as string)"
+        ") as (feature, level)",
+        f"cast(value >= {_MI_HI_VALUE} as int) as hi",
+    )
+    j = f.groupBy("feature", "level", "hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    x = j.groupBy("feature", "level").agg(F.sum("c").alias("cx"))
+    y = j.groupBy("feature", "hi").agg(F.sum("c").alias("cy"))
+    t = j.groupBy("feature").agg(F.sum("c").alias("n"))
+    mi = (
+        j.join(x, ["feature", "level"])
+        .join(y, ["feature", "hi"])
+        .join(t, ["feature"])
+        .groupBy("feature")
+        .agg(
+            F.sum(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log2(
+                    F.col("c").cast("double") * F.col("n")
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+            ).alias("mi_bits")
+        )
+    )
+    h = (
+        x.join(t, ["feature"])
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_levels"),
+            F.sum(
+                -(F.col("cx").cast("double") / F.col("n"))
+                * F.log2(F.col("cx").cast("double") / F.col("n"))
+            ).alias("h_bits"),
+        )
+    )
+    return (
+        mi.join(h, ["feature"])
+        .select(
+            "feature",
+            "n_levels",
+            F.round("h_bits", 6).alias("h_feature_bits"),
+            F.round("mi_bits", 6).alias("mi_bits"),
+        )
+        .orderBy(F.col("mi_bits").desc(), "feature")
+    )
