@@ -186,6 +186,7 @@ HEADLINE = [
     "q223_neyman_allocation",
     "q224_feature_mi_ranking",
     "q225_dedup_growth_curve",
+    "q226_rendezvous_resharding",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

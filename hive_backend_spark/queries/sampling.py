@@ -703,3 +703,153 @@ def q223_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# q226: resharding stability. N -> N+1 shard growth under two assignment
+# functions. Rendezvous (highest-random-weight) hashing moves only the
+# ~1/(N+1) of keys whose new shard's weight beats all old ones (Thaler &
+# Ravishankar 1996, public); mod-N rehashing moves ~N/(N+1) of the corpus.
+_HRW_N = 8
+
+
+def _hrw_weight_spark(s: int) -> F.Column:
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(str(s)))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _hrw_weight_sql(s: int) -> str:
+    return (
+        "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), "
+        f"'|', '{s}')), 1, 12)) AS BIGINT)"
+    )
+
+
+def _argmax_sql(n: int) -> str:
+    """First-index argmax over w0..w{n-1} as a CASE chain — the same
+    greatest()+first-match tie-break the Spark side uses, so both engines
+    agree even on (astronomically unlikely) 48-bit weight ties."""
+    gm = "greatest(" + ", ".join(f"w{s}" for s in range(n)) + ")"
+    cases = " ".join(f"WHEN w{s} = {gm} THEN {s}" for s in range(n))
+    return f"CASE {cases} END"
+
+
+@register(
+    "q226_rendezvous_resharding",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             {", ".join(f"{_hrw_weight_sql(s)} AS w{s}" for s in range(_HRW_N + 1))},
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS hm
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id,
+             {_argmax_sql(_HRW_N)} AS hrw_old,
+             {_argmax_sql(_HRW_N + 1)} AS hrw_new,
+             hm % {_HRW_N} AS mod_old,
+             hm % {_HRW_N + 1} AS mod_new
+      FROM w
+    ),
+    f AS (
+      SELECT 'rendezvous' AS strategy, hrw_old AS shard_old,
+             CASE WHEN hrw_new <> hrw_old THEN 1 ELSE 0 END AS moved
+      FROM a
+      UNION ALL
+      SELECT 'mod_n', mod_old,
+             CASE WHEN mod_new <> mod_old THEN 1 ELSE 0 END
+      FROM a
+    ),
+    loads AS (
+      SELECT strategy, shard_old, CAST(count(*) AS BIGINT) AS load,
+             CAST(SUM(moved) AS BIGINT) AS moved
+      FROM f GROUP BY strategy, shard_old
+    )
+    SELECT strategy,
+           CAST(SUM(load) AS BIGINT) AS n_docs,
+           CAST(SUM(moved) AS BIGINT) AS n_moved,
+           round(CAST(SUM(moved) AS DOUBLE) / SUM(load), 6) AS moved_frac,
+           round(1.0 / {_HRW_N + 1}, 6) AS hrw_expected_frac,
+           MAX(load) AS max_shard_load,
+           MIN(load) AS min_shard_load
+    FROM loads
+    GROUP BY strategy
+    ORDER BY strategy
+    """,
+)
+def q226_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding-stability audit: grow the shard count {_HRW_N} ->
+    {_HRW_N + 1} and measure, per assignment strategy, how much of the
+    corpus MOVES. Rendezvous (highest-random-weight) hashing reassigns
+    only the keys the new shard now wins (~1/{_HRW_N + 1} of the corpus);
+    naive mod-N rehashing reassigns ~{_HRW_N}/{_HRW_N + 1}. At 100 TB the
+    difference is re-moving ~11 TB versus ~89 TB on every capacity step —
+    the audit a storage planner runs before picking the placement
+    function, alongside each strategy's load balance (max/min shard
+    occupancy at N={_HRW_N}). Complements q152/q177 (which size and audit
+    a FIXED sharding) with the growth dimension.
+
+    Determinism: weights are 48-bit md5 prefixes (exact in doubles and
+    bigints), identical hex arithmetic in both engines; the argmax
+    tie-breaks first-index via the same greatest()+first-match chain in
+    both. Scale posture: per-doc weight computation is pure map-side
+    column arithmetic riding the scan — {_HRW_N + 1} digests per row, no
+    shuffle, no per-row state; the only exchange is the final
+    HashAggregate onto the 2x{_HRW_N}-row (strategy, shard) frame.
+    Reference: no sharding surface — §7 Phase-3 extension."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = docs.select(
+        "doc_id",
+        *[_hrw_weight_spark(s).alias(f"w{s}") for s in range(_HRW_N + 1)],
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        )
+        .cast("bigint")
+        .alias("hm"),
+    )
+
+    def argmax(n: int) -> F.Column:
+        gm = F.greatest(*[F.col(f"w{s}") for s in range(n)])
+        expr = F.when(F.col("w0") == gm, F.lit(0))
+        for s in range(1, n):
+            expr = expr.when(F.col(f"w{s}") == gm, F.lit(s))
+        return expr
+
+    a = w.select(
+        "doc_id",
+        argmax(_HRW_N).alias("hrw_old"),
+        argmax(_HRW_N + 1).alias("hrw_new"),
+        F.pmod("hm", F.lit(_HRW_N)).alias("mod_old"),
+        F.pmod("hm", F.lit(_HRW_N + 1)).alias("mod_new"),
+    )
+    f = a.selectExpr(
+        "stack(2, "
+        "'rendezvous', cast(hrw_old as int), cast(hrw_new <> hrw_old as int), "
+        "'mod_n', cast(mod_old as int), cast(mod_new <> mod_old as int)"
+        ") as (strategy, shard_old, moved)"
+    )
+    loads = f.groupBy("strategy", "shard_old").agg(
+        F.count(F.lit(1)).cast("bigint").alias("load"),
+        F.sum("moved").cast("bigint").alias("moved"),
+    )
+    return (
+        loads.groupBy("strategy")
+        .agg(
+            F.sum("load").cast("bigint").alias("n_docs"),
+            F.sum("moved").cast("bigint").alias("n_moved"),
+            F.round(
+                F.sum("moved").cast("double") / F.sum("load"), 6
+            ).alias("moved_frac"),
+            F.round(F.lit(1.0 / (_HRW_N + 1)), 6).alias("hrw_expected_frac"),
+            F.max("load").alias("max_shard_load"),
+            F.min("load").alias("min_shard_load"),
+        )
+        .orderBy("strategy")
+    )
