@@ -187,6 +187,8 @@ HEADLINE = [
     "q224_feature_mi_ranking",
     "q225_dedup_growth_curve",
     "q226_rendezvous_resharding",
+    "q227_kcore_decomposition",
+    "q228_filter_interaction_census",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -215,6 +217,7 @@ SHARES_BAND_CACHE = [
     "q203_dedup_weighted_mass",
     "q211_lsh_band_planner",
     "q214_cluster_transitivity_audit",
+    "q227_kcore_decomposition",
 ]
 
 

@@ -301,6 +301,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row caught-pair count scalar (q168 audit report)",
     ("queries/dedup.py", "per.crossJoin(F.broadcast(g))"):
         "1-row shard balance stats scalar (q177)",
+    ("queries/text.py", "cells.crossJoin(F.broadcast(tot))"):
+        "1-row corpus-total scalar re-aggregated from the <=16-row "
+        "signature frame (q228 interaction census doc_share)",
     ("queries/text.py", ".crossJoin(F.broadcast(n_docs))"):
         "1-row corpus count scalar for idf (q84)",
     ("queries/text.py", 'train.join(F.broadcast(eval_fps), "fp")  # bounded: eval benchmark side'):

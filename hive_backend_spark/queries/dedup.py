@@ -2248,3 +2248,110 @@ def q225_dedup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("cum_distinct").cast("double") / F.col("cum_docs"), 6
         ).alias("cum_dup_rate"),
     ).orderBy("decile")
+
+
+# --- q227: k-core decomposition of the near-dup graph -------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core peeling in DuckDB SQL: adj_0 is the symmetrized
+    fp-level candidate graph; round r+1 keeps edges whose BOTH endpoints
+    had degree >= k in round r. Recursive CTEs can't express peeling (the
+    recursive term would need two references to the shrinking set), so
+    the fixed rounds are unrolled — matching the Spark side's bounded
+    loop exactly. Every CTE is MATERIALIZED: DuckDB inlines CTEs by
+    default, and adj_{r+1} references adj_r three times, so inlining
+    expands the chain 3^r-fold (minutes at round 4; materialized, it's
+    milliseconds)."""
+    ctes = [
+        f"""cand AS MATERIALIZED (
+      SELECT a.fp AS fp_a, b.fp AS fp_b
+      FROM ({_ORACLE_FP_BANDS}) a JOIN ({_ORACLE_FP_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.fp < b.fp
+      WHERE a.band_sig IS NOT NULL
+      GROUP BY a.fp, b.fp
+    )""",
+        "adj0 AS MATERIALIZED (SELECT fp_a AS u, fp_b AS v FROM cand"
+        " UNION ALL SELECT fp_b, fp_a FROM cand)",
+    ]
+    for r in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT u FROM adj{r} GROUP BY u"
+            f" HAVING count(*) >= {_KCORE_K})"
+        )
+        ctes.append(
+            f"adj{r + 1} AS MATERIALIZED (SELECT a.u, a.v FROM adj{r} a"
+            f" JOIN s{r} x ON a.u = x.u JOIN s{r} y ON a.v = y.u)"
+        )
+    rows = [
+        f"SELECT {r} AS round,"
+        f" CAST(count(DISTINCT u) AS BIGINT) AS n_nodes,"
+        f" CAST(count(*) // 2 AS BIGINT) AS n_edges FROM adj{r}"
+        for r in range(_KCORE_ROUNDS + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + " UNION ALL ".join(rows) + " ORDER BY round"
+    )
+
+
+@register("q227_kcore_decomposition", oracle=_kcore_oracle())
+def q227_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core peeling census over the near-dup candidate graph:
+    repeatedly remove fingerprints with fewer than {_KCORE_K} near-dup
+    partners and report (nodes, edges) after each of {_KCORE_ROUNDS}
+    peeling rounds. The surviving core is the DENSE template-family
+    structure — pairs and chains (the long tail of incidental similarity)
+    peel away, while boilerplate families (every member similar to every
+    other) survive — which is what separates "delete one of a pair"
+    dedup policy from "collapse the whole family" policy. Complements
+    q79 (components: any connectivity), q130 (triangles: local density)
+    and q214 (transitivity) with the global density stratification;
+    monotone shrinkage means round {_KCORE_ROUNDS}'s census equals the
+    true {_KCORE_K}-core once two consecutive rounds agree.
+
+    Scale posture: the graph is FINGERPRINT-grained (exact-dup collapse —
+    a K-copy flood is one node, so cliques of byte-identical docs never
+    inflate the core) with the per-bucket candidate ceiling upstream (cap
+    above sf0.01 populations, so the oracle omits it). Each round is one
+    degree HashAggregate plus two semi-joins on 32-char digests — the
+    standard distributed peeling round, {_KCORE_ROUNDS} bounded rounds,
+    state only (u, v) digest pairs. The DuckDB oracle unrolls the same
+    rounds, so the iterative stage is value-checked round by round."""
+    pairs = _fp_pairs(spark, sf_dir).select("fp_a", "fp_b")
+    adj = pairs.select(
+        F.col("fp_a").alias("u"), F.col("fp_b").alias("v")
+    ).unionAll(pairs.select(F.col("fp_b").alias("u"), F.col("fp_a").alias("v")))
+
+    def census(a: DataFrame, r: int) -> DataFrame:
+        return a.agg(
+            F.lit(r).alias("round"),
+            F.countDistinct("u").cast("bigint").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        ).select("round", "n_nodes", "n_edges")
+
+    # Each round's adjacency is lazily localCheckpoint'ed (the q123
+    # pagerank discipline): round r+1 and BOTH census branches over round
+    # r then read one materialized table instead of re-executing the
+    # whole peeling chain — without this, branch r re-runs rounds 0..r-1
+    # and the unioned plan re-executes the chain quadratically.
+    out = census(adj, 0)
+    cur = adj.localCheckpoint(eager=False)
+    for r in range(_KCORE_ROUNDS):
+        surv = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("u")
+        )
+        cur = (
+            cur.join(surv, "u", "left_semi")
+            .join(surv.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(census(cur, r + 1))
+    return out.orderBy("round")

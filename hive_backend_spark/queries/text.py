@@ -3164,3 +3164,105 @@ def q218_small_group_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q228: filter-rule interaction census ------------------------------------
+
+
+@register(
+    "q228_filter_interaction_census",
+    oracle=f"""
+    WITH f AS (
+      SELECT len(tok) AS n,
+             len(list_filter(tok, x -> list_contains({list(STOPWORDS)!r}::VARCHAR[], x)))
+               / CAST(len(tok) AS DOUBLE) AS stopr,
+             len(list_distinct(tok)) / CAST(len(tok) AS DOUBLE) AS distr
+      FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS tok FROM documents)
+    ),
+    sig AS (
+      SELECT n,
+             CASE WHEN n < {_CASCADE_MIN_TOKENS} THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN n > {_CASCADE_MAX_TOKENS} THEN 1 ELSE 0 END AS f_long,
+             CASE WHEN stopr < {_CASCADE_STOP_FLOOR} THEN 1 ELSE 0 END
+               AS f_lowstop,
+             CASE WHEN distr < {_CASCADE_DISTINCT_FLOOR} THEN 1 ELSE 0 END
+               AS f_lowdistinct
+      FROM f
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sig)
+    SELECT f_short * 8 + f_long * 4 + f_lowstop * 2 + f_lowdistinct
+             AS signature,
+           f_short, f_long, f_lowstop, f_lowdistinct,
+           f_short + f_long + f_lowstop + f_lowdistinct AS n_rules_failed,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           round(count(*) / CAST(n_total AS DOUBLE), 6) AS doc_share
+    FROM sig, tot
+    GROUP BY f_short, f_long, f_lowstop, f_lowdistinct, n_total
+    ORDER BY signature
+    """,
+)
+def q228_filter_interaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-rule INTERACTION census: apply q210's four structural
+    cleaning rules independently (not cumulatively) and group the corpus
+    by its 4-bit failure signature — which rule combinations co-fire, and
+    on how much of the corpus. q210's sequential funnel can't distinguish
+    "rule 3 would have caught everything rule 4 catches" from "rules 3
+    and 4 fire on disjoint docs"; the signature grid does, and is exactly
+    the evidence for dropping a redundant rule (its failure mass is
+    entirely inside another rule's signatures) or re-ordering the cascade
+    (put the rule with the largest SOLO-failure mass first so the
+    expensive later stages see fewer docs).
+
+    Scale posture: flags are one map-side pass of per-doc array
+    arithmetic riding the scan; the census is a single HashAggregate
+    onto the <= 16-row signature frame (the 2^4 codomain), with the
+    corpus-total scalar re-aggregated from the same frame. Determinism:
+    flags derive from exact integer counts and integer-ratio doubles —
+    identical comparisons in both engines; shares rounded at 1e-6.
+    Reference: no filtering surface — §7 Phase-3 extension beside q210
+    (sequential funnel) and q62 (the score these rules gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    stopr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n.cast("double")
+    distr = F.size(F.array_distinct(toks)) / n.cast("double")
+    sig = docs.select(
+        n.alias("n"),
+        (n < _CASCADE_MIN_TOKENS).cast("int").alias("f_short"),
+        (n > _CASCADE_MAX_TOKENS).cast("int").alias("f_long"),
+        (stopr < _CASCADE_STOP_FLOOR).cast("int").alias("f_lowstop"),
+        (distr < _CASCADE_DISTINCT_FLOOR).cast("int").alias("f_lowdistinct"),
+    )
+    cells = sig.groupBy("f_short", "f_long", "f_lowstop", "f_lowdistinct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("sum_tokens"),
+    )
+    tot = cells.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("f_short") * 8
+                + F.col("f_long") * 4
+                + F.col("f_lowstop") * 2
+                + F.col("f_lowdistinct")
+            ).alias("signature"),
+            "f_short",
+            "f_long",
+            "f_lowstop",
+            "f_lowdistinct",
+            (
+                F.col("f_short")
+                + F.col("f_long")
+                + F.col("f_lowstop")
+                + F.col("f_lowdistinct")
+            ).alias("n_rules_failed"),
+            "n_docs",
+            "sum_tokens",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_total"), 6
+            ).alias("doc_share"),
+        )
+        .orderBy("signature")
+    )
