@@ -189,6 +189,7 @@ HEADLINE = [
     "q226_rendezvous_resharding",
     "q227_kcore_decomposition",
     "q228_filter_interaction_census",
+    "q229_join_cardinality_estimate",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

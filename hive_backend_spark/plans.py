@@ -273,6 +273,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "upsert delta batch: bounded by the write batch, not the table",
     ("operators/skew.py", 'salted_big.join(F.broadcast(replicated), [key, "__salt"]).drop("__salt")'):
         "salted-join small side: replicated dim, small by the operator's contract",
+    ("queries/relational.py", "return exact.crossJoin(F.broadcast(est)).select("):
+        "1-row sampled-estimator scalar attached to the 1-row exact fold "
+        "(q229 join-cardinality estimate-beside-exact)",
     ("queries/relational.py", '.join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))'):
         "customer dim enrich (q13)",
     ("queries/relational.py",

@@ -1489,3 +1489,98 @@ def q192_sketch_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rel_err <= 0.05).alias("union_within_bound"),
         (merged == whole).alias("merge_consistent"),
     )
+
+
+# --- q229: sampled join-cardinality estimation --------------------------------
+
+# Bernoulli rate for the estimator: md5(event_id) 2-hex prefix < '40' ->
+# p = 64/256 = 1/4 (exact binary fraction: every arithmetic step below is
+# IEEE-exact in both engines until the final sums).
+_JCE_P = 64.0 / 256.0
+
+
+@register(
+    "q229_join_cardinality_estimate",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+      GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS m FROM events
+      WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'
+      GROUP BY user_id
+    ),
+    exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs,
+             CAST(MAX(c * c) AS BIGINT) AS top_key_pairs,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM c
+    ),
+    est AS (
+      SELECT SUM(m * (m - 1) / ({_JCE_P} * {_JCE_P}) + m / {_JCE_P})
+               AS est_pairs,
+             CAST(SUM(m) AS BIGINT) AS n_sampled
+      FROM s
+    )
+    SELECT exact_pairs, n_keys,
+           round(CAST(top_key_pairs AS DOUBLE) / exact_pairs, 6)
+             AS top_key_share,
+           n_sampled,
+           round(est_pairs, 2) AS est_pairs,
+           round(est_pairs / exact_pairs, 6) AS est_ratio
+    FROM exact, est
+    """,
+)
+def q229_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based join-cardinality estimation — the optimizer statistic
+    that decides shuffle-vs-broadcast and partition counts before running
+    a many-to-many join. The self-join size on a key is sum_k c(k)^2; the
+    audit computes it EXACTLY from the per-key census and beside it the
+    UNBIASED estimate from a 1/4 Bernoulli hash sample (E[m(m-1)] =
+    p^2 c(c-1) and E[m] = p c, so sum m(m-1)/p^2 + m/p is unbiased for
+    sum c^2 — the Goodman / sample-counting estimator every CBO uses when
+    only a sample is affordable), plus the top key's share (the skew that
+    decides salting). At 100 TB the estimate is the cheap path: it reads
+    1/4 of one column and never materializes the join; the q36/q192/q216
+    estimate-beside-exact discipline makes its error measurable here.
+
+    Scale posture: two per-key HashAggregates (map-side combined, the
+    sampled one filter-pushed to the scan) and two 1-row folds joined by
+    broadcast — no join is ever materialized. Determinism: p = 1/4 is an
+    exact binary fraction so each per-key term is IEEE-exact from bigint
+    counts; the only float folds are the two corpus-key sums, rounded at
+    1e-2 / 1e-6, far above summation-order residue. Reference: no
+    planner-statistics surface — §7 Phase-3 extension beside q118 (skew
+    census) and q216 (sampled dedup rate)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = (
+        ev.filter(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "40"
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    exact = c.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs"),
+        F.max(F.col("c") * F.col("c")).cast("bigint").alias("top_key_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    est = s.agg(
+        F.sum(
+            F.col("m") * (F.col("m") - 1) / F.lit(_JCE_P * _JCE_P)
+            + F.col("m") / F.lit(_JCE_P)
+        ).alias("est_pairs"),
+        F.sum("m").cast("bigint").alias("n_sampled"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_pairs",
+        "n_keys",
+        F.round(
+            F.col("top_key_pairs").cast("double") / F.col("exact_pairs"), 6
+        ).alias("top_key_share"),
+        "n_sampled",
+        F.round("est_pairs", 2).alias("est_pairs"),
+        F.round(F.col("est_pairs") / F.col("exact_pairs"), 6).alias("est_ratio"),
+    )

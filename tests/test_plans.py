@@ -408,6 +408,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q219_dsir_importance",  # 1-row token-total smoothing denominators
         "q223_neyman_allocation",  # 1-row allocation-denominator scalar
         "q228_filter_interaction_census",  # 1-row corpus-total scalar
+        "q229_join_cardinality_estimate",  # two 1-row folds joined
         "q220_multiprobe_lsh",  # 5-row probe set truth side + 45-key bucket probe
     }
     offenders = {}
