@@ -190,6 +190,8 @@ HEADLINE = [
     "q227_kcore_decomposition",
     "q228_filter_interaction_census",
     "q229_join_cardinality_estimate",
+    "q230_deletion_propagation_audit",
+    "q231_phrase_search",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -1584,3 +1584,97 @@ def q229_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("est_pairs", 2).alias("est_pairs"),
         F.round(F.col("est_pairs") / F.col("exact_pairs"), 6).alias("est_ratio"),
     )
+
+
+# --- q230: deletion-request propagation audit ---------------------------------
+
+# Deterministic "deletion request" cohort: customers whose key hash lands
+# below 8/256 (~3%) — the same md5 idiom as q75, so the oracle replays the
+# cohort exactly.
+_DEL_PREFIX = "08"
+
+
+@register(
+    "q230_deletion_propagation_audit",
+    oracle=f"""
+    WITH del AS (
+      SELECT c_custkey FROM customer
+      WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '{_DEL_PREFIX}'
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM del) AS n_purged
+    UNION ALL
+    SELECT 'orders',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM del))
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_custkey IN (SELECT c_custkey FROM del)))
+    UNION ALL
+    SELECT 'events',
+           (SELECT CAST(count(*) AS BIGINT) FROM events),
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE user_id IN (SELECT c_custkey FROM del))
+    ORDER BY table_name
+    """,
+)
+def q230_deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: given a deterministic
+    deletion-request cohort (~3% of customers by key hash), count the
+    rows each table must purge — directly keyed tables (customer, orders,
+    events via the user_id=c_custkey identity, SURVEY §3.1) AND the
+    2-hop transitive closure (lineitems of the cohort's orders, which
+    carry no customer key of their own). This is the compliance dry-run a
+    pipeline owner executes before a deletion batch: the fan-out counts
+    size the job, and a table whose purge count is unexpectedly zero
+    means a broken FK path — silent retention.
+
+    Scale posture: the cohort predicate is pure key-hash arithmetic
+    (rides each scan; no cohort table is materialized for the directly
+    keyed tables), the 2-hop path is a semi-join chain on the FK spine
+    (orders filtered map-side, then one digest-narrow semi-join into
+    lineitem — AQE broadcasts the filtered side while small), and each
+    census is a count-only fold. Nothing corpus-sized moves. Reference:
+    retention delete is S8/db.mjs DELETE with age predicate; this is its
+    cross-table cascade generalization (§7 Phase-3)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def is_del(col: str) -> F.Column:
+        return (
+            F.substring(F.md5(F.col(col).cast("string")), 1, 2) < _DEL_PREFIX
+        )
+
+    del_orders = orders.filter(is_del("o_custkey"))
+
+    def census(name: str, total: DataFrame, purged: DataFrame) -> DataFrame:
+        t = total.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        p = purged.agg(F.count(F.lit(1)).cast("bigint").alias("n_purged"))
+        return t.crossJoin(p).select(
+            F.lit(name).alias("table_name"), "n_rows", "n_purged"
+        )
+
+    return (
+        census("customer", customer, customer.filter(is_del("c_custkey")))
+        .unionAll(census("orders", orders, del_orders))
+        .unionAll(
+            census(
+                "lineitem",
+                lineitem,
+                lineitem.join(
+                    del_orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                    "l_orderkey",
+                    "left_semi",
+                ),
+            )
+        )
+        .unionAll(census("events", events, events.filter(is_del("user_id"))))
+        .orderBy("table_name")
+    )

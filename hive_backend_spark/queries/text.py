@@ -3266,3 +3266,78 @@ def q228_filter_interaction_census(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("signature")
     )
+
+
+# --- q231: positional phrase search -------------------------------------------
+
+_PHRASE = ("fast", "scan")
+_PHRASE_TOPK = 20
+
+
+@register(
+    "q231_phrase_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(t) AS term,
+             CAST(generate_subscripts(t, 1) AS BIGINT) AS pos
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents)
+    ),
+    a AS (SELECT doc_id, pos FROM tok WHERE term = '{_PHRASE[0]}'),
+    b AS (SELECT doc_id, pos FROM tok WHERE term = '{_PHRASE[1]}'),
+    hits AS (
+      SELECT a.doc_id,
+             CAST(count(*) AS BIGINT) AS n_matches,
+             CAST(min(a.pos) AS BIGINT) AS first_pos
+      FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.doc_id
+    )
+    SELECT doc_id, n_matches, first_pos
+    FROM hits
+    ORDER BY n_matches DESC, doc_id
+    LIMIT {_PHRASE_TOPK}
+    """,
+)
+def q231_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE query over a positional inverted index: find documents
+    containing the adjacent token sequence '{" ".join(_PHRASE)}' by
+    intersecting the two terms' positional postings where pos_b =
+    pos_a + 1 — the search-engine primitive q108's BM25 (bag-of-words
+    ranked OR) cannot express, and the exact-match complement to q142's
+    duplicated-span mining (which finds REPEATED n-grams, not a given
+    one). Returns the top-{_PHRASE_TOPK} docs by occurrence count with
+    the first match position — the quote-attribution / exact-citation
+    lookup a contamination investigation runs after q106 flags a doc.
+
+    Scale posture: postings are FILTERED TO THE QUERY TERMS before
+    anything joins — the term predicate prunes at the explode, so the
+    join sees per-term posting lists (corpus-frequency-bounded), never
+    the full positional index; the adjacency intersection joins on
+    doc_id (AQE broadcasts the rarer side while small) and the head is
+    TakeOrderedAndProject. At 100 TB with a PERSISTED positional index
+    (q217's standing index adds positions the same way), the same plan
+    reads only the two terms' buckets. Determinism: positions are
+    1-based ordinals of the same whitespace split in both engines;
+    counts are bigints; top-k tie-breaks on doc_id. Reference: no search
+    surface (§7 Phase-3, beside q108/q200)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos0", "term"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "term")
+    a = tok.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    b = tok.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .orderBy(F.col("n_matches").desc(), "doc_id")
+        .limit(_PHRASE_TOPK)
+    )

@@ -409,6 +409,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q223_neyman_allocation",  # 1-row allocation-denominator scalar
         "q228_filter_interaction_census",  # 1-row corpus-total scalar
         "q229_join_cardinality_estimate",  # two 1-row folds joined
+        "q230_deletion_propagation_audit",  # four (1-row x 1-row) census folds
         "q220_multiprobe_lsh",  # 5-row probe set truth side + 45-key bucket probe
     }
     offenders = {}
