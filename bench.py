@@ -192,6 +192,7 @@ HEADLINE = [
     "q229_join_cardinality_estimate",
     "q230_deletion_propagation_audit",
     "q231_phrase_search",
+    "q232_frequent_sequences",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -498,3 +498,77 @@ def q224_feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("mi_bits").desc(), "feature")
     )
+
+
+# q232: sequential pattern census. Length-3 consecutive event-type
+# sequences per user — the cheap PrefixSpan stand-in that covers the
+# dominant "what do users do next" question without the exponential
+# pattern lattice.
+_SEQ_TOPK = 20
+
+
+@register(
+    "q232_frequent_sequences",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT concat_ws(' > ', t1, t2, t3) AS sequence,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM s WHERE t3 IS NOT NULL
+      GROUP BY t1, t2, t3
+    )
+    SELECT sequence, n_users, n_occurrences
+    FROM g
+    ORDER BY n_users DESC, sequence
+    LIMIT {_SEQ_TOPK}
+    """,
+)
+def q232_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern census: the top-{_SEQ_TOPK} length-3 CONSECUTIVE
+    event-type sequences ranked by user support (distinct users who ever
+    do A then B then C back-to-back), with raw occurrence counts beside.
+    q188's Markov transition matrix sees only pairs and assumes
+    memorylessness; the trigram census is the direct evidence for or
+    against that assumption (a trigram whose support deviates from the
+    chained pair rates is memory) and the standard input for
+    next-action-model features and funnel hypothesis mining.
+
+    Scale posture: ONE shuffle on user_id (the sessionization discipline
+    — all sequential work happens inside the user partition via lead()),
+    then a HashAggregate onto the <= |event types|^3 sequence frame
+    (5^3 = 125 cells here — bounded by the type vocabulary, not the
+    corpus); the head is TakeOrderedAndProject. Per-user state is two
+    lookahead rows. Determinism: sequences order by (ts, event_id) —
+    a total order; counts are bigints; top-k tie-breaks on the sequence
+    string. Reference: the reference's polling loop observes one event
+    at a time (SURVEY §2.9); this is its batch sequence-mining
+    generalization (§7 Phase-3, beside q57/q58/q188)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        s.groupBy("t1", "t2", "t3")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .select(
+            F.concat_ws(" > ", "t1", "t2", "t3").alias("sequence"),
+            "n_users",
+            "n_occurrences",
+        )
+        .orderBy(F.col("n_users").desc(), "sequence")
+        .limit(_SEQ_TOPK)
+    )
