@@ -193,6 +193,10 @@ HEADLINE = [
     "q230_deletion_propagation_audit",
     "q231_phrase_search",
     "q232_frequent_sequences",
+    "q233_jackknife_dup_rate",
+    "q234_ndcg_eval",
+    "q235_km_gap_survival",
+    "q236_quality_auc",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -148,6 +148,12 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q225_dedup_growth_curve":
         "10-row decile frame: running sums over the fixed decile dimension "
         "(growth-curve cumulative counts)",
+    "q235_km_gap_survival":
+        "24-row fixed hour grid: risk-set and cumulative-log windows over "
+        "the administrative-censoring study frame",
+    "q236_quality_auc":
+        "<= 10001-row rounded-score codomain: running midrank count "
+        "(q144 discipline, bounded by the 4-decimal score grid)",
 }
 
 # --- explicit-broadcast invariant -------------------------------------------
@@ -350,9 +356,20 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/sampling.py", ".crossJoin(F.broadcast(tots))"):
         "1-row token-total scalar pair: DSIR smoothing denominators "
         "(q219; re-aggregated from the B-bounded bucket census)",
+    ("queries/dedup.py", ").crossJoin(F.broadcast(nd))"):
+        "1-row distinct-fingerprint count scalar (q233 jackknife)",
+    ("queries/dedup.py", ".crossJoin(F.broadcast(tot))"):
+        "1-row (n_total, n_distinct) scalar pair attached to the 10-row "
+        "decile replicate frame (q233 jackknife)",
+    ("queries/dedup.py", "reps.crossJoin(F.broadcast(mean))"):
+        "1-row replicate-mean scalar over the 10-row frame (q233 "
+        "jackknife sum of squares)",
     ("queries/sampling.py", "strata.crossJoin(F.broadcast(den))"):
         "1-row allocation-denominator scalar: sum of N_h*S_h over the "
         "|sources|-row strata table (q223 Neyman allocation)",
+    ("queries/sessions.py", ".crossJoin(F.broadcast(tot))"):
+        "1-row gap-population total: Kaplan-Meier initial risk set "
+        "(q235; attached to the fixed 24-row hour grid)",
     ("queries/sessions.py", ".crossJoin(F.broadcast(k))"):
         "1-row event-type-count scalar: uniform baseline (q188)",
     ("queries/tpch_extra.py", '.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))'):

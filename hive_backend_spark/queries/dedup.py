@@ -2355,3 +2355,136 @@ def q227_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(census(cur, r + 1))
     return out.orderBy("round")
+
+
+# --- q233: jackknife error bars for the duplicate rate -------------------------
+
+
+@register(
+    "q233_jackknife_dup_rate",
+    oracle="""
+    WITH d AS (
+      SELECT md5(text) AS fp,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) * 10 // 256 AS decile
+      FROM documents
+    ),
+    per_fp AS (
+      SELECT fp, min(decile) AS min_dec, max(decile) AS max_dec
+      FROM d GROUP BY fp
+    ),
+    per_dec AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY decile
+    ),
+    excl AS (
+      SELECT min_dec AS decile, CAST(count(*) AS BIGINT) AS n_exclusive
+      FROM per_fp WHERE min_dec = max_dec GROUP BY min_dec
+    ),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_total,
+             (SELECT CAST(count(*) AS BIGINT) FROM per_fp) AS n_distinct
+    ),
+    reps AS (
+      SELECT p.decile,
+             1.0 - CAST(n_distinct - COALESCE(e.n_exclusive, 0) AS DOUBLE)
+                   / (n_total - p.n_docs) AS theta
+      FROM per_dec p LEFT JOIN excl e ON p.decile = e.decile, tot
+    ),
+    jk AS (
+      SELECT CAST(count(*) AS BIGINT) AS g, avg(theta) AS theta_bar,
+             SUM((theta - (SELECT avg(theta) FROM reps))
+                 * (theta - (SELECT avg(theta) FROM reps))) AS ss
+      FROM reps
+    )
+    SELECT round(1.0 - CAST(n_distinct AS DOUBLE) / n_total, 6) AS dup_rate,
+           round(theta_bar, 6) AS jk_mean,
+           round(sqrt((g - 1.0) / g * ss), 6) AS jk_se,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_total
+                 - 1.96 * sqrt((g - 1.0) / g * ss), 6) AS ci_lo,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_total
+                 + 1.96 * sqrt((g - 1.0) / g * ss), 6) AS ci_hi
+    FROM jk, tot
+    """,
+)
+def q233_jackknife_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife error bars for the exact-duplicate rate
+    — the uncertainty quantification a planning number needs before it
+    drives provisioning (q225 gives the point curve; this says how much
+    the rate would wobble under corpus resampling). Replicate d removes
+    hash-decile d: its distinct count is n_distinct minus the
+    fingerprints EXCLUSIVE to d (min_dec = max_dec = d — no rescan of
+    the other nine tenths), so all ten replicates come from the same two
+    corpus-sized aggregates q225 already runs. SE = sqrt((g-1)/g *
+    sum (theta_i - theta_bar)^2), the standard grouped-jackknife form.
+
+    Scale posture: two digest-keyed HashAggregates (per-doc decile
+    census, per-fp min/max decile), then all replicate math on the
+    10-row frame — the 1.96-sigma interval is plain arithmetic on two
+    scalars. Determinism: counts are bigints; each theta is one exact
+    division; the 10-term float folds are rounded at 1e-6. Reference:
+    no statistics surface — §7 Phase-3 extension beside q216 (sampled
+    estimate) and q225 (growth curve); jackknife per Quenouille/Tukey
+    (public)."""
+    docs = load_table(spark, sf_dir, "documents")
+    decile = F.floor(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+        ).cast("bigint")
+        * 10
+        / 256
+    ).alias("decile")
+    d = docs.select(F.md5("text").alias("fp"), decile)
+    per_fp = d.groupBy("fp").agg(
+        F.min("decile").alias("min_dec"), F.max("decile").alias("max_dec")
+    )
+    per_dec = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    excl = (
+        per_fp.filter(F.col("min_dec") == F.col("max_dec"))
+        .groupBy(F.col("min_dec").alias("decile"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exclusive"))
+    )
+    nd = per_fp.agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    ).crossJoin(F.broadcast(nd))
+    reps = (
+        per_dec.join(excl, "decile", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_total",
+            "n_distinct",
+            (
+                1.0
+                - (
+                    F.col("n_distinct")
+                    - F.coalesce(F.col("n_exclusive"), F.lit(0))
+                ).cast("double")
+                / (F.col("n_total") - F.col("n_docs"))
+            ).alias("theta"),
+        )
+    )
+    mean = reps.agg(F.avg("theta").alias("theta_bar"))
+    jk = (
+        reps.crossJoin(F.broadcast(mean))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("g"),
+            F.first("theta_bar").alias("theta_bar"),
+            F.sum(
+                (F.col("theta") - F.col("theta_bar"))
+                * (F.col("theta") - F.col("theta_bar"))
+            ).alias("ss"),
+            F.first("n_total").alias("n_total"),
+            F.first("n_distinct").alias("n_distinct"),
+        )
+    )
+    rate = 1.0 - F.col("n_distinct").cast("double") / F.col("n_total")
+    se = F.sqrt((F.col("g") - 1.0) / F.col("g") * F.col("ss"))
+    return jk.select(
+        F.round(rate, 6).alias("dup_rate"),
+        F.round(F.col("theta_bar"), 6).alias("jk_mean"),
+        F.round(se, 6).alias("jk_se"),
+        F.round(rate - 1.96 * se, 6).alias("ci_lo"),
+        F.round(rate + 1.96 * se, 6).alias("ci_hi"),
+    )

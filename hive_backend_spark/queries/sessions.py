@@ -572,3 +572,151 @@ def q232_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "sequence")
         .limit(_SEQ_TOPK)
     )
+
+
+# q235: Kaplan-Meier survival of the inter-event gap. Study window 24
+# hourly buckets with administrative censoring at the boundary; each
+# user's last event is right-censored at the fixed NOW literal.
+_KM_HOURS = 24
+
+
+@register(
+    "q235_km_gap_survival",
+    oracle=f"""
+    WITH g AS (
+      SELECT CASE
+               WHEN lead(ts) OVER w IS NOT NULL
+               THEN date_diff('microsecond', ts, lead(ts) OVER w) / 3600e6
+               ELSE date_diff('microsecond', ts,
+                              TIMESTAMP '2024-01-31 00:00:00') / 3600e6
+             END AS gap_h,
+             (lead(ts) OVER w IS NOT NULL) AS observed
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    coded AS (
+      SELECT CAST(least(floor(gap_h), {_KM_HOURS}) AS BIGINT) AS bucket,
+             CASE WHEN observed AND gap_h < {_KM_HOURS} THEN 1 ELSE 0 END
+               AS event
+      FROM g
+    ),
+    cells AS (
+      SELECT bucket,
+             CAST(SUM(event) AS BIGINT) AS d,
+             CAST(SUM(1 - event) AS BIGINT) AS c
+      FROM coded WHERE bucket < {_KM_HOURS} GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM coded),
+    grid AS (
+      SELECT CAST(unnest(range(0, {_KM_HOURS})) AS BIGINT) AS bucket
+    ),
+    fulled AS (
+      SELECT g.bucket, COALESCE(d, 0) AS d, COALESCE(c, 0) AS c
+      FROM grid g LEFT JOIN cells USING (bucket)
+    ),
+    risk AS (
+      SELECT bucket, d, c,
+             n_total - COALESCE(SUM(d + c) OVER
+               (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS n_risk
+      FROM fulled, tot
+    ),
+    curve AS (
+      SELECT bucket, d, c, n_risk,
+             SUM(ln(1.0 - CAST(d AS DOUBLE) / n_risk)) OVER
+               (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS log_s
+      FROM risk
+    )
+    SELECT bucket AS hour, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+           c AS n_censored, round(exp(log_s), 6) AS s_hat
+    FROM curve
+    ORDER BY hour
+    """,
+)
+def q235_km_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of the inter-event gap with RIGHT
+    CENSORING — "what fraction of gaps survive past t hours", where each
+    user's final gap (event to the fixed NOW) is censored rather than
+    dropped or — the naive error — counted as an observed gap. q198's
+    inter-arrival census describes only COMPLETED gaps, biasing staleness
+    estimates short exactly when users go quiet; the product-limit
+    estimator is the standard correction (Kaplan & Meier 1958, public)
+    and the modeling basis for q53-style staleness thresholds (pick the
+    horizon where S(t) crosses the tolerated false-alarm rate). Gaps at
+    or past {_KM_HOURS} h are administratively censored at the boundary,
+    so the study grid is a FIXED {_KM_HOURS}-row frame.
+
+    Scale posture: one shuffle on user_id (lead() inside the partition —
+    the sessionization discipline), one map-side bucket/censor coding,
+    one HashAggregate onto the {_KM_HOURS}-row grid; risk sets and the
+    cumulative log-product are windows over that fixed grid (allowlisted
+    bound). Determinism: gap hours are exact microsecond differences
+    over 3600e6 (IEEE-identical); d/n ratios are bigint ratios; the
+    cumulative ln fold runs in bucket order in both engines — identical
+    operation sequence — and s_hat rounds at 1e-6."""
+    from ..registry import NOW
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    gap_h = (
+        F.when(
+            nxt.isNotNull(),
+            (nxt.cast("double") - F.col("ts").cast("double")) / 3600.0,
+        ).otherwise(
+            (
+                F.lit(NOW).cast("timestamp").cast("double")
+                - F.col("ts").cast("double")
+            )
+            / 3600.0
+        )
+    )
+    coded = ev.select(
+        F.least(F.floor(gap_h), F.lit(_KM_HOURS))
+        .cast("bigint")
+        .alias("bucket"),
+        (nxt.isNotNull() & (gap_h < _KM_HOURS)).cast("int").alias("event"),
+    )
+    cells = (
+        coded.filter(F.col("bucket") < _KM_HOURS)
+        .groupBy("bucket")
+        .agg(
+            F.sum("event").cast("bigint").alias("d"),
+            F.sum(1 - F.col("event")).cast("bigint").alias("c"),
+        )
+    )
+    tot = coded.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    grid = spark.range(0, _KM_HOURS).select(F.col("id").alias("bucket"))
+    fulled = (
+        grid.join(cells, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w_prev = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 24-row fixed grid: allowlisted bound
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_risk = F.col("n_total") - F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+    )
+    risk = fulled.select(
+        "bucket",
+        "d",
+        "c",
+        n_risk.alias("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / n_risk).alias("log_term"),
+    )
+    return risk.select(
+        F.col("bucket").alias("hour"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round(F.exp(F.sum("log_term").over(w_cum)), 6).alias("s_hat"),
+    ).orderBy("hour")

@@ -2028,3 +2028,131 @@ def q220_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# --- q234: NDCG@k retrieval evaluation ----------------------------------------
+
+_NDCG_K = 10
+_NDCG_PROBES = 8
+
+
+@register(
+    "q234_ndcg_eval",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, label AS probe_label, e AS pe
+          FROM v WHERE vec_id < {_NDCG_PROBES}),
+    s AS (
+      SELECT probe_id, probe_label, vec_id,
+             round(list_dot_product(e, pe)
+                   / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pe, pe))), 6)
+               AS cos,
+             CASE WHEN label = probe_label THEN 1 ELSE 0 END AS rel
+      FROM v, p WHERE vec_id <> probe_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM s),
+    npos AS (
+      SELECT probe_id, CAST(SUM(rel) AS BIGINT) AS n_pos FROM s
+      GROUP BY probe_id
+    ),
+    dcg AS (
+      SELECT probe_id,
+             SUM(rel / log2(rn + 1.0)) AS dcg,
+             CAST(SUM(rel) AS BIGINT) AS hits
+      FROM r WHERE rn <= {_NDCG_K} GROUP BY probe_id
+    ),
+    ideal AS (
+      SELECT probe_id,
+             SUM(1.0 / log2(i + 1.0)) AS idcg
+      FROM (SELECT probe_id, unnest(range(1, least(n_pos, {_NDCG_K}) + 1)) AS i
+            FROM npos)
+      GROUP BY probe_id
+    )
+    SELECT d.probe_id, p.probe_label, d.hits,
+           round(d.dcg, 6) AS dcg,
+           round(i.idcg, 6) AS idcg,
+           round(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d JOIN ideal i USING (probe_id) JOIN p ON p.probe_id = d.probe_id
+    ORDER BY probe_id
+    """,
+)
+def q234_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{_NDCG_K} of the exact-cosine retriever against label ground
+    truth: for each probe, rank the corpus by cosine, take gain 1 for
+    same-label hits, discount by log2(rank+1), and normalize by the ideal
+    DCG given the probe's true positive count — the graded-position IR
+    metric that q154's recall@k flattens (recall counts hits anywhere in
+    the head; NDCG pays for WHERE they land). The per-probe report is
+    what an embedding-model eval reads before swapping retrievers, and
+    the label-quality audit (NDCG near the random baseline for one probe
+    = mislabeled neighborhood).
+
+    Determinism: cosines round to 6 before ranking, ties break on vec_id
+    (the q70/q154/q213 discipline); discounts are exact log2 arithmetic
+    over <= {_NDCG_K} ranks; IDCG's rank frame unrolls from the exact
+    positive count. Scale posture: fixed {_NDCG_PROBES}-row probe set
+    broadcast against a map-side scoring pass (no shuffle of the
+    corpus); the rank window partitions by probe; DCG folds <=
+    {_NDCG_K} rows per probe and IDCG is closed-form from the per-probe
+    positive census. At a billion vectors the scoring pass becomes
+    q74's IVF-routed form with this as its eval oracle. Reference: no
+    eval surface — §7 Phase-3 extension beside q154/q200/q204."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = vecs.filter(F.col("vec_id") < _NDCG_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("v").alias("pv"),
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cos"),
+            (F.col("label") == F.col("probe_label")).cast("int").alias("rel"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    npos = scored.groupBy("probe_id", "probe_label").agg(
+        F.sum("rel").cast("bigint").alias("n_pos")
+    )
+    dcg = (
+        ranked.filter(F.col("rn") <= _NDCG_K)
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.col("rel") / F.log2(F.col("rn") + 1.0)).alias("dcg"),
+            F.sum("rel").cast("bigint").alias("hits"),
+        )
+    )
+    ideal = npos.select(
+        "probe_id",
+        "probe_label",
+        F.expr(
+            f"aggregate(sequence(1, least(n_pos, {_NDCG_K})), 0D,"
+            " (acc, i) -> acc + 1.0 / log2(i + 1.0))"
+        ).alias("idcg"),
+    )
+    return (
+        dcg.join(ideal, "probe_id")
+        .select(
+            "probe_id",
+            "probe_label",
+            "hits",
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+        .orderBy("probe_id")
+    )

@@ -3341,3 +3341,116 @@ def q231_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_matches").desc(), "doc_id")
         .limit(_PHRASE_TOPK)
     )
+
+
+# --- q236: quality-gate language-bias AUC -------------------------------------
+
+
+@register(
+    "q236_quality_auc",
+    oracle=f"""
+    WITH lab AS (
+      SELECT round(LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.5
+                   + LEAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t)))
+                           / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                           * 5.0, 1.0) * 0.5, 4) AS q,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    census AS (
+      SELECT q,
+             CAST(SUM(pos) AS BIGINT) AS n_pos_at,
+             CAST(SUM(1 - pos) AS BIGINT) AS n_neg_at
+      FROM lab GROUP BY q
+    ),
+    ranked AS (
+      SELECT q, n_pos_at, n_neg_at,
+             COALESCE(SUM(n_pos_at + n_neg_at) OVER
+               (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS n_below
+      FROM census
+    ),
+    folded AS (
+      SELECT SUM(n_pos_at) AS n_pos, SUM(n_neg_at) AS n_neg,
+             SUM(n_pos_at * (n_below + (n_pos_at + n_neg_at + 1) / 2.0))
+               AS r_pos
+      FROM ranked
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           round(r_pos, 4) AS r_pos,
+           round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+             AS auc
+    FROM folded
+    """,
+)
+def q236_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the q62 quality score as a separator of English vs
+    non-English documents, computed EXACTLY as the Mann-Whitney rank
+    statistic with midrank tie handling: AUC = (R_pos - n_pos(n_pos+1)/2)
+    / (n_pos * n_neg), where R_pos is the positives' midrank sum. This is
+    the language-bias audit run before wiring a quality heuristic into a
+    corpus gate: stopword-based scores are English-trained, and an AUC
+    far from 0.5 means the gate is a covert language filter — thresholding
+    it reshapes the language mix (the documented failure mode of C4-style
+    cleaning), so the q76 rebalancing must happen AFTER the gate, sized
+    by this number.
+
+    Scale posture: the q144 bounded-codomain rank discipline — scores
+    round to 4 decimals (<= 10001 distinct values), so ranking needs NO
+    corpus-wide sort: one HashAggregate onto the per-score pos/neg
+    census, a running count over that bounded frame (allowlisted), and a
+    1-row fold. Score and label come from the same map-side pass — no
+    join at all. Determinism: midranks are exact arithmetic on bigint
+    counts; the <= 10001-term float fold rounds at 1e-4/1e-6, far above
+    residue. Reference: no evaluation surface — §7 Phase-3 extension
+    linking q62 (score) and q66/q175 (language surface); Mann-Whitney/
+    AUC equivalence per Hanley & McNeil (public)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens.cast("double")
+    q = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.5,
+        4,
+    )
+    lab = docs.select(
+        q.alias("q"), (F.col("lang") == "en").cast("int").alias("pos")
+    )
+    census = lab.groupBy("q").agg(
+        F.sum("pos").cast("bigint").alias("n_pos_at"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg_at"),
+    )
+    w_below = Window.orderBy("q").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # <= 10001 rows: the rounded score codomain (q144 discipline)
+    ranked = census.select(
+        "n_pos_at",
+        "n_neg_at",
+        F.coalesce(
+            F.sum(F.col("n_pos_at") + F.col("n_neg_at")).over(w_below),
+            F.lit(0),
+        ).alias("n_below"),
+    )
+    folded = ranked.agg(
+        F.sum("n_pos_at").cast("bigint").alias("n_pos"),
+        F.sum("n_neg_at").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("n_pos_at")
+            * (
+                F.col("n_below")
+                + (F.col("n_pos_at") + F.col("n_neg_at") + 1) / 2.0
+            )
+        ).alias("r_pos"),
+    )
+    return folded.select(
+        "n_pos",
+        "n_neg",
+        F.round("r_pos", 4).alias("r_pos"),
+        F.round(
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

@@ -410,6 +410,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q228_filter_interaction_census",  # 1-row corpus-total scalar
         "q229_join_cardinality_estimate",  # two 1-row folds joined
         "q230_deletion_propagation_audit",  # four (1-row x 1-row) census folds
+        "q233_jackknife_dup_rate",  # 1-row totals/mean scalars on 10-row frame
+        "q234_ndcg_eval",  # 8-row fixed probe set vs corpus
+        "q235_km_gap_survival",  # 1-row risk-set total on the 24-row grid
         "q220_multiprobe_lsh",  # 5-row probe set truth side + 45-key bucket probe
     }
     offenders = {}
