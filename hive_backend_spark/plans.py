@@ -154,6 +154,12 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q236_quality_auc":
         "<= 10001-row rounded-score codomain: running midrank count "
         "(q144 discipline, bounded by the 4-decimal score grid)",
+    "q223_neyman_allocation":
+        "|sources|-row strata frame: denominator window sums (single-scan "
+        "form — a re-aggregated branch would scan the corpus twice)",
+    "q228_filter_interaction_census":
+        "<= 16-row signature frame (2^4 codomain): corpus-total window "
+        "sum (single-scan form)",
 }
 
 # --- explicit-broadcast invariant -------------------------------------------
@@ -310,9 +316,6 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row caught-pair count scalar (q168 audit report)",
     ("queries/dedup.py", "per.crossJoin(F.broadcast(g))"):
         "1-row shard balance stats scalar (q177)",
-    ("queries/text.py", "cells.crossJoin(F.broadcast(tot))"):
-        "1-row corpus-total scalar re-aggregated from the <=16-row "
-        "signature frame (q228 interaction census doc_share)",
     ("queries/text.py", ".crossJoin(F.broadcast(n_docs))"):
         "1-row corpus count scalar for idf (q84)",
     ("queries/text.py", 'train.join(F.broadcast(eval_fps), "fp")  # bounded: eval benchmark side'):
@@ -364,9 +367,6 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/dedup.py", "reps.crossJoin(F.broadcast(mean))"):
         "1-row replicate-mean scalar over the 10-row frame (q233 "
         "jackknife sum of squares)",
-    ("queries/sampling.py", "strata.crossJoin(F.broadcast(den))"):
-        "1-row allocation-denominator scalar: sum of N_h*S_h over the "
-        "|sources|-row strata table (q223 Neyman allocation)",
     ("queries/sessions.py", ".crossJoin(F.broadcast(tot))"):
         "1-row gap-population total: Kaplan-Meier initial risk set "
         "(q235; attached to the fixed 24-row hour grid)",

@@ -1636,10 +1636,11 @@ def q230_deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFra
 
     Scale posture: the cohort predicate is pure key-hash arithmetic
     (rides each scan; no cohort table is materialized for the directly
-    keyed tables), the 2-hop path is a semi-join chain on the FK spine
-    (orders filtered map-side, then one digest-narrow semi-join into
-    lineitem — AQE broadcasts the filtered side while small), and each
-    census is a count-only fold. Nothing corpus-sized moves. Reference:
+    keyed tables), the 2-hop path is one key-flag left join on the FK
+    spine (orders filtered map-side; unique keys, so no row inflation;
+    AQE broadcasts the filtered side while small), and each table is
+    scanned EXACTLY ONCE — total and purge counts fold in the same
+    conditional aggregate. Nothing corpus-sized moves. Reference:
     retention delete is S8/db.mjs DELETE with age predicate; this is its
     cross-table cascade generalization (§7 Phase-3)."""
     customer = load_table(spark, sf_dir, "customer")
@@ -1654,27 +1655,41 @@ def q230_deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFra
 
     del_orders = orders.filter(is_del("o_custkey"))
 
-    def census(name: str, total: DataFrame, purged: DataFrame) -> DataFrame:
-        t = total.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        p = purged.agg(F.count(F.lit(1)).cast("bigint").alias("n_purged"))
-        return t.crossJoin(p).select(
-            F.lit(name).alias("table_name"), "n_rows", "n_purged"
-        )
+    # One scan per table: total and purge counts fold in the SAME
+    # aggregate (conditional sum) — a separate purged-side count would
+    # read each table twice. The 2-hop lineitem flag comes from a left
+    # join against the cohort's order keys (unique, so no row inflation).
+    def census(name: str, flagged: DataFrame) -> DataFrame:
+        return flagged.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("purge").cast("bigint").alias("n_purged"),
+        ).select("table_name", "n_rows", "n_purged")
 
+    li_flagged = lineitem.join(
+        del_orders.select(
+            F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("hit")
+        ),
+        "l_orderkey",
+        "left",
+    ).select(F.coalesce("hit", F.lit(0)).alias("purge"))
     return (
-        census("customer", customer, customer.filter(is_del("c_custkey")))
-        .unionAll(census("orders", orders, del_orders))
+        census(
+            "customer",
+            customer.select(is_del("c_custkey").cast("int").alias("purge")),
+        )
         .unionAll(
             census(
-                "lineitem",
-                lineitem,
-                lineitem.join(
-                    del_orders.select(F.col("o_orderkey").alias("l_orderkey")),
-                    "l_orderkey",
-                    "left_semi",
-                ),
+                "orders",
+                orders.select(is_del("o_custkey").cast("int").alias("purge")),
             )
         )
-        .unionAll(census("events", events, events.filter(is_del("user_id"))))
+        .unionAll(census("lineitem", li_flagged))
+        .unionAll(
+            census(
+                "events",
+                events.select(is_del("user_id").cast("int").alias("purge")),
+            )
+        )
         .orderBy("table_name")
     )

@@ -671,25 +671,29 @@ def q223_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: one map-side-combined HashAggregate over the corpus
     (count + stddev_pop moments, constant state per stratum), then all
-    arithmetic on the |sources|-row table with a 1-row denominator scalar
-    attached by broadcast. Nothing else shuffles; the corpus is scanned
-    once, projecting only (source, n_chars). Determinism: both engines
-    compute textbook population stddev from exact integers; ratios are
-    rounded well above summation-order residue. Reference: no sampling
-    surface (SURVEY §2.4 A5 absent) — §7 Phase-3 extension beside q76's
-    rate-based and q167's budget-capped allocation."""
+    arithmetic on the |sources|-row table — the denominators are WINDOW
+    sums over that bounded frame (allowlisted), not a re-aggregated
+    branch, so the corpus is scanned exactly once, projecting only
+    (source, n_chars). Determinism: both engines compute textbook
+    population stddev from exact integers; ratios are rounded well above
+    summation-order residue. Reference: no sampling surface (SURVEY §2.4
+    A5 absent) — §7 Phase-3 extension beside q76's rate-based and q167's
+    budget-capped allocation."""
     docs = load_table(spark, sf_dir, "documents")
     strata = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.coalesce(F.stddev_pop("n_chars"), F.lit(0.0)).alias("sd"),
     )
-    den = strata.agg(
-        F.sum(F.col("n_docs") * F.col("sd")).alias("w_total"),
-        F.sum("n_docs").alias("n_total"),
-    )
+    w_all = Window.partitionBy()  # |sources|-row frame: allowlisted bound
     b = F.lit(_NEYMAN_BUDGET)
     return (
-        strata.crossJoin(F.broadcast(den))
+        strata.select(
+            "source",
+            "n_docs",
+            "sd",
+            F.sum(F.col("n_docs") * F.col("sd")).over(w_all).alias("w_total"),
+            F.sum("n_docs").over(w_all).alias("n_total"),
+        )
         .select(
             "source",
             "n_docs",

@@ -651,9 +651,11 @@ def q235_km_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: one shuffle on user_id (lead() inside the partition —
     the sessionization discipline), one map-side bucket/censor coding,
-    one HashAggregate onto the {_KM_HOURS}-row grid; risk sets and the
-    cumulative log-product are windows over that fixed grid (allowlisted
-    bound). Determinism: gap hours are exact microsecond differences
+    one HashAggregate onto the bucket census — lazily localCheckpoint'ed
+    so the study cells and the total-risk scalar share a single events
+    pass instead of re-running the gap window per branch; risk sets and
+    the cumulative log-product are windows over the fixed grid
+    (allowlisted bound). Determinism: gap hours are exact microsecond differences
     over 3600e6 (IEEE-identical); d/n ratios are bigint ratios; the
     cumulative ln fold runs in bucket order in both engines — identical
     operation sequence — and s_hat rounds at 1e-6."""
@@ -680,15 +682,22 @@ def q235_km_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         (nxt.isNotNull() & (gap_h < _KM_HOURS)).cast("int").alias("event"),
     )
-    cells = (
-        coded.filter(F.col("bucket") < _KM_HOURS)
-        .groupBy("bucket")
+    # One events pass: the bucket census (25 rows incl. the boundary-
+    # censored mass at bucket 24) is lazily localCheckpoint'ed so the
+    # in-window cells and the total-risk scalar both read it instead of
+    # re-running the gap window over the corpus.
+    census_all = (
+        coded.groupBy("bucket")
         .agg(
             F.sum("event").cast("bigint").alias("d"),
             F.sum(1 - F.col("event")).cast("bigint").alias("c"),
         )
+        .localCheckpoint(eager=False)
     )
-    tot = coded.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    cells = census_all.filter(F.col("bucket") < _KM_HOURS)
+    tot = census_all.agg(
+        F.sum(F.col("d") + F.col("c")).cast("bigint").alias("n_total")
+    )
     grid = spark.range(0, _KM_HOURS).select(F.col("id").alias("bucket"))
     fulled = (
         grid.join(cells, "bucket", "left")

@@ -3217,7 +3217,8 @@ def q228_filter_interaction_census(spark: SparkSession, sf_dir: str) -> DataFram
     Scale posture: flags are one map-side pass of per-doc array
     arithmetic riding the scan; the census is a single HashAggregate
     onto the <= 16-row signature frame (the 2^4 codomain), with the
-    corpus-total scalar re-aggregated from the same frame. Determinism:
+    corpus total a WINDOW sum over that bounded frame (a re-aggregated
+    branch would scan the corpus twice — allowlisted bound). Determinism:
     flags derive from exact integer counts and integer-ratio doubles —
     identical comparisons in both engines; shares rounded at 1e-6.
     Reference: no filtering surface — §7 Phase-3 extension beside q210
@@ -3238,9 +3239,9 @@ def q228_filter_interaction_census(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n").cast("bigint").alias("sum_tokens"),
     )
-    tot = cells.agg(F.sum("n_docs").alias("n_total"))
+    w_all = Window.partitionBy()  # <= 16-row signature frame: allowlisted
     return (
-        cells.crossJoin(F.broadcast(tot))
+        cells.withColumn("n_total", F.sum("n_docs").over(w_all))
         .select(
             (
                 F.col("f_short") * 8

@@ -727,15 +727,37 @@ def test_round7b_additions_plan_shapes(spark, sf_dir):
     assert len(scans224) == 1, plan224  # one events pass: windowed marginals
     P.assert_plan(q224, forbids=["SortMergeJoin", "CartesianProduct", "Join"])
 
-    # q225/q233: the (fp, decile) census is localCheckpoint'ed, so the
-    # downstream plan contains NO parquet scan at all — the corpus is read
-    # exactly once, by the census job itself.
-    for name in ("q225_dedup_growth_curve", "q233_jackknife_dup_rate"):
+    # q225/q233 (shared fp-decile census) and q235 (bucket census): the
+    # corpus-sized aggregate is localCheckpoint'ed, so the downstream
+    # plan contains NO parquet scan at all — the corpus is read exactly
+    # once, by the census job itself.
+    for name in (
+        "q225_dedup_growth_curve",
+        "q233_jackknife_dup_rate",
+        "q235_km_gap_survival",
+    ):
         dfx = _df(spark, sf_dir, name)
         dfx.collect()
         planx = dfx._jdf.queryExecution().executedPlan().toString()
         assert "FileScan parquet" not in planx, (name, planx)
         assert "ExistingRDD" in planx, (name, planx)
+
+    # q223/q228: the bounded-frame denominators are window sums, so the
+    # single corpus aggregate is the only scan in the whole plan.
+    for name in ("q223_neyman_allocation", "q228_filter_interaction_census"):
+        dfx = _df(spark, sf_dir, name)
+        planx = dfx._jdf.queryExecution().executedPlan().toString()
+        scansx = set(re.findall(r"FileScan parquet \[([^\]]*)\]", planx))
+        assert len(scansx) == 1, (name, planx)
+
+    # q230: conditional aggregation folds total+purge in one pass — the
+    # fact tables (customer, lineitem, events) are each scanned once;
+    # orders appears twice (its own census + the pruned cohort side of
+    # the 2-hop lineitem flag join), so 5 distinct scans for 4 tables.
+    q230 = _df(spark, sf_dir, "q230_deletion_propagation_audit")
+    plan230 = q230._jdf.queryExecution().executedPlan().toString()
+    scans230 = re.findall(r"FileScan parquet \[([^\]]*)\]", plan230)
+    assert len(set(scans230)) == 5, plan230
 
     q226 = _df(spark, sf_dir, "q226_rendezvous_resharding")
     P.assert_plan(q226, forbids=["Join"])
