@@ -235,9 +235,13 @@ def q144_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.5,
         4,
     )
+    # The scored frame is read by three branches (per-score counts, the
+    # corpus total, the final stage assignment); lazy localCheckpoint
+    # materializes the narrow (doc_id, lang, n_tokens, q) projection once
+    # so the text is tokenized and scored in ONE pass, not three.
     scored = docs.select(
         "doc_id", "lang", n_tokens.alias("n_tokens"), q.alias("q")
-    )
+    ).localCheckpoint(eager=False)
     counts = scored.groupBy("q").agg(F.count(F.lit(1)).alias("n_at"))
     w_above = (
         Window.orderBy(F.col("q").desc())

@@ -735,6 +735,7 @@ def test_round7b_additions_plan_shapes(spark, sf_dir):
         "q225_dedup_growth_curve",
         "q233_jackknife_dup_rate",
         "q235_km_gap_survival",
+        "q144_curriculum_stages",  # scored frame: one tokenize pass, not 3
     ):
         dfx = _df(spark, sf_dir, name)
         dfx.collect()
