@@ -134,10 +134,85 @@ def test_decode_media_stub(spark):
     assert all(again[r[0]] == r.features for r in rows)
 
 
-def test_decode_media_real_path_is_marked(spark):
-    docs = MM.with_blob(load_table(spark, SF_DIR, "documents"))
-    with pytest.raises(NotImplementedError, match="pillow"):
-        MM.decode_media(docs, stub=False)
+def _make_bmp(width, height, pixels):
+    """Minimal 24bpp uncompressed BMP from top-down rows of (r, g, b)."""
+    import struct
+
+    row_size = ((24 * width + 31) // 32) * 4
+    img = b""
+    for row in reversed(pixels):  # positive height => bottom-up storage
+        raw = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        img += raw + b"\x00" * (row_size - len(raw))
+    pixel_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pixel_off + len(img), 0, 0, pixel_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    return header + dib + img
+
+
+def _make_wav(sample_rate, channels, samples):
+    """Minimal RIFF/WAVE PCM16 blob, with an extra odd-sized LIST chunk
+    before data to exercise even-padded chunk walking."""
+    import struct
+
+    data = struct.pack("<%dh" % len(samples), *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2,
+        channels * 2, 16,
+    )
+    listc = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + listc
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_media_real_bmp_wav(spark):
+    """stub=False REALLY decodes BMP(24bpp) and WAV(PCM16): dimensions,
+    channel stats, and audio stats match a hand-computed reference,
+    including BMP row padding + bottom-up order and WAV chunk padding."""
+    import math
+
+    # 3x2 image, distinct corner colors (row padding: 3*3=9 -> 12 bytes)
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    bmp = _make_bmp(3, 2, pixels)
+    # 1-channel 8 samples at 8 kHz
+    samples = [0, 16384, -16384, 32767, -32768, 8192, -8192, 0]
+    wav = _make_wav(8000, 1, samples)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(wav))], "doc_id long, blob binary"
+    )
+    rows = {r.doc_id: r for r in MM.decode_media(df, stub=False).collect()}
+
+    img = rows[1]
+    assert (img.width, img.height, img.channels) == (3, 2, 3)
+    rs = [p[0] for row in pixels for p in row]
+    gs = [p[1] for row in pixels for p in row]
+    bs = [p[2] for row in pixels for p in row]
+    assert abs(img.features[0] - sum(rs) / 6 / 255.0) < 1e-12
+    assert abs(img.features[1] - sum(gs) / 6 / 255.0) < 1e-12
+    assert abs(img.features[2] - sum(bs) / 6 / 255.0) < 1e-12
+
+    aud = rows[2]
+    assert (aud.width, aud.height, aud.channels) == (8, 1, 1)
+    assert aud.features[0] == 8000.0
+    assert abs(aud.features[1] - 8 / 8000.0) < 1e-12
+    x = [s / 32768.0 for s in samples]
+    assert abs(aud.features[2] - math.sqrt(sum(v * v for v in x) / 8)) < 1e-12
+    assert abs(aud.features[3] - 1.0) < 1e-12  # peak: -32768 sample
+
+
+def test_decode_media_real_path_unknown_format_is_loud(spark):
+    """Formats needing a real media library still fail loudly, naming it."""
+    docs = MM.with_blob(load_table(spark, SF_DIR, "documents")).limit(3)
+    with pytest.raises(Exception, match="pillow"):
+        MM.decode_media(docs, stub=False).collect()
 
 
 def test_resize_meta(spark):
