@@ -2538,3 +2538,129 @@ def q217_incremental_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cf"),
         F.concat_ws(",", merged_head.cast("array<string>")).alias("posting_head"),
     )
+
+
+# --- q237: distinctive terms per source (informative-Dirichlet log-odds) -------
+
+# Total prior token mass a0 spread over the vocabulary in proportion to the
+# global term frequencies (Monroe et al.'s "informative Dirichlet"): alpha_w =
+# A0 * y_w / N, sum(alpha_w) = A0. 500 prior tokens keeps rare-term z-scores
+# honest at sf0.01 corpus sizes without swamping genuine skew.
+_LODDS_A0 = 500.0
+_LODDS_TOPK = 5
+
+
+@register(
+    "q237_distinctive_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    st AS (
+      SELECT source, term, CAST(count(*) AS DOUBLE) AS y_i
+      FROM tok GROUP BY source, term
+    ),
+    t AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS y FROM tok GROUP BY term
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n_i FROM tok GROUP BY source
+    ),
+    g AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+    z AS (
+      SELECT st.source, st.term, st.y_i, t.y - st.y_i AS y_r,
+             s.n_i, g.n - s.n_i AS n_r,
+             {_LODDS_A0} * t.y / g.n AS aw,
+             ln((st.y_i + {_LODDS_A0} * t.y / g.n)
+                / (s.n_i + {_LODDS_A0} - st.y_i - {_LODDS_A0} * t.y / g.n))
+             - ln((t.y - st.y_i + {_LODDS_A0} * t.y / g.n)
+                  / (g.n - s.n_i + {_LODDS_A0} - (t.y - st.y_i)
+                     - {_LODDS_A0} * t.y / g.n)) AS delta
+      FROM st JOIN t USING (term) JOIN s USING (source), g
+    ),
+    r AS (
+      SELECT source, term,
+             CAST(y_i AS BIGINT) AS n_source,
+             CAST(y_r AS BIGINT) AS n_rest,
+             round(delta, 4) AS log_odds,
+             round(delta / sqrt(1.0 / (y_i + aw) + 1.0 / (y_r + aw)), 6) AS z,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY round(delta / sqrt(1.0 / (y_i + aw)
+                                           + 1.0 / (y_r + aw)), 6) DESC, term
+             ) AS rk
+      FROM z
+    )
+    SELECT source, rk, term, n_source, n_rest, log_odds, round(z, 4) AS z
+    FROM r WHERE rk <= {_LODDS_TOPK}
+    ORDER BY source, rk
+    """,
+)
+def q237_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What vocabulary makes each source DIFFERENT — the top-{_LODDS_TOPK}
+    terms per source by the Monroe/Colaresi/Quinn log-odds-ratio z-score
+    with an informative Dirichlet prior (the "Fightin' Words" estimator;
+    public, Political Analysis 2008). Unlike raw TF-IDF (q84) this scores
+    each term's usage against the REST of the corpus with a variance that
+    shrinks for well-attested terms, so rare flukes don't dominate and
+    stopwords cancel: it is the standard "describe this source's slice"
+    audit a mixture plan (q113) is reviewed with. One-vs-rest comes free
+    from the algebra (rest counts = global - source), the q174 discipline.
+
+    Determinism: all inputs to the float math are exact integer counts;
+    both engines evaluate the identical closed-form delta/variance
+    expressions, and the per-source ranking orders by round(z, 6) with the
+    term string as the total tie-break, so the top-{_LODDS_TOPK} sets
+    hash-match.
+
+    Scale posture: one explode feeding TWO vocabulary-bounded partial-agg
+    shuffles ((source, term) and term), joined on term — a hash join of two
+    vocab-sized relations, never corpus-sized after the aggregates; the
+    per-source totals ride a broadcast. The ranking window partitions by
+    source over the vocab-bounded frame. No collect, no cartesian beyond
+    two 1-row broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("y_i")
+    )
+    t = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("y"))
+    s = tok.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n_i"))
+    g = tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    j = (
+        st.join(t, "term")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(g))
+    )
+    aw = F.lit(_LODDS_A0) * F.col("y") / F.col("n")
+    y_r = F.col("y") - F.col("y_i")
+    n_r = F.col("n") - F.col("n_i")
+    delta = F.log(
+        (F.col("y_i") + aw) / (F.col("n_i") + F.lit(_LODDS_A0) - F.col("y_i") - aw)
+    ) - F.log((y_r + aw) / (n_r + F.lit(_LODDS_A0) - y_r - aw))
+    z = F.round(delta / F.sqrt(1.0 / (F.col("y_i") + aw) + 1.0 / (y_r + aw)), 6)
+    w = Window.partitionBy("source").orderBy(F.col("z6").desc(), F.col("term").asc())
+    r = j.select(
+        "source",
+        "term",
+        F.col("y_i").cast("bigint").alias("n_source"),
+        y_r.cast("bigint").alias("n_rest"),
+        F.round(delta, 4).alias("log_odds"),
+        z.alias("z6"),
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        r.filter(F.col("rk") <= _LODDS_TOPK)
+        .select(
+            "source",
+            "rk",
+            "term",
+            "n_source",
+            "n_rest",
+            "log_odds",
+            F.round(F.col("z6"), 4).alias("z"),
+        )
+        .orderBy("source", "rk")
+    )
