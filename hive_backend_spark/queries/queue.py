@@ -13,6 +13,8 @@ event_type=routing key, coalesce(value,0)=priority.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -577,3 +579,160 @@ def q208_watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q238: FDR-controlled drift alarms (Benjamini-Hochberg) --------------------
+
+# Early/late split point for the drift contrast (events span 2024-01; the
+# fixed literal keeps both engines on the same rows, the NOW discipline).
+_BH_SPLIT = "2024-01-16 00:00:00"
+_BH_BUCKETS = 64
+_BH_ALPHA = 0.05
+
+# Abramowitz & Stegun 26.2.17 polynomial for the standard-normal tail
+# (public): Q(z) = phi(z) * (b1 t + ... + b5 t^5), t = 1/(1 + 0.2316419 z).
+# Both engines evaluate this identical closed form, so p-values hash-match.
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+
+
+def _normal_two_sided_p_sql(z: str) -> str:
+    """DuckDB expression: two-sided normal p-value for z-expression `z`."""
+    t = f"(1.0 / (1.0 + 0.2316419 * abs({z})))"
+    poly = (
+        f"({_AS_B[0]} * {t} + {_AS_B[1]} * pow({t}, 2) + {_AS_B[2]} * pow({t}, 3)"
+        f" + {_AS_B[3]} * pow({t}, 4) + {_AS_B[4]} * pow({t}, 5))"
+    )
+    return (
+        f"(2.0 * (exp(-0.5 * {z} * {z}) / sqrt(2.0 * pi())) * {poly})"
+    )
+
+
+@register(
+    "q238_fdr_drift_control",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id % {_BH_BUCKETS} AS bucket,
+             CASE WHEN ts < TIMESTAMP '{_BH_SPLIT}' THEN 1 ELSE 0 END AS early,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+      FROM events
+    ),
+    per AS (
+      SELECT bucket,
+             CAST(sum(early) AS DOUBLE) AS n1,
+             CAST(sum(early * err) AS DOUBLE) AS x1,
+             CAST(sum(1 - early) AS DOUBLE) AS n2,
+             CAST(sum((1 - early) * err) AS DOUBLE) AS x2
+      FROM e GROUP BY bucket
+    ),
+    zt AS (
+      SELECT bucket, n1, x1, n2, x2,
+             (x1 / n1 - x2 / n2)
+             / nullif(sqrt(((x1 + x2) / (n1 + n2)) * (1.0 - (x1 + x2) / (n1 + n2))
+                           * (1.0 / n1 + 1.0 / n2)), 0) AS z
+      FROM per
+    ),
+    pv AS (
+      SELECT bucket, n1, x1, n2, x2, z,
+             round({_normal_two_sided_p_sql("z")}, 10) AS p
+      FROM zt
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY p, bucket) AS i,
+             CAST(count(*) OVER () AS DOUBLE) AS m
+      FROM pv
+    ),
+    bh AS (
+      SELECT *, max(CASE WHEN p <= {_BH_ALPHA} * i / m THEN i END) OVER () AS kstar
+      FROM rk
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(i AS BIGINT) AS rk,
+           CAST(n1 AS BIGINT) AS n_early, CAST(x1 AS BIGINT) AS err_early,
+           CAST(n2 AS BIGINT) AS n_late, CAST(x2 AS BIGINT) AS err_late,
+           round(z, 4) AS z,
+           round(p, 8) AS p,
+           COALESCE(i <= kstar, FALSE) AS bh_rejected,
+           p <= {_BH_ALPHA} AS naive_rejected
+    FROM bh
+    ORDER BY rk
+    """,
+)
+def q238_fdr_drift_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing discipline for a drift-monitor wall: {_BH_BUCKETS}
+    parallel two-proportion z-tests (error rate early-January vs late,
+    one per user-hash bucket) with Benjamini-Hochberg FDR control at
+    alpha={_BH_ALPHA} — the correction that keeps a dashboard of dozens of
+    per-segment alarms from paging on 5% of healthy segments every night
+    (q174/q196 test ONE hypothesis; this is the m-hypotheses form).
+    Emits both the BH decision and the naive per-test decision so the
+    audit shows exactly which alarms the correction suppressed.
+
+    Determinism: counts are exact integer sums; z and the A&S 26.2.17
+    normal-tail polynomial are identical closed forms in both engines;
+    p is rounded at 1e-10 BEFORE the BH rank with bucket as the total
+    tie-break, so the step-up ordering matches bit-for-bit.
+
+    Scale posture: one corpus-scan partial-agg to {_BH_BUCKETS} rows;
+    every window after it runs on the fixed {_BH_BUCKETS}-row hypothesis
+    frame (allowlisted bound). At 100x the only thing that grows is the
+    map-side scan."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        (F.col("user_id") % _BH_BUCKETS).alias("bucket"),
+        F.when(F.col("ts") < F.lit(_BH_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("early"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("err"),
+    )
+    per = e.groupBy("bucket").agg(
+        F.sum("early").cast("double").alias("n1"),
+        F.sum(F.col("early") * F.col("err")).cast("double").alias("x1"),
+        F.sum(1 - F.col("early")).cast("double").alias("n2"),
+        F.sum((1 - F.col("early")) * F.col("err")).cast("double").alias("x2"),
+    )
+    pool = (F.col("x1") + F.col("x2")) / (F.col("n1") + F.col("n2"))
+    se = F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    z = (F.col("x1") / F.col("n1") - F.col("x2") / F.col("n2")) / F.nullif(
+        se, F.lit(0.0)
+    )
+    t = 1.0 / (1.0 + 0.2316419 * F.abs(F.col("z")))
+    poly = (
+        _AS_B[0] * t
+        + _AS_B[1] * F.pow(t, 2)
+        + _AS_B[2] * F.pow(t, 3)
+        + _AS_B[3] * F.pow(t, 4)
+        + _AS_B[4] * F.pow(t, 5)
+    )
+    p = 2.0 * (
+        F.exp(-0.5 * F.col("z") * F.col("z")) / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+    ) * poly
+    pv = per.withColumn("z", z).withColumn("p", F.round(p, 10))
+    wrank = Window.orderBy(F.col("p").asc(), F.col("bucket").asc())
+    wall = Window.partitionBy()  # the fixed 64-row hypothesis frame
+    rk = pv.withColumn("i", F.row_number().over(wrank)).withColumn(
+        "m", F.count(F.lit(1)).over(wall).cast("double")
+    )
+    bh = rk.withColumn(
+        "kstar",
+        F.max(
+            F.when(
+                F.col("p") <= _BH_ALPHA * F.col("i") / F.col("m"), F.col("i")
+            )
+        ).over(wall),
+    )
+    return bh.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("i").cast("bigint").alias("rk"),
+        F.col("n1").cast("bigint").alias("n_early"),
+        F.col("x1").cast("bigint").alias("err_early"),
+        F.col("n2").cast("bigint").alias("n_late"),
+        F.col("x2").cast("bigint").alias("err_late"),
+        F.round("z", 4).alias("z"),
+        F.round("p", 8).alias("p"),
+        F.coalesce(F.col("i") <= F.col("kstar"), F.lit(False)).alias(
+            "bh_rejected"
+        ),
+        (F.col("p") <= _BH_ALPHA).alias("naive_rejected"),
+    ).orderBy("rk")
