@@ -200,6 +200,10 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
 # library must appear here with its recorded bound.
 COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/sampling.py",
+     'F.array_sort(F.collect_list(F.struct("m", "r"))).alias("a"),'):
+        "replicate-bounded: exactly R=40 bootstrap replicate means folded "
+        "into the 1-row interval frame (q239)",
+    ("queries/sampling.py",
      'F.collect_list(F.struct("b", "v"))  # <= B=256 bucket pairs'):
         "codomain-bounded: <= 256 (bucket, contribution) pairs per doc — "
         "the 2-hex-char md5 bucket codomain (q219 DSIR ordered fold)",
@@ -275,6 +279,13 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("queries/sampling.py", "return folds.crossJoin(F.broadcast(point)).select("):
+        "1-row point-estimate scalar joined to the 1-row replicate fold "
+        "(q239 Poisson bootstrap)",
+    ("queries/corpus.py", '.join(F.broadcast(s), "source")'):
+        "|sources|-row token totals: bounded dimension (q237 log-odds)",
+    ("queries/corpus.py", ".crossJoin(F.broadcast(g))"):
+        "1-row global token count scalar (q237 log-odds)",
     ("streaming/pipeline.py", 'return events.join(F.broadcast(dim), on, "inner")'):
         "stream-static dim lookup: dim table is fixed-cardinality by contract",
     ("streaming/pipeline.py",

@@ -861,3 +861,161 @@ def q226_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+# --- q239: Poisson-bootstrap confidence interval -------------------------------
+
+# Poisson(1) CDF thresholds (k = 0..6; u >= last -> weight 7). The Poisson
+# bootstrap replaces multinomial resampling — which needs the global row
+# count up front and a shared draw — with an INDEPENDENT per-row weight,
+# the only bootstrap that runs as a single map stage at cluster scale
+# (Chamandy et al., "Estimating uncertainty for massive data streams",
+# Google 2012 — public).
+_POIS1_CDF = (
+    0.3678794411714423,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507120,
+)
+_BOOT_R = 40  # replicates; percentile CI at ranks 1 / 39 (2.5% / 97.5%)
+
+
+def _pois_case_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE {arms} ELSE 7 END)"
+
+
+@register(
+    "q239_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS x
+      FROM documents
+    ),
+    rep AS (
+      SELECT r, doc_id, x,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT)
+                  AS DOUBLE) / 4294967296.0 AS u
+      FROM d, range(1, {_BOOT_R} + 1) t(r)
+    ),
+    means AS (
+      SELECT r,
+             sum({_pois_case_sql("u")} * x) / sum({_pois_case_sql("u")}) AS m
+      FROM rep GROUP BY r
+    ),
+    arr AS (
+      SELECT list(m ORDER BY m, r) AS a,
+             CAST(count(*) AS DOUBLE) AS rr
+      FROM means
+    ),
+    folds AS (
+      SELECT rr, a,
+             list_aggregate(a, 'sum') / rr AS mbar
+      FROM arr
+    ),
+    point AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(x) / count(*) AS mean_x
+      FROM d
+    )
+    SELECT n_docs,
+           CAST({_BOOT_R} AS BIGINT) AS n_replicates,
+           round(mean_x, 4) AS mean_tokens,
+           round(sqrt(list_aggregate(list_transform(a, v -> (v - mbar)
+                      * (v - mbar)), 'sum') / (rr - 1.0)), 6) AS boot_se,
+           round(a[2], 4) AS ci_lo,
+           round(a[{_BOOT_R - 1}], 4) AS ci_hi
+    FROM folds, point
+    """,
+)
+def q239_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty for a corpus statistic WITHOUT resampling coordination:
+    the Poisson bootstrap (per-row independent Poisson(1) weights, R =
+    {_BOOT_R} replicates) for the mean tokens-per-document, with the
+    replicate-spread SE and the rank-1/rank-{_BOOT_R - 1} percentile
+    interval. The multinomial bootstrap needs a global n and a shared
+    multinomial draw — impossible as a map stage; Poissonization makes
+    every row's weight independent, so the whole resample is one narrow
+    projection (Chamandy et al. 2012; the grouped-jackknife q233's
+    resampling companion). Weights come from the md5 hash of
+    (doc_id, replicate), the repo's deterministic-sampling discipline, so
+    a rerun — or the DuckDB oracle — reproduces every draw exactly.
+
+    Determinism: weights are integers from hash-uniform thresholds;
+    sum(w*x) and sum(w) are exact integer-valued double sums (token counts
+    x weight <= 7 x corpus tokens, far under 2^53), so each replicate mean
+    is an exact ratio in both engines; the R-row spread/percentile math
+    folds a (value, r)-sorted array in identical order (q141 discipline).
+
+    Scale posture: one corpus scan exploding {_BOOT_R} weights per row,
+    partial-aggregated map-side to {_BOOT_R} rows per task before the
+    shuffle — the shuffle moves O({_BOOT_R} x tasks) rows, never the
+    corpus. All interval math runs on the {_BOOT_R}-row replicate frame
+    folded into one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("x"),
+    )
+    rep = d.select(
+        "doc_id",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R))).alias("r"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("r"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0),
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS1_CDF[k], F.lit(k)).otherwise(w)
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("r")
+        .agg(
+            (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m")
+        )
+    )
+    arr = means.agg(
+        F.array_sort(F.collect_list(F.struct("m", "r"))).alias("a"),
+        F.count(F.lit(1)).cast("double").alias("rr"),
+    ).select(
+        F.expr("transform(a, s -> s.m)").alias("a"), "rr"
+    )
+    folds = arr.select(
+        "a",
+        "rr",
+        (F.expr("aggregate(a, 0D, (acc, v) -> acc + v)") / F.col("rr")).alias(
+            "mbar"
+        ),
+    )
+    point = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("x") / F.count(F.lit(1))).alias("mean_x"),
+    )
+    return folds.crossJoin(F.broadcast(point)).select(
+        "n_docs",
+        F.lit(_BOOT_R).cast("bigint").alias("n_replicates"),
+        F.round("mean_x", 4).alias("mean_tokens"),
+        F.round(
+            F.sqrt(
+                F.expr("aggregate(a, 0D, (acc, v) -> acc + (v - mbar) * (v - mbar))")
+                / (F.col("rr") - 1.0)
+            ),
+            6,
+        ).alias("boot_se"),
+        F.round(F.element_at("a", 2), 4).alias("ci_lo"),
+        F.round(F.element_at("a", _BOOT_R - 1), 4).alias("ci_hi"),
+    )
