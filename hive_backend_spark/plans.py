@@ -160,6 +160,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q228_filter_interaction_census":
         "<= 16-row signature frame (2^4 codomain): corpus-total window "
         "sum (single-scan form)",
+    "q240_interval_overlap_join":
+        "top-20 incident head, pre-limited by TakeOrderedAndProject before "
+        "the rank window",
     "q238_fdr_drift_control":
         "64-row user-bucket hypothesis frame: BH step-up rank and kstar "
         "windows over the fixed bucket dimension",

@@ -731,3 +731,129 @@ def q235_km_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_censored"),
         F.round(F.exp(F.sum("log_term").over(w_cum)), 6).alias("s_hat"),
     ).orderBy("hour")
+
+
+# --- q240: incident-window interval-overlap join -------------------------------
+
+_INC_TOPK = 20     # incidents: top-k bursty 10-minute error blocks
+_INC_PAD_MIN = 5   # padding on each side of the hot block
+
+
+@register(
+    "q240_interval_overlap_join",
+    oracle=f"""
+    WITH blocks AS (
+      SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT))
+                  AS TIMESTAMP) AS b0,
+             CAST(count(*) AS BIGINT) AS n_block_errors
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    top AS (
+      SELECT b0, n_block_errors,
+             row_number() OVER (ORDER BY n_block_errors DESC, b0) AS incident_id
+      FROM blocks QUALIFY incident_id <= {_INC_TOPK}
+    ),
+    inc AS (
+      SELECT incident_id, n_block_errors,
+             b0 - INTERVAL {_INC_PAD_MIN} MINUTE AS start_ts,
+             b0 + INTERVAL {10 + _INC_PAD_MIN} MINUTE AS end_ts
+      FROM top
+    ),
+    joined AS (
+      SELECT i.incident_id, i.start_ts, i.end_ts, i.n_block_errors,
+             e.event_type, e.user_id
+      FROM inc i JOIN events e
+        ON e.ts >= i.start_ts AND e.ts < i.end_ts
+    )
+    SELECT incident_id, start_ts, end_ts, n_block_errors,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM joined
+    GROUP BY 1, 2, 3, 4
+    ORDER BY incident_id
+    """,
+)
+def q240_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT the nested-loop cliff: pull every
+    event falling inside the {_INC_TOPK} burstiest error windows (top
+    10-minute error blocks, padded +/-{_INC_PAD_MIN} min) — the "what else
+    happened during the incident" query. A naive `e.ts BETWEEN i.start AND
+    i.end` join has no equality key, so Spark plans BroadcastNestedLoop —
+    O(|events| x |intervals|) comparisons. Here each interval EXPLODES
+    into its covered minute buckets (interval length is bounded by
+    construction: {10 + 2 * _INC_PAD_MIN} minutes) and the join becomes an
+    EQUI-join on the minute key plus a residual range check — a plain
+    shuffled hash join that stays a hash join at a million intervals,
+    which is the point: the technique, not the {_INC_TOPK}-row demo size,
+    is what scales (Spark has no built-in range-join optimization; this
+    bucketing is the standard workaround, same family as the q221
+    point-in-time bucket join).
+
+    Determinism: block counts are exact ints; the top-{_INC_TOPK} head
+    carries (count DESC, block_start) total order; interval bounds are
+    half-open [start, end) so boundary events land exactly once in both
+    engines.
+
+    Scale posture: the block census is one map-side partial agg; the
+    incident head is a TakeOrdered; events join by equi-key with the tiny
+    bucket table (AQE broadcasts it while small — but the plan is a hash
+    join either way, never a cartesian); per-incident aggregates are
+    bounded by the incident dimension. The rank window runs on the
+    pre-limited {_INC_TOPK}-row head."""
+    events = load_table(spark, sf_dir, "events")
+    blocks = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("bigint")
+            ).alias("b0")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_block_errors"))
+    )
+    top = blocks.orderBy(
+        F.col("n_block_errors").desc(), F.col("b0").asc()
+    ).limit(_INC_TOPK)
+    w = Window.orderBy(F.col("n_block_errors").desc(), F.col("b0").asc())
+    inc = top.select(
+        F.row_number().over(w).alias("incident_id"),
+        "n_block_errors",
+        (F.col("b0") - F.expr(f"INTERVAL {_INC_PAD_MIN} MINUTES")).alias(
+            "start_ts"
+        ),
+        (
+            F.col("b0") + F.expr(f"INTERVAL {10 + _INC_PAD_MIN} MINUTES")
+        ).alias("end_ts"),
+    )
+    # Bucket decomposition: each interval covers a BOUNDED run of minutes
+    # ([start, end) half-open -> last covered minute is end - 1 min), so the
+    # explode is O(intervals x 20) and the events side joins on an equi-key.
+    buckets = inc.select(
+        "incident_id",
+        "start_ts",
+        "end_ts",
+        "n_block_errors",
+        F.explode(
+            F.sequence(
+                F.col("start_ts"),
+                F.col("end_ts") - F.expr("INTERVAL 1 MINUTE"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("minute"),
+    )
+    tagged = events.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+    joined = tagged.join(buckets, "minute").filter(
+        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+    )
+    return (
+        joined.groupBy("incident_id", "start_ts", "end_ts", "n_block_errors")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("incident_id")
+    )
