@@ -1693,3 +1693,114 @@ def q230_deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("table_name")
     )
+
+
+# --- q241: sketch-based pairwise overlap (inclusion-exclusion) -----------------
+
+
+@register(
+    "q241_hll_intersection",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS exact_inter
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n FROM ut
+      GROUP BY event_type
+    )
+    SELECT p.type_a, p.type_b,
+           pa.exact_n AS exact_a, pb.exact_n AS exact_b,
+           p.exact_inter,
+           round(CAST(p.exact_inter AS DOUBLE)
+                 / (pa.exact_n + pb.exact_n - p.exact_inter), 4)
+             AS exact_jaccard,
+           TRUE AS est_within_bound
+    FROM pairs p
+    JOIN per pa ON p.type_a = pa.event_type
+    JOIN per pb ON p.type_b = pb.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def q241_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix from SKETCHES: |A inter B| for every event-
+    type pair via inclusion-exclusion on HLL unions (est_a + est_b -
+    est_union), checked beside the exact intersection — the query-time
+    pattern that answers arbitrary pairwise overlap questions at 100 TB
+    from per-partition sketches WITHOUT ever joining the raw user sets
+    (q192 pins that union merging is exact; this pins the derived
+    intersection estimate). Sketch bytes are engine-specific, so the
+    oracle pins the exact counts/Jaccard and expects TRUE for the bound
+    flag: |est - exact| <= 5% of the pair's UNION size, the correct
+    yardstick because inclusion-exclusion error scales with the united
+    sets, not the (possibly tiny) intersection.
+
+    Determinism: exact counts are integer aggregates; the flag compares
+    the engine-deterministic DataSketches estimate against them.
+
+    Scale posture: ONE pass over the distinct (user, type) frame builds
+    all |types| sketches (bounded-cardinality agg); the pair frame is the
+    |types|^2 self-join of 5-row sketch relations — model-state math, no
+    user-level join needed for the estimates (the exact intersection here
+    is the audit's ground truth and itself shuffles only the distinct
+    (user, type) frame)."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    per = ut.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_n"),
+    )
+    a = per.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("exact_a"),
+    )
+    b = per.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("exact_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    exact_inter = (
+        ut.alias("x")
+        .join(
+            ut.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    est_inter = est_a + est_b - est_union
+    exact_union = (
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")
+    ).cast("double")
+    return (
+        pairs.join(exact_inter, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            F.round(
+                F.col("exact_inter").cast("double") / exact_union, 4
+            ).alias("exact_jaccard"),
+            (F.abs(est_inter - F.col("exact_inter")) <= 0.05 * exact_union).alias(
+                "est_within_bound"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
