@@ -2664,3 +2664,95 @@ def q237_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rk")
     )
+
+
+# --- q242: Good-Turing unseen mass / Chao1 richness ----------------------------
+
+
+@register(
+    "q242_good_turing",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, term
+    ),
+    per AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM tf GROUP BY source
+    )
+    SELECT source, n_tokens, vocab, n1, n2,
+           round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS p_unseen,
+           round(1.0 - CAST(n1 AS DOUBLE) / n_tokens, 6) AS coverage,
+           round(vocab + CASE WHEN n2 > 0
+                              THEN CAST(n1 AS DOUBLE) * n1 / (2.0 * n2)
+                              ELSE CAST(n1 AS DOUBLE) * (n1 - 1) / 2.0 END,
+                 1) AS chao1_richness
+    FROM per
+    ORDER BY source
+    """,
+)
+def q242_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much vocabulary each source has NOT shown yet: the Good-Turing
+    unseen-probability estimate (P0 = singletons/tokens — the probability
+    the next sampled token is a brand-new type) and the Chao1 richness
+    lower bound (V + N1^2 / 2 N2) per source. The pair answers the "is
+    more data from this source worth ingesting" question the q225 growth
+    curve plots empirically: a source with high unseen mass still yields
+    new vocabulary; one with P0 near zero is saturated. Complements q181
+    (hapax census counts singletons; this turns them into the estimator)
+    and q141 (Zipf shape). Good-Turing 1953 / Chao 1984 — public
+    estimators.
+
+    Determinism: everything up to the final division is an exact integer
+    aggregate; both engines evaluate the identical closed forms, rounded
+    at the grain shown. The N2 = 0 Chao1 fallback (the bias-corrected
+    form) is mirrored in both engines.
+
+    Scale posture: one explode -> (source, term) partial-agg shuffle
+    (vocabulary-bounded, the q78/q237 path) collapsed to |sources| rows;
+    the frequency-of-frequencies reduction is a second bounded aggregate.
+    Nothing corpus-sized moves after the first HashAggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per = tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    p0 = F.col("n1").cast("double") / F.col("n_tokens")
+    chao1 = F.col("vocab") + F.when(
+        F.col("n2") > 0,
+        F.col("n1").cast("double") * F.col("n1") / (2.0 * F.col("n2")),
+    ).otherwise(
+        F.col("n1").cast("double") * (F.col("n1") - 1) / 2.0
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "n1",
+        "n2",
+        F.round(p0, 6).alias("p_unseen"),
+        F.round(1.0 - p0, 6).alias("coverage"),
+        F.round(chao1, 1).alias("chao1_richness"),
+    ).orderBy("source")
