@@ -160,6 +160,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q228_filter_interaction_census":
         "<= 16-row signature frame (2^4 codomain): corpus-total window "
         "sum (single-scan form)",
+    "q243_conformal_threshold":
+        "ceiled-residual grid: bounded by the chars codomain, not the "
+        "corpus (cumulative order-statistic window, q144/q236 discipline)",
     "q240_interval_overlap_join":
         "top-20 incident head, pre-limited by TakeOrderedAndProject before "
         "the rank window",
@@ -282,6 +285,15 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("queries/text.py", 'scored = d.join(F.broadcast(pred), "source").select('):
+        "|sources|-row calibration predictor table (q243 conformal)",
+    ("queries/text.py", "cum.crossJoin(F.broadcast(caln))"):
+        "1-row calibration-count scalar (q243 conformal)",
+    ("queries/text.py", ".crossJoin(F.broadcast(qhat))"):
+        "1-row conformal-threshold scalar (q243 conformal)",
+    ("queries/text.py", "return caln.crossJoin(F.broadcast(test)).select("):
+        "1-row test-coverage fold joined to the 1-row calibration count "
+        "(q243 conformal)",
     ("queries/sampling.py", "return folds.crossJoin(F.broadcast(point)).select("):
         "1-row point-estimate scalar joined to the 1-row replicate fold "
         "(q239 Poisson bootstrap)",

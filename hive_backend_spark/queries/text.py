@@ -3455,3 +3455,133 @@ def q236_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# --- q243: split-conformal interval for a per-source predictor -----------------
+
+_CONF_ALPHA_NUM = 9  # 1 - alpha = 9/10 kept as an integer ratio: k = ceil(0.9(n+1))
+
+
+@register(
+    "q243_conformal_threshold",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(n_chars AS DOUBLE) AS y,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_cal
+      FROM documents
+    ),
+    pred AS (
+      SELECT source, sum(CASE WHEN is_cal THEN y END)
+                     / count(CASE WHEN is_cal THEN 1 END) AS y_hat
+      FROM d GROUP BY source
+    ),
+    scored AS (
+      SELECT d.is_cal, CAST(ceil(abs(d.y - p.y_hat)) AS BIGINT) AS s
+      FROM d JOIN pred p USING (source)
+    ),
+    caln AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal FROM scored WHERE is_cal
+    ),
+    grid AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS c
+      FROM scored WHERE is_cal GROUP BY s
+    ),
+    cum AS (
+      SELECT s, sum(c) OVER (ORDER BY s) AS cum_c FROM grid
+    ),
+    qhat AS (
+      SELECT min(s) AS q_hat
+      FROM cum, caln
+      WHERE cum_c >= (9 * (n_cal + 1) + 9) // 10
+    ),
+    test AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN s <= (SELECT q_hat FROM qhat)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM scored WHERE NOT is_cal
+    )
+    SELECT n_cal,
+           (9 * (n_cal + 1) + 9) // 10 AS k_rank,
+           (SELECT q_hat FROM qhat) AS q_hat,
+           n_test, covered,
+           round(CAST(covered AS DOUBLE) / n_test, 4) AS test_coverage
+    FROM caln, test
+    """,
+)
+def q243_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free error bars for a corpus predictor: split-
+    conformal calibration of the per-source mean-chars model at alpha =
+    0.1 — q_hat is the ceil(0.9 (n+1))-th smallest absolute residual on
+    the calibration half (md5 doc split, the q77 discipline), and the
+    interval y_hat +/- q_hat then covers >= 90% of fresh documents by the
+    exchangeability theorem (Vovk et al.; Lei et al. 2018 — public). The
+    audited test-half coverage is reported beside the rank so drift that
+    breaks the guarantee shows up as a number, not a belief. This is the
+    calibration layer a quality-filter threshold (q169/q236) needs before
+    its cutoffs are trusted at 100 TB.
+
+    Determinism: the residual grid is integer-ceiled, so the order
+    statistic is a min over exact integer cumulative counts; k uses pure
+    integer arithmetic ((9(n+1)+9) div 10) in both engines; the coverage
+    ratio is one exact division rounded at 1e-4.
+
+    Scale posture: the predictor is a |sources|-row broadcast; residuals
+    are a narrow map stage; the quantile runs on the CEILED-RESIDUAL GRID
+    (bounded by the chars codomain, the q144/q236 discipline) — its
+    cumulative window orders a grid-sized frame, never the corpus; the
+    coverage check is one more map-side aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.col("n_chars").cast("double").alias("y"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+        ).alias("is_cal"),
+    )
+    pred = d.groupBy("source").agg(
+        (
+            F.sum(F.when(F.col("is_cal"), F.col("y")))
+            / F.count(F.when(F.col("is_cal"), F.lit(1)))
+        ).alias("y_hat")
+    )
+    scored = d.join(F.broadcast(pred), "source").select(
+        "is_cal",
+        F.ceil(F.abs(F.col("y") - F.col("y_hat"))).cast("bigint").alias("s"),
+    )
+    caln = scored.filter("is_cal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal")
+    )
+    grid = (
+        scored.filter("is_cal")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wg = Window.orderBy("s")  # grid-bounded: ceiled-residual codomain
+    cum = grid.select("s", F.sum("c").over(wg).alias("cum_c"))
+    k = F.expr("(9 * (n_cal + 1) + 9) div 10")
+    qhat = (
+        cum.crossJoin(F.broadcast(caln))
+        .filter(F.col("cum_c") >= k)
+        .agg(F.min("s").alias("q_hat"))
+    )
+    test = (
+        scored.filter(~F.col("is_cal"))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("s") <= F.col("q_hat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("covered"),
+            F.first("q_hat").alias("q_hat"),
+        )
+    )
+    return caln.crossJoin(F.broadcast(test)).select(
+        "n_cal",
+        k.cast("bigint").alias("k_rank"),
+        "q_hat",
+        "n_test",
+        "covered",
+        F.round(F.col("covered").cast("double") / F.col("n_test"), 4).alias(
+            "test_coverage"
+        ),
+    )
