@@ -19,7 +19,7 @@ last-ulp differences.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -2155,4 +2155,188 @@ def q234_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
         .orderBy("probe_id")
+    )
+
+
+# --- q244: semi-supervised label propagation over the IVF-blocked graph --------
+
+_LP_EDGE_T = 0.2  # cosine threshold for graph edges (~5 neighbors/node)
+
+_LP_EDGES_SQL = f"""
+  SELECT x.vec_id AS src, x.label AS true_label, y.vec_id AS dst
+  FROM ({_IVF_ASSIGN_SQL}) x JOIN ({_IVF_ASSIGN_SQL}) y
+    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+  WHERE list_dot_product(x.v, y.v)
+        / (sqrt(list_dot_product(x.v, x.v))
+           * sqrt(list_dot_product(y.v, y.v))) > {_LP_EDGE_T}
+"""
+
+
+@register(
+    "q244_label_propagation",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT vec_id, label,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS is_labeled
+      FROM embeddings
+    ),
+    edges AS ({_LP_EDGES_SQL}),
+    l0 AS (
+      SELECT vec_id, label AS lab FROM nodes WHERE is_labeled
+    ),
+    v1 AS (
+      SELECT e.src, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM edges e JOIN l0 l ON e.dst = l.vec_id
+      WHERE e.src NOT IN (SELECT vec_id FROM l0)
+      GROUP BY e.src, l.lab
+    ),
+    a1 AS (
+      SELECT src AS vec_id, lab,
+             row_number() OVER (PARTITION BY src ORDER BY c DESC, lab) AS rn
+      FROM v1 QUALIFY rn = 1
+    ),
+    l1 AS (
+      SELECT vec_id, lab FROM l0
+      UNION ALL SELECT vec_id, lab FROM a1
+    ),
+    v2 AS (
+      SELECT e.src, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM edges e JOIN l1 l ON e.dst = l.vec_id
+      WHERE e.src NOT IN (SELECT vec_id FROM l1)
+      GROUP BY e.src, l.lab
+    ),
+    a2 AS (
+      SELECT src AS vec_id, lab,
+             row_number() OVER (PARTITION BY src ORDER BY c DESC, lab) AS rn
+      FROM v2 QUALIFY rn = 1
+    ),
+    prop AS (
+      SELECT vec_id, lab, 1 AS it FROM a1
+      UNION ALL SELECT vec_id, lab, 2 AS it FROM a2
+    )
+    SELECT n.label AS true_label,
+           CAST(count(*) AS BIGINT) AS n_masked,
+           CAST(count(p.lab) AS BIGINT) AS n_assigned,
+           CAST(sum(CASE WHEN p.it = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_iter1,
+           CAST(sum(CASE WHEN p.lab = n.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(CAST(sum(CASE WHEN p.lab = n.label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / nullif(count(p.lab), 0), 4) AS accuracy
+    FROM nodes n LEFT JOIN prop p ON n.vec_id = p.vec_id
+    WHERE NOT n.is_labeled
+    GROUP BY n.label
+    ORDER BY n.label
+    """,
+)
+def q244_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading: mask half the labels (md5 split),
+    then two majority-vote propagation rounds over the cosine graph
+    (edges = IVF-cell-blocked pairs with cosine > {_LP_EDGE_T}, the q71
+    candidate structure) — the weak-supervision pattern that turns a
+    seed-labeled slice of a 100 TB corpus into full coverage without a
+    trained model (Zhu & Ghahramani 2002 label propagation; public). Round
+    2 lets round-1 assignments vote, reaching nodes with no labeled
+    neighbor; the audit reports per-class assignment coverage and
+    accuracy against the held-out truth, which is exactly the number a
+    team reviews before trusting spread labels in a mixture plan.
+
+    Determinism: votes are integer counts with (count DESC, label ASC)
+    majority tie-break in both engines; the edge set thresholds the
+    unrounded cosine (numpy matmul vs DuckDB fold — same accepted
+    1e-15 tolerance class as q71/q132, no observed flips on the test
+    grain); iteration membership is exact set algebra.
+
+    Scale posture: edges shuffle ONCE on the derived IVF cell
+    (applyInPandas matmul per cell — vectorized, cell-bounded, the q71
+    plan); each round is one edge-keyed hash join + a per-node majority
+    window PARTITIONED by node; nothing global, nothing iterative beyond
+    the two pinned rounds. At 100 TB rounds extend by re-running the
+    same bounded join."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = _ivf_assign(spark, sf_dir)
+
+    def block_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        np.fill_diagonal(sims, -2.0)
+        src, dst = np.nonzero(sims > _LP_EDGE_T)
+        ids = pdf["vec_id"].to_numpy()
+        labs = pdf["label"].to_numpy()
+        return pd.DataFrame(
+            {
+                "src": ids[src],
+                "true_label": labs[src],
+                "dst": ids[dst],
+            }
+        )
+
+    edges = assigned.groupBy("cell").applyInPandas(
+        block_edges, schema="src bigint, true_label int, dst bigint"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.select(
+        "vec_id",
+        "label",
+        (
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+        ).alias("is_labeled"),
+    )
+    l_cur = nodes.filter("is_labeled").select(
+        "vec_id", F.col("label").alias("lab")
+    )
+    prop = None
+    for it in (1, 2):
+        votes = (
+            edges.join(
+                l_cur.select(F.col("vec_id").alias("dst"), "lab"), "dst"
+            )
+            .join(
+                l_cur.select(F.col("vec_id").alias("src")),
+                "src",
+                "left_anti",
+            )
+            .groupBy("src", "lab")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        wv = Window.partitionBy("src").orderBy(
+            F.col("c").desc(), F.col("lab").asc()
+        )
+        newly = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("src").alias("vec_id"),
+                "lab",
+                F.lit(it).alias("it"),
+            )
+        )
+        prop = newly if prop is None else prop.unionByName(newly)
+        l_cur = l_cur.unionByName(newly.select("vec_id", "lab"))
+    masked = nodes.filter(~F.col("is_labeled"))
+    return (
+        masked.join(prop, "vec_id", "left")
+        .groupBy(F.col("label").alias("true_label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_masked"),
+            F.count("lab").cast("bigint").alias("n_assigned"),
+            F.sum(F.when(F.col("it") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_iter1"),
+            F.sum(F.when(F.col("lab") == F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("lab") == F.col("label"), 1).otherwise(0)
+                ).cast("double")
+                / F.nullif(F.count("lab"), F.lit(0)),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("true_label")
     )
