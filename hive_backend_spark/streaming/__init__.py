@@ -15,6 +15,7 @@ from .pipeline import (
     dedup_stream,
     drift_monitor_stream,
     rate_limit_stream,
+    streaming_heavy_hitters,
     merge_partial_indexes,
     read_document_stream,
     read_event_stream,
@@ -43,6 +44,7 @@ __all__ = [
     "dedup_stream",
     "drift_monitor_stream",
     "rate_limit_stream",
+    "streaming_heavy_hitters",
     "merge_partial_indexes",
     "read_document_stream",
     "read_event_stream",

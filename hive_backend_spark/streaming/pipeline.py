@@ -963,3 +963,78 @@ def run_incremental_index(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_heavy_hitters(
+    events: DataFrame, capacity: int = 16, shards: int = 8
+) -> DataFrame:
+    """Misra-Gries heavy hitters OVER A STREAM: per-shard decrement-counter
+    summaries held in keyed state (applyInPandasWithState), emitting each
+    shard's full candidate set after every micro-batch tagged with a state
+    version. The batch operator (operators/sketch.misra_gries_terms, q163)
+    proves the merge/compress invariants; this is the same summary kept
+    ALIVE across triggers — per shard at most `capacity` counters,
+    regardless of how many batches or how large the key universe, which is
+    the whole point at 100 TB/day ingest: heavy-user detection with O(k)
+    state per shard, no per-key streaming aggregation whose state grows
+    with cardinality.
+
+    Guarantees carried over from the batch form (property-tested there,
+    parity-tested here): for every key, lower_bound <= true count and
+    true - lower_bound <= n_shard / (capacity + 1); every key with true
+    count > n_shard/(capacity+1) survives as a candidate. The consumer
+    re-checks exact counts for candidates only — the standard
+    candidate-then-verify contract (q163's batch discipline).
+
+    Shard key is `user_id % shards`, so state rows are bounded by
+    shards x capacity; version lets a downstream reader pick each shard's
+    latest snapshot (update-mode sinks append per-trigger emissions)."""
+    from collections import Counter
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketch import _mg_compress
+
+    out_schema = (
+        "shard int, version bigint, key string, lower_bound bigint, "
+        "n_shard bigint"
+    )
+    state_schema = "keys array<string>, counts array<bigint>, n bigint, v bigint"
+
+    def summarize(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (shard,) = key
+        if state.exists:
+            keys, counts, n, v = state.get
+            acc = Counter(dict(zip(keys, counts)))
+        else:
+            acc, n, v = Counter(), 0, 0
+        seen = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            seen += len(pdf)
+            acc.update(Counter(pdf["key"].astype(str)))
+        n += seen
+        v += 1
+        _mg_compress(acc, capacity)
+        state.update((list(acc.keys()), [int(c) for c in acc.values()], n, v))
+        items = sorted(acc.items())
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(items),
+                "version": [v] * len(items),
+                "key": [k for k, _ in items],
+                "lower_bound": [int(c) for _, c in items],
+                "n_shard": [n] * len(items),
+            }
+        )
+
+    keyed = events.select(
+        (F.col("user_id") % shards).cast("int").alias("shard"),
+        F.col("user_id").cast("string").alias("key"),
+    ).groupBy("shard")
+    return keyed.applyInPandasWithState(
+        summarize, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1104,3 +1104,53 @@ def test_incremental_index_untouched_bucket_not_rewritten(spark, tmp_path):
             assert vers == ["state_version=0", "state_version=1"], (tok, vers)
         else:
             assert vers == ["state_version=0"], (tok, vers)  # never rewritten
+
+
+def test_streaming_heavy_hitters_mg_guarantees(spark, stream_src):
+    """The streaming Misra-Gries summary, after draining all micro-batches,
+    must satisfy the MG contract per shard against the exact batch counts:
+    (a) lower_bound <= true count for every surviving candidate,
+    (b) undercount <= n_shard / (capacity + 1),
+    (c) every key with true count > n_shard / (capacity + 1) survives,
+    (d) at most `capacity` candidates per shard (bounded state)."""
+    cap, shards = 4, 4
+    got = _run_to_memory(
+        spark,
+        S.streaming_heavy_hitters(
+            S.read_event_stream(spark, stream_src), capacity=cap, shards=shards
+        ),
+        "stream_mg",
+        mode="update",
+    )
+    rows = got.collect()
+    latest_v = {}
+    for r in rows:
+        latest_v[r["shard"]] = max(latest_v.get(r["shard"], 0), r["version"])
+    final_rows = [r for r in rows if r["version"] == latest_v[r["shard"]]]
+    batch = spark.read.schema(S.EVENT_SCHEMA).parquet(stream_src)
+    true = (
+        batch.select(
+            (F.col("user_id") % shards).cast("int").alias("shard"),
+            F.col("user_id").cast("string").alias("key"),
+        )
+        .groupBy("shard", "key")
+        .count()
+    )
+    n_shard = true.groupBy("shard").agg(F.sum("count").alias("n_true"))
+
+    f = {r["shard"]: {} for r in n_shard.collect()}
+    for r in final_rows:
+        f[r["shard"]][r["key"]] = (r["lower_bound"], r["n_shard"])
+        assert len(f[r["shard"]]) <= cap, "state exceeded capacity"
+    t = {(r["shard"], r["key"]): r["count"] for r in true.collect()}
+    n_by_shard = {r["shard"]: r["n_true"] for r in n_shard.collect()}
+    assert f and t
+    for shard, cands in f.items():
+        bound = n_by_shard[shard] / (cap + 1)
+        for key, (lb, n_s) in cands.items():
+            assert n_s == n_by_shard[shard], "state total drifted from truth"
+            assert lb <= t[(shard, key)], f"lb overcounts: {shard}/{key}"
+            assert t[(shard, key)] - lb <= bound, f"undercount bound: {shard}/{key}"
+        for (s2, key), c in t.items():
+            if s2 == shard and c > bound:
+                assert key in cands, f"heavy hitter {key} evicted from shard {shard}"
