@@ -197,6 +197,14 @@ HEADLINE = [
     "q234_ndcg_eval",
     "q235_km_gap_survival",
     "q236_quality_auc",
+    "q237_distinctive_terms",
+    "q238_fdr_drift_control",
+    "q239_poisson_bootstrap_ci",
+    "q240_interval_overlap_join",
+    "q241_hll_intersection",
+    "q242_good_turing",
+    "q243_conformal_threshold",
+    "q244_label_propagation",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -2275,8 +2275,15 @@ def q244_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    edges = assigned.groupBy("cell").applyInPandas(
-        block_edges, schema="src bigint, true_label int, dst bigint"
+    # Materialize the edge table once (lazy localCheckpoint, the q225
+    # discipline): both propagation rounds join it, and without the pin
+    # each round would re-run the IVF assignment + per-cell matmul.
+    edges = (
+        assigned.groupBy("cell")
+        .applyInPandas(
+            block_edges, schema="src bigint, true_label int, dst bigint"
+        )
+        .localCheckpoint(eager=False)
     )
     emb = load_table(spark, sf_dir, "embeddings")
     nodes = emb.select(
