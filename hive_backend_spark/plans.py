@@ -160,6 +160,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q228_filter_interaction_census":
         "<= 16-row signature frame (2^4 codomain): corpus-total window "
         "sum (single-scan form)",
+    "q245_wasserstein_drift":
+        "chars-codomain value grid: global-CDF cumulative window over the "
+        "bounded grid (per-source CDFs partition by source)",
     "q243_conformal_threshold":
         "ceiled-residual grid: bounded by the chars codomain, not the "
         "corpus (cumulative order-statistic window, q144/q236 discipline)",

@@ -1804,3 +1804,149 @@ def q241_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- q246: offline changepoint by binary segmentation --------------------------
+
+
+@register(
+    "q246_binary_segmentation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(value) AS s, sum(value * value) AS ss,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, day, s, ss, n,
+             sum(s) OVER w AS cs, sum(ss) OVER w AS css,
+             sum(n) OVER w AS cn,
+             sum(s) OVER p AS ts_, sum(ss) OVER p AS tss,
+             sum(n) OVER p AS tn,
+             row_number() OVER w AS rk,
+             CAST(count(*) OVER p AS BIGINT) AS n_days
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day),
+             p AS (PARTITION BY event_type)
+    ),
+    gains AS (
+      SELECT event_type, day, n_days, cn, tn, cs, ts_,
+             (tss - ts_ * ts_ / tn)
+             - ((css - cs * cs / cn)
+                + ((tss - css) - (ts_ - cs) * (ts_ - cs) / (tn - cn)))
+               AS gain,
+             tss - ts_ * ts_ / tn AS sse_total
+      FROM cum WHERE rk < n_days
+    ),
+    best AS (
+      SELECT event_type, day AS split_day, n_days,
+             round(cs / cn, 4) AS mean_before,
+             round((ts_ - cs) / (tn - cn), 4) AS mean_after,
+             round(gain, 4) AS sse_gain,
+             round(gain / nullif(sse_total, 0), 6) AS gain_ratio,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY round(gain, 6) DESC, day
+             ) AS rn
+      FROM gains
+    )
+    SELECT event_type, split_day, n_days, mean_before, mean_after,
+           sse_gain, gain_ratio, gain_ratio > 0.1 AS pronounced
+    FROM best WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def q246_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint location by binary segmentation: for each event
+    type's daily value series, the split day that maximizes the SSE
+    reduction (total SSE minus best two-segment SSE) — the classic
+    retrospective "WHEN did the level shift" answer that complements
+    q187's sequential CUSUM (online detector) and q189's linear trend
+    (gradual drift): segmentation finds the STEP. One pass of prefix
+    sums prices every candidate split from the same cumulative moments
+    (Scott & Knott 1974 binary segmentation; public).
+
+    Determinism: daily sums are float folds of the raw values — the
+    per-day partial-agg order differs between engines, but gains are
+    ranked on round(gain, 6) with the day as total tie-break, and the
+    emitted floats are rounded at the shown grain (the repo's float-fold
+    rule); counts and day keys are exact.
+
+    Scale posture: the daily census is one map-side partial agg to
+    |types| x 31 rows (calendar-bounded); every window after it
+    partitions by event_type over that 31-row frame. At 100x only the
+    scan grows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("s").over(w).alias("cs"),
+        F.sum("ss").over(w).alias("css"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(p).alias("ts_"),
+        F.sum("ss").over(p).alias("tss"),
+        F.sum("n").over(p).alias("tn"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(p).cast("bigint").alias("n_days"),
+    )
+    sse_total = F.col("tss") - F.col("ts_") * F.col("ts_") / F.col("tn")
+    sse_left = F.col("css") - F.col("cs") * F.col("cs") / F.col("cn")
+    sse_right = (F.col("tss") - F.col("css")) - (
+        F.col("ts_") - F.col("cs")
+    ) * (F.col("ts_") - F.col("cs")) / (F.col("tn") - F.col("cn"))
+    gains = cum.filter(F.col("rk") < F.col("n_days")).select(
+        "event_type",
+        "day",
+        "n_days",
+        "cn",
+        "tn",
+        "cs",
+        "ts_",
+        (sse_total - (sse_left + sse_right)).alias("gain"),
+        sse_total.alias("sse_total"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.round(F.col("gain"), 6).desc(), F.col("day").asc()
+    )
+    best = gains.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        "n_days",
+        F.round(F.col("cs") / F.col("cn"), 4).alias("mean_before"),
+        F.round(
+            (F.col("ts_") - F.col("cs")) / (F.col("tn") - F.col("cn")), 4
+        ).alias("mean_after"),
+        F.round(F.col("gain"), 4).alias("sse_gain"),
+        F.round(
+            F.col("gain") / F.nullif(F.col("sse_total"), F.lit(0.0)), 6
+        ).alias("gain_ratio"),
+        F.row_number().over(wb).alias("rn"),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "split_day",
+            "n_days",
+            "mean_before",
+            "mean_after",
+            "sse_gain",
+            "gain_ratio",
+            (F.col("gain_ratio") > 0.1).alias("pronounced"),
+        )
+        .orderBy("event_type")
+    )

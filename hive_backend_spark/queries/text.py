@@ -3585,3 +3585,118 @@ def q243_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "test_coverage"
         ),
     )
+
+
+# --- q245: Wasserstein-1 (earth mover) drift per source ------------------------
+
+
+@register(
+    "q245_wasserstein_drift",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    sv AS (
+      SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY source, v
+    ),
+    grid AS (SELECT DISTINCT v FROM d),
+    src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY source
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    gcum AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v) AS DOUBLE) AS g_cum
+      FROM (SELECT v, sum(c) AS c FROM sv GROUP BY v)
+    ),
+    frame AS (
+      SELECT s.source, g.v,
+             CAST(sum(COALESCE(x.c, 0))
+                  OVER (PARTITION BY s.source ORDER BY g.v) AS DOUBLE) AS s_cum,
+             lead(g.v) OVER (PARTITION BY s.source ORDER BY g.v) AS v_next
+      FROM src s CROSS JOIN grid g
+      LEFT JOIN sv x ON x.source = s.source AND x.v = g.v
+    )
+    SELECT f.source, s.n_s AS n_docs,
+           round(sum(abs(f.s_cum / s.n_s - gc.g_cum / t.n)
+                     * (f.v_next - f.v)), 4) AS w1_chars
+    FROM frame f
+    JOIN src s ON f.source = s.source
+    JOIN gcum gc ON f.v = gc.v
+    CROSS JOIN tot t
+    WHERE f.v_next IS NOT NULL
+    GROUP BY f.source, s.n_s
+    ORDER BY f.source
+    """,
+)
+def q245_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover drift: the Wasserstein-1 distance between each source's
+    document-length distribution and the corpus-wide one, computed exactly
+    as the integral of |CDF_s - CDF_global| over the observed value grid
+    (the 1-D closed form). KS (q147) reports the WORST single gap — it
+    saturates and can't distinguish "one spike moved" from "the whole
+    distribution shifted 2x"; W1 integrates the gap, so it ranks HOW MUCH
+    mass moved HOW FAR, the number a mixture rebalance actually budgets
+    against (optimal-transport drift metrics — public: Villani; Ramdas et
+    al. 2017 on univariate W1 = CDF L1).
+
+    Determinism: CDFs are exact integer-count ratios on an integer value
+    grid; both engines sum the identical |gap| x gap-width terms and round
+    at 1e-4 (absorbing summation-order residue, the repo's float-fold
+    rule).
+
+    Scale posture: the (source, v) census is one partial-agg shuffle
+    bounded by |sources| x |chars codomain|, NOT the corpus; the CDF
+    windows partition by source over the value GRID (codomain-bounded,
+    the q144/q236/q243 discipline); the |sources| x |grid| frame is a
+    crossJoin of two bounded relations. No corpus-sized window, no
+    collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", F.col("n_chars").cast("bigint").alias("v"))
+    sv = d.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = d.select("v").distinct()
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    gv = sv.groupBy("v").agg(F.sum("c").alias("c"))
+    wg = Window.orderBy("v")  # chars-codomain grid, bounded
+    gcum = gv.select("v", F.sum("c").over(wg).cast("double").alias("g_cum"))
+    ws = Window.partitionBy("source").orderBy("v")
+    frame = (
+        src.crossJoin(grid)
+        .join(sv, ["source", "v"], "left")
+        .select(
+            "source",
+            "n_s",
+            "v",
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .over(ws)
+            .cast("double")
+            .alias("s_cum"),
+            F.lead("v").over(ws).alias("v_next"),
+        )
+    )
+    return (
+        frame.join(gcum, "v")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("v_next").isNotNull())
+        .groupBy("source", "n_s")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("s_cum") / F.col("n_s")
+                        - F.col("g_cum") / F.col("n")
+                    )
+                    * (F.col("v_next") - F.col("v"))
+                ),
+                4,
+            ).alias("w1_chars")
+        )
+        .select(
+            "source", F.col("n_s").alias("n_docs"), "w1_chars"
+        )
+        .orderBy("source")
+    )
