@@ -857,3 +857,101 @@ def q240_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("incident_id")
     )
+
+
+# --- q247: conversion attribution (last-touch) ---------------------------------
+
+_ATTR_LOOKBACK_MIN = 7 * 24 * 60  # 7-day attribution window
+
+
+@register(
+    "q247_touch_attribution",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts
+      FROM events
+    ),
+    conv AS (
+      SELECT CASE WHEN touch_ts IS NOT NULL
+                  AND date_diff('second', touch_ts, ts)
+                      <= {_ATTR_LOOKBACK_MIN} * 60
+                  THEN touch_type ELSE '(none)' END AS attributed_to,
+             CASE WHEN touch_ts IS NOT NULL
+                  AND date_diff('second', touch_ts, ts)
+                      <= {_ATTR_LOOKBACK_MIN} * 60
+                  THEN date_diff('second', touch_ts, ts) / 60.0 END AS gap_min
+      FROM s WHERE event_type = 'purchase'
+    )
+    SELECT attributed_to,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(avg(gap_min), 4) AS avg_minutes_to_convert,
+           round(max(gap_min), 4) AS max_minutes_to_convert
+    FROM conv
+    GROUP BY attributed_to
+    ORDER BY attributed_to
+    """,
+)
+def q247_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is credited to
+    the user's most recent non-purchase event within a 7-day lookback —
+    the per-user sequential credit-assignment every event pipeline runs
+    (and the degenerate single-touch case of the position-based models);
+    purchases with no in-window touch report as '(none)', keeping the
+    denominator honest. Complements q58 (funnel: fixed step ORDER) and
+    q232 (which sequences are frequent): attribution asks what
+    IMMEDIATELY preceded the conversion.
+
+    Determinism: the carried touch uses last_value IGNORE NULLS over
+    (ts, event_id)-ordered rows — a total order, so ties resolve
+    identically in both engines; the gap is exact integer seconds
+    divided by 60; aggregates round at 1e-4.
+
+    Scale posture: ONE shuffle on user_id, then all sequential logic is
+    a per-user window (bounded per-user state, the q57 sessionize
+    shape); the report aggregates to |touch types| rows. No global
+    window, no self-join of events against events."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    nonp_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    s = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(nonp, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(nonp_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    gap_s = F.col("ts").cast("long") - F.col("touch_ts").cast("long")
+    in_win = F.col("touch_ts").isNotNull() & (
+        gap_s <= _ATTR_LOOKBACK_MIN * 60
+    )
+    conv = s.filter(F.col("event_type") == "purchase").select(
+        F.when(in_win, F.col("touch_type"))
+        .otherwise(F.lit("(none)"))
+        .alias("attributed_to"),
+        F.when(in_win, gap_s / 60.0).alias("gap_min"),
+    )
+    return (
+        conv.groupBy("attributed_to")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.avg("gap_min"), 4).alias("avg_minutes_to_convert"),
+            F.round(F.max("gap_min"), 4).alias("max_minutes_to_convert"),
+        )
+        .orderBy("attributed_to")
+    )
