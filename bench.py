@@ -205,6 +205,10 @@ HEADLINE = [
     "q242_good_turing",
     "q243_conformal_threshold",
     "q244_label_propagation",
+    "q245_wasserstein_drift",
+    "q246_binary_segmentation",
+    "q247_touch_attribution",
+    "q248_delta_method_ci",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -955,3 +955,137 @@ def q247_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attributed_to")
     )
+
+
+# --- q248: delta-method CI for a ratio metric (cluster-randomized) -------------
+
+
+@register(
+    "q248_delta_method_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS arm_a,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS x,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(CASE WHEN arm_a THEN 1 END) AS DOUBLE) AS na,
+             sum(CASE WHEN arm_a THEN x END) AS sxa,
+             sum(CASE WHEN arm_a THEN y END) AS sya,
+             sum(CASE WHEN arm_a THEN x * x END) AS sxxa,
+             sum(CASE WHEN arm_a THEN y * y END) AS syya,
+             sum(CASE WHEN arm_a THEN x * y END) AS sxya,
+             CAST(count(CASE WHEN NOT arm_a THEN 1 END) AS DOUBLE) AS nb,
+             sum(CASE WHEN NOT arm_a THEN x END) AS sxb,
+             sum(CASE WHEN NOT arm_a THEN y END) AS syb,
+             sum(CASE WHEN NOT arm_a THEN x * x END) AS sxxb,
+             sum(CASE WHEN NOT arm_a THEN y * y END) AS syyb,
+             sum(CASE WHEN NOT arm_a THEN x * y END) AS sxyb
+      FROM per_user
+    ),
+    d AS (
+      SELECT na, nb, sxa / sya AS ra, sxb / syb AS rb,
+             (sxxa - sxa * sxa / na
+              + (sxa / sya) * (sxa / sya) * (syya - sya * sya / na)
+              - 2 * (sxa / sya) * (sxya - sxa * sya / na))
+             / (na - 1) / na / ((sya / na) * (sya / na)) AS var_ra,
+             (sxxb - sxb * sxb / nb
+              + (sxb / syb) * (sxb / syb) * (syyb - syb * syb / nb)
+              - 2 * (sxb / syb) * (sxyb - sxb * syb / nb))
+             / (nb - 1) / nb / ((syb / nb) * (syb / nb)) AS var_rb
+      FROM m
+    )
+    SELECT CAST(na AS BIGINT) AS n_users_a, CAST(nb AS BIGINT) AS n_users_b,
+           round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b,
+           round(sqrt(var_ra), 6) AS se_a, round(sqrt(var_rb), 6) AS se_b,
+           round(ra - rb, 6) AS diff,
+           round(sqrt(var_ra + var_rb), 6) AS se_diff,
+           round((ra - rb) / sqrt(var_ra + var_rb), 4) AS z,
+           abs((ra - rb) / sqrt(var_ra + var_rb)) > 1.96 AS significant
+    FROM d
+    """,
+)
+def q248_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correct error bars for a RATIO metric when the randomization unit
+    is the user but the metric is event-level: purchases-per-click by
+    md5-split arm, with the delta-method variance (1/ybar^2)(var_x +
+    R^2 var_y - 2R cov_xy)/n — the linearization every experimentation
+    platform applies because treating event-level conversions as iid
+    understates the variance whenever users contribute multiple events
+    (Deng et al. 2017/2018, "ratio metrics in randomized experiments";
+    public). Reports per-arm ratios, SEs, and the two-arm z — beside
+    q238 (proportions with FDR) and q174 (means), this completes the
+    mean/proportion/ratio testing triad.
+
+    Determinism: all six moments per arm are sums of exact integer
+    per-user counts (exact in double far below 2^53); the variance is
+    one closed form evaluated identically in both engines, rounded at
+    the shown grain.
+
+    Scale posture: one shuffle to per-user counts (the q59 cohort
+    shape), then a single 1-row moment aggregate — partial sums combine
+    map-side; the delta-method algebra runs on scalars."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("y"),
+    ).withColumn(
+        "arm_a",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+    )
+
+    def moments(flag, suffix):
+        return [
+            F.count(F.when(flag, F.lit(1))).cast("double").alias("n" + suffix),
+            F.sum(F.when(flag, F.col("x"))).alias("sx" + suffix),
+            F.sum(F.when(flag, F.col("y"))).alias("sy" + suffix),
+            F.sum(F.when(flag, F.col("x") * F.col("x"))).alias("sxx" + suffix),
+            F.sum(F.when(flag, F.col("y") * F.col("y"))).alias("syy" + suffix),
+            F.sum(F.when(flag, F.col("x") * F.col("y"))).alias("sxy" + suffix),
+        ]
+
+    m = per_user.agg(
+        *moments(F.col("arm_a"), "a"), *moments(~F.col("arm_a"), "b")
+    )
+
+    def ratio_var(n, sx, sy, sxx, syy, sxy):
+        r = sx / sy
+        num = (
+            (sxx - sx * sx / n)
+            + r * r * (syy - sy * sy / n)
+            - 2 * r * (sxy - sx * sy / n)
+        )
+        # Var(R) = s^2_{x - R y} / (n * ybar^2): sample variance of the
+        # linearized residual over the n user clusters, divided by n for
+        # the mean, scaled by 1/ybar^2.
+        return r, num / (n - 1) / n / ((sy / n) * (sy / n))
+
+    ra, var_ra = ratio_var(
+        F.col("na"), F.col("sxa"), F.col("sya"),
+        F.col("sxxa"), F.col("syya"), F.col("sxya"),
+    )
+    rb, var_rb = ratio_var(
+        F.col("nb"), F.col("sxb"), F.col("syb"),
+        F.col("sxxb"), F.col("syyb"), F.col("sxyb"),
+    )
+    z = (ra - rb) / F.sqrt(var_ra + var_rb)
+    return m.select(
+        F.col("na").cast("bigint").alias("n_users_a"),
+        F.col("nb").cast("bigint").alias("n_users_b"),
+        F.round(ra, 6).alias("ratio_a"),
+        F.round(rb, 6).alias("ratio_b"),
+        F.round(F.sqrt(var_ra), 6).alias("se_a"),
+        F.round(F.sqrt(var_rb), 6).alias("se_b"),
+        F.round(ra - rb, 6).alias("diff"),
+        F.round(F.sqrt(var_ra + var_rb), 6).alias("se_diff"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
