@@ -297,6 +297,12 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/text.py", "return caln.crossJoin(F.broadcast(test)).select("):
         "1-row test-coverage fold joined to the 1-row calibration count "
         "(q243 conformal)",
+    ("queries/sampling.py", "lr = cen.crossJoin(F.broadcast(tots)).select("):
+        "1-row token-totals scalar for the DSIR smoothing denominators "
+        "(q249, the q219 pattern)",
+    ("queries/sampling.py", 'w = lw.join(F.broadcast(norm), "source").select('):
+        "|sources|-row per-source max-log-weight table (q249 log-sum-exp "
+        "normalizer)",
     ("queries/sampling.py", "return folds.crossJoin(F.broadcast(point)).select("):
         "1-row point-estimate scalar joined to the 1-row replicate fold "
         "(q239 Poisson bootstrap)",

@@ -1019,3 +1019,131 @@ def q239_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("a", 2), 4).alias("ci_lo"),
         F.round(F.element_at("a", _BOOT_R - 1), 4).alias("ci_hi"),
     )
+
+
+# --- q249: effective sample size of the DSIR importance weights ----------------
+
+
+@register(
+    "q249_importance_ess",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tb AS (SELECT doc_id, source, substr(md5(term), 1, 2) AS bucket FROM tok),
+    d AS (
+      SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM tb GROUP BY doc_id, source, bucket
+    ),
+    cen AS (
+      SELECT bucket, SUM(n) AS c_all,
+             SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN n ELSE 0 END) AS c_tgt
+      FROM d GROUP BY bucket
+    ),
+    tots AS (SELECT SUM(c_all) AS n_all, SUM(c_tgt) AS n_tgt FROM cen),
+    lr AS (
+      SELECT bucket,
+             ln((c_tgt + {_DSIR_SMOOTH})
+                / (n_tgt + {_DSIR_SMOOTH} * {_DSIR_B}))
+           - ln((c_all + {_DSIR_SMOOTH})
+                / (n_all + {_DSIR_SMOOTH} * {_DSIR_B})) AS lr
+      FROM cen, tots
+    ),
+    lw AS (
+      SELECT d.doc_id, d.source, SUM(d.n * lr.lr) AS log_w
+      FROM d JOIN lr USING (bucket)
+      GROUP BY d.doc_id, d.source
+    ),
+    norm AS (
+      SELECT source, max(log_w) AS max_lw FROM lw GROUP BY source
+    ),
+    w AS (
+      SELECT lw.source, exp(lw.log_w - n.max_lw) AS wt
+      FROM lw JOIN norm n USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(wt) * sum(wt) / sum(wt * wt), 2) AS ess,
+           round(sum(wt) * sum(wt) / sum(wt * wt) / count(*), 4) AS ess_ratio,
+           round(max(wt) / sum(wt), 4) AS max_weight_share
+    FROM w
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q249_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the DSIR reweighting (q219) statistically USABLE? The effective
+    sample size (Kish: (sum w)^2 / sum w^2) of each source's importance
+    weights toward the '{_DSIR_TARGET}' target, plus the largest single
+    weight's share — the two standard importance-sampling diagnostics: an
+    ESS ratio near 1 means the reweighting barely changes the source (safe
+    but pointless); near 0 means a few documents dominate and the
+    resampled corpus is effectively tiny (the published DSIR paper's
+    failure mode when the proxy distributions are too far apart). Weights
+    are normalized per source by exp(log_w - max log_w) before the
+    quadratic sums — ESS is scale-invariant, and the subtraction keeps
+    exp() in range for any corpus (log-sum-exp discipline).
+
+    Determinism: the weight pipeline is q219's exact bucket-census
+    arithmetic; per-doc and per-source float folds differ in order
+    between engines only at ~1e-13 relative residue, absorbed by the
+    1e-2/1e-4 output rounding (the repo's float-fold rule).
+
+    Scale posture: identical to q219 up to the per-doc score (one
+    tokenize pass, B-bounded censuses, AQE-broadcast log-ratio join);
+    then TWO bounded aggregates (per-source max, per-source quadratic
+    sums) — map-side combinable, |sources| rows out. No window, no
+    collect, no top-k needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).select(
+        "doc_id", "source", F.substring(F.md5("term"), 1, 2).alias("bucket")
+    )
+    d = tb.groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cen = d.groupBy("bucket").agg(
+        F.sum("n").alias("c_all"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET, F.col("n")).otherwise(0)
+        ).alias("c_tgt"),
+    )
+    tots = cen.agg(F.sum("c_all").alias("n_all"), F.sum("c_tgt").alias("n_tgt"))
+    lr = cen.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("c_tgt") + F.lit(_DSIR_SMOOTH))
+                / (F.col("n_tgt") + F.lit(_DSIR_SMOOTH * _DSIR_B))
+            )
+            - F.log(
+                (F.col("c_all") + F.lit(_DSIR_SMOOTH))
+                / (F.col("n_all") + F.lit(_DSIR_SMOOTH * _DSIR_B))
+            )
+        ).alias("lr"),
+    )
+    lw = (
+        d.join(lr, "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("n") * F.col("lr")).alias("log_w"))
+    )
+    norm = lw.groupBy("source").agg(F.max("log_w").alias("max_lw"))
+    w = lw.join(F.broadcast(norm), "source").select(
+        "source", F.exp(F.col("log_w") - F.col("max_lw")).alias("wt")
+    )
+    ess = F.sum("wt") * F.sum("wt") / F.sum(F.col("wt") * F.col("wt"))
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(ess, 2).alias("ess"),
+            F.round(ess / F.count(F.lit(1)), 4).alias("ess_ratio"),
+            F.round(F.max("wt") / F.sum("wt"), 4).alias("max_weight_share"),
+        )
+        .orderBy("source")
+    )
