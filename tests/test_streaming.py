@@ -1154,3 +1154,90 @@ def test_streaming_heavy_hitters_mg_guarantees(spark, stream_src):
         for (s2, key), c in t.items():
             if s2 == shard and c > bound:
                 assert key in cands, f"heavy hitter {key} evicted from shard {shard}"
+
+
+def test_streaming_heavy_hitters_survives_restart(spark, tmp_path):
+    """The MG summary's keyed state must survive a stop/resume on the same
+    checkpoint: phase 1 drains 3 files, the query stops, 3 more arrive,
+    phase 2 resumes. If state were lost, the final n_shard would count
+    only phase-2 rows; instead it must equal the full per-shard truth and
+    the candidate set must still satisfy the MG contract over ALL rows."""
+    from pyspark.sql.window import Window
+
+    from hive_backend_spark.catalog import load_table
+
+    cap, shards = 4, 4
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "chunk", F.ntile(6).over(Window.orderBy("ts")) - 1
+    )
+    src = tmp_path / "src"
+    os.makedirs(src)
+
+    def publish(lo, hi):
+        for i in range(lo, hi):
+            d = tmp_path / f"stage_{i}"
+            events.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+                "append"
+            ).parquet(str(d))
+            for f in d.glob("part-*.parquet"):
+                shutil.move(str(f), str(src / f"batch_{i}.parquet"))
+            shutil.rmtree(d)
+
+    out = str(tmp_path / "mg_out")
+    ckpt = str(tmp_path / "mg_ckpt")
+
+    def run():
+        q = (
+            S.streaming_heavy_hitters(
+                S.read_event_stream(spark, str(src)), capacity=cap, shards=shards
+            )
+            .writeStream.foreachBatch(
+                lambda b, bid: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    publish(0, 3)
+    run()
+    publish(3, 6)
+    run()
+
+    emitted = spark.read.parquet(out).collect()
+    latest_v = {}
+    for r in emitted:
+        latest_v[r["shard"]] = max(latest_v.get(r["shard"], 0), r["version"])
+    assert all(v >= 2 for v in latest_v.values()), "no post-restart emission"
+    final = [r for r in emitted if r["version"] == latest_v[r["shard"]]]
+
+    batch = events.drop("chunk")
+    true = (
+        batch.select(
+            (F.col("user_id") % shards).cast("int").alias("shard"),
+            F.col("user_id").cast("string").alias("key"),
+        )
+        .groupBy("shard", "key")
+        .count()
+    )
+    t = {(r["shard"], r["key"]): r["count"] for r in true.collect()}
+    n_by_shard = {}
+    for (shard, _), c in t.items():
+        n_by_shard[shard] = n_by_shard.get(shard, 0) + c
+
+    cands = {s: {} for s in n_by_shard}
+    for r in final:
+        # state continuity: totals cover BOTH phases, not just post-restart
+        assert r["n_shard"] == n_by_shard[r["shard"]], "state lost on restart"
+        cands[r["shard"]][r["key"]] = r["lower_bound"]
+    for shard, kc in cands.items():
+        assert len(kc) <= cap
+        bound = n_by_shard[shard] / (cap + 1)
+        for key, lb in kc.items():
+            assert lb <= t[(shard, key)]
+            assert t[(shard, key)] - lb <= bound
+        for (s2, key), c in t.items():
+            if s2 == shard and c > bound:
+                assert key in kc, f"heavy hitter {key} lost across restart"
