@@ -736,3 +736,146 @@ def q238_fdr_drift_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("p") <= _BH_ALPHA).alias("naive_rejected"),
     ).orderBy("rk")
+
+
+# --- q250: sequential probability ratio monitor (SPRT) -------------------------
+
+_SPRT_BASELINE_END = "2024-01-08 00:00:00"  # week-1 baseline window
+_SPRT_LIFT = 1.5                            # H1: error rate = 1.5 x baseline
+_SPRT_UPPER = 2.772589                      # ln((1-beta)/alpha), alpha=.05, beta=.2
+_SPRT_LOWER = -1.558145                     # ln(beta/(1-alpha))
+_SPRT_BUCKETS = 16
+
+
+@register(
+    "q250_sprt_monitor",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id % {_SPRT_BUCKETS} AS bucket,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             ts < TIMESTAMP '{_SPRT_BASELINE_END}' AS base,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+      FROM events
+    ),
+    p0t AS (
+      SELECT CAST(sum(err) AS DOUBLE) / count(*) AS p0 FROM e WHERE base
+    ),
+    daily AS (
+      SELECT bucket, day,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(err) AS BIGINT) AS x_d
+      FROM e WHERE NOT base GROUP BY bucket, day
+    ),
+    walk AS (
+      SELECT bucket, day, p0,
+             sum(x_d * ln(({_SPRT_LIFT} * p0) / p0)
+                 + (n_d - x_d) * ln((1.0 - {_SPRT_LIFT} * p0) / (1.0 - p0)))
+               OVER (PARTITION BY bucket ORDER BY day) AS llr
+      FROM daily, p0t
+    ),
+    crossings AS (
+      SELECT bucket,
+             min(CASE WHEN llr >= {_SPRT_UPPER} OR llr <= {_SPRT_LOWER}
+                      THEN day END) AS crossing_day
+      FROM walk GROUP BY bucket
+    ),
+    final AS (
+      SELECT bucket, max(day) AS last_day FROM walk GROUP BY bucket
+    )
+    SELECT w.bucket AS bucket,
+           round(w.p0, 6) AS baseline_p0,
+           c.crossing_day,
+           CASE WHEN c.crossing_day IS NULL THEN 'continue'
+                WHEN cw.llr >= {_SPRT_UPPER} THEN 'reject_h0'
+                ELSE 'accept_h0' END AS decision,
+           round(fw.llr, 4) AS final_llr
+    FROM crossings c
+    JOIN final f ON c.bucket = f.bucket
+    JOIN walk fw ON fw.bucket = c.bucket AND fw.day = f.last_day
+    LEFT JOIN walk cw ON cw.bucket = c.bucket AND cw.day = c.crossing_day
+    JOIN (SELECT DISTINCT bucket, p0 FROM walk) w ON w.bucket = c.bucket
+    ORDER BY bucket
+    """,
+)
+def q250_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test as a fleet monitor: per
+    user-bucket, a cumulative log-likelihood random walk of the DAILY
+    error counts against H0 (the week-1 baseline rate) vs H1 (a
+    {_SPRT_LIFT}x lift), with the classic (alpha=.05, beta=.2) decision
+    boundaries — the test that lets a monitor STOP EARLY the day the
+    evidence crosses a boundary instead of waiting for the month-end
+    batch test (Wald 1945; the sequential companion to q238's fixed-
+    horizon BH wall and q187's distribution-free CUSUM: SPRT is the
+    likelihood-optimal version when the alternative is a known lift).
+
+    Determinism: daily counts are exact ints; the per-day LLR increments
+    are identical closed forms; the cumulative walk orders by the day
+    grid; crossing day is a min over exact comparisons; emitted floats
+    rounded at the shown grain.
+
+    Scale posture: one map-side partial agg to |buckets| x 31 daily
+    rows (calendar-bounded); the walk window partitions by bucket over
+    that bounded frame; crossing/final joins are bucket-keyed on the
+    same tiny frame. Only the scan grows at 100x."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        (F.col("user_id") % _SPRT_BUCKETS).alias("bucket"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        (F.col("ts") < F.lit(_SPRT_BASELINE_END).cast("timestamp")).alias(
+            "base"
+        ),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("err"),
+    )
+    p0t = e.filter("base").agg(
+        (F.sum("err").cast("double") / F.count(F.lit(1))).alias("p0")
+    )
+    daily = (
+        e.filter(~F.col("base"))
+        .groupBy("bucket", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_d"),
+            F.sum("err").cast("bigint").alias("x_d"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy("day")
+    inc = F.col("x_d") * F.log(
+        (F.lit(_SPRT_LIFT) * F.col("p0")) / F.col("p0")
+    ) + (F.col("n_d") - F.col("x_d")) * F.log(
+        (1.0 - F.lit(_SPRT_LIFT) * F.col("p0")) / (1.0 - F.col("p0"))
+    )
+    walk = daily.crossJoin(F.broadcast(p0t)).select(
+        "bucket", "day", "p0", F.sum(inc).over(w).alias("llr")
+    )
+    crossed = F.when(
+        (F.col("llr") >= _SPRT_UPPER) | (F.col("llr") <= _SPRT_LOWER),
+        F.col("day"),
+    )
+    per_bucket = walk.groupBy("bucket").agg(
+        F.min(crossed).alias("crossing_day"),
+        F.max(F.struct("day", "llr")).alias("last"),
+        F.first("p0").alias("p0"),
+    )
+    cw = walk.select(
+        F.col("bucket").alias("cb"),
+        F.col("day").alias("cd"),
+        F.col("llr").alias("cllr"),
+    )
+    return (
+        per_bucket.join(
+            cw,
+            (F.col("bucket") == F.col("cb"))
+            & (F.col("crossing_day") == F.col("cd")),
+            "left",
+        )
+        .select(
+            "bucket",
+            F.round("p0", 6).alias("baseline_p0"),
+            "crossing_day",
+            F.when(F.col("crossing_day").isNull(), "continue")
+            .when(F.col("cllr") >= _SPRT_UPPER, "reject_h0")
+            .otherwise("accept_h0")
+            .alias("decision"),
+            F.round(F.col("last.llr"), 4).alias("final_llr"),
+        )
+        .orderBy("bucket")
+    )
