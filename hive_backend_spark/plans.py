@@ -160,6 +160,12 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q228_filter_interaction_census":
         "<= 16-row signature frame (2^4 codomain): corpus-total window "
         "sum (single-scan form)",
+    "q253_hill_tail_index":
+        "top-201 order-statistic head, pre-limited by TakeOrderedAndProject "
+        "before the rank window",
+    "q255_systematic_pps_sample":
+        "256-row bucket-head prefix-sum table (two-level prefix sum, "
+        "level 2, q107/q208 discipline)",
     "q245_wasserstein_drift":
         "chars-codomain value grid: global-CDF cumulative window over the "
         "bounded grid (per-source CDFs partition by source)",
@@ -208,6 +214,10 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
 # same way as the broadcast allowlist: every `collect_list(` call site in the
 # library must appear here with its recorded bound.
 COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("queries/relational.py",
+     'F.expr("transform(array_sort(collect_list(struct(rk, lx))), s -> s.lx)")'):
+        "rank-bounded: exactly k+1=201 top order statistics, pre-limited "
+        "by TakeOrderedAndProject (q253 Hill estimator)",
     ("queries/sampling.py",
      'F.array_sort(F.collect_list(F.struct("m", "r"))).alias("a"),'):
         "replicate-bounded: exactly R=40 bootstrap replicate means folded "
@@ -297,6 +307,14 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/text.py", "return caln.crossJoin(F.broadcast(test)).select("):
         "1-row test-coverage fold joined to the 1-row calibration count "
         "(q243 conformal)",
+    ("queries/sampling.py", "t = d.crossJoin(F.broadcast(bounds)).select("):
+        "1-row doc_id min/max bounds scalar for range bucketing (q255, "
+        "the q208 pattern)",
+    ("queries/sampling.py", 'local.join(F.broadcast(offsets), "bucket")'):
+        "256-row bucket-head prefix-sum offset table (q255 two-level "
+        "prefix sum, level 2)",
+    ("queries/queue.py", "walk = daily.crossJoin(F.broadcast(p0t)).select("):
+        "1-row baseline error-rate scalar (q250 SPRT)",
     ("queries/sampling.py", "lr = cen.crossJoin(F.broadcast(tots)).select("):
         "1-row token-totals scalar for the DSIR smoothing denominators "
         "(q249, the q219 pattern)",

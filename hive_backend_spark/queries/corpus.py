@@ -2756,3 +2756,118 @@ def q242_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - p0, 6).alias("coverage"),
         F.round(chao1, 1).alias("chao1_richness"),
     ).orderBy("source")
+
+
+# --- q252: source-profile cosine matrix ----------------------------------------
+
+
+@register(
+    "q252_source_profile_cosine",
+    oracle="""
+    WITH tb AS (
+      SELECT source, substr(md5(term), 1, 2) AS bucket
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)
+    ),
+    prof AS (
+      SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM tb GROUP BY source, bucket
+    ),
+    norms AS (
+      SELECT source, sum(c * c) AS nsq, CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM prof GROUP BY source
+    ),
+    dots AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             sum(a.c * b.c) AS dot
+      FROM prof a JOIN prof b
+        ON a.bucket = b.bucket AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT d.source_a, d.source_b,
+           na.n_tokens AS tokens_a, nb.n_tokens AS tokens_b,
+           round(d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cosine_sim
+    FROM dots d
+    JOIN norms na ON d.source_a = na.source
+    JOIN norms nb ON d.source_b = nb.source
+    ORDER BY source_a, source_b
+    """,
+)
+def q252_source_profile_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which SOURCES are near-duplicates of each other: pairwise cosine
+    between per-source hashed-token-bucket profiles (B=256 md5 buckets,
+    the q219 feature-hashing dimension) — the corpus-level companion to
+    the document-level near-dup family: two mirrors of the same crawl
+    show cosine ~1 here long before any doc-pair audit runs, which is
+    the first question a mixture plan (q113) asks. Distinct from q197
+    (JSD on unigram DISTRIBUTIONS — information-theoretic) and q149
+    (vocab set overlap): the cosine on raw count vectors weights by
+    volume, the dedup-planning view.
+
+    Determinism: profiles are exact integer counts; dot products and
+    norms are exact integer sums (bounded by corpus tokens squared,
+    under 2^53 at any realistic scale); the single division is rounded
+    at 1e-6.
+
+    Scale posture: one tokenize pass to a |sources| x 256 profile
+    (B-bounded HashAggregate — constant model state, the feature-hashing
+    contract); the pair frame is a bucket-keyed self-join of that tiny
+    profile, |sources|^2 x 256 rows at worst. Nothing corpus-sized
+    after the census."""
+    docs = load_table(spark, sf_dir, "documents")
+    prof = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .select("source", F.substring(F.md5("term"), 1, 2).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    norms = prof.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nsq"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    a = prof.select(
+        F.col("source").alias("source_a"),
+        "bucket",
+        F.col("c").alias("ca"),
+    )
+    b = prof.select(
+        F.col("source").alias("source_b"),
+        "bucket",
+        F.col("c").alias("cb"),
+    )
+    dots = (
+        a.join(b, "bucket")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("source").alias("source_a"),
+        F.col("nsq").alias("nsq_a"),
+        F.col("n_tokens").alias("tokens_a"),
+    )
+    nb = norms.select(
+        F.col("source").alias("source_b"),
+        F.col("nsq").alias("nsq_b"),
+        F.col("n_tokens").alias("tokens_b"),
+    )
+    return (
+        dots.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "tokens_a",
+            "tokens_b",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b"))),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy("source_a", "source_b")
+    )

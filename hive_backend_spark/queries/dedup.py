@@ -2510,3 +2510,99 @@ def q233_jackknife_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate - 1.96 * se, 6).alias("ci_lo"),
         F.round(rate + 1.96 * se, 6).alias("ci_hi"),
     )
+
+
+# --- q251: capture-recapture estimate of the distinct-document count -----------
+
+
+@register(
+    "q251_capture_recapture",
+    oracle="""
+    WITH d AS (
+      SELECT md5(text) AS fp,
+             substr(md5('a' || CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS s1,
+             substr(md5('b' || CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS s2
+      FROM documents
+    ),
+    per_fp AS (
+      SELECT fp, max(s1) AS in1, max(s2) AS in2 FROM d GROUP BY fp
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_distinct,
+             CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both
+      FROM per_fp
+    )
+    SELECT exact_distinct, n1, n2, n_both,
+           round((CAST(n1 AS DOUBLE) + 1) * (n2 + 1) / (n_both + 1) - 1, 1)
+             AS chapman_estimate,
+           round(((CAST(n1 AS DOUBLE) + 1) * (n2 + 1) / (n_both + 1) - 1
+                  - exact_distinct) / exact_distinct, 4) AS rel_error
+    FROM m
+    """,
+)
+def q251_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate the corpus's DISTINCT-document count from two cheap
+    overlapping samples — Chapman's bias-corrected Lincoln-Petersen
+    capture-recapture ((n1+1)(n2+1)/(m+1) - 1), the ecology estimator
+    that transfers directly to dedup planning: two independent 25%
+    hash-samples of doc_ids, count distinct fingerprints in each and in
+    the overlap, and the total distinct count follows without a full
+    census. Beside q216 (sampled dup-rate from ONE sample, which must
+    extrapolate pair collisions) the two-sample design estimates the
+    denominator |distinct| itself, and the exact census is computed
+    alongside as ground truth (the estimate-beside-exact discipline of
+    q36/q192). Samples use independent salted md5 hashes ('a'/'b'
+    prefixes), so capture independence holds by construction.
+
+    Determinism: membership is hash arithmetic; all counts are exact
+    integer aggregates; the estimator is one closed form rounded at the
+    shown grain in both engines.
+
+    Scale posture: one digest-keyed HashAggregate (the q63/q225 path)
+    carrying two boolean maxes; the estimator runs on a 1-row frame. At
+    a true 100 TB deployment the exact branch is the expensive one —
+    the production form keeps only the sampled branches, scanning the
+    two 25% slices."""
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = (
+        F.substring(
+            F.md5(F.concat(F.lit("a"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "4"
+    )
+    s2 = (
+        F.substring(
+            F.md5(F.concat(F.lit("b"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "4"
+    )
+    d = docs.select(
+        F.md5("text").alias("fp"), s1.alias("s1"), s2.alias("s2")
+    )
+    per_fp = d.groupBy("fp").agg(
+        F.max("s1").alias("in1"), F.max("s2").alias("in2")
+    )
+    m = per_fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct"),
+        F.sum(F.col("in1").cast("int")).cast("bigint").alias("n1"),
+        F.sum(F.col("in2").cast("int")).cast("bigint").alias("n2"),
+        F.sum((F.col("in1") & F.col("in2")).cast("int"))
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    chapman = (F.col("n1").cast("double") + 1) * (F.col("n2") + 1) / (
+        F.col("n_both") + 1
+    ) - 1
+    return m.select(
+        "exact_distinct",
+        "n1",
+        "n2",
+        "n_both",
+        F.round(chapman, 1).alias("chapman_estimate"),
+        F.round(
+            (chapman - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("rel_error"),
+    )

@@ -1950,3 +1950,160 @@ def q246_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q253: Hill estimator of the value distribution's tail index ---------------
+
+_HILL_K = 200
+
+
+@register(
+    "q253_hill_tail_index",
+    oracle=f"""
+    WITH pos AS (
+      SELECT value, event_id FROM events WHERE value > 0
+    ),
+    top AS (
+      SELECT value, event_id,
+             row_number() OVER (ORDER BY value DESC, event_id) AS rk
+      FROM pos QUALIFY rk <= {_HILL_K} + 1
+    ),
+    arr AS (
+      SELECT list(ln(value) ORDER BY rk) AS a,
+             min(CASE WHEN rk = {_HILL_K} + 1 THEN value END) AS x_k1
+      FROM top
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           round(x_k1, 4) AS threshold_x,
+           round(list_aggregate(a[1:{_HILL_K}], 'sum') / {_HILL_K}
+                 - ln(x_k1), 6) AS hill_h,
+           round(1.0 / (list_aggregate(a[1:{_HILL_K}], 'sum') / {_HILL_K}
+                        - ln(x_k1)), 4) AS tail_alpha,
+           1.0 / (list_aggregate(a[1:{_HILL_K}], 'sum') / {_HILL_K}
+                  - ln(x_k1)) < 2.0 AS infinite_variance
+    FROM arr
+    """,
+)
+def q253_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How heavy is the value distribution's tail: the Hill estimator over
+    the top-{_HILL_K} order statistics (H = mean ln x_(i) - ln x_(k+1),
+    tail index alpha = 1/H; Hill 1975, public) — the number that decides
+    whether mean-based monitors (q174, q248) are even valid: alpha < 2
+    means infinite variance and every CLT-based alarm is miscalibrated,
+    the regime where the robust family (q165 MAD, q122 winsorized) is
+    mandatory. Complements q45's percentiles (descriptive) with the
+    asymptotic LAW of the extremes.
+
+    Determinism: the top-(k+1) head carries a (value DESC, event_id)
+    total order; the log fold runs over the rank-sorted array in
+    identical order in both engines (the q141 discipline); outputs
+    rounded at the shown grain.
+
+    Scale posture: one TakeOrderedAndProject pulls the {_HILL_K}+1
+    extreme rows (no global sort materialization); the estimator folds a
+    bounded array on a 1-row frame. The rank window runs on the
+    pre-limited head."""
+    events = load_table(spark, sf_dir, "events")
+    pos = events.filter(F.col("value") > 0).select("value", "event_id")
+    top = pos.orderBy(F.col("value").desc(), F.col("event_id").asc()).limit(
+        _HILL_K + 1
+    )
+    w = Window.orderBy(F.col("value").desc(), F.col("event_id").asc())
+    ranked = top.select(
+        F.row_number().over(w).alias("rk"), F.log("value").alias("lx"), "value"
+    )
+    arr = ranked.agg(
+        F.expr("transform(array_sort(collect_list(struct(rk, lx))), s -> s.lx)")
+        .alias("a"),
+        F.min(F.when(F.col("rk") == _HILL_K + 1, F.col("value"))).alias(
+            "x_k1"
+        ),
+    )
+    h = (
+        F.expr(f"aggregate(slice(a, 1, {_HILL_K}), 0D, (acc, v) -> acc + v)")
+        / _HILL_K
+        - F.log("x_k1")
+    )
+    return arr.select(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        F.round("x_k1", 4).alias("threshold_x"),
+        F.round(h, 6).alias("hill_h"),
+        F.round(1.0 / h, 4).alias("tail_alpha"),
+        (1.0 / h < 2.0).alias("infinite_variance"),
+    )
+
+
+# --- q254: Benford first-digit conformance audit -------------------------------
+
+
+@register(
+    "q254_benford_audit",
+    oracle="""
+    WITH pos AS (
+      SELECT event_type,
+             CAST(floor(value / pow(10, floor(log10(value)))) AS BIGINT)
+               AS digit
+      FROM events WHERE value > 0
+    ),
+    per AS (
+      SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+      FROM pos GROUP BY event_type, digit
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type FROM per
+      GROUP BY event_type
+    )
+    SELECT p.event_type, p.digit, p.n,
+           round(CAST(p.n AS DOUBLE) / t.n_type, 6) AS obs_share,
+           round(log10(1.0 + 1.0 / p.digit), 6) AS benford_share,
+           round(CAST(p.n AS DOUBLE) / t.n_type
+                 - log10(1.0 + 1.0 / p.digit), 6) AS deviation
+    FROM per p JOIN tot t USING (event_type)
+    ORDER BY event_type, digit
+    """,
+)
+def q254_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit census against Benford's law (P(d) =
+    log10(1 + 1/d)) per event type — the classic forensic data-quality
+    screen: organically generated multiplicative quantities follow
+    Benford closely, while fabricated, truncated, or unit-mangled feeds
+    pile up on specific leading digits; a deviation column that jumps
+    after an ingest change is a pipeline bug found without any schema
+    knowledge (Benford 1938 / Nigrini's audit practice — public).
+    Complements the distributional drift family (q147/q180/q245) with a
+    SCALE-INVARIANT check: Benford conformance survives unit changes
+    that would trip every CDF-based monitor.
+
+    Determinism: the leading digit is floor(v / 10^floor(log10 v)) —
+    pure double arithmetic evaluated identically in both engines on
+    identical inputs; counts are exact ints; shares rounded at 1e-6.
+
+    Scale posture: one map-side partial agg to |types| x 9 rows; the
+    totals join is on the bounded type dimension. Only the scan grows."""
+    events = load_table(spark, sf_dir, "events")
+    digit = F.floor(
+        F.col("value") / F.pow(10.0, F.floor(F.log10("value")))
+    ).cast("bigint")
+    per = (
+        events.filter(F.col("value") > 0)
+        .select("event_type", digit.alias("digit"))
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_type")
+    )
+    share = F.col("n").cast("double") / F.col("n_type")
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        per.join(tot, "event_type")
+        .select(
+            "event_type",
+            "digit",
+            "n",
+            F.round(share, 6).alias("obs_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(share - benford, 6).alias("deviation"),
+        )
+        .orderBy("event_type", "digit")
+    )

@@ -1147,3 +1147,131 @@ def q249_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q255: Madow systematic probability-proportional-to-size sample ------------
+
+# n draws at cumulative-size positions (k + 3/8) * T / n, k = 0..n-1. The
+# 3/8 anchor is a fixed public constant (any u in [0,1) gives an unbiased
+# pips design; fixing it keeps the draw set deterministic). All crossing
+# arithmetic is INTEGER: doc i is drawn once per integer k with
+# 8nC_{i-1} < (8k+3)T <= 8nC_i, i.e. multiplicity =
+# (8nC_i + 5T) div 8T - (8nC_{i-1} + 5T) div 8T  (the +5T shift keeps every
+# numerator positive so both engines' integer division is plain floor).
+_PPS_N = 500
+_PPS_BUCKETS = 256
+
+
+@register(
+    "q255_systematic_pps_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS sz FROM documents
+    ),
+    c AS (
+      SELECT source, sz,
+             sum(sz) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS c_i
+      FROM d
+    ),
+    t AS (SELECT CAST(sum(sz) AS BIGINT) AS total FROM d),
+    m AS (
+      SELECT source,
+             (8 * {_PPS_N} * c_i + 5 * total) // (8 * total)
+             - (8 * {_PPS_N} * (c_i - sz) + 5 * total) // (8 * total) AS mult,
+             sz
+      FROM c, t
+    )
+    SELECT m.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(m.sz) AS DOUBLE) / t.total, 6) AS size_share,
+           round({_PPS_N} * CAST(sum(m.sz) AS DOUBLE) / t.total, 4)
+             AS expected_draws,
+           CAST(sum(m.mult) AS BIGINT) AS actual_draws,
+           round(sum(m.mult) - {_PPS_N} * CAST(sum(m.sz) AS DOUBLE) / t.total,
+                 4) AS deviation
+    FROM m, t
+    GROUP BY m.source, t.total
+    ORDER BY m.source
+    """,
+)
+def q255_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling WITHOUT randomness
+    coordination: Madow's systematic pips design — {_PPS_N} draw positions
+    laid at equal cumulative-size steps (anchor 3/8), each document drawn
+    with multiplicity equal to the draw positions falling inside its
+    cumulative-size span, so inclusion probability is EXACTLY proportional
+    to n_chars (big docs can legitimately be drawn twice). This is the
+    token-budgeted sampler a mixture plan wants when "sample 500 docs"
+    really means "sample a size-representative 500" — beside the q75
+    Bernoulli (uniform rate), q76/q223 (stratified counts) and q102
+    (weighted priority order), this is the fixed-SIZE-measure design, and
+    systematic ordering makes its within-stream variance near-minimal
+    (Madow 1949, public).
+
+    Determinism: the entire draw set is integer arithmetic on exact
+    cumulative sums — no RNG, no floats until the reporting ratios; the
+    audit compares per-source actual draws against n x size-share, whose
+    deviation the systematic design bounds by construction.
+
+    Scale posture: the cumulative size is a TWO-LEVEL prefix sum (the
+    q107/q208 discipline): {_PPS_BUCKETS} order-preserving doc_id-range
+    buckets from a 1-row bounds scalar, within-bucket cumsum PARTITIONED
+    by bucket, bucket totals' running sum over the {_PPS_BUCKETS}-row
+    head table (the only unpartitioned window — bounded, allowlisted),
+    prior-bucket offset joined back by broadcast. The oracle computes the
+    same prefix with one flat window, proving the decomposition. The
+    report is a |sources| aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("sz")
+    )
+    bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    span = F.col("hi") - F.col("lo") + 1
+    bucket = F.floor((F.col("doc_id") - F.col("lo")) * _PPS_BUCKETS / span)
+    t = d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "source", "sz", bucket.alias("bucket")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = t.withColumn("c_local", F.sum("sz").over(w_local))
+    heads = t.groupBy("bucket").agg(F.sum("sz").alias("bucket_sum"))
+    w_head = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )  # 256 rows — bounded by construction
+    offsets = heads.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_sum").over(w_head), F.lit(0)).alias(
+            "prior_sum"
+        ),
+    )
+    tot = d.agg(F.sum("sz").cast("bigint").alias("total"))
+    c_i = F.col("prior_sum") + F.col("c_local")
+    mult = F.expr(
+        f"(8 * {_PPS_N} * (prior_sum + c_local) + 5 * total) div (8 * total)"
+    ) - F.expr(
+        f"(8 * {_PPS_N} * (prior_sum + c_local - sz) + 5 * total) "
+        f"div (8 * total)"
+    )
+    m = (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "sz", "total", mult.alias("mult"))
+    )
+    share = F.sum("sz").cast("double") / F.first("total")
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(share, 6).alias("size_share"),
+            F.round(F.lit(_PPS_N) * share, 4).alias("expected_draws"),
+            F.sum("mult").cast("bigint").alias("actual_draws"),
+            F.round(
+                F.sum("mult") - F.lit(_PPS_N) * share, 4
+            ).alias("deviation"),
+        )
+        .orderBy("source")
+    )
