@@ -209,6 +209,13 @@ HEADLINE = [
     "q246_binary_segmentation",
     "q247_touch_attribution",
     "q248_delta_method_ci",
+    "q249_importance_ess",
+    "q250_sprt_monitor",
+    "q251_capture_recapture",
+    "q252_source_profile_cosine",
+    "q253_hill_tail_index",
+    "q254_benford_audit",
+    "q255_systematic_pps_sample",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
