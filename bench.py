@@ -216,6 +216,14 @@ HEADLINE = [
     "q253_hill_tail_index",
     "q254_benford_audit",
     "q255_systematic_pps_sample",
+    "q256_blocked_entity_resolution",
+    "q257_seasonal_anomaly",
+    "q258_acf_daily_counts",
+    "q259_zorder_locality",
+    "q260_k_anonymity_audit",
+    "q261_eval_embedding_contamination",
+    "q262_fd_discovery",
+    "q263_markov_adequacy",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -298,6 +298,19 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("queries/sessions.py", 'hourly.join(F.broadcast(profile), "hod")'):
+        "24-row hour-of-day seasonal profile table (q257)",
+    ("queries/sessions.py", "a.crossJoin(F.broadcast(lags))"):
+        "7-row lag frame over the |days|-row daily-count table (q258 ACF)",
+    ("queries/sessions.py", "F.broadcast(b),"):
+        "|days|-row daily-count table, self-joined at lag offsets "
+        "(q258 ACF)",
+    ("queries/relational.py", "qi.crossJoin(F.broadcast(ks))"):
+        "3-row k-threshold frame over the QI-group table (q260 "
+        "k-anonymity)",
+    ("queries/corpus.py", "q = dims.crossJoin(F.broadcast(bounds)).select("):
+        "1-row global min/max bounds scalar for 4-bit quantization "
+        "(q259 z-order, the q255 pattern)",
     ("queries/text.py", 'scored = d.join(F.broadcast(pred), "source").select('):
         "|sources|-row calibration predictor table (q243 conformal)",
     ("queries/text.py", "cum.crossJoin(F.broadcast(caln))"):

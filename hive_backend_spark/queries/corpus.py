@@ -2871,3 +2871,127 @@ def q252_source_profile_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- q259: z-order (Morton) layout locality audit -----------------------------
+
+
+def _interleave4(qx: str, qy: str) -> str:
+    """SQL expression interleaving two 4-bit quantized values into an 8-bit
+    Morton z-value, written as pure BIGINT arithmetic ((v // 2^i) % 2 bit
+    extraction) so Spark and DuckDB evaluate it bit-identically."""
+    terms = []
+    for i in range(4):
+        terms.append(f"(({qx} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({qy} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "q259_zorder_locality",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents
+    ),
+    bounds AS (
+      SELECT min(n_chars) AS cx0, max(n_chars) AS cx1,
+             min(n_words) AS cy0, max(n_words) AS cy1
+      FROM dims
+    ),
+    q AS (
+      SELECT doc_id, n_chars, n_words,
+             (n_chars - cx0) * 16 // (cx1 - cx0 + 1) AS qx,
+             (n_words - cy0) * 16 // (cy1 - cy0 + 1) AS qy
+      FROM dims, bounds
+    ),
+    assigned AS (
+      SELECT 'zorder' AS scheme,
+             ({_interleave4('qx', 'qy')}) // 4 AS bucket,
+             n_chars, n_words
+      FROM q
+      UNION ALL
+      SELECT 'lexicographic' AS scheme, qx * 4 + qy // 4 AS bucket,
+             n_chars, n_words
+      FROM q
+    ),
+    per_bucket AS (
+      SELECT scheme, bucket,
+             max(n_chars) - min(n_chars) AS chars_range,
+             max(n_words) - min(n_words) AS words_range
+      FROM assigned GROUP BY scheme, bucket
+    )
+    SELECT scheme,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(avg(chars_range), 4) AS avg_chars_range,
+           round(avg(words_range), 4) AS avg_words_range,
+           round(avg(chars_range) + avg(words_range), 4) AS avg_total_range
+    FROM per_bucket GROUP BY scheme ORDER BY scheme
+    """,
+)
+def q259_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data-layout audit: quantize two scan dimensions
+    (doc length in chars, doc length in words) to 4 bits each, interleave
+    the bits into an 8-bit z-value, and compare per-bucket min/max ranges
+    against a lexicographic (sort-by-x-then-y) layout. The per-bucket range
+    IS the file-skipping statistic a 100 TB lakehouse scan prunes on:
+    z-order keeps BOTH dimensions' ranges tight (multi-dimensional
+    clustering), lexicographic keeps only the leading one — the measured
+    avg_total_range gap is the expected scan amplification for predicates
+    on the trailing dimension. This is the layout-planning companion to
+    q81's digest partitioning and q115's packed shards.
+
+    Scale: the 1-row global bounds broadcast into the corpus scan; bucket
+    assignment is pure per-row BIGINT arithmetic (whole-stage codegen — the
+    interleave is (v // 2^i) %% 2 bit extraction, identical in both
+    engines); the audit is one HashAggregate over 128 bucket rows. No
+    window, no join wider than the 1-row bounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_words"),
+    )
+    bounds = dims.agg(
+        F.min("n_chars").alias("cx0"),
+        F.max("n_chars").alias("cx1"),
+        F.min("n_words").alias("cy0"),
+        F.max("n_words").alias("cy1"),
+    )
+    q = dims.crossJoin(F.broadcast(bounds)).select(
+        "n_chars",
+        "n_words",
+        F.expr("(n_chars - cx0) * 16 div (cx1 - cx0 + 1)").alias("qx"),
+        F.expr("(n_words - cy0) * 16 div (cy1 - cy0 + 1)").alias("qy"),
+    )
+    zexpr = _interleave4("qx", "qy").replace("//", "div")
+    assigned = q.select(
+        F.lit("zorder").alias("scheme"),
+        F.expr(f"({zexpr}) div 4").alias("bucket"),
+        "n_chars",
+        "n_words",
+    ).unionByName(
+        q.select(
+            F.lit("lexicographic").alias("scheme"),
+            F.expr("qx * 4 + qy div 4").alias("bucket"),
+            "n_chars",
+            "n_words",
+        )
+    )
+    per_bucket = assigned.groupBy("scheme", "bucket").agg(
+        (F.max("n_chars") - F.min("n_chars")).alias("chars_range"),
+        (F.max("n_words") - F.min("n_words")).alias("words_range"),
+    )
+    return (
+        per_bucket.groupBy("scheme")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.avg("chars_range"), 4).alias("avg_chars_range"),
+            F.round(F.avg("words_range"), 4).alias("avg_words_range"),
+            F.round(F.avg("chars_range") + F.avg("words_range"), 4).alias(
+                "avg_total_range"
+            ),
+        )
+        .orderBy("scheme")
+    )

@@ -2606,3 +2606,80 @@ def q251_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             (chapman - F.col("exact_distinct")) / F.col("exact_distinct"), 4
         ).alias("rel_error"),
     )
+
+
+# --- q256: blocked entity resolution over the part catalog --------------------
+
+
+@register(
+    "q256_blocked_entity_resolution",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_records
+      FROM part GROUP BY p_name
+    ),
+    blocked AS (
+      SELECT split_part(p_name, ' ', 2) AS block, p_name, n_records FROM names
+    ),
+    pairs AS (
+      SELECT a.block, a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+             a.n_records + b.n_records AS n_records
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.p_name < b.p_name
+    )
+    SELECT block, name_a, name_b, lev, CAST(n_records AS BIGINT) AS n_records
+    FROM pairs WHERE lev <= 4
+    ORDER BY block, name_a, name_b
+    """,
+)
+def q256_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over the part catalog: collapse records to
+    DISTINCT names first (the q? exact-dup collapse discipline from
+    operators/dedup.py:193 — K records sharing a name are ONE node), block by
+    the head noun so candidate pairing is per-block quadratic instead of
+    corpus quadratic, then verify candidates with an edit-distance ladder
+    (levenshtein <= 4 => same entity family, e.g. 'red bolt' ~ 'hot bolt').
+    The classic record-linkage pipeline (Fellegi-Sunter blocking + verify),
+    the same shape the reference's dedup-by-unique-id semantics (db.mjs:
+    285-300) generalize to when keys are dirty strings, not exact ids.
+
+    Scale: the name-collapse HashAggregate shrinks the corpus to |distinct
+    names|; the self-join shuffles on the block key, so cost is
+    sum_b C(n_b, 2) over per-block populations — bounded exactly like LSH
+    band buckets (q195's pair-budget audit applies verbatim; an over-
+    populated block is escalated by widening the key to noun+first-letter,
+    the documented q211 band-planner path). Verification runs on O(candidate
+    pairs) only, never all names squared."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_records"))
+    blocked = names.select(
+        F.split(F.col("p_name"), " ").getItem(1).alias("block"),
+        "p_name",
+        "n_records",
+    )
+    a = blocked.select(
+        F.col("block"),
+        F.col("p_name").alias("name_a"),
+        F.col("n_records").alias("na"),
+    )
+    b = blocked.select(
+        F.col("block"),
+        F.col("p_name").alias("name_b"),
+        F.col("n_records").alias("nb"),
+    )
+    pairs = a.join(b, "block").filter(F.col("name_a") < F.col("name_b"))
+    return (
+        pairs.withColumn(
+            "lev", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("lev") <= 4)
+        .select(
+            "block",
+            "name_a",
+            "name_b",
+            "lev",
+            (F.col("na") + F.col("nb")).cast("bigint").alias("n_records"),
+        )
+        .orderBy("block", "name_a", "name_b")
+    )

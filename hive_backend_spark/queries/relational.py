@@ -2107,3 +2107,142 @@ def q254_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "digit")
     )
+
+
+# --- q262: approximate functional-dependency discovery ------------------------
+
+_FD_CANDIDATES = [
+    # (fd label, table, lhs column, rhs column)
+    ("part.p_name->p_brand", "part", "p_name", "p_brand"),
+    ("part.p_name->p_type", "part", "p_name", "p_type"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+    ("documents.source->lang", "documents", "source", "lang"),
+]
+
+
+def _fd_cte(label: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+      SELECT '{label}' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT) AS violating_groups,
+             round(CAST(sum(total - max_one) AS DOUBLE) / sum(total), 6) AS g3_violation
+      FROM (
+        SELECT sum(n) AS total, max(n) AS max_one, count(*) AS n_rhs
+        FROM (SELECT {lhs}, {rhs}, count(*) AS n FROM {table} GROUP BY 1, 2)
+        GROUP BY {lhs}
+      )"""
+
+
+@register(
+    "q262_fd_discovery",
+    oracle=(
+        "SELECT * FROM ("
+        + " UNION ALL ".join(_fd_cte(*c) for c in _FD_CANDIDATES)
+        + ") ORDER BY fd"
+    ),
+)
+def q262_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery (profiling the catalog the
+    way Metanome/TANE-style systems do, reduced to the g3 error measure):
+    for each candidate FD lhs -> rhs, the number of lhs groups, how many
+    groups witness more than one rhs value, and the g3 violation rate — the
+    minimum fraction of rows to delete for the FD to hold exactly. Extends
+    q207's known-FK integrity audit to UNKNOWN dependencies: g3 ~ 0 flags a
+    dependency worth enforcing; g3 >> 0 refutes the candidate.
+
+    Scale: each candidate costs two HashAggregates — (lhs, rhs) counts, then
+    per-lhs max/sum — shuffling only the distinct (lhs, rhs) frame, never
+    rows. Candidates run as independent 1-row aggregates unioned at the end;
+    on a cluster they parallelize trivially. No window, no join."""
+    out = None
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        pair_counts = t.groupBy(F.col(lhs), F.col(rhs)).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        per_lhs = pair_counts.groupBy(lhs).agg(
+            F.sum("n").alias("total"),
+            F.max("n").alias("max_one"),
+            F.count(F.lit(1)).alias("n_rhs"),
+        )
+        row = per_lhs.agg(
+            F.lit(label).alias("fd"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n_rhs") > 1).cast("bigint")).alias("violating_groups"),
+            F.round(
+                F.sum(F.col("total") - F.col("max_one")).cast("double")
+                / F.sum("total"),
+                6,
+            ).alias("g3_violation"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fd")
+
+
+# --- q260: k-anonymity / l-diversity governance audit -------------------------
+
+
+@register(
+    "q260_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT c_custkey) AS BIGINT) AS l_div
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT CAST(k AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (WHERE n < k) AS BIGINT) AS groups_below_k,
+           CAST(coalesce(sum(n) FILTER (WHERE n < k), 0) AS BIGINT) AS rows_at_risk,
+           round(CAST(coalesce(sum(n) FILTER (WHERE n < k), 0) AS DOUBLE)
+                 / sum(n), 6) AS at_risk_fraction,
+           CAST(min(l_div) AS BIGINT) AS min_l_diversity
+    FROM qi, ks GROUP BY k ORDER BY k
+    """,
+)
+def q260_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity governance audit over the customer table:
+    group by the quasi-identifier tuple (nation, market segment, account-
+    balance band), then for k in {2, 5, 10} report how many QI groups fall
+    below k members and what fraction of ROWS sits in those re-identifiable
+    groups; min_l_diversity is the smallest count of distinct sensitive
+    values (custkey as the stand-in) in any group. This is the release-
+    gating audit a training-data pipeline runs before exporting any
+    user-derived table — the governance sibling of q160's PII scrub and
+    q230's deletion-propagation audit.
+
+    Scale: one HashAggregate collapses the corpus to |QI groups| rows
+    (count + count-distinct shuffle on the QI key); the 3-row k frame
+    cross-joins the group table broadcast-style, and the final aggregate is
+    3 rows. No window, no corpus-sized join."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c_custkey").alias("l_div"),
+    )
+    ks = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(2), F.lit(5), F.lit(10)), (F.col("id") + 1).cast("int"))
+        .cast("int")
+        .alias("k")
+    )
+    at_risk = F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(F.lit(0)))
+    return (
+        qi.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n") < F.col("k")).cast("bigint")).alias("groups_below_k"),
+            at_risk.cast("bigint").alias("rows_at_risk"),
+            F.round(at_risk.cast("double") / F.sum("n"), 6).alias("at_risk_fraction"),
+            F.min("l_div").alias("min_l_diversity"),
+        )
+        .orderBy("k")
+    )

@@ -1089,3 +1089,251 @@ def q248_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+# --- q257: seasonal (hour-of-day) decomposition + anomaly hours ---------------
+
+
+@register(
+    "q257_seasonal_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(extract(hour FROM ts) AS INT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    profile AS (
+      SELECT hod, avg(n) AS seasonal_mean, stddev_samp(n) AS seasonal_std
+      FROM hourly GROUP BY hod
+    )
+    SELECT h.day, h.hod, h.n,
+           round(p.seasonal_mean, 4) AS seasonal_mean,
+           round((h.n - p.seasonal_mean) / nullif(p.seasonal_std, 0), 4) AS z
+    FROM hourly h JOIN profile p USING (hod)
+    WHERE abs((h.n - p.seasonal_mean) / nullif(p.seasonal_std, 0)) > 2
+    ORDER BY abs((h.n - p.seasonal_mean) / nullif(p.seasonal_std, 0)) DESC,
+             h.day, h.hod
+    """,
+)
+def q257_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition of the event stream (STL-lite): hour-of-day
+    seasonal means over the observation month, per-bucket residual z-scores,
+    and the anomalous (day, hour) cells where load departed >2 sigma from the
+    hour's seasonal norm — the load-anomaly primitive behind q185's burst
+    detector, but with an explicit seasonal baseline so a busy-but-normal
+    9am never alarms.
+
+    Scale: one HashAggregate collapses the corpus to days x 24 bucket rows;
+    the 24-row seasonal profile broadcast-joins back. No window, no
+    corpus-sized shuffle — the same two-aggregate discipline as q185
+    (queue.py). Degenerate hours (seasonal_std == 0) emit NULL z and are
+    excluded by the |z| predicate in BOTH engines (nullif guard mirrored,
+    per the q165/q185 MAD discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .groupBy("day", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    profile = hourly.groupBy("hod").agg(
+        F.avg("n").alias("seasonal_mean"),
+        F.stddev_samp("n").alias("seasonal_std"),
+    )
+    z = (F.col("n") - F.col("seasonal_mean")) / F.nullif(
+        F.col("seasonal_std"), F.lit(0.0)
+    )
+    return (
+        hourly.join(F.broadcast(profile), "hod")
+        .withColumn("z_raw", z)
+        .filter(F.abs(F.col("z_raw")) > 2)
+        .select(
+            "day",
+            "hod",
+            "n",
+            F.round(F.col("seasonal_mean"), 4).alias("seasonal_mean"),
+            F.round(F.col("z_raw"), 4).alias("z"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), F.col("day"), F.col("hod"))
+    )
+
+
+# --- q258: autocorrelation of the daily event-count series --------------------
+
+
+@register(
+    "q258_acf_daily_counts",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(extract(day FROM ts) AS INT) AS dom,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.n AS n_t, b.n AS n_tlag
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.dom = a.dom + l.lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(n_t, n_tlag), 4) AS acf
+    FROM pairs GROUP BY lag ORDER BY lag
+    """,
+)
+def q258_acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily arrival series at lags 1..7 —
+    the seasonality detector that motivates q257's hour-of-day baseline and
+    q187's CUSUM drift windows: a weekly-periodic load shows an ACF spike at
+    lag 7, an i.i.d. one decays immediately.
+
+    Scale: the corpus collapses to ONE row per day before any pairing; the
+    lag x day pair frame is |days| x 7 rows built by joining the bounded
+    daily table to itself — at 100 TB the daily table is still ~365 rows/yr,
+    so both joins broadcast. corr() is the sample Pearson coefficient in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.dayofmonth("ts").cast("int").alias("dom"))
+        .groupBy("dom")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("dom").alias("dom_a"), F.col("n").alias("n_t"))
+    b = daily.select(F.col("dom").alias("dom_b"), F.col("n").alias("n_tlag"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("dom_b") == F.col("dom_a") + F.col("lag"),
+        )
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("n_t", "n_tlag"), 4).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --- q263: Markov order-1 adequacy audit over event transitions ---------------
+
+
+@register(
+    "q263_markov_adequacy",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t,
+             lag(event_type, 1) OVER w AS t1,
+             lag(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    step1 AS (
+      SELECT t1 AS a, t AS b, count(*) AS n FROM seq WHERE t1 IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p1 AS (
+      SELECT a, b, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY a) AS p
+      FROM step1
+    ),
+    step2 AS (
+      SELECT t2 AS a, t AS c, count(*) AS n FROM seq WHERE t2 IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p2emp AS (
+      SELECT a, c, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY a) AS p
+      FROM step2
+    ),
+    ck AS (
+      SELECT x.a, y.b AS c, sum(x.p * y.p) AS p
+      FROM p1 x JOIN p1 y ON x.b = y.a GROUP BY x.a, y.b
+    ),
+    cells AS (
+      SELECT a.t AS from_type, b.t AS to_type
+      FROM (SELECT DISTINCT event_type AS t FROM events) a,
+           (SELECT DISTINCT event_type AS t FROM events) b
+    )
+    SELECT from_type, to_type,
+           round(coalesce(e.p, 0), 4) AS p2_empirical,
+           round(coalesce(k.p, 0), 4) AS p2_chapman,
+           round(abs(coalesce(e.p, 0) - coalesce(k.p, 0)), 4) AS abs_gap
+    FROM cells
+    LEFT JOIN p2emp e ON e.a = from_type AND e.c = to_type
+    LEFT JOIN ck k ON k.a = from_type AND k.c = to_type
+    ORDER BY abs_gap DESC, from_type, to_type
+    """,
+)
+def q263_markov_adequacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov order-1 adequacy audit: does the event stream's two-step
+    behavior factor through its one-step transition matrix? Compares the
+    empirical two-step transition probabilities P2(a,c) against the
+    Chapman-Kolmogorov prediction sum_b P(a,b)P(b,c); a large gap refutes
+    the first-order assumption behind q188's transition matrix and any
+    next-event model trained on it. The per-cell |gap| table doubles as the
+    drill-down for which behavior (e.g. error->error loops) carries the
+    memory.
+
+    Scale: lag() runs under a PER-USER partitioned window (no global
+    funnel); everything downstream operates on the |types|^2 transition
+    matrices — 25-row frames joined and unioned, driver-free. The
+    (ts, event_id) window order is a pinned total order in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+    )
+
+    def cond_probs(src: DataFrame, a_col: str) -> DataFrame:
+        counts = (
+            src.filter(F.col(a_col).isNotNull())
+            .groupBy(F.col(a_col).alias("a"), F.col("t").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wa = Window.partitionBy("a")
+        return counts.select(
+            "a", "b", (F.col("n").cast("double") / F.sum("n").over(wa)).alias("p")
+        )
+
+    p1 = cond_probs(seq, "t1")
+    p2emp = cond_probs(seq, "t2").withColumnRenamed("b", "c")
+    x = p1.select(F.col("a"), F.col("b"), F.col("p").alias("px"))
+    y = p1.select(F.col("a").alias("b"), F.col("b").alias("c"), F.col("p").alias("py"))
+    ck = (
+        x.join(y, "b")
+        .groupBy("a", "c")
+        .agg(F.sum(F.col("px") * F.col("py")).alias("p"))
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    cells = types.select(F.col("t").alias("from_type")).crossJoin(
+        types.select(F.col("t").alias("to_type"))
+    )
+    e = p2emp.select(
+        F.col("a").alias("from_type"), F.col("c").alias("to_type"),
+        F.col("p").alias("pe"),
+    )
+    k = ck.select(
+        F.col("a").alias("from_type"), F.col("c").alias("to_type"),
+        F.col("p").alias("pk"),
+    )
+    gap = F.abs(F.coalesce(F.col("pe"), F.lit(0.0)) - F.coalesce(F.col("pk"), F.lit(0.0)))
+    return (
+        cells.join(e, ["from_type", "to_type"], "left")
+        .join(k, ["from_type", "to_type"], "left")
+        .select(
+            "from_type",
+            "to_type",
+            F.round(F.coalesce(F.col("pe"), F.lit(0.0)), 4).alias("p2_empirical"),
+            F.round(F.coalesce(F.col("pk"), F.lit(0.0)), 4).alias("p2_chapman"),
+            F.round(gap, 4).alias("abs_gap"),
+        )
+        .orderBy(F.col("abs_gap").desc(), "from_type", "to_type")
+    )

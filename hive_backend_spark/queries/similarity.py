@@ -2347,3 +2347,73 @@ def q244_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+# --- q261: eval-set embedding contamination audit -----------------------------
+
+
+@register(
+    "q261_eval_embedding_contamination",
+    oracle="""
+    WITH split AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             (vec_id % 10 = 0) AS is_eval
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT e.vec_id, e.label,
+             list_dot_product(e.v, t.v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(t.v, t.v))) AS cos
+      FROM split e JOIN split t
+        ON e.label = t.label AND e.is_eval AND NOT t.is_eval
+    )
+    SELECT vec_id, label,
+           round(max(cos), 6) AS max_train_cosine,
+           max(cos) > 0.30 AS contaminated
+    FROM pairs GROUP BY vec_id, label
+    ORDER BY max_train_cosine DESC, vec_id
+    """,
+)
+def q261_eval_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level eval-set contamination audit: for every held-out eval
+    vector (deterministic vec_id % 10 split, the q77 discipline), the
+    maximum cosine similarity to any TRAINING vector inside its coarse cell,
+    flagged above threshold. Completes the decontamination ladder (exact
+    q106, winnowing q139, fuzzy-token q133, Bloom q184) with the semantic
+    rung: paraphrased eval leakage that shares no n-grams still lands next
+    to its source in embedding space.
+
+    Scale: pairing is BLOCKED on the coarse cell (label = the IVF cell id
+    from q74's routing), so cost is sum_cells |eval_c| x |train_c| — the
+    corpus-squared crossJoin never happens, exactly like q116's semantic
+    dedup. The per-pair dot product is a higher-order-function fold here
+    (bounded pairs at test scale); the 100 TB path swaps the same blocked
+    join for the applyInPandas + numpy matmul kernel q127 uses — semantics
+    identical. Threshold 0.30 sits inside the synthetic corpus's max-cosine
+    distribution (min ~0.15, max ~0.47 across SFs) so both branches of the
+    flag are exercised at every test scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (F.col("vec_id") % 10 == 0).alias("is_eval"),
+    )
+    ev = split.filter(F.col("is_eval")).select(
+        "vec_id", "label", F.col("v").alias("ev")
+    )
+    tr = split.filter(~F.col("is_eval")).select(
+        F.col("label"), F.col("v").alias("tv")
+    )
+    pairs = ev.join(tr, "label").select(
+        "vec_id", "label", cosine(F.col("ev"), F.col("tv")).alias("cos")
+    )
+    return (
+        pairs.groupBy("vec_id", "label")
+        .agg(
+            F.round(F.max("cos"), 6).alias("max_train_cosine"),
+            (F.max("cos") > 0.30).alias("contaminated"),
+        )
+        .orderBy(F.col("max_train_cosine").desc(), F.col("vec_id"))
+    )

@@ -422,6 +422,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q241_hll_intersection",  # |types|^2 sketch pair frame (bounded dim x dim)
         "q243_conformal_threshold",  # 1-row n_cal / q_hat / coverage scalars
         "q245_wasserstein_drift",  # |sources| x chars-grid frame (bounded dim x grid)
+        "q258_acf_daily_counts",  # 7-row lag frame x |days|-row daily table
+        "q259_zorder_locality",  # 1-row global min/max bounds scalar
+        "q260_k_anonymity_audit",  # 3-row k-threshold frame over QI groups
+        "q263_markov_adequacy",  # |types|^2 transition cell frame (bounded dim x dim)
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
