@@ -2659,22 +2659,63 @@ def q251_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q256: blocked entity resolution over the part catalog --------------------
 
 
+# Per-block population ceiling: a block larger than this escalates to the
+# widened key (head noun + first letter of the name), bounding the
+# per-key quadratic pair cost — the same budget discipline as the LSH
+# band-bucket ceiling (q195/r7). TPC-H head-noun blocks are ~|names|/92,
+# far under this at any test SF; at 100x dirty-entity data (every record
+# named "unknown") the escalation is what keeps sum_b C(n_b, 2) bounded.
+_ER_BLOCK_BUDGET = 512
+
+
+def _er_blocked_keyed(names: DataFrame, budget: int = _ER_BLOCK_BUDGET) -> DataFrame:
+    """Blocking-key assignment with budget escalation for entity resolution:
+    given (p_name, n_records), key each name by its head noun (word 2); any
+    block whose population exceeds `budget` widens its key to
+    noun + '|' + first letter so no join key's population stays quadratic-
+    unbounded. Pure column ops (one partitioned window for the block census);
+    property-tested in tests/test_properties.py::test_er_block_escalation."""
+    blocked = names.select(
+        F.split(F.col("p_name"), " ").getItem(1).alias("block"),
+        "p_name",
+        "n_records",
+    )
+    bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
+    return blocked.withColumn(
+        "key",
+        F.when(
+            bn > budget,
+            F.concat(F.col("block"), F.lit("|"), F.substring("p_name", 1, 1)),
+        ).otherwise(F.col("block")),
+    )
+
+
 @register(
     "q256_blocked_entity_resolution",
-    oracle="""
+    oracle=f"""
     WITH names AS (
       SELECT p_name, CAST(count(*) AS BIGINT) AS n_records
       FROM part GROUP BY p_name
     ),
     blocked AS (
-      SELECT split_part(p_name, ' ', 2) AS block, p_name, n_records FROM names
+      SELECT split_part(p_name, ' ', 2) AS block, p_name, n_records,
+             count(*) OVER (PARTITION BY split_part(p_name, ' ', 2)) AS bn
+      FROM names
+    ),
+    keyed AS (
+      SELECT block,
+             CASE WHEN bn > {_ER_BLOCK_BUDGET}
+                  THEN block || '|' || substring(p_name, 1, 1)
+                  ELSE block END AS key,
+             p_name, n_records
+      FROM blocked
     ),
     pairs AS (
       SELECT a.block, a.p_name AS name_a, b.p_name AS name_b,
              CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
              a.n_records + b.n_records AS n_records
-      FROM blocked a JOIN blocked b
-        ON a.block = b.block AND a.p_name < b.p_name
+      FROM keyed a JOIN keyed b
+        ON a.key = b.key AND a.p_name < b.p_name
     )
     SELECT block, name_a, name_b, lev, CAST(n_records AS BIGINT) AS n_records
     FROM pairs WHERE lev <= 4
@@ -2683,7 +2724,7 @@ def q251_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q256_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked entity resolution over the part catalog: collapse records to
-    DISTINCT names first (the q? exact-dup collapse discipline from
+    DISTINCT names first (the q63 exact-dup collapse discipline from
     operators/dedup.py:193 — K records sharing a name are ONE node), block by
     the head noun so candidate pairing is per-block quadratic instead of
     corpus quadratic, then verify candidates with an edit-distance ladder
@@ -2695,28 +2736,26 @@ def q256_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: the name-collapse HashAggregate shrinks the corpus to |distinct
     names|; the self-join shuffles on the block key, so cost is
     sum_b C(n_b, 2) over per-block populations — bounded exactly like LSH
-    band buckets (q195's pair-budget audit applies verbatim; an over-
-    populated block is escalated by widening the key to noun+first-letter,
-    the documented q211 band-planner path). Verification runs on O(candidate
-    pairs) only, never all names squared."""
+    band buckets: a block over _ER_BLOCK_BUDGET names escalates to the
+    widened noun+first-letter key (_er_blocked_keyed, mirrored in the
+    oracle's CASE, property-tested like the r7 bucket-cap bound), so no
+    single key's pair count is unbounded at dirty-entity scale.
+    Verification runs on O(candidate pairs) only, never all names squared."""
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_records"))
-    blocked = names.select(
-        F.split(F.col("p_name"), " ").getItem(1).alias("block"),
-        "p_name",
-        "n_records",
-    )
-    a = blocked.select(
+    keyed = _er_blocked_keyed(names)
+    a = keyed.select(
+        F.col("key"),
         F.col("block"),
         F.col("p_name").alias("name_a"),
         F.col("n_records").alias("na"),
     )
-    b = blocked.select(
-        F.col("block"),
+    b = keyed.select(
+        F.col("key"),
         F.col("p_name").alias("name_b"),
         F.col("n_records").alias("nb"),
     )
-    pairs = a.join(b, "block").filter(F.col("name_a") < F.col("name_b"))
+    pairs = a.join(b, "key").filter(F.col("name_a") < F.col("name_b"))
     return (
         pairs.withColumn(
             "lev", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")

@@ -637,7 +637,7 @@ def _normal_two_sided_p_sql(z: str) -> str:
       FROM zt
     ),
     rk AS (
-      SELECT *, row_number() OVER (ORDER BY p, bucket) AS i,
+      SELECT *, row_number() OVER (ORDER BY p NULLS LAST, bucket) AS i,
              CAST(count(*) OVER () AS DOUBLE) AS m
       FROM pv
     ),
@@ -709,7 +709,10 @@ def q238_fdr_drift_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exp(-0.5 * F.col("z") * F.col("z")) / F.sqrt(F.lit(2.0) * F.lit(math.pi))
     ) * poly
     pv = per.withColumn("z", z).withColumn("p", F.round(p, 10))
-    wrank = Window.orderBy(F.col("p").asc(), F.col("bucket").asc())
+    # NULLS LAST explicitly in BOTH engines: a degenerate bucket (n1 or n2 = 0,
+    # or pooled rate 0/1 -> se = 0 -> z/p NULL) would otherwise rank FIRST in
+    # Spark and LAST in DuckDB, shifting every row_number and the BH kstar.
+    wrank = Window.orderBy(F.col("p").asc_nulls_last(), F.col("bucket").asc())
     wall = Window.partitionBy()  # the fixed 64-row hypothesis frame
     rk = pv.withColumn("i", F.row_number().over(wrank)).withColumn(
         "m", F.count(F.lit(1)).over(wall).cast("double")

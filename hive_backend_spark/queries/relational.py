@@ -1737,9 +1737,15 @@ def q241_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q192 pins that union merging is exact; this pins the derived
     intersection estimate). Sketch bytes are engine-specific, so the
     oracle pins the exact counts/Jaccard and expects TRUE for the bound
-    flag: |est - exact| <= 5% of the pair's UNION size, the correct
+    flag: |est - exact| <= 15% of the pair's UNION size — the correct
     yardstick because inclusion-exclusion error scales with the united
-    sets, not the (possibly tiny) intersection.
+    sets, not the (possibly tiny) intersection. 15% is ~5 sigma for
+    lgK=12 (per-sketch RSE ~1.04/sqrt(4096) = 1.6%; three-sketch
+    inclusion-exclusion ~ sqrt(3) x 1.6% = 2.8% 1-sigma), so the flag
+    holds at any scale factor; the TIGHT per-pair audit with the
+    measured error lives in tests/test_sketches.py::test_q241_bound,
+    which prints the offending (pair, est, exact, err%) on failure
+    instead of a bare hash mismatch.
 
     Determinism: exact counts are integer aggregates; the flag compares
     the engine-deterministic DataSketches estimate against them.
@@ -1750,6 +1756,36 @@ def q241_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-level join needed for the estimates (the exact intersection here
     is the audit's ground truth and itself shuffles only the distinct
     (user, type) frame)."""
+    return _q241_pair_frame(spark, sf_dir).select(
+        "type_a",
+        "type_b",
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        "exact_jaccard",
+        (F.col("err_frac") <= 0.15).alias("est_within_bound"),
+    ).orderBy("type_a", "type_b")
+
+
+def q241_measured_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit companion to q241: the same pair frame WITH the measured
+    inclusion-exclusion relative error (|est - exact| / union) kept as a
+    column, for tests/test_sketches.py::test_q241_bound which asserts the
+    tight (3-sigma-ish) bound with a readable per-pair message. Not
+    registered — sketch estimates are engine-specific and must not enter
+    the hash-compared surface."""
+    return _q241_pair_frame(spark, sf_dir).select(
+        "type_a",
+        "type_b",
+        "exact_inter",
+        F.round("est_inter", 1).alias("est_inter"),
+        F.round("err_frac", 6).alias("err_frac"),
+    ).orderBy("type_a", "type_b")
+
+
+def _q241_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared builder: event-type pair frame with exact counts, HLL
+    inclusion-exclusion estimate, and relative error vs the union."""
     events = load_table(spark, sf_dir, "events")
     ut = events.select("user_id", "event_type").distinct()
     per = ut.groupBy("event_type").agg(
@@ -1780,29 +1816,25 @@ def q241_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
     )
-    est_a = F.hll_sketch_estimate("sk_a")
-    est_b = F.hll_sketch_estimate("sk_b")
-    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
-    est_inter = est_a + est_b - est_union
+    est_inter = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    )
     exact_union = (
         F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")
     ).cast("double")
-    return (
-        pairs.join(exact_inter, ["type_a", "type_b"])
-        .select(
-            "type_a",
-            "type_b",
-            "exact_a",
-            "exact_b",
-            "exact_inter",
-            F.round(
-                F.col("exact_inter").cast("double") / exact_union, 4
-            ).alias("exact_jaccard"),
-            (F.abs(est_inter - F.col("exact_inter")) <= 0.05 * exact_union).alias(
-                "est_within_bound"
-            ),
-        )
-        .orderBy("type_a", "type_b")
+    return pairs.join(exact_inter, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        F.round(F.col("exact_inter").cast("double") / exact_union, 4).alias(
+            "exact_jaccard"
+        ),
+        est_inter.alias("est_inter"),
+        (F.abs(est_inter - F.col("exact_inter")) / exact_union).alias("err_frac"),
     )
 
 
@@ -2190,7 +2222,8 @@ def q262_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_nationkey, c_mktsegment,
              CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(count(DISTINCT c_custkey) AS BIGINT) AS l_div
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 100) AS BIGINT) % 10)
+                  AS BIGINT) AS l_div
       FROM customer GROUP BY 1, 2, 3
     ),
     ks AS (SELECT unnest([2, 5, 10]) AS k)
@@ -2210,7 +2243,12 @@ def q260_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance band), then for k in {2, 5, 10} report how many QI groups fall
     below k members and what fraction of ROWS sits in those re-identifiable
     groups; min_l_diversity is the smallest count of distinct sensitive
-    values (custkey as the stand-in) in any group. This is the release-
+    values in any group, with the balance HUNDREDS DIGIT (finer than the
+    QI's thousand-band, 10-value codomain) as the sensitive attribute —
+    genuinely non-unique, so a group can be k-anonymous yet 1-diverse
+    (every member shares the digit), the failure l-diversity exists to
+    catch (ADVICE r7: custkey, the table's unique key, made l_div
+    degenerate to the group size). This is the release-
     gating audit a training-data pipeline runs before exporting any
     user-derived table — the governance sibling of q160's PII scrub and
     q230's deletion-propagation audit.
@@ -2226,7 +2264,9 @@ def q260_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("c_custkey").alias("l_div"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 100).cast("bigint") % 10
+        ).alias("l_div"),
     )
     ks = spark.range(0, 3).select(
         F.element_at(F.array(F.lit(2), F.lit(5), F.lit(10)), (F.col("id") + 1).cast("int"))

@@ -1112,7 +1112,7 @@ def q248_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((h.n - p.seasonal_mean) / nullif(p.seasonal_std, 0), 4) AS z
     FROM hourly h JOIN profile p USING (hod)
     WHERE abs((h.n - p.seasonal_mean) / nullif(p.seasonal_std, 0)) > 2
-    ORDER BY abs((h.n - p.seasonal_mean) / nullif(p.seasonal_std, 0)) DESC,
+    ORDER BY round(abs((h.n - p.seasonal_mean) / nullif(p.seasonal_std, 0)), 4) DESC,
              h.day, h.hod
     """,
 )
@@ -1129,7 +1129,9 @@ def q257_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized shuffle — the same two-aggregate discipline as q185
     (queue.py). Degenerate hours (seasonal_std == 0) emit NULL z and are
     excluded by the |z| predicate in BOTH engines (nullif guard mirrored,
-    per the q165/q185 MAD discipline)."""
+    per the q165/q185 MAD discipline). Both engines rank by the ROUNDED |z|
+    (round-before-rank convention, q237/q246/q263) so near-tie rows past the
+    4th decimal break to (day, hod) identically."""
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.select(
