@@ -224,6 +224,7 @@ HEADLINE = [
     "q261_eval_embedding_contamination",
     "q262_fd_discovery",
     "q263_markov_adequacy",
+    "q264_png_decode_stats",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

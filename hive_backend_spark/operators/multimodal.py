@@ -4,11 +4,12 @@ metadata, processed through Arrow-batched mapInPandas.
 
 The container has no media libraries, so the DECODE step has two paths
 (both clearly marked):
-  - ``decode_media(..., stub=False)`` REALLY decodes the formats
-    struct+numpy can handle alone — BMP (24bpp uncompressed) and WAV
-    (16-bit PCM), dispatched per blob by magic bytes — and raises
+  - ``decode_media(..., stub=False)`` REALLY decodes the formats the
+    stdlib+numpy can handle alone — BMP (24bpp uncompressed), WAV
+    (16-bit PCM) and PNG (8-bit non-interlaced, zlib inflate + all five
+    scanline filters), dispatched per blob by magic bytes — and raises
     NotImplementedError naming the missing dependency (pillow/av/
-    soundfile) for compressed formats;
+    soundfile) for the remaining compressed formats (JPEG/MP3/MP4);
   - ``decode_media(..., stub=True)`` (default) derives a DETERMINISTIC fake
     decode from the blob's md5 digest, so the Spark-side plumbing — schema,
     batch shape, partitioning, downstream joins — is testable on arbitrary
@@ -58,12 +59,14 @@ def _fake_decode(blob: bytes) -> dict:
 
 # --- real decoders for container-supported formats ---------------------------
 #
-# Two uncompressed formats decode with stdlib struct + numpy alone — no
-# pillow/av/soundfile needed — so `stub=False` is REAL for them:
+# Three formats decode with the stdlib + numpy alone — no pillow/av/
+# soundfile needed — so `stub=False` is REAL for them:
 #   - BMP (Windows bitmap, BITMAPINFOHEADER, 24bpp uncompressed)
 #   - WAV (RIFF PCM, 16-bit)
-# Compressed formats (PNG/JPEG/MP3/MP4...) still raise loudly, naming the
-# missing dependency. Dispatch is by magic bytes, per blob.
+#   - PNG (8-bit non-interlaced gray/RGB/GA/RGBA: zlib inflate + the five
+#     scanline filters; palette/16-bit/Adam7 still raise)
+# Codec-compressed formats (JPEG/MP3/MP4...) still raise loudly, naming
+# the missing dependency. Dispatch is by magic bytes, per blob.
 
 
 def _decode_bmp(blob: bytes) -> dict:
@@ -142,6 +145,161 @@ def _decode_wav(blob: bytes) -> dict:
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: 0=gray, 2=RGB, 4=gray+alpha, 6=RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(blob: bytes) -> dict:
+    """Stdlib PNG decode (zlib + struct + numpy): 8-bit non-interlaced
+    gray / RGB / gray-alpha / RGBA, all five scanline filters (None, Sub,
+    Up, Average, Paeth). Palette, 16-bit, and Adam7-interlaced images still
+    raise — those are pillow territory. Sub defilters as a per-lane prefix
+    sum mod 256 (vectorized); Average/Paeth walk pixels within the row
+    (h x w bounded per blob, inside the Arrow map task)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG blob")
+    pos, ihdr, idat = len(_PNG_MAGIC), None, []
+    while pos + 8 <= len(blob):
+        length, ctype = struct.unpack_from(">I4s", blob, pos)
+        body = blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, colortype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or colortype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG decode supports 8-bit non-interlaced gray/RGB/GA/RGBA only "
+            f"(got depth={depth}, colortype={colortype}, interlace={interlace})"
+            " — palette/16-bit/Adam7 need pillow"
+        )
+    nch = _PNG_CHANNELS[colortype]
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 1:  # Sub: prefix sum per byte lane, mod 256
+            cur = row.reshape(w, nch).cumsum(axis=0).reshape(stride) % 256
+        elif ftype == 2:  # Up
+            cur = (row + prev) % 256
+        elif ftype == 3:  # Average
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - nch] if i >= nch else 0
+                cur[i] = (row[i] + (left + prev[i]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {ftype} is invalid")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, nch).astype(np.float64)
+    # normalize to an RGB view for the shared feature convention
+    if colortype in (0, 4):  # gray / gray+alpha: r = g = b = gray
+        rgb = np.repeat(px[..., :1], 3, axis=2)
+    else:
+        rgb = px[..., :3]
+    means = rgb.mean(axis=(0, 1))  # R, G, B
+    lum = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]).mean()
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": int(nch),
+        "features": [means[0] / 255.0, means[1] / 255.0, means[2] / 255.0, lum / 255.0],
+    }
+
+
+def encode_png(arr, filters=None) -> bytes:
+    """Stdlib PNG encoder (the test/fixture companion of _decode_png):
+    uint8 array (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3) RGB or
+    (h, w, 4) RGBA -> 8-bit non-interlaced PNG bytes. `filters` optionally
+    pins the per-row filter type (int or list, default all-None rows);
+    encoding with types 1-4 exercises every defilter branch round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    if filters is None:
+        filters = [0] * h
+    elif isinstance(filters, int):
+        filters = [filters] * h
+    stride = w * nch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur, ftype = flat[y], filters[y]
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            shifted = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+            enc = (cur - shifted) % 256
+        elif ftype == 2:
+            enc = (cur - prev) % 256
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+            enc = (cur - (left + prev) // 2) % 256
+        elif ftype == 4:
+            enc = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {ftype} is invalid")
+        lines.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def _real_decode(blob: bytes) -> dict:
     """Magic-byte dispatch to a real decoder; loud failure for formats
     that genuinely need a media library."""
@@ -149,11 +307,14 @@ def _real_decode(blob: bytes) -> dict:
         return _decode_bmp(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return _decode_wav(blob)
+    if blob[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return _decode_png(blob)
     head = bytes(blob[:4])
     raise NotImplementedError(
-        f"no container-supported decoder for magic {head!r}: BMP(24bpp) and "
-        "WAV(PCM16) decode with struct+numpy; PNG/JPEG/MP3/MP4 require "
-        "pillow/av/soundfile, not present in this container"
+        f"no container-supported decoder for magic {head!r}: BMP(24bpp), "
+        "WAV(PCM16) and PNG(8-bit non-interlaced) decode with stdlib+numpy; "
+        "JPEG/MP3/MP4 require pillow/av/soundfile, not present in this "
+        "container"
     )
 
 
@@ -165,9 +326,10 @@ def decode_media(
     Arrow both ways, blobs never shuffled (only the small decoded rows).
 
     ``stub=False`` performs a REAL decode for the formats the container
-    can support with struct+numpy alone — BMP (24bpp uncompressed) and
-    WAV (16-bit PCM) — dispatched per blob by magic bytes; any other
-    format raises NotImplementedError naming the missing media library.
+    can support with the stdlib + numpy alone — BMP (24bpp uncompressed),
+    WAV (16-bit PCM), PNG (8-bit non-interlaced) — dispatched per blob by
+    magic bytes; any other format raises NotImplementedError naming the
+    missing media library.
     ``stub=True`` (default) keeps the md5-derived deterministic fake for
     engine-portable plumbing tests on arbitrary bytes."""
     decode = _fake_decode if stub else _real_decode

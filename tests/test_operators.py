@@ -543,3 +543,86 @@ def test_ivf_consumers_accept_trained_centroids(spark):
     labels, cents = _ivf_centroids(spark, SF_DIR, refine_iters=2)
     cells = {r["cell"] for r in refined.select("cell").distinct().collect()}
     assert cells <= set(labels.tolist())
+
+
+def test_decode_media_real_png(spark):
+    """stub=False REALLY decodes 8-bit non-interlaced PNG through the Arrow
+    map task: gray / RGB / RGBA blobs built by the stdlib encoder with a
+    per-row mix of ALL FIVE scanline filters (None/Sub/Up/Average/Paeth)
+    come back with exact hand-computed channel means; an external
+    known-good 1x1 PNG (not produced by our encoder) parses too, ruling
+    out encoder/decoder symmetric bugs."""
+    import base64
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(7, 5), dtype=np.uint8)
+    rgb = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    rgba = rng.randint(0, 256, size=(5, 5, 4), dtype=np.uint8)
+    filt = [0, 1, 2, 3, 4, 2, 1]  # exercise every defilter branch
+    blobs = [
+        (1, bytearray(MM.encode_png(gray, filters=filt))),
+        (2, bytearray(MM.encode_png(rgb, filters=filt[:6]))),
+        (3, bytearray(MM.encode_png(rgba, filters=filt[:5]))),
+        # canonical minimal external PNG (1x1 RGBA)
+        (
+            4,
+            bytearray(
+                base64.b64decode(
+                    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42m"
+                    "NkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+                )
+            ),
+        ),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    rows = {r.doc_id: r for r in MM.decode_media(df, stub=False).collect()}
+
+    g = rows[1]
+    assert (g.width, g.height, g.channels) == (5, 7, 1)
+    want = gray.astype(float).mean() / 255.0
+    assert all(abs(g.features[i] - want) < 1e-12 for i in range(3))
+
+    c = rows[2]
+    assert (c.width, c.height, c.channels) == (9, 6, 3)
+    for i in range(3):
+        assert abs(c.features[i] - rgb[..., i].astype(float).mean() / 255.0) < 1e-12
+
+    a = rows[3]
+    assert (a.width, a.height, a.channels) == (5, 5, 4)
+    for i in range(3):
+        assert abs(a.features[i] - rgba[..., i].astype(float).mean() / 255.0) < 1e-12
+
+    ext = rows[4]
+    assert (ext.width, ext.height, ext.channels) == (1, 1, 4)
+
+
+def test_decode_png_unsupported_variants_are_loud():
+    """Palette / 16-bit / interlaced PNGs raise naming pillow, never decode
+    garbage silently."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.multimodal import _PNG_MAGIC, _decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    for depth, colortype, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, colortype, 0, 0, interlace)
+        blob = (
+            _PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError, match="pillow"):
+            _decode_png(blob)
