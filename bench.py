@@ -225,6 +225,10 @@ HEADLINE = [
     "q262_fd_discovery",
     "q263_markov_adequacy",
     "q264_png_decode_stats",
+    "q265_es_weighted_stratified_wor",
+    "q266_ewma_control_chart",
+    "q267_fellegi_sunter_scores",
+    "q268_mann_whitney_drift",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

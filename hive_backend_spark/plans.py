@@ -178,6 +178,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q238_fdr_drift_control":
         "64-row user-bucket hypothesis frame: BH step-up rank and kstar "
         "windows over the fixed bucket dimension",
+    "q266_ewma_control_chart":
+        "|days|-row daily-rate frame: day indexing and the EWMA running "
+        "weighted sum over the bounded retention-day dimension (~31 here)",
 }
 
 # --- explicit-broadcast invariant -------------------------------------------
@@ -328,6 +331,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "prefix sum, level 2)",
     ("queries/queue.py", "walk = daily.crossJoin(F.broadcast(p0t)).select("):
         "1-row baseline error-rate scalar (q250 SPRT)",
+    ("queries/queue.py", "idx.join(F.broadcast(base))"):
+        "1-row (mu, sigma) baseline scalar over the day frame (q266 EWMA)",
     ("queries/sampling.py", "lr = cen.crossJoin(F.broadcast(tots)).select("):
         "1-row token-totals scalar for the DSIR smoothing denominators "
         "(q249, the q219 pattern)",
@@ -377,6 +382,10 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row heavy-key count scalar (q118)",
     ("queries/dedup.py", 'train_b.join(F.broadcast(eval_b), ["band_idx", "band_sig"])'):
         "fuzzy decontamination eval side: benchmark-sized, bounded (q133)",
+    ("queries/dedup.py",
+     'F.broadcast(name_agree), ["key", "name_lo", "name_hi"], "left"'):
+        "per-key distinct-name-pair agreement lookup: bounded by the name "
+        "vocabulary squared, not the record count (q267 FS scoring)",
     ("queries/dedup.py", "s.crossJoin(F.broadcast(t))"):
         "1-row true-pair count scalar (q168 audit report)",
     ("queries/dedup.py", ".crossJoin(F.broadcast(c))"):

@@ -2770,3 +2770,198 @@ def q256_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("block", "name_a", "name_b")
     )
+
+
+# --- q267: Fellegi-Sunter probabilistic match scoring over blocked pairs -------
+
+# Per-field (m, u) agreement probabilities and their PRE-COMPUTED log2
+# match weights (Fellegi & Sunter 1969): m = P(agree | same entity),
+# u = P(agree | different entities), u set from the field's codomain
+# (name fuzzy-agreement rate 0.05; 25 brands -> 0.04; 6 types -> 1/6;
+# size within +/-2 over 1..50 -> 0.10). Weights are rounded Python
+# literals, so BOTH engines sum identical doubles in identical order —
+# no cross-engine log() in the hash-compared surface.
+_FS_W = {
+    "name": (4.247928, -4.247928),    # m=0.95, u=0.05
+    "brand": (4.491853, -3.263034),   # m=0.90, u=0.04
+    "type": (2.432959, -3.058894),    # m=0.90, u=1/6
+    "size": (3.087463, -2.584963),    # m=0.85, u=0.10
+}
+# Decision thresholds. Within a head-noun block the REALIZED fuzzy-name
+# agreement rate is far above the global u (blocked names differ by one
+# adjective, so lev<=4 is common): a [0, 4) review band admitted ~40% of
+# all pairs at sf0.1. The bars sit so a pair needs name+brand-level
+# evidence (or three agreeing secondary fields) to surface at all.
+_FS_LINK = 8.0       # total weight >= this -> link
+_FS_REVIEW = 4.0     # in [review, link) -> possible; below dropped
+
+
+@register(
+    "q267_fellegi_sunter_scores",
+    oracle=f"""
+    WITH recs AS (
+      SELECT p_partkey, p_name, p_brand, p_type, p_size,
+             split_part(p_name, ' ', 2) AS block,
+             count(*) OVER (PARTITION BY split_part(p_name, ' ', 2)) AS bn
+      FROM part
+    ),
+    keyed AS (
+      SELECT *, CASE WHEN bn > {_ER_BLOCK_BUDGET}
+                     THEN block || '|' || substring(p_name, 1, 1)
+                     ELSE block END AS key
+      FROM recs
+    ),
+    scored AS (
+      SELECT a.block, a.p_partkey AS key_a, b.p_partkey AS key_b,
+             levenshtein(a.p_name, b.p_name) <= 4 AS agree_name,
+             a.p_brand = b.p_brand AS agree_brand,
+             a.p_type = b.p_type AS agree_type,
+             abs(a.p_size - b.p_size) <= 2 AS agree_size,
+             (CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                   THEN CAST({_FS_W["name"][0]} AS DOUBLE) ELSE CAST({_FS_W["name"][1]} AS DOUBLE) END)
+             + (CASE WHEN a.p_brand = b.p_brand
+                     THEN CAST({_FS_W["brand"][0]} AS DOUBLE) ELSE CAST({_FS_W["brand"][1]} AS DOUBLE) END)
+             + (CASE WHEN a.p_type = b.p_type
+                     THEN CAST({_FS_W["type"][0]} AS DOUBLE) ELSE CAST({_FS_W["type"][1]} AS DOUBLE) END)
+             + (CASE WHEN abs(a.p_size - b.p_size) <= 2
+                     THEN CAST({_FS_W["size"][0]} AS DOUBLE) ELSE CAST({_FS_W["size"][1]} AS DOUBLE) END)
+               AS score
+      FROM keyed a JOIN keyed b
+        ON a.key = b.key AND a.p_partkey < b.p_partkey
+    )
+    SELECT block, key_a, key_b, agree_name, agree_brand, agree_type,
+           agree_size, round(score, 4) AS score,
+           CASE WHEN score >= {_FS_LINK} THEN 'link'
+                ELSE 'possible' END AS decision
+    FROM scored
+    WHERE score >= {_FS_REVIEW}
+    ORDER BY key_a, key_b
+    """,
+)
+def q267_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969) over the part
+    catalog: RECORD pairs inside q256's budget-escalated head-noun blocks,
+    scored by summed log2 m/u agreement weights across four fields (fuzzy
+    name, brand, type, size-within-2) and classified link / possible by
+    the decision thresholds — the scoring layer q256's single-field
+    edit-distance ladder graduates into when evidence must be combined
+    across fields. Pairs below the review bar are dropped, so output is
+    the (sparse) plausible-match set, not |pairs|.
+
+    Determinism: weights are pre-computed rounded literals summed in a
+    fixed field order, so both engines add identical doubles identically;
+    agreements are exact predicates (levenshtein is exact integer DP in
+    both engines).
+
+    Scale posture: pair generation shuffles on the SAME escalated blocking
+    key as q256 (_er_blocked_keyed discipline, property-tested flood
+    bound) — sum_b C(n_b, 2) work, never corpus-squared; scoring is
+    per-pair column arithmetic in whole-stage codegen. The expensive
+    predicate (edit distance) is computed ONCE PER DISTINCT NAME PAIR on
+    the name-vocabulary self-join and broadcast into the record-pair
+    stream as a boolean lookup (the q63 distinct-collapse discipline:
+    measured 2k DP evaluations instead of 3.1M at sf0.1), so record-pair
+    cost is pure comparisons + literal adds. The m/u estimation step (EM
+    over agreement patterns) is a k-pattern aggregate at scale; here the
+    weights are pinned literals, the standard supervised setting."""
+    part = load_table(spark, sf_dir, "part")
+    recs = part.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.split(F.col("p_name"), " ").getItem(1).alias("block"),
+    )
+    bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
+    keyed = recs.withColumn(
+        "key",
+        F.when(
+            bn > _ER_BLOCK_BUDGET,
+            F.concat(F.col("block"), F.lit("|"), F.substring("p_name", 1, 1)),
+        ).otherwise(F.col("block")),
+    )
+    a = keyed.select(
+        "key",
+        "block",
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+    )
+    b = keyed.select(
+        "key",
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_type").alias("type_b"),
+        F.col("p_size").alias("size_b"),
+    )
+    pairs = a.join(b, "key").filter(F.col("key_a") < F.col("key_b"))
+    # Edit distance once per DISTINCT unordered name pair within a key,
+    # not once per record pair. The banded threshold form early-exits past
+    # 4 edits (returns -1); oracle's plain levenshtein(a,b) <= 4 is the
+    # identical predicate. The lookup is bounded by the name vocabulary
+    # squared per key (64 names -> 2k rows here), broadcast-joined into
+    # the record-pair stream.
+    nm = keyed.select("key", "p_name").distinct()
+    name_agree = (
+        nm.alias("x")
+        .join(
+            nm.alias("y"),
+            (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.p_name") < F.col("y.p_name")),
+        )
+        .select(
+            F.col("x.key").alias("key"),
+            F.col("x.p_name").alias("name_lo"),
+            F.col("y.p_name").alias("name_hi"),
+            (F.levenshtein("x.p_name", "y.p_name", 4) >= 0).alias("nm_agree"),
+        )
+    )
+    pairs = pairs.withColumn(
+        "name_lo", F.least("name_a", "name_b")
+    ).withColumn("name_hi", F.greatest("name_a", "name_b"))
+    pairs = pairs.join(
+        F.broadcast(name_agree), ["key", "name_lo", "name_hi"], "left"
+    )
+    agree = {
+        # equal names have no lo<hi lookup row: trivially agree
+        "name": F.coalesce(F.col("nm_agree"), F.lit(True)),
+        "brand": F.col("brand_a") == F.col("brand_b"),
+        "type": F.col("type_a") == F.col("type_b"),
+        "size": F.abs(F.col("size_a") - F.col("size_b")) <= 2,
+    }
+    score = None
+    for field in ("name", "brand", "type", "size"):  # fixed summation order
+        wa, wd = _FS_W[field]
+        term = F.when(agree[field], F.lit(wa)).otherwise(F.lit(wd))
+        score = term if score is None else score + term
+    return (
+        pairs.select(
+            "block",
+            "key_a",
+            "key_b",
+            agree["name"].alias("agree_name"),
+            agree["brand"].alias("agree_brand"),
+            agree["type"].alias("agree_type"),
+            agree["size"].alias("agree_size"),
+            score.alias("score_raw"),
+        )
+        .filter(F.col("score_raw") >= _FS_REVIEW)
+        .select(
+            "block",
+            "key_a",
+            "key_b",
+            "agree_name",
+            "agree_brand",
+            "agree_type",
+            "agree_size",
+            F.round("score_raw", 4).alias("score"),
+            F.when(F.col("score_raw") >= _FS_LINK, "link")
+            .otherwise("possible")
+            .alias("decision"),
+        )
+        .orderBy("key_a", "key_b")
+    )

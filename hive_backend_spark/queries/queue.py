@@ -882,3 +882,255 @@ def q250_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- q266: EWMA control chart over the daily error rate ------------------------
+
+_EWMA_LAMBDA = 0.2     # smoothing weight (Roberts 1959 / Hunter 1986 default)
+_EWMA_L = 3.0          # control-limit width in asymptotic sigmas
+
+
+@register(
+    "q266_ewma_control_chart",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS n_err
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, n, n_err,
+             CAST(n_err AS DOUBLE) / n AS x,
+             CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i
+      FROM daily
+    ),
+    base AS (
+      SELECT avg(x) AS mu, stddev_samp(x) AS sigma FROM idx
+    ),
+    walk AS (
+      SELECT day, n, n_err, x, i, mu, sigma,
+             {_EWMA_LAMBDA} * pow(1.0 - {_EWMA_LAMBDA}, i)
+               * sum(x * pow(1.0 - {_EWMA_LAMBDA}, -i)) OVER (ORDER BY i)
+             + pow(1.0 - {_EWMA_LAMBDA}, i + 1) * mu AS z,
+             {_EWMA_L} * sigma
+               * sqrt({_EWMA_LAMBDA} / (2.0 - {_EWMA_LAMBDA})
+                      * (1.0 - pow(1.0 - {_EWMA_LAMBDA}, 2 * (i + 1)))) AS hw
+      FROM idx, base
+    )
+    SELECT day, n, n_err, round(x, 6) AS x, round(z, 6) AS z,
+           round(mu + hw, 6) AS ucl, round(mu - hw, 6) AS lcl,
+           (z > mu + hw OR z < mu - hw) AS breach
+    FROM walk ORDER BY day
+    """,
+)
+def q266_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) over the daily error rate: the
+    small-persistent-shift monitor that completes the drift-detection
+    family — CUSUM (q187) detects by cumulative excess, SPRT (q250) by
+    sequential likelihood, BH-FDR (q238) by cross-sectional multiplicity;
+    EWMA weights recent days geometrically (lambda=0.2) and alarms when
+    the smoothed walk exits time-varying 3-sigma limits that widen toward
+    their asymptote as the memory fills.
+
+    The recursion z_i = lambda*x_i + (1-lambda)*z_(i-1), z_(-1) = mu is
+    evaluated in CLOSED FORM as a running weighted sum —
+    z_i = lambda*(1-lambda)^i * sum_j<=i x_j*(1-lambda)^(-j)
+          + (1-lambda)^(i+1)*mu
+    — so both engines compute an identical window expression, no
+    sequential state; (1-lambda)^(-i) stays bounded (0.8^-31 ~ 1e3) over
+    any retention window's day count. Exact limits with the
+    (1-(1-lambda)^(2(i+1))) start-up factor, not the asymptote (Hunter
+    1986), so early days don't over-alarm.
+
+    Scale posture: one corpus-scan HashAggregate to |days| rows; every
+    window after it runs on that bounded day frame (allowlisted: days of
+    retention, ~31 here). The 1-row (mu, sigma) baseline cross-joins in
+    broadcast-style. At 100x only the map-side scan grows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "error").cast("bigint")).alias("n_err"),
+        )
+    )
+    idx = daily.select(
+        "day",
+        "n",
+        "n_err",
+        (F.col("n_err").cast("double") / F.col("n")).alias("x"),
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("bigint").alias("i"),
+    )
+    base = idx.agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sigma")
+    )
+    lam, r = _EWMA_LAMBDA, 1.0 - _EWMA_LAMBDA
+    wsum = F.sum(F.col("x") * F.pow(F.lit(r), -F.col("i"))).over(
+        Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    z = (
+        F.lit(lam) * F.pow(F.lit(r), F.col("i")) * wsum
+        + F.pow(F.lit(r), F.col("i") + 1) * F.col("mu")
+    )
+    hw = (
+        F.lit(_EWMA_L)
+        * F.col("sigma")
+        * F.sqrt(
+            F.lit(lam / (2.0 - lam))
+            * (F.lit(1.0) - F.pow(F.lit(r), 2 * (F.col("i") + 1)))
+        )
+    )
+    return (
+        idx.join(F.broadcast(base))
+        .withColumn("z_raw", z)
+        .withColumn("hw", hw)
+        .select(
+            "day",
+            "n",
+            "n_err",
+            F.round("x", 6).alias("x"),
+            F.round("z_raw", 6).alias("z"),
+            F.round(F.col("mu") + F.col("hw"), 6).alias("ucl"),
+            F.round(F.col("mu") - F.col("hw"), 6).alias("lcl"),
+            (
+                (F.col("z_raw") > F.col("mu") + F.col("hw"))
+                | (F.col("z_raw") < F.col("mu") - F.col("hw"))
+            ).alias("breach"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- q268: Mann-Whitney U (rank-sum) drift test per event type -----------------
+
+
+@register(
+    "q268_mann_whitney_drift",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, round(value, 2) AS v,
+             CASE WHEN ts < TIMESTAMP '{_BH_SPLIT}' THEN 1 ELSE 0 END AS early
+      FROM events WHERE value IS NOT NULL
+    ),
+    cen AS (
+      SELECT event_type, v,
+             CAST(sum(early) AS DOUBLE) AS ne,
+             CAST(sum(1 - early) AS DOUBLE) AS nl,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM s GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT *,
+             coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (n + 1) / 2.0 AS avg_rank
+      FROM cen
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(ne) AS n1, sum(nl) AS n2,
+             sum(ne * avg_rank) AS r1,
+             sum(n * n * n - n) AS tieterm
+      FROM rk GROUP BY event_type
+    ),
+    zt AS (
+      SELECT event_type, n1, n2,
+             r1 - n1 * (n1 + 1) / 2.0 AS u1,
+             (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+               / nullif(sqrt(n1 * n2 / 12.0
+                             * ((n1 + n2 + 1.0)
+                                - tieterm / ((n1 + n2) * (n1 + n2 - 1.0)))),
+                        0) AS z
+      FROM agg
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_early, CAST(n2 AS BIGINT) AS n_late,
+           round(u1, 1) AS u1, round(z, 4) AS z,
+           round({_normal_two_sided_p_sql("z")}, 8) AS p,
+           {_normal_two_sided_p_sql("z")} <= 0.05 AS drift
+    FROM zt ORDER BY event_type
+    """,
+)
+def q268_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) early-vs-late drift test on the
+    event VALUE distribution per type — the NONPARAMETRIC leg of the drift
+    family: Welch t (q174) assumes means matter, chi2 (q196) needs
+    categories, PSI/Wasserstein (q180/q245) report magnitude without a
+    test; the rank-sum test detects any location shift with no
+    distributional assumption, tie-corrected normal approximation for the
+    p-value (A&S 26.2.17 polynomial, the q238 kernel).
+
+    Average ranks come from the value CODOMAIN census (values rounded to
+    2 decimals -> <= 49k distinct per type regardless of corpus size, the
+    q144 bounded-codomain discipline): rank arithmetic is integer cumsum
+    + half-integer midpoints, and every ne*avg_rank product is an exact
+    multiple of 0.5 far below 2^53 — so the rank sums are EXACT doubles,
+    immune to summation order, in both engines.
+
+    Scale posture: one corpus-scan HashAggregate to the (type, value)
+    census; the rank window is PARTITIONED by type over the bounded
+    codomain frame; the test statistic is a |types|-row aggregate. At
+    100x only the map-side scan grows."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round("value", 2).alias("v"),
+        F.when(F.col("ts") < F.lit(_BH_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("early"),
+    )
+    cen = s.groupBy("event_type", "v").agg(
+        F.sum("early").cast("double").alias("ne"),
+        F.sum(1 - F.col("early")).cast("double").alias("nl"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = cen.withColumn(
+        "avg_rank",
+        F.coalesce(F.sum("n").over(w), F.lit(0.0)) + (F.col("n") + 1) / 2.0,
+    )
+    agg = rk.groupBy("event_type").agg(
+        F.sum("ne").alias("n1"),
+        F.sum("nl").alias("n2"),
+        F.sum(F.col("ne") * F.col("avg_rank")).alias("r1"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n")).alias("tieterm"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    nn = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        F.col("n1") * F.col("n2") / 12.0
+        * ((nn + 1.0) - F.col("tieterm") / (nn * (nn - 1.0)))
+    )
+    z = (u1 - F.col("n1") * F.col("n2") / 2.0) / F.nullif(sigma, F.lit(0.0))
+    t = 1.0 / (1.0 + 0.2316419 * F.abs(F.col("z")))
+    poly = (
+        _AS_B[0] * t
+        + _AS_B[1] * F.pow(t, 2)
+        + _AS_B[2] * F.pow(t, 3)
+        + _AS_B[3] * F.pow(t, 4)
+        + _AS_B[4] * F.pow(t, 5)
+    )
+    p = 2.0 * (
+        F.exp(-0.5 * F.col("z") * F.col("z"))
+        / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+    ) * poly
+    return (
+        agg.withColumn("u1", u1)
+        .withColumn("z", z)
+        .select(
+            "event_type",
+            F.col("n1").cast("bigint").alias("n_early"),
+            F.col("n2").cast("bigint").alias("n_late"),
+            F.round("u1", 1).alias("u1"),
+            F.round("z", 4).alias("z"),
+            F.round(p, 8).alias("p"),
+            (p <= 0.05).alias("drift"),
+        )
+        .orderBy("event_type")
+    )

@@ -1275,3 +1275,72 @@ def q255_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q265: per-source weighted sampling WITHOUT replacement (ES keys) ----------
+
+_ES_K = 5  # draws per source stratum
+
+
+@register(
+    "q265_es_weighted_stratified_wor",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                      AS BIGINT) + 1) / 281474976710656.0)
+               / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY es_key DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT source, doc_id, n_chars, round(es_key, 6) AS es_key,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_ES_K}
+    ORDER BY source, rk
+    """,
+)
+def q265_es_weighted_stratified_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k draws per source stratum, by
+    the Efraimidis-Spirtakis exponential-key scheme (Efraimidis & Spirtakis
+    2006: rank by u^(1/w), equivalently ln(u)/w, u uniform, w the weight):
+    the top-k keys per source are EXACTLY a w-weighted WOR draw, so a
+    token-budgeted training mix can take its per-source quota in ONE pass
+    with no rejection loop and no sequential state — the WOR complement of
+    q102's Duffield priority sample (top-k overall, w/u keys) and q255's
+    systematic PPS (fixed skip interval). u derives from the 48-bit md5
+    prefix of doc_id (the module's deterministic-uniform discipline), so
+    the draw is reshuffle/rerun-stable and the oracle replays it bit for
+    bit — ln is the one transcendental, and competing keys are continuous
+    random values, so a 1-ulp libm disagreement flips no rank at any
+    realistic scale (the q219 log-sum-exp precedent).
+
+    Scale posture: narrow scan-side key computation; the only shuffle is
+    the per-source window (row_number over |source| partitions, each
+    heap-pruned to k by the rank filter). At 1000 sources x 100 TB the
+    partitioned top-k is the same plan; no global sort, no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**48))
+    es_key = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("source", "doc_id", "n_chars", es_key.alias("es_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ES_K)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round("es_key", 6).alias("es_key"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("source", "rk")
+    )
