@@ -229,6 +229,7 @@ HEADLINE = [
     "q266_ewma_control_chart",
     "q267_fellegi_sunter_scores",
     "q268_mann_whitney_drift",
+    "q269_theil_sen_trend",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

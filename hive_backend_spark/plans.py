@@ -308,6 +308,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/sessions.py", "F.broadcast(b),"):
         "|days|-row daily-count table, self-joined at lag offsets "
         "(q258 ACF)",
+    ("queries/sessions.py", 'pairs = a.join(F.broadcast(b), "event_type").filter('):
+        "|types| x |days| daily-count table, all-pairs slope self-join "
+        "(q269 Theil-Sen; bounded by the retention window)",
     ("queries/relational.py", "qi.crossJoin(F.broadcast(ks))"):
         "3-row k-threshold frame over the QI-group table (q260 "
         "k-anonymity)",

@@ -1339,3 +1339,179 @@ def q263_markov_adequacy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("abs_gap").desc(), "from_type", "to_type")
     )
+
+
+# --- q269: Theil-Sen slope + Mann-Kendall trend test per event type ------------
+
+
+@register(
+    "q269_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(extract(day FROM ts) AS INT) AS dom,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.n - a.n AS DOUBLE) / (b.dom - a.dom) AS slope,
+             CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.dom > a.dom
+    ),
+    ties AS (
+      SELECT event_type, sum(t * (t - 1.0) * (2.0 * t + 5.0)) AS tie_term
+      FROM (SELECT event_type, n, CAST(count(*) AS DOUBLE) AS t
+            FROM daily GROUP BY 1, 2)
+      GROUP BY event_type
+    ),
+    agg AS (
+      SELECT p.event_type,
+             (SELECT CAST(count(*) AS DOUBLE) FROM daily d
+              WHERE d.event_type = p.event_type) AS nd,
+             median(p.slope) AS ts_slope,
+             CAST(sum(p.sgn) AS DOUBLE) AS s
+      FROM pairs p GROUP BY p.event_type
+    ),
+    zt AS (
+      SELECT a.event_type, a.nd, a.ts_slope, a.s,
+             sqrt((a.nd * (a.nd - 1.0) * (2.0 * a.nd + 5.0) - t.tie_term)
+                  / 18.0) AS sigma,
+             CASE WHEN a.s > 0 THEN (a.s - 1.0)
+                  WHEN a.s < 0 THEN (a.s + 1.0)
+                  ELSE 0.0 END
+               / nullif(sqrt((a.nd * (a.nd - 1.0) * (2.0 * a.nd + 5.0)
+                              - t.tie_term) / 18.0), 0) AS z
+      FROM agg a JOIN ties t USING (event_type)
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+           round(ts_slope, 6) AS ts_slope,
+           CAST(s AS BIGINT) AS mk_s,
+           round(z, 4) AS z,
+           round((2.0 * (exp(-0.5 * z * z) / sqrt(2.0 * pi()))
+                  * (0.319381530 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                     + -0.356563782 * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 2)
+                     + 1.781477937 * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 3)
+                     + -1.821255978 * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 4)
+                     + 1.330274429 * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 5))),
+                 8) AS p,
+           CASE WHEN z IS NULL THEN 'none'
+                WHEN (2.0 * (exp(-0.5 * z * z) / sqrt(2.0 * pi()))
+                      * (0.319381530 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                         + -0.356563782 * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 2)
+                         + 1.781477937 * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 3)
+                         + -1.821255978 * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 4)
+                         + 1.330274429 * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 5)))
+                     > 0.05 THEN 'none'
+                WHEN s > 0 THEN 'increasing'
+                ELSE 'decreasing' END AS trend
+    FROM zt ORDER BY event_type
+    """,
+)
+def q269_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend per event type: Theil-Sen slope (median of all pairwise
+    day slopes — breakdown point 29%, one anomalous day cannot bend it,
+    unlike the OLS trend in q189) plus the Mann-Kendall S test with tie
+    correction and continuity-corrected normal approximation — the
+    standard nonparametric pair for 'is this series trending' monitoring
+    (Theil 1950; Sen 1968; Mann 1945; Kendall's tau variance form). The
+    monotone-trend complement of q268's two-sample location test and
+    q258's autocorrelation seasonality probe; p-values via the shared
+    A&S 26.2.17 tail kernel.
+
+    Determinism: pairwise slopes are exact-rational doubles and both
+    engines interpolate the median identically on the sorted pair list;
+    S and the tie term are integer sums; z/p are the identical closed
+    form.
+
+    Scale posture: the corpus collapses to the |types| x |days| daily
+    frame FIRST (one HashAggregate); the all-pairs slope frame is
+    C(|days|, 2) x |types| rows — bounded by the retention window
+    (~465 x 5 here), never by the corpus. At 100 TB only the map-side
+    scan grows; the pair join broadcasts the day frame."""
+    from .queue import _AS_B
+    import math as _math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.dayofmonth("ts").cast("int").alias("dom"))
+        .groupBy("event_type", "dom")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = daily.select(
+        "event_type", F.col("dom").alias("dom_a"), F.col("n").alias("n_a")
+    )
+    b = daily.select(
+        "event_type", F.col("dom").alias("dom_b"), F.col("n").alias("n_b")
+    )
+    pairs = a.join(F.broadcast(b), "event_type").filter(
+        F.col("dom_b") > F.col("dom_a")
+    )
+    slope = (F.col("n_b") - F.col("n_a")).cast("double") / (
+        F.col("dom_b") - F.col("dom_a")
+    )
+    sgn = (
+        F.when(F.col("n_b") > F.col("n_a"), 1)
+        .when(F.col("n_b") < F.col("n_a"), -1)
+        .otherwise(0)
+    )
+    agg = (
+        pairs.select("event_type", slope.alias("slope"), sgn.alias("sgn"))
+        .groupBy("event_type")
+        .agg(
+            F.median("slope").alias("ts_slope"),
+            F.sum("sgn").cast("double").alias("s"),
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nd")
+    )
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1.0) * (2.0 * F.col("t") + 5.0)
+            ).alias("tie_term")
+        )
+    )
+    j = agg.join(nd, "event_type").join(ties, "event_type")
+    sigma = F.sqrt(
+        (
+            F.col("nd") * (F.col("nd") - 1.0) * (2.0 * F.col("nd") + 5.0)
+            - F.col("tie_term")
+        )
+        / 18.0
+    )
+    z = (
+        F.when(F.col("s") > 0, F.col("s") - 1.0)
+        .when(F.col("s") < 0, F.col("s") + 1.0)
+        .otherwise(0.0)
+    ) / F.nullif(sigma, F.lit(0.0))
+    jz = j.withColumn("z", z)
+    t = 1.0 / (1.0 + 0.2316419 * F.abs(F.col("z")))
+    poly = (
+        _AS_B[0] * t
+        + _AS_B[1] * F.pow(t, 2)
+        + _AS_B[2] * F.pow(t, 3)
+        + _AS_B[3] * F.pow(t, 4)
+        + _AS_B[4] * F.pow(t, 5)
+    )
+    p = 2.0 * (
+        F.exp(-0.5 * F.col("z") * F.col("z"))
+        / F.sqrt(F.lit(2.0) * F.lit(_math.pi))
+    ) * poly
+    return jz.select(
+        "event_type",
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.round("ts_slope", 6).alias("ts_slope"),
+        F.col("s").cast("bigint").alias("mk_s"),
+        F.round("z", 4).alias("z"),
+        F.round(p, 8).alias("p"),
+        F.when(F.col("z").isNull(), "none")
+        .when(p > 0.05, "none")
+        .when(F.col("s") > 0, "increasing")
+        .otherwise("decreasing")
+        .alias("trend"),
+    ).orderBy("event_type")
