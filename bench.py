@@ -230,6 +230,7 @@ HEADLINE = [
     "q267_fellegi_sunter_scores",
     "q268_mann_whitney_drift",
     "q269_theil_sen_trend",
+    "q270_wav_decode_stats",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -300,6 +300,27 @@ def encode_png(arr, filters=None) -> bytes:
     return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Stdlib WAV encoder (the test/fixture companion of _decode_wav):
+    int16 sample array (interleaved if multi-channel) -> RIFF/WAVE PCM16
+    bytes, even-padded data chunk."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    pad = b"\x00" if len(data) % 2 else b""
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + pad
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _real_decode(blob: bytes) -> dict:
     """Magic-byte dispatch to a real decoder; loud failure for formats
     that genuinely need a media library."""

@@ -216,3 +216,79 @@ def q264_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 2), 6).alias("mean_g"),
         F.round(F.element_at("features", 3), 6).alias("mean_b"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q270_wav_decode_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             512 + (doc_id % 7) * 64 AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n,
+             ((L * 13 + 7 * g.range) % 65536 - 32768) / 32768.0 AS x
+      FROM base JOIN range(0, 896) g ON g.range < n
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_frames, 1 AS channels,
+           8000 AS sample_rate,
+           round(CAST(n AS DOUBLE) / 8000.0, 6) AS duration,
+           round(sqrt(avg(x * x)), 6) AS rms,
+           round(max(abs(x)), 6) AS peak
+    FROM px GROUP BY doc_id, n ORDER BY doc_id
+    """,
+)
+def q270_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode through the full multimodal pipeline (the q264 PNG
+    discipline applied to the audio path): per document, a deterministic
+    analytic PCM16 signal — sample(i) = ((13L + 7i) mod 65536) - 32768
+    with frame count keyed to doc_id — is ENCODED to RIFF/WAVE inside the
+    map task (operators/multimodal.encode_wav) and decoded by _decode_wav
+    via decode_media(stub=False): chunk walk + numpy sample stats. The
+    oracle replays the analytic sample function in pure SQL, so the rms
+    and peak value-check the entire encode->chunk-parse->normalize->
+    aggregate chain engine-to-engine. Every sample value is an exact
+    dyadic rational (int/2^15) whose square has < 53 significant bits, so
+    avg(x*x) is EXACT in both engines regardless of summation order —
+    the float-parity argument is arithmetic identity, not rounding luck.
+
+    Scale posture: identical to q264 — blobs built and decoded inside one
+    Arrow map pass after repartitioning the 2-column frame to cluster
+    parallelism; only the 7-column stat rows move."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import numpy as np
+
+        from hive_backend_spark.operators.multimodal import encode_wav
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                n = 512 + (did % 7) * 64
+                s = ((np.arange(n) * 7 + length * 13) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                blobs.append(encode_wav(s, 8000, 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    decoded = MM.decode_media(blobbed, stub=False)
+    return decoded.select(
+        "doc_id",
+        F.col("width").alias("n_frames"),
+        "channels",
+        F.element_at("features", 1).cast("int").alias("sample_rate"),
+        F.round(F.element_at("features", 2), 6).alias("duration"),
+        F.round(F.element_at("features", 3), 6).alias("rms"),
+        F.round(F.element_at("features", 4), 6).alias("peak"),
+    ).orderBy("doc_id")
