@@ -1026,3 +1026,214 @@ def test_er_block_escalation(spark):
     assert set(sub.values()) == {10}
     # in-budget block untouched
     assert all(r["key"] == "bolt" for r in in_budget)
+
+
+def _as_two_sided_p(z):
+    """Pure-python A&S 26.2.17 two-sided normal p (the engines' kernel)."""
+    import math
+
+    t = 1.0 / (1.0 + 0.2316419 * abs(z))
+    poly = (
+        0.319381530 * t
+        + -0.356563782 * t**2
+        + 1.781477937 * t**3
+        + -1.821255978 * t**4
+        + 1.330274429 * t**5
+    )
+    return 2.0 * (math.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)) * poly
+
+
+def test_q266_ewma_closed_form_matches_recursion(spark, tmp_path):
+    """q266 evaluates the EWMA recursion as a closed-form window sum; this
+    checks it against the LITERAL recursion z_i = lambda*x_i +
+    (1-lambda)*z_(i-1), z_(-1)=mu in pure python on a synthetic series
+    with a deliberate late-regime error burst — ground truth independent
+    of both engines' shared formula."""
+    import datetime
+    import math
+
+    from hive_backend_spark.registry import all_queries
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 28 days: a sustained error-rate shift over the last 7 days (EWMA
+    # alarms on sustained shifts; the smoothed walk needs several days
+    # above baseline to cross the in-sample limits)
+    plan = [(40, 2)] * 21 + [(40, 16)] * 7
+    for d, (n_ok, n_err) in enumerate(plan):
+        for k in range(n_ok + n_err):
+            et = "error" if k < n_err else "click"
+            rows.append(
+                (eid, t0 + datetime.timedelta(days=d, minutes=k), k, et, 1.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "ewma"
+    d.mkdir()
+    events.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    got = {
+        r["day"].isoformat(): r
+        for r in all_queries()["q266_ewma_control_chart"].fn(spark, str(d)).collect()
+    }
+    assert len(got) == len(plan)
+
+    xs = [ne / (no + ne) for (no, ne) in plan]
+    mu = sum(xs) / len(xs)
+    var = sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+    sigma = math.sqrt(var)
+    lam, L = 0.2, 3.0
+    z = mu
+    for i, x in enumerate(xs):
+        z = lam * x + (1 - lam) * z  # the literal recursion
+        hw = L * sigma * math.sqrt(
+            lam / (2 - lam) * (1 - (1 - lam) ** (2 * (i + 1)))
+        )
+        day = (t0 + datetime.timedelta(days=i)).date().isoformat()
+        r = got[day]
+        assert abs(r["z"] - z) < 2e-6, (day, r["z"], z)
+        assert abs(r["ucl"] - (mu + hw)) < 2e-6
+        assert abs(r["lcl"] - (mu - hw)) < 2e-6
+        assert r["breach"] == (z > mu + hw or z < mu - hw)
+    # the sustained shift must actually alarm, and the quiet regime not
+    quiet = [
+        (t0 + datetime.timedelta(days=i)).date().isoformat() for i in range(21)
+    ]
+    burst = [
+        (t0 + datetime.timedelta(days=i)).date().isoformat() for i in range(21, 28)
+    ]
+    assert any(got[k]["breach"] for k in burst)
+    assert not any(got[k]["breach"] for k in quiet)
+
+
+def test_q268_mann_whitney_matches_pure_python(spark, tmp_path):
+    """q268's censused average ranks + tie-corrected variance vs a direct
+    rank-sum implementation, on a tiny value codomain (ties everywhere)
+    with a real location shift in one type and none in another."""
+    import datetime
+    import math
+
+    from hive_backend_spark.registry import all_queries
+
+    t0 = datetime.datetime(2024, 1, 10)   # early side of _BH_SPLIT
+    t1 = datetime.datetime(2024, 1, 20)   # late side
+    rows, eid = [], 0
+    series = {
+        # type -> (early values, late values); heavy ties by design
+        "click": ([1.0] * 30 + [2.0] * 20, [2.0] * 25 + [3.0] * 25),  # shift
+        "view": ([1.0] * 20 + [2.0] * 20, [1.0] * 21 + [2.0] * 19),   # none
+    }
+    for et, (early, late) in series.items():
+        for v in early:
+            rows.append((eid, t0, eid % 7, et, v, "{}")); eid += 1
+        for v in late:
+            rows.append((eid, t1, eid % 7, et, v, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "mw"
+    d.mkdir()
+    events.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["q268_mann_whitney_drift"].fn(spark, str(d)).collect()
+    }
+
+    for et, (early, late) in series.items():
+        combined = sorted(early + late)
+        # average rank per value (1-based)
+        ranks = {}
+        i = 0
+        while i < len(combined):
+            j = i
+            while j < len(combined) and combined[j] == combined[i]:
+                j += 1
+            ranks[combined[i]] = (i + 1 + j) / 2.0
+            i = j
+        n1, n2 = len(early), len(late)
+        r1 = sum(ranks[v] for v in early)
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        nn = n1 + n2
+        ties = {}
+        for v in combined:
+            ties[v] = ties.get(v, 0) + 1
+        tie_term = sum(t**3 - t for t in ties.values())
+        sigma = math.sqrt(n1 * n2 / 12.0 * ((nn + 1) - tie_term / (nn * (nn - 1))))
+        z = (u1 - n1 * n2 / 2.0) / sigma
+        r = got[et]
+        assert r["n_early"] == n1 and r["n_late"] == n2
+        assert abs(r["u1"] - u1) < 0.051, (et, r["u1"], u1)
+        assert abs(r["z"] - z) < 2e-4, (et, r["z"], z)
+        assert abs(r["p"] - _as_two_sided_p(z)) < 1e-6
+    assert bool(got["click"]["drift"]) is True
+    assert bool(got["view"]["drift"]) is False
+
+
+def test_q269_theil_sen_matches_pure_python(spark, tmp_path):
+    """q269's median pairwise slope and tie-corrected Mann-Kendall z vs a
+    direct implementation, on a series with a monotone trend plus tied
+    plateau days (the tie-correction path) and a flat series."""
+    import datetime
+    import math
+    import statistics
+
+    from hive_backend_spark.registry import all_queries
+
+    t0 = datetime.datetime(2024, 1, 1)
+    series = {
+        "click": [10, 12, 12, 15, 15, 15, 18, 22, 27, 33],  # rising, ties
+        "view": [8] * 10,                                    # flat: all tied
+    }
+    rows, eid = [], 0
+    for et, counts in series.items():
+        for day, n in enumerate(counts):
+            for k in range(n):
+                rows.append(
+                    (eid, t0 + datetime.timedelta(days=day, minutes=k), k, et,
+                     1.0, "{}")
+                )
+                eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "ts"
+    d.mkdir()
+    events.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["q269_theil_sen_trend"].fn(spark, str(d)).collect()
+    }
+
+    for et, counts in series.items():
+        doms = list(range(1, len(counts) + 1))
+        slopes, s = [], 0
+        for i in range(len(counts)):
+            for j in range(i + 1, len(counts)):
+                slopes.append((counts[j] - counts[i]) / (doms[j] - doms[i]))
+                s += (counts[j] > counts[i]) - (counts[j] < counts[i])
+        med = statistics.median(slopes)
+        nd = len(counts)
+        ties = {}
+        for n in counts:
+            ties[n] = ties.get(n, 0) + 1
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var = (nd * (nd - 1) * (2 * nd + 5) - tie_term) / 18.0
+        r = got[et]
+        assert r["n_days"] == nd
+        assert abs(r["ts_slope"] - med) < 1e-6, (et, r["ts_slope"], med)
+        assert r["mk_s"] == s
+        if var > 0 and s != 0:
+            z = (s - (1 if s > 0 else -1)) / math.sqrt(var)
+            assert abs(r["z"] - z) < 2e-4
+            assert abs(r["p"] - _as_two_sided_p(z)) < 1e-6
+    assert got["click"]["trend"] == "increasing"
+    assert got["view"]["trend"] == "none"
+    assert got["view"]["mk_s"] == 0
