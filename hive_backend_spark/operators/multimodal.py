@@ -184,6 +184,11 @@ def _decode_png(blob: bytes) -> dict:
             f"(got depth={depth}, colortype={colortype}, interlace={interlace})"
             " — palette/16-bit/Adam7 need pillow"
         )
+    if w == 0 or h == 0:
+        # invalid per the PNG spec; without this guard a crafted blob
+        # sails through (stride 0 satisfies the IDAT length check) and
+        # mean() over the empty array poisons downstream stats with NaN
+        raise ValueError(f"PNG has zero dimension ({w}x{h})")
     nch = _PNG_CHANNELS[colortype]
     stride = w * nch
     raw = zlib.decompress(b"".join(idat))
@@ -309,14 +314,13 @@ def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
     import numpy as np
 
     samples = np.asarray(samples, dtype="<i2")
-    data = samples.tobytes()
+    data = samples.tobytes()  # 16-bit samples: always an even-length chunk
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
-    pad = b"\x00" if len(data) % 2 else b""
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data + pad
+        + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

@@ -2668,26 +2668,33 @@ def q251_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ER_BLOCK_BUDGET = 512
 
 
-def _er_blocked_keyed(names: DataFrame, budget: int = _ER_BLOCK_BUDGET) -> DataFrame:
-    """Blocking-key assignment with budget escalation for entity resolution:
-    given (p_name, n_records), key each name by its head noun (word 2); any
-    block whose population exceeds `budget` widens its key to
-    noun + '|' + first letter so no join key's population stays quadratic-
-    unbounded. Pure column ops (one partitioned window for the block census);
-    property-tested in tests/test_properties.py::test_er_block_escalation."""
-    blocked = names.select(
-        F.split(F.col("p_name"), " ").getItem(1).alias("block"),
-        "p_name",
-        "n_records",
+def _er_blocked_keyed(df: DataFrame, budget: int = _ER_BLOCK_BUDGET) -> DataFrame:
+    """Blocking-key assignment with TWO-LEVEL budget escalation for entity
+    resolution: any frame carrying p_name gains (block, key) columns. The
+    head-noun block is the level-0 key; a block whose ROW population
+    exceeds `budget` widens to noun + '|' + first letter; a still-over-
+    budget sub-block widens again to the two-letter prefix (the 'unknown'
+    flood where every dirty record shares one first letter — a one-level
+    scheme leaves that key quadratic-unbounded). The census counts ROWS of
+    the given frame, so the caller picks the semantics that bound ITS pair
+    cost: q256 passes the distinct-names frame (name-pair cost), q267 the
+    records frame (record-pair cost). Identical-prefix floods beyond
+    level 2 are genuinely quadratic OUTPUT and stay together by design.
+    Pure column ops (two partitioned census windows); property-tested in
+    tests/test_properties.py::test_er_block_escalation."""
+    blocked = df.withColumn(
+        "block", F.split(F.col("p_name"), " ").getItem(1)
     )
     bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
-    return blocked.withColumn(
-        "key",
-        F.when(
-            bn > budget,
-            F.concat(F.col("block"), F.lit("|"), F.substring("p_name", 1, 1)),
-        ).otherwise(F.col("block")),
+    l1 = F.concat(F.col("block"), F.lit("|"), F.substring("p_name", 1, 1))
+    step1 = blocked.withColumn(
+        "_k1", F.when(bn > budget, l1).otherwise(F.col("block"))
     )
+    bn2 = F.count(F.lit(1)).over(Window.partitionBy("_k1"))
+    l2 = F.concat(F.col("block"), F.lit("|"), F.substring("p_name", 1, 2))
+    return step1.withColumn(
+        "key", F.when(bn2 > budget, l2).otherwise(F.col("_k1"))
+    ).drop("_k1")
 
 
 @register(
@@ -2702,13 +2709,19 @@ def _er_blocked_keyed(names: DataFrame, budget: int = _ER_BLOCK_BUDGET) -> DataF
              count(*) OVER (PARTITION BY split_part(p_name, ' ', 2)) AS bn
       FROM names
     ),
-    keyed AS (
-      SELECT block,
+    lvl1 AS (
+      SELECT block, p_name, n_records,
              CASE WHEN bn > {_ER_BLOCK_BUDGET}
                   THEN block || '|' || substring(p_name, 1, 1)
-                  ELSE block END AS key,
-             p_name, n_records
+                  ELSE block END AS k1
       FROM blocked
+    ),
+    keyed AS (
+      SELECT block, p_name, n_records,
+             CASE WHEN count(*) OVER (PARTITION BY k1) > {_ER_BLOCK_BUDGET}
+                  THEN block || '|' || substring(p_name, 1, 2)
+                  ELSE k1 END AS key
+      FROM lvl1
     ),
     pairs AS (
       SELECT a.block, a.p_name AS name_a, b.p_name AS name_b,
@@ -2736,11 +2749,13 @@ def q256_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: the name-collapse HashAggregate shrinks the corpus to |distinct
     names|; the self-join shuffles on the block key, so cost is
     sum_b C(n_b, 2) over per-block populations — bounded exactly like LSH
-    band buckets: a block over _ER_BLOCK_BUDGET names escalates to the
-    widened noun+first-letter key (_er_blocked_keyed, mirrored in the
-    oracle's CASE, property-tested like the r7 bucket-cap bound), so no
-    single key's pair count is unbounded at dirty-entity scale.
-    Verification runs on O(candidate pairs) only, never all names squared."""
+    band buckets: a block over _ER_BLOCK_BUDGET DISTINCT NAMES escalates
+    to the noun+first-letter key, and a still-over-budget sub-block to
+    the two-letter prefix (_er_blocked_keyed's two-level scheme, mirrored
+    in the oracle's nested CASE windows, property-tested like the r7
+    bucket-cap bound), so no single key's name-pair count is unbounded at
+    dirty-entity scale. Verification runs on O(candidate pairs) only,
+    never all names squared."""
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_records"))
     keyed = _er_blocked_keyed(names)
@@ -2777,7 +2792,8 @@ def q256_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFram
 # Per-field (m, u) agreement probabilities and their PRE-COMPUTED log2
 # match weights (Fellegi & Sunter 1969): m = P(agree | same entity),
 # u = P(agree | different entities), u set from the field's codomain
-# (name fuzzy-agreement rate 0.05; 25 brands -> 0.04; 6 types -> 1/6;
+# (name fuzzy-agreement rate 0.05; 25 brands -> 0.04; 6 types in THIS
+# synthetic catalog -> 1/6 (real TPC-H has 150 — recalibrate u there);
 # size within +/-2 over 1..50 -> 0.10). Weights are rounded Python
 # literals, so BOTH engines sum identical doubles in identical order —
 # no cross-engine log() in the hash-compared surface.
@@ -2805,11 +2821,18 @@ _FS_REVIEW = 4.0     # in [review, link) -> possible; below dropped
              count(*) OVER (PARTITION BY split_part(p_name, ' ', 2)) AS bn
       FROM part
     ),
-    keyed AS (
-      SELECT *, CASE WHEN bn > {_ER_BLOCK_BUDGET}
-                     THEN block || '|' || substring(p_name, 1, 1)
-                     ELSE block END AS key
+    lvl1 AS (
+      SELECT p_partkey, p_name, p_brand, p_type, p_size, block,
+             CASE WHEN bn > {_ER_BLOCK_BUDGET}
+                  THEN block || '|' || substring(p_name, 1, 1)
+                  ELSE block END AS k1
       FROM recs
+    ),
+    keyed AS (
+      SELECT *, CASE WHEN count(*) OVER (PARTITION BY k1) > {_ER_BLOCK_BUDGET}
+                     THEN block || '|' || substring(p_name, 1, 2)
+                     ELSE k1 END AS key
+      FROM lvl1
     ),
     scored AS (
       SELECT a.block, a.p_partkey AS key_a, b.p_partkey AS key_b,
@@ -2853,9 +2876,11 @@ def q267_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreements are exact predicates (levenshtein is exact integer DP in
     both engines).
 
-    Scale posture: pair generation shuffles on the SAME escalated blocking
-    key as q256 (_er_blocked_keyed discipline, property-tested flood
-    bound) — sum_b C(n_b, 2) work, never corpus-squared; scoring is
+    Scale posture: pair generation shuffles on _er_blocked_keyed's
+    two-level escalated key with a RECORD census (q256 uses the same
+    helper with a distinct-NAMES census — each query's budget bounds the
+    pair cost IT pays; property-tested flood bound at both levels) —
+    sum_b C(n_b, 2) work, never corpus-squared; scoring is
     per-pair column arithmetic in whole-stage codegen. The expensive
     predicate (edit distance) is computed ONCE PER DISTINCT NAME PAIR on
     the name-vocabulary self-join and broadcast into the record-pair
@@ -2865,21 +2890,11 @@ def q267_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     over agreement patterns) is a k-pattern aggregate at scale; here the
     weights are pinned literals, the standard supervised setting."""
     part = load_table(spark, sf_dir, "part")
-    recs = part.select(
-        "p_partkey",
-        "p_name",
-        "p_brand",
-        "p_type",
-        "p_size",
-        F.split(F.col("p_name"), " ").getItem(1).alias("block"),
-    )
-    bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
-    keyed = recs.withColumn(
-        "key",
-        F.when(
-            bn > _ER_BLOCK_BUDGET,
-            F.concat(F.col("block"), F.lit("|"), F.substring("p_name", 1, 1)),
-        ).otherwise(F.col("block")),
+    # the SHARED two-level escalation helper, here with a RECORD census
+    # (record-pair cost is what this query must bound; q256 passes the
+    # distinct-names frame because name-pair cost is what IT must bound)
+    keyed = _er_blocked_keyed(
+        part.select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
     )
     a = keyed.select(
         "key",

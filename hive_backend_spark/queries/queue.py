@@ -1016,32 +1016,32 @@ def q266_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cen AS (
       SELECT event_type, v,
-             CAST(sum(early) AS DOUBLE) AS ne,
-             CAST(sum(1 - early) AS DOUBLE) AS nl,
-             CAST(count(*) AS DOUBLE) AS n
+             CAST(sum(early) AS BIGINT) AS ne,
+             CAST(sum(1 - early) AS BIGINT) AS nl,
+             CAST(count(*) AS BIGINT) AS n
       FROM s GROUP BY 1, 2
     ),
     rk AS (
       SELECT *,
-             coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY v
+             2 * coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY v
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               + (n + 1) / 2.0 AS avg_rank
+               + n + 1 AS avg_rank_x2
       FROM cen
     ),
     agg AS (
       SELECT event_type,
-             sum(ne) AS n1, sum(nl) AS n2,
-             sum(ne * avg_rank) AS r1,
-             sum(n * n * n - n) AS tieterm
+             CAST(sum(ne) AS BIGINT) AS n1, CAST(sum(nl) AS BIGINT) AS n2,
+             CAST(sum(ne * avg_rank_x2) AS BIGINT) AS r1_x2,
+             sum(CAST(n AS DOUBLE) * n * n - n) AS tieterm
       FROM rk GROUP BY event_type
     ),
     zt AS (
       SELECT event_type, n1, n2,
-             r1 - n1 * (n1 + 1) / 2.0 AS u1,
-             (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
-               / nullif(sqrt(n1 * n2 / 12.0
+             (r1_x2 - n1 * (n1 + 1)) / 2.0 AS u1,
+             CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) / 2.0
+               / nullif(sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
                              * ((n1 + n2 + 1.0)
-                                - tieterm / ((n1 + n2) * (n1 + n2 - 1.0)))),
+                                - tieterm / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1.0)))),
                         0) AS z
       FROM agg
     )
@@ -1064,10 +1064,15 @@ def q268_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Average ranks come from the value CODOMAIN census (values rounded to
     2 decimals -> <= 49k distinct per type regardless of corpus size, the
-    q144 bounded-codomain discipline): rank arithmetic is integer cumsum
-    + half-integer midpoints, and every ne*avg_rank product is an exact
-    multiple of 0.5 far below 2^53 — so the rank sums are EXACT doubles,
-    immune to summation order, in both engines.
+    q144 bounded-codomain discipline). Rank-sum arithmetic is PURE
+    INTEGER until the final statistic: doubled average ranks
+    (2*cum_before + n + 1) and the doubled rank sum r1_x2 are BIGINT
+    sums — exact and summation-order-immune up to 2^63 (N per type
+    ~ 3e9), not 2^53 — and the z numerator is an integer difference cast
+    to double once. The only doubles are the tie term (feeds sigma,
+    needs no exactness) and the final ratio, identical closed forms in
+    both engines. Spark runs ANSI mode, so a genuinely overflowing
+    census (N^2 > 2^63) fails loudly rather than wrapping.
 
     Scale posture: one corpus-scan HashAggregate to the (type, value)
     census; the rank window is PARTITIONED by type over the bounded
@@ -1082,9 +1087,9 @@ def q268_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("early"),
     )
     cen = s.groupBy("event_type", "v").agg(
-        F.sum("early").cast("double").alias("ne"),
-        F.sum(1 - F.col("early")).cast("double").alias("nl"),
-        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("early").cast("bigint").alias("ne"),
+        F.sum(1 - F.col("early")).cast("bigint").alias("nl"),
+        F.count(F.lit(1)).alias("n"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -1092,22 +1097,29 @@ def q268_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     rk = cen.withColumn(
-        "avg_rank",
-        F.coalesce(F.sum("n").over(w), F.lit(0.0)) + (F.col("n") + 1) / 2.0,
+        "avg_rank_x2",
+        2 * F.coalesce(F.sum("n").over(w), F.lit(0)) + F.col("n") + 1,
     )
     agg = rk.groupBy("event_type").agg(
         F.sum("ne").alias("n1"),
         F.sum("nl").alias("n2"),
-        F.sum(F.col("ne") * F.col("avg_rank")).alias("r1"),
-        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n")).alias("tieterm"),
+        F.sum(F.col("ne") * F.col("avg_rank_x2")).alias("r1_x2"),
+        F.sum(
+            F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+        ).alias("tieterm"),
     )
-    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    u1 = (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)) / 2.0
     nn = F.col("n1") + F.col("n2")
     sigma = F.sqrt(
-        F.col("n1") * F.col("n2") / 12.0
-        * ((nn + 1.0) - F.col("tieterm") / (nn * (nn - 1.0)))
+        F.col("n1").cast("double") * F.col("n2") / 12.0
+        * ((nn + 1.0) - F.col("tieterm") / (nn.cast("double") * (nn - 1.0)))
     )
-    z = (u1 - F.col("n1") * F.col("n2") / 2.0) / F.nullif(sigma, F.lit(0.0))
+    z = (
+        (
+            F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1) - F.col("n1") * F.col("n2")
+        ).cast("double")
+        / 2.0
+    ) / F.nullif(sigma, F.lit(0.0))
     t = 1.0 / (1.0 + 0.2316419 * F.abs(F.col("z")))
     poly = (
         _AS_B[0] * t

@@ -626,3 +626,55 @@ def test_decode_png_unsupported_variants_are_loud():
         )
         with _pytest.raises(NotImplementedError, match="pillow"):
             _decode_png(blob)
+
+
+def test_decode_png_zero_dimension_is_loud():
+    """A crafted IHDR with width or height 0 (invalid per spec) must raise,
+    not emit NaN feature rows into downstream aggregates."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.multimodal import _PNG_MAGIC, _decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    for w, h in [(0, 3), (3, 0)]:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        blob = (
+            _PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * h))
+            + chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError, match="zero dimension"):
+            _decode_png(blob)
+
+
+def test_decode_wav_odd_chunk_padding_walk():
+    """The RIFF chunk walk must honor even-padding on ODD-sized chunks: a
+    WAV with an odd-length junk chunk before fmt/data (pad byte after it)
+    still decodes. encode_wav never produces odd chunks (16-bit samples),
+    so this exercises the decoder path with a hand-built raw fixture."""
+    import struct
+
+    import numpy as np
+
+    from hive_backend_spark.operators.multimodal import _decode_wav, encode_wav
+
+    samples = np.array([0, 16384, -16384, 32767], dtype="<i2")
+    std = encode_wav(samples, 8000, 1)
+    # splice an odd-sized LIST chunk (size 3 -> 1 pad byte) after WAVE
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = std[12:]  # fmt+data chunks
+    raw = b"RIFF" + struct.pack("<I", 4 + len(junk) + len(body)) + b"WAVE" + junk + body
+    d = _decode_wav(raw)
+    assert (d["width"], d["channels"]) == (4, 1)
+    assert abs(d["features"][3] - 32767 / 32768.0) < 1e-15

@@ -994,20 +994,25 @@ def test_prefix_filter_join_is_complete_and_exact(spark, tmp_path_factory, docs)
 
 
 def test_er_block_escalation(spark):
-    """q256's blocking-key budget (VERDICT r7 item 7): a head-noun block
-    whose population exceeds the budget escalates every member to the
-    widened noun+first-letter key, so (1) no surviving join key's
-    population exceeds max(budget, the widened sub-block sizes) — the
-    per-key pair cost stops being flood-quadratic — while (2) blocks
-    within budget keep their original key bit-for-bit (the
-    oracle-unchanged guarantee at TPC-H block sizes)."""
+    """The two-level blocking-key budget shared by q256/q267: a head-noun
+    block over budget escalates to the first-letter key; a sub-block
+    STILL over budget (the dirty-entity flood where every record shares a
+    first letter) escalates again to the two-letter prefix; blocks within
+    budget keep their original key bit-for-bit (the oracle-unchanged
+    guarantee at TPC-H block sizes)."""
     from hive_backend_spark.queries.dedup import _er_blocked_keyed
 
     BUDGET = 10
-    # flooded block: 40 names sharing head noun "unknown", 4 first letters
+    # level-1 flood: 40 names sharing head noun "unknown", 4 first letters
+    # (each letter sub-block lands exactly on budget -> stays level 1)
     rows = [
         (f"{adj}{i} unknown widget item", 1)
         for i, adj in [(i, "abcd"[i % 4]) for i in range(40)]
+    ]
+    # level-2 flood: 30 names sharing noun "grease" AND first letter "z",
+    # spread over 3 two-letter prefixes za/zb/zc (10 each)
+    rows += [
+        (f"z{'abc'[i % 3]}{i} grease tube item", 1) for i in range(30)
     ]
     # in-budget block: 3 names sharing head noun "bolt"
     rows += [("red bolt steel small", 2), ("hot bolt steel small", 1),
@@ -1015,15 +1020,17 @@ def test_er_block_escalation(spark):
     names = spark.createDataFrame(rows, "p_name string, n_records bigint")
     keyed = _er_blocked_keyed(names, budget=BUDGET).collect()
 
-    flooded = [r for r in keyed if r["block"] == "unknown"]
-    in_budget = [r for r in keyed if r["block"] == "bolt"]
-    # every flooded member escalated; key carries the first letter
-    assert all(r["key"] == f"unknown|{r['p_name'][0]}" for r in flooded)
-    # widened sub-blocks are the per-letter populations (10 each), <= budget
     from collections import Counter
 
-    sub = Counter(r["key"] for r in flooded)
-    assert set(sub.values()) == {10}
+    flooded = [r for r in keyed if r["block"] == "unknown"]
+    deep = [r for r in keyed if r["block"] == "grease"]
+    in_budget = [r for r in keyed if r["block"] == "bolt"]
+    # level 1: every flooded member carries the first-letter key
+    assert all(r["key"] == f"unknown|{r['p_name'][0]}" for r in flooded)
+    assert set(Counter(r["key"] for r in flooded).values()) == {10}
+    # level 2: the shared-first-letter flood widens to two letters
+    assert all(r["key"] == f"grease|{r['p_name'][:2]}" for r in deep)
+    assert set(Counter(r["key"] for r in deep).values()) == {10}
     # in-budget block untouched
     assert all(r["key"] == "bolt" for r in in_budget)
 

@@ -1272,9 +1272,13 @@ def test_flagship_flow_end_to_end_with_restart(spark, tmp_path):
 
     from hive_backend_spark.catalog import load_table
 
+    # (ts, event_id) is a total order, so the chunk assignment is
+    # deterministic across the two publish phases; persist pins it anyway
+    # (re-evaluating ntile between actions must not move boundary rows)
     events = load_table(spark, SF_DIR, "events").withColumn(
-        "chunk", F.ntile(6).over(Window.orderBy("ts")) - 1
+        "chunk", F.ntile(6).over(Window.orderBy("ts", "event_id")) - 1
     )
+    events.persist().count()
     src = tmp_path / "src"
     staging = str(tmp_path / "staging")
     processed = str(tmp_path / "processed")
