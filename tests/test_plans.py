@@ -830,3 +830,49 @@ def test_lsh_pair_expansion_materialized_once(spark, sf_dir):
             )
     finally:
         QD.clear_bands_cache()
+
+
+def test_round8_additions_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-8 queries (q264-q270).
+
+    - q264/q270 (real codec paths): exactly TWO MapInPandas stages (blob
+      build + decode) with the single RoundRobin repartition BEFORE them —
+      blobs are built and consumed inside the python pass, never hash-
+      shuffled (no Exchange hashpartitioning over a blob column).
+    - q265 (ES weighted WOR): the rank window partitions by source (no
+      single-task global window) and the only shuffles are the source
+      hash partitioning + the final presentation sort.
+    - q267 (FS scoring): the distinct-name-pair agreement lookup joins by
+      BROADCAST (never shuffles the record-pair stream on name pair), and
+      levenshtein is evaluated in the name-vocabulary join, not the
+      record-pair projection.
+    - q268 (Mann-Whitney): the rank window partitions by event_type; no
+      unpartitioned window anywhere.
+    - q269 (Theil-Sen): the day-frame self-join broadcasts; no
+      SortMergeJoin of corpus-sized sides.
+    """
+    for name in ("q264_png_decode_stats", "q270_wav_decode_stats"):
+        plan = _df(spark, sf_dir, name)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 2, (name, plan)
+        assert "roundrobin" in plan.lower() or "RoundRobin" in plan, (name, plan)
+        assert "hashpartitioning(blob" not in plan, (name, plan)
+
+    plan265 = _df(spark, sf_dir, "q265_es_weighted_stratified_wor")
+    s265 = plan265._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(source" in s265, s265
+    P.assert_plan(plan265, forbids=["CartesianProduct", "SortMergeJoin"])
+
+    plan267 = _df(spark, sf_dir, "q267_fellegi_sunter_scores")
+    s267 = plan267._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in s267, s267
+    # levenshtein must sit inside the tiny name-pair join, evaluated once
+    # per distinct pair — never per record pair in the projection above it
+    assert "levenshtein" in s267, s267
+
+    s268 = _df(spark, sf_dir, "q268_mann_whitney_drift")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in s268 and "hashpartitioning(event_type" in s268, s268
+
+    plan269 = _df(spark, sf_dir, "q269_theil_sen_trend")
+    s269 = plan269._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in s269, s269
+    P.assert_plan(plan269, forbids=["CartesianProduct"])
