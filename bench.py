@@ -231,6 +231,7 @@ HEADLINE = [
     "q268_mann_whitney_drift",
     "q269_theil_sen_trend",
     "q270_wav_decode_stats",
+    "q271_funnel_conversion_lag",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -311,6 +311,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/sessions.py", 'pairs = a.join(F.broadcast(b), "event_type").filter('):
         "|types| x |days| daily-count table, all-pairs slope self-join "
         "(q269 Theil-Sen; bounded by the retention window)",
+    ("queries/sessions.py", ".crossJoin(F.broadcast(tot))"):
+        "1-row funnel stage-totals scalar (q271 conversion lag)",
     ("queries/relational.py", "qi.crossJoin(F.broadcast(ks))"):
         "3-row k-threshold frame over the QI-group table (q260 "
         "k-anonymity)",

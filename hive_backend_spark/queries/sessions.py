@@ -1515,3 +1515,141 @@ def q269_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("decreasing")
         .alias("trend"),
     ).orderBy("event_type")
+
+
+# --- q271: funnel conversion lag percentiles -----------------------------------
+
+
+@register(
+    "q271_funnel_conversion_lag",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2
+    ),
+    u AS (SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM s3),
+    vc AS (
+      SELECT epoch(t_click) - epoch(t_view) AS lag_s FROM u
+      WHERE t_click IS NOT NULL
+    ),
+    cp AS (
+      SELECT epoch(t_purchase) - epoch(t_click) AS lag_s FROM u
+      WHERE t_purchase IS NOT NULL
+    ),
+    tot AS (
+      SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+             CAST(count(t_click) AS BIGINT) AS n_click,
+             CAST(count(t_purchase) AS BIGINT) AS n_purchase
+      FROM u
+    )
+    SELECT 'view_to_click' AS step,
+           (SELECT n_click FROM tot) AS n_converted,
+           round(CAST((SELECT n_click FROM tot) AS DOUBLE)
+                 / (SELECT n_view FROM tot), 6) AS conv_rate,
+           round(quantile_cont(lag_s, 0.5), 4) AS lag_p50_s,
+           round(quantile_cont(lag_s, 0.9), 4) AS lag_p90_s
+    FROM vc
+    UNION ALL
+    SELECT 'click_to_purchase' AS step,
+           (SELECT n_purchase FROM tot) AS n_converted,
+           round(CAST((SELECT n_purchase FROM tot) AS DOUBLE)
+                 / (SELECT n_click FROM tot), 6) AS conv_rate,
+           round(quantile_cont(lag_s, 0.5), 4) AS lag_p50_s,
+           round(quantile_cont(lag_s, 0.9), 4) AS lag_p90_s
+    FROM cp
+    ORDER BY step
+    """,
+)
+def q271_funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency profile: for each q58 stage transition (view->click,
+    click->purchase, same strictly-after causality windows), the converter
+    count, the conversion rate from the prior stage, and the EXACT p50/p90
+    time-to-convert in seconds — the SLA view q58's counts-only funnel
+    lacks (how MANY convert vs how LONG conversion takes; a p90 blowup
+    with flat counts is the classic queue-degradation signature the
+    reference's health monitor averages away, db.mjs:415-419).
+
+    Determinism: stage times are min-over-window (exact); lags are epoch
+    double differences; percentiles are the shared linear-interpolation
+    definition (Spark `percentile` == DuckDB quantile_cont, the q45
+    precedent).
+
+    Scale posture: the three chained stage windows share ONE user_id
+    shuffle (the q58 plan); the per-user frame is |users| rows, and each
+    transition's percentile is an exact sort of the (much smaller)
+    converter subset — at 100 TB switch to percentile_approx, same plan
+    shape, bounded memory."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = (
+        events.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    u = s.select("user_id", "t_view", "t_click", "t_purchase").distinct()
+    u = u.localCheckpoint(eager=False)  # one funnel pass feeds all branches
+    tot = u.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+
+    def leg(step, t_from, t_to, n_conv, n_prior):
+        lag = F.col(t_to).cast("double") - F.col(t_from).cast("double")
+        return (
+            u.filter(F.col(t_to).isNotNull())
+            .select(lag.alias("lag_s"))
+            .agg(
+                F.round(F.expr("percentile(lag_s, 0.5)"), 4).alias("lag_p50_s"),
+                F.round(F.expr("percentile(lag_s, 0.9)"), 4).alias("lag_p90_s"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(step).alias("step"),
+                F.col(n_conv).alias("n_converted"),
+                F.round(
+                    F.col(n_conv).cast("double") / F.col(n_prior), 6
+                ).alias("conv_rate"),
+                "lag_p50_s",
+                "lag_p90_s",
+            )
+        )
+
+    return (
+        leg("click_to_purchase", "t_click", "t_purchase", "n_purchase", "n_click")
+        .unionByName(leg("view_to_click", "t_view", "t_click", "n_click", "n_view"))
+        .orderBy("step")
+    )

@@ -418,6 +418,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q249_importance_ess",  # 1-row token-totals scalar (q219 DSIR pattern)
         "q250_sprt_monitor",  # 1-row baseline-rate scalar on the daily grid
         "q266_ewma_control_chart",  # 1-row (mu, sigma) scalar on the day frame
+        "q271_funnel_conversion_lag",  # 1-row stage-totals scalar per leg
         "q255_systematic_pps_sample",  # 1-row bounds + totals scalars (q208 pattern)
         "q239_poisson_bootstrap_ci",  # 1-row point estimate joined to 1-row fold
         "q241_hll_intersection",  # |types|^2 sketch pair frame (bounded dim x dim)
