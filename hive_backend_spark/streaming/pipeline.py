@@ -1038,3 +1038,83 @@ def streaming_heavy_hitters(
     return keyed.applyInPandasWithState(
         summarize, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# --- cross-batch stateful EWMA monitor (streaming form of q266) ----------------
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("slot", StringType()),   # constant partition token
+        StructField("i", LongType()),        # batches folded so far
+        StructField("z", DoubleType()),      # current smoothed error rate
+    ]
+)
+
+
+def ewma_monitor_stream(
+    spark: SparkSession,
+    source_dir: str,
+    monitor_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    lam: float = 0.2,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Cross-batch stateful EWMA of the per-trigger error rate — the
+    STREAMING form of q266's control chart: where the batch query can
+    evaluate the recursion as a closed-form window over the full day
+    frame, a stream must CARRY z across triggers. State is the minimal
+    sufficient pair (i, z): one row in a VersionedStateTable, so a
+    replay of batch N re-reads the state as of N-1 and recomputes the
+    identical z' — idempotent through the crash window between sink
+    write and checkpoint commit (the carryover/index-merge discipline).
+    Verdict rows (batch_id, n, n_err, x, z) land in the batch's own
+    partition with dynamic overwrite. The first observed batch seeds
+    z = x (a stream has no corpus mean up front; q266 seeds at mu —
+    the recursions converge geometrically as (1-lam)^i). Control limits
+    belong to the READER over the monitor table, where mu/sigma of the
+    x series are available; the stream keeps only the walk.
+
+    Scale posture: per trigger, one partial-aggregated count pair over
+    the arrivals (no shuffle wider than the 1-row agg), one 1-row state
+    read, two 1-row writes. State size is O(1) regardless of stream
+    length."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        state = VersionedStateTable(sess, state_dir, EWMA_STATE_SCHEMA, "slot")
+        prior = state.read_latest(before_batch=batch_id).collect()  # <=1 row
+        i0, z0 = (prior[0]["i"], prior[0]["z"]) if prior else (0, None)
+        agg = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "error").cast("bigint")).alias("ne"),
+        ).collect()[0]
+        n, n_err = agg["n"], agg["ne"] or 0
+        if n == 0:  # empty trigger: no observation, state untouched
+            return
+        x = n_err / n
+        z1 = x if z0 is None else lam * x + (1.0 - lam) * z0
+        (
+            sess.createDataFrame(
+                [(int(batch_id), int(n), int(n_err), float(x), float(z1))],
+                "batch_id long, n long, n_err long, x double, z double",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(monitor_dir)
+        )
+        new_state = sess.createDataFrame(
+            [("ewma", int(i0) + 1, float(z1))], EWMA_STATE_SCHEMA
+        )
+        state.overwrite_parts(new_state, F.col("slot"), {"ewma"}, batch_id)
+        state.prune(batch_id)
+
+    stream = read_event_stream(spark, source_dir, max_files_per_trigger)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "ewma_monitor"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

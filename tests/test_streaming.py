@@ -1387,3 +1387,66 @@ def test_flagship_flow_end_to_end_with_restart(spark, tmp_path):
     assert acked.count() == n_served
     assert acked.select("id").exceptAll(served.select("id")).count() == 0
     connections.unpersist()
+
+
+def test_ewma_monitor_stream_matches_recursion_and_survives_crash(
+    spark, stream_src, tmp_path
+):
+    """The cross-batch EWMA walk must equal the pure-python recursion over
+    the per-file error rates, in file order; a post-write/pre-commit
+    crash (newest checkpoint commit deleted) must replay its batch into
+    the SAME monitor partition and state version — no duplicate rows, no
+    double-fold of the replayed batch."""
+    monitor = str(tmp_path / "monitor")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    S.ewma_monitor_stream(spark, stream_src, monitor, state, ckpt, lam=0.2)
+
+    # simulated crash: newest commit vanishes -> last batch replays
+    commits = tmp_path / "ckpt" / "ewma_monitor" / "commits"
+    newest = sorted(
+        (c for c in commits.iterdir() if not c.name.startswith(".")),
+        key=lambda c: int(c.name),
+    )[-1]
+    crc = commits / f".{newest.name}.crc"
+    newest.unlink()
+    if crc.exists():
+        crc.unlink()
+    S.ewma_monitor_stream(spark, stream_src, monitor, state, ckpt, lam=0.2)
+
+    rows = sorted(
+        spark.read.parquet(monitor).collect(), key=lambda r: r["batch_id"]
+    )
+    # one verdict row per micro-batch (3 files, maxFilesPerTrigger=1),
+    # no duplicates from the replay
+    assert [r["batch_id"] for r in rows] == [0, 1, 2]
+
+    # ground truth: python recursion over per-file rates in file order
+    # (file source triggers in filename order for equal mod times)
+    import os as _os
+
+    z = None
+    for k, fname in enumerate(sorted(_os.listdir(stream_src))):
+        chunk = spark.read.schema(S.EVENT_SCHEMA).parquet(
+            _os.path.join(stream_src, fname)
+        )
+        n = chunk.count()
+        ne = chunk.filter(F.col("event_type") == "error").count()
+        x = ne / n
+        z = x if z is None else 0.2 * x + 0.8 * z
+        r = rows[k]
+        assert (r["n"], r["n_err"]) == (n, ne), (fname, r)
+        assert abs(r["x"] - x) < 1e-12
+        assert abs(r["z"] - z) < 1e-12, (fname, r["z"], z)
+
+    # state holds exactly one live (slot, version) pair with i == 3
+    from hive_backend_spark.streaming.pipeline import (
+        EWMA_STATE_SCHEMA,
+        VersionedStateTable,
+    )
+
+    final = VersionedStateTable(spark, state, EWMA_STATE_SCHEMA, "slot").read_latest()
+    srow = final.collect()
+    assert len(srow) == 1 and srow[0]["i"] == 3
+    assert abs(srow[0]["z"] - z) < 1e-12
