@@ -69,9 +69,10 @@ def _fake_decode(blob: bytes) -> dict:
 # the missing dependency. Dispatch is by magic bytes, per blob.
 
 
-def _decode_bmp(blob: bytes) -> dict:
-    """Pure-numpy BMP decode: 24bpp uncompressed BITMAPINFOHEADER only.
-    Handles 4-byte row padding and bottom-up row order (positive height)."""
+def _bmp_pixels(blob: bytes):
+    """Pure-numpy BMP decode to the (h, w, 3) uint8 RGB pixel array:
+    24bpp uncompressed BITMAPINFOHEADER only. Handles 4-byte row padding
+    and bottom-up row order (positive height)."""
     import struct
 
     import numpy as np
@@ -94,7 +95,16 @@ def _decode_bmp(blob: bytes) -> dict:
     px = px.reshape(h, row_size)[:, : width * 3].reshape(h, width, 3)
     if flip:
         px = px[::-1]
-    bgr = px.astype(np.float64)
+    return px[..., ::-1].copy()  # BGR storage order -> RGB
+
+
+def _decode_bmp(blob: bytes) -> dict:
+    """BMP stats decode: _bmp_pixels + the shared feature convention."""
+    import numpy as np
+
+    rgb_px = _bmp_pixels(blob)
+    h, width = rgb_px.shape[:2]
+    bgr = rgb_px[..., ::-1].astype(np.float64)
     # features: per-channel means (RGB order) + luminance mean, /255
     means = bgr.mean(axis=(0, 1))  # B, G, R
     lum = (0.299 * bgr[..., 2] + 0.587 * bgr[..., 1] + 0.114 * bgr[..., 0]).mean()
@@ -150,13 +160,14 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _decode_png(blob: bytes) -> dict:
-    """Stdlib PNG decode (zlib + struct + numpy): 8-bit non-interlaced
-    gray / RGB / gray-alpha / RGBA, all five scanline filters (None, Sub,
-    Up, Average, Paeth). Palette, 16-bit, and Adam7-interlaced images still
-    raise — those are pillow territory. Sub defilters as a per-lane prefix
-    sum mod 256 (vectorized); Average/Paeth walk pixels within the row
-    (h x w bounded per blob, inside the Arrow map task)."""
+def _png_pixels(blob: bytes):
+    """Stdlib PNG decode to the raw (h, w, channels) uint8 pixel array:
+    zlib inflate + all five scanline filters (None, Sub, Up, Average,
+    Paeth) for 8-bit non-interlaced gray / RGB / gray-alpha / RGBA.
+    Palette, 16-bit, and Adam7-interlaced images raise — pillow
+    territory. Sub defilters as a per-lane prefix sum mod 256
+    (vectorized); Average/Paeth walk pixels within the row (h x w
+    bounded per blob, inside the Arrow map task)."""
     import struct
     import zlib
 
@@ -225,9 +236,19 @@ def _decode_png(blob: bytes) -> dict:
             raise ValueError(f"PNG filter type {ftype} is invalid")
         out[y] = cur
         prev = cur
-    px = out.reshape(h, w, nch).astype(np.float64)
+    return out.reshape(h, w, nch)
+
+
+def _decode_png(blob: bytes) -> dict:
+    """PNG stats decode: _png_pixels + the shared feature convention
+    (per-channel means over an RGB view + luminance, /255)."""
+    import numpy as np
+
+    arr = _png_pixels(blob)
+    h, w, nch = arr.shape
+    px = arr.astype(np.float64)
     # normalize to an RGB view for the shared feature convention
-    if colortype in (0, 4):  # gray / gray+alpha: r = g = b = gray
+    if nch in (1, 2):  # gray / gray+alpha: r = g = b = gray
         rgb = np.repeat(px[..., :1], 3, axis=2)
     else:
         rgb = px[..., :3]
@@ -382,8 +403,8 @@ def resize_meta(
 ) -> DataFrame:
     """Resize planning (the metadata half of a real resize): computes target
     dimensions preserving aspect ratio, capped at max_side. The pixel
-    transform itself belongs in the same mapInPandas pass once a decoder is
-    present."""
+    transform itself is ``resize_media`` below for the decodable formats
+    (PNG/BMP)."""
     decoded = decode_media(df, id_col=id_col, blob_col=blob_col)
     scale = F.least(
         F.lit(1.0), max_side / F.greatest(F.col("width"), F.col("height")).cast("double")
@@ -417,5 +438,76 @@ def sample_frames(
                     idxs.append(k)
                     frames.append(blob[k * step : (k + 1) * step])
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_blob": frames})
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+def _nn_resize(arr, tw: int, th: int):
+    """Nearest-neighbor resample of an (h, w, c) array to (th, tw, c):
+    index-gather only, the deterministic baseline every image pipeline
+    starts from (no interpolation kernel to disagree about)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return arr[ys][:, xs]
+
+
+def resize_media(
+    df: DataFrame, max_side: int, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL pixel resize for the decodable formats: each PNG/BMP blob is
+    decoded to its pixel array inside the Arrow map task, nearest-neighbor
+    downscaled preserving aspect ratio (capped at max_side, never
+    upscaled), and re-encoded as PNG — the normalized output format of the
+    resize stage. Emits (id, width, height, target_width, target_height,
+    resized_blob). Formats without a container decoder raise loudly, the
+    decode_media(stub=False) contract.
+
+    At 100 TB this is the canonical image-normalization pass: pixels stay
+    inside the map task (only the re-encoded, smaller blobs move), and the
+    stage composes with decode_media/sample_frames over the same binary
+    column."""
+    schema = (
+        f"{id_col} bigint, width int, height int, target_width int, "
+        "target_height int, resized_blob binary"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, tws, ths, blobs = [], [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                blob = bytes(blob)
+                if blob[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+                    arr = _png_pixels(blob)
+                elif blob[:2] == b"BM":
+                    arr = _bmp_pixels(blob)
+                else:
+                    raise NotImplementedError(
+                        f"no container-supported pixel decoder for magic "
+                        f"{blob[:4]!r}: PNG and BMP resize with stdlib+numpy; "
+                        "JPEG needs pillow, not present in this container"
+                    )
+                h, w = arr.shape[:2]
+                scale = min(1.0, max_side / max(w, h))
+                tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+                out = _nn_resize(arr, tw, th)
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                tws.append(tw)
+                ths.append(th)
+                blobs.append(encode_png(out))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": ws,
+                    "height": hs,
+                    "target_width": tws,
+                    "target_height": ths,
+                    "resized_blob": blobs,
+                }
+            )
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema)

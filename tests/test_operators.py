@@ -678,3 +678,52 @@ def test_decode_wav_odd_chunk_padding_walk():
     d = _decode_wav(raw)
     assert (d["width"], d["channels"]) == (4, 1)
     assert abs(d["features"][3] - 32767 / 32768.0) < 1e-15
+
+
+def test_resize_media_real_pixels(spark):
+    """resize_media: PNG and BMP blobs downscale by nearest-neighbor to the
+    aspect-preserving max_side cap inside the map task, re-encoded as PNG;
+    the resized pixels equal the numpy index-gather reference, a small
+    image is NOT upscaled, and a non-decodable blob fails loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.multimodal import _png_pixels
+
+    rng = np.random.RandomState(5)
+    big = rng.randint(0, 256, (40, 60, 3), dtype=np.uint8)    # lands 8x12? no: cap 16 -> 11x16
+    small = rng.randint(0, 256, (6, 4, 3), dtype=np.uint8)    # under cap: untouched dims
+    bmp_px = [[(r * 3 % 256, r * 5 % 256, c * 7 % 256) for c in range(20)] for r in range(30)]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(MM.encode_png(big, filters=4))),
+            (2, bytearray(MM.encode_png(small))),
+            (3, bytearray(_make_bmp(20, 30, bmp_px))),
+        ],
+        "doc_id long, blob binary",
+    )
+    rows = {r.doc_id: r for r in MM.resize_media(df, max_side=16).collect()}
+
+    r1 = rows[1]
+    assert (r1.width, r1.height) == (60, 40)
+    assert (r1.target_width, r1.target_height) == (16, 11)  # 16/60 scale
+    got = _png_pixels(bytes(r1.resized_blob))
+    ys = (np.arange(11) * 40) // 11
+    xs = (np.arange(16) * 60) // 16
+    assert (got == big[ys][:, xs]).all()
+
+    r2 = rows[2]
+    assert (r2.target_width, r2.target_height) == (4, 6)  # never upscaled
+    assert (_png_pixels(bytes(r2.resized_blob)) == small).all()
+
+    r3 = rows[3]
+    assert (r3.width, r3.height) == (20, 30)
+    assert (r3.target_width, r3.target_height) == (11, 16)
+    want = np.array(bmp_px, dtype=np.uint8)  # rows are (r,g,b) tuples
+    ys = (np.arange(16) * 30) // 16
+    xs = (np.arange(11) * 20) // 11
+    assert (_png_pixels(bytes(r3.resized_blob)) == want[ys][:, xs]).all()
+
+    bad = spark.createDataFrame([(9, bytearray(b"JUNKDATA"))], "doc_id long, blob binary")
+    with pytest.raises(Exception, match="pillow"):
+        MM.resize_media(bad, max_side=16).collect()
