@@ -232,6 +232,7 @@ HEADLINE = [
     "q269_theil_sen_trend",
     "q270_wav_decode_stats",
     "q271_funnel_conversion_lag",
+    "q272_resize_pipeline_stats",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

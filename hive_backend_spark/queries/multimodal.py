@@ -292,3 +292,115 @@ def q270_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 3), 6).alias("rms"),
         F.round(F.element_at("features", 4), 6).alias("peak"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q272_resize_pipeline_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             12 + 2 * (doc_id % 4) AS w,
+             12 + 2 * ((doc_id * 3) % 4) AS h
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, L, w, h,
+             greatest(w, h) AS mx,
+             CAST(round(w * 8.0 / greatest(w, h), 0) AS INT) AS tw,
+             CAST(round(h * 8.0 / greatest(w, h), 0) AS INT) AS th
+      FROM base
+    ),
+    grid AS (
+      SELECT a.range AS tx, b.range AS ty FROM range(0, 8) a, range(0, 8) b
+    ),
+    px AS (
+      SELECT doc_id, w, h, tw, th,
+             (L * 7 + 3 * ((tx * w) // tw) + 5 * ((ty * h) // th)) % 256 AS r,
+             (L * 7 + 3 * ((tx * w) // tw) + 5 * ((ty * h) // th) + 11) % 256 AS g,
+             (L * 7 + 3 * ((tx * w) // tw) + 5 * ((ty * h) // th) + 22) % 256 AS b
+      FROM dims JOIN grid ON tx < tw AND ty < th
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(tw AS INT) AS target_width, CAST(th AS INT) AS target_height,
+           round(avg(r) / 255.0, 6) AS mean_r,
+           round(avg(g) / 255.0, 6) AS mean_g,
+           round(avg(b) / 255.0, 6) AS mean_b
+    FROM px GROUP BY doc_id, w, h, tw, th ORDER BY doc_id
+    """,
+)
+def q272_resize_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image-normalization pipeline value-checked end-to-end:
+    analytic PNG (the q264 pixel function, all five scanline filters) ->
+    resize_media (REAL decode -> nearest-neighbor downscale to the
+    max_side=8 cap -> PNG re-encode) -> decode_media(stub=False) on the
+    RESIZED blob -> channel means. The oracle composes the analytic pixel
+    function with the gather map src = (t * src_dim) // target_dim in
+    pure SQL, so the emitted means verify the entire
+    encode->inflate->defilter->gather->deflate->inflate->aggregate chain
+    — three real codec passes — engine-to-engine. Source dims are EVEN
+    (12..18), so target dims w*8/max(w,h) never land on a .5 rounding
+    tie and python round == SQL round for every document.
+
+    Scale posture: identical to q264/q270 — repartition the 2-column
+    frame to cluster parallelism, then every pixel stays inside one
+    Arrow map chain (build -> resize -> decode are back-to-back
+    mapInPandas stages, no shuffle between them); only 8-column stat
+    rows come out."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import numpy as np
+
+        from hive_backend_spark.operators.multimodal import encode_png
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                w, h = 12 + 2 * (did % 4), 12 + 2 * ((did * 3) % 4)
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                arr = ((length * 7 + 3 * x + 5 * y + 11 * c) % 256).astype(
+                    np.uint8
+                )
+                blobs.append(encode_png(arr, filters=[yy % 5 for yy in range(h)]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    # checkpointed before the fan-out: the decoded-stats branch and the
+    # dims branch would otherwise each re-run the whole codec chain
+    resized = MM.resize_media(blobbed, max_side=8).localCheckpoint(eager=False)
+    decoded = MM.decode_media(
+        resized.select("doc_id", F.col("resized_blob").alias("blob")), stub=False
+    )
+    dims = resized.select(
+        "doc_id", "width", "height", "target_width", "target_height"
+    )
+    return (
+        decoded.select(
+            "doc_id",
+            F.round(F.element_at("features", 1), 6).alias("mean_r"),
+            F.round(F.element_at("features", 2), 6).alias("mean_g"),
+            F.round(F.element_at("features", 3), 6).alias("mean_b"),
+        )
+        .join(dims, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "target_width",
+            "target_height",
+            "mean_r",
+            "mean_g",
+            "mean_b",
+        )
+        .orderBy("doc_id")
+    )
