@@ -233,6 +233,20 @@ HEADLINE = [
     "q270_wav_decode_stats",
     "q271_funnel_conversion_lag",
     "q272_resize_pipeline_stats",
+    "q273_min_cost_supplier",
+    "q274_nation_trade_flows",
+    "q275_important_part_value",
+    "q276_dominant_promo_suppliers",
+    "q277_kneser_ney_bigram",
+    "q278_range_partition_planner",
+    "q279_mutual_nn_pairs",
+    "q280_audio_activity_stats",
+    "q281_seasonal_strength",
+    "q282_automation_signature",
+    "q283_holt_linear_smoothing",
+    "q284_gtest_collocations",
+    "q285_brier_decomposition",
+    "q286_zonemap_pruning_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

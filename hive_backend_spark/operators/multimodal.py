@@ -116,9 +116,10 @@ def _decode_bmp(blob: bytes) -> dict:
     }
 
 
-def _decode_wav(blob: bytes) -> dict:
-    """Pure-numpy RIFF/WAVE decode: PCM (format 1), 16-bit samples.
-    Walks chunks (even-padded), tolerating extras like LIST before data."""
+def _wav_samples(blob: bytes):
+    """Pure-numpy RIFF/WAVE decode to raw int16 samples: PCM (format 1),
+    16-bit. Walks chunks (even-padded), tolerating extras like LIST before
+    data. Returns (samples int16 ndarray, sample_rate, channels)."""
     import struct
 
     import numpy as np
@@ -142,7 +143,14 @@ def _decode_wav(blob: bytes) -> dict:
             f"WAV decode supports 16-bit PCM only (got format={audio_format}, "
             f"bits={bits}) — compressed audio needs soundfile/av"
         )
-    samples = np.frombuffer(data, dtype="<i2")
+    return np.frombuffer(data, dtype="<i2"), int(sample_rate), int(channels)
+
+
+def _decode_wav(blob: bytes) -> dict:
+    """RIFF/WAVE decode + normalized float stats (see _wav_samples)."""
+    import numpy as np
+
+    samples, sample_rate, channels = _wav_samples(blob)
     n_frames = len(samples) // channels
     x = samples.astype(np.float64) / 32768.0
     rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
@@ -394,6 +402,47 @@ def decode_media(
                     "features": [r["features"] for r in rows],
                 }
             )
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Integer-exact audio activity features from real WAV blobs:
+    (id, n_frames, sample_rate, zcr, dc_sum, energy) where
+
+      zcr    = #{i : x[i] * x[i+1] < 0}  (strict sign changes — the
+               classic voiced/unvoiced + pitch-proxy feature),
+      dc_sum = sum(x[i])                  (DC offset numerator),
+      energy = sum(x[i]^2)                (signal energy),
+
+    all computed on RAW int16 samples in int64 — no float anywhere, so
+    results are exactly reproducible across engines and summation orders
+    (bounded: 896 frames x 2^30 < 2^40 per blob, far inside int64).
+
+    Same execution shape as decode_media: one Arrow map pass per
+    partition, blobs never shuffled, only the 6-column stat rows move."""
+    schema = (
+        f"{id_col} bigint, n_frames int, sample_rate int, "
+        "zcr bigint, dc_sum bigint, energy bigint"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {id_col: pdf[id_col].values, "n_frames": [], "sample_rate": [],
+                   "zcr": [], "dc_sum": [], "energy": []}
+            for b in pdf[blob_col]:
+                samples, rate, channels = _wav_samples(bytes(b))
+                s = samples.astype(np.int64)
+                out["n_frames"].append(len(samples) // channels)
+                out["sample_rate"].append(rate)
+                out["zcr"].append(int(np.sum(s[:-1] * s[1:] < 0)))
+                out["dc_sum"].append(int(s.sum()))
+                out["energy"].append(int((s * s).sum()))
+            yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema)
 

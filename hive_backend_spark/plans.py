@@ -166,6 +166,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q255_systematic_pps_sample":
         "256-row bucket-head prefix-sum table (two-level prefix sum, "
         "level 2, q107/q208 discipline)",
+    "q278_range_partition_planner":
+        "512-row fixed planner sample (pre-limited by TakeOrderedAndProject "
+        "before the ntile window) + the 8-row bucket census balance window",
     "q245_wasserstein_drift":
         "chars-codomain value grid: global-CDF cumulative window over the "
         "bounded grid (per-source CDFs partition by source)",
@@ -298,6 +301,21 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("operators/bloom.py", 'F.collect_list("w"),'):
         "partition-bounded: exactly one m-bit bitmap row per partition, "
         "OR-folded to the final m-bit filter (build_bloom reduce)",
+    ("queries/sampling.py", '.agg(F.sort_array(F.collect_list("mx")).alias("cs"))'):
+        "tile-bounded: exactly 7 split points from the fixed 512-row "
+        "planner sample (q278)",
+    ("queries/sessions.py",
+     'F.sort_array(F.collect_list(F.struct("dom", resid.alias("r")))).alias('):
+        "day-bounded: <= 31 residual rows per event type (q281 exact "
+        "variance fold)",
+    ("queries/sessions.py",
+     'F.sort_array(F.collect_list(F.struct("dom", "y"))).alias("dy")'):
+        "day-bounded: <= 366 daily-census rows per year (q283 Holt "
+        "recursion input)",
+    ("queries/text.py",
+     'F.sort_array(F.collect_list(F.struct("bin", "n", "s", "dd"))).alias("terms"),'):
+        "bin-bounded: exactly <= 10 score-decile rows (q285 Brier "
+        "decomposition fold)",
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
@@ -465,6 +483,28 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "nation dim: 25 rows",
     ("queries/tpch_extra.py", 'rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))'):
         "1-row max-revenue scalar (q95)",
+    ("queries/tpch_extra.py", 'supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))'):
+        "nation dim: 25 rows (q273/q275)",
+    ("queries/tpch_extra.py", '.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))'):
+        "region dim: 5 rows (q273/q275)",
+    ("queries/tpch_extra.py", 's2 = supp.join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))'):
+        "nation dim filtered to the 2 flow nations (q274)",
+    ("queries/tpch_extra.py", 'c2 = cust.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))'):
+        "nation dim filtered to the 2 flow nations (q274)",
+    ("queries/tpch_extra.py", "val.crossJoin(F.broadcast(tot))"):
+        "1-row per-part-value grand-total scalar (q275)",
+    ("queries/corpus.py", ".crossJoin(F.broadcast(tt))"):
+        "1-row bigram-type-total scalar (q277 Kneser-Ney continuation "
+        "denominator)",
+    ("queries/sampling.py", "assigned = orders.crossJoin(F.broadcast(cuts)).select("):
+        "1-row 7-element split-point array scalar (q278 range planner)",
+    ("queries/corpus.py", ".crossJoin(F.broadcast(nn))"):
+        "1-row bigram-occurrence-total scalar (q284 G-test)",
+    ("queries/relational.py", "zones.crossJoin(F.broadcast(probes))"):
+        "3-row probe date-range frame (q286 zone-map audit)",
+    ("queries/relational.py", "F.broadcast(probes),"):
+        "3-row probe date-range frame, range-joined to the scan for the "
+        "exact-match recount (q286 zone-map audit)",
     ("queries/analytics.py", 'F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),'):
         "customer dim, segment-filtered (q41)",
     ("queries/analytics.py",

@@ -2995,3 +2995,240 @@ def q259_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scheme")
     )
+
+
+@register(
+    "q277_kneser_ney_bigram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT s.a AS a, s.b AS b, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_transform(range(0, len(t) - 1),
+              i -> struct_pack(a := t[i+1], b := t[i+2]))) AS s
+            FROM tok WHERE len(t) >= 2)
+      GROUP BY s.a, s.b
+    ),
+    lefts AS (
+      SELECT a, CAST(sum(c) AS BIGINT) AS c_a,
+             CAST(count(*) AS BIGINT) AS n1p_a
+      FROM big GROUP BY a
+    ),
+    rights AS (SELECT b, CAST(count(*) AS BIGINT) AS n1p_b FROM big GROUP BY b),
+    tkn AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM big),
+    bm AS (SELECT map_from_entries(list({'k': a || ' ' || b, 'v': c})) AS bmap
+           FROM big),
+    lm AS (SELECT map_from_entries(list({'k': a, 'v': c_a})) AS lcmap,
+                  map_from_entries(list({'k': a, 'v': n1p_a})) AS lnmap
+           FROM lefts),
+    rm AS (SELECT map_from_entries(list({'k': b, 'v': n1p_b})) AS rnmap
+           FROM rights)
+    SELECT doc_id, len(t) - 1 AS n_bigrams,
+           round(-list_sum(list_transform(range(1, len(t)), i ->
+             ln((bmap[t[i] || ' ' || t[i+1]][1] - 0.75)
+                  / lcmap[t[i]][1]
+                + 0.75 * lnmap[t[i]][1] / lcmap[t[i]][1]
+                  * rnmap[t[i+1]][1] / tt)))
+             / (len(t) - 1), 4) AS kn_nll
+    FROM tok, bm, lm, rm, tkn
+    WHERE len(t) >= 2
+    """,
+)
+def q277_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1998 — the standard n-gram smoothing): per document, the mean
+    negative log-likelihood under
+
+        P_KN(b|a) = (c(ab) - D)/c(a) + D * N1+(a.)/c(a) * N1+(.b)/N1+(..)
+
+    with absolute discount D = 0.75. The continuation probability
+    N1+(.b)/N1+(..) — how many distinct LEFT contexts b follows, not how
+    often b occurs — is what separates KN from q151's add-k model: a token
+    that appears often but only inside one collocation ("Francisco")
+    scores LOW as a novel continuation. Scoring the training corpus means
+    every bigram is seen (c(ab) >= 1 > D), so no zero-prob branch exists.
+
+    Cross-engine float parity is by construction: every factor is a ratio
+    of exact BIGINT counts evaluated in the same association order, the
+    per-position ln terms are folded in POSITION ORDER on both sides
+    (sort_array struct fold here, in-array-order list_sum in DuckDB — the
+    q151 discipline), and the mean rounds once at the edge.
+
+    Scale posture: the bigram type table grows near-linearly with the
+    corpus, so (exactly as q151) NOTHING collapses to a map literal on the
+    Spark side — the DuckDB maps above are oracle-only. The occurrence
+    table shuffles once per attach key: window count over (a, b) for
+    c(ab), then joins on a (left-context totals + N1+(a.)) and on b
+    (continuation counts), each a plain shuffle join AQE may broadcast
+    only while genuinely small; the lone explicit broadcast is the 1-row
+    bigram-type-total scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tok = docs.select("doc_id", toks.alias("t"))
+    ex = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            (F.size("t") - 1).alias("n_bigrams"),
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "i",
+            F.element_at("t", F.col("i")).alias("a"),
+            F.element_at("t", F.col("i") + 1).alias("b"),
+        )
+    )
+    big = ex.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    lefts = big.groupBy("a").agg(
+        F.sum("c_ab").cast("bigint").alias("c_a"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_a"),
+    )
+    rights = big.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n1p_b"))
+    tt = big.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+    w = Window.partitionBy("a", "b")
+    with_cab = ex.withColumn("c_ab", F.count(F.lit(1)).over(w).cast("bigint"))
+    # Same association order as the oracle: ((c-D)/c_a) + (((D*n1p_a)/c_a)*n1p_b)/tt
+    p_kn = (F.col("c_ab") - F.lit(0.75)) / F.col("c_a") + F.lit(0.75) * F.col(
+        "n1p_a"
+    ) / F.col("c_a") * F.col("n1p_b") / F.col("tt")
+    scored = (
+        with_cab.join(lefts, "a")
+        .join(rights, "b")
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", "n_bigrams", "i", F.log(p_kn).alias("ll"))
+    )
+    return (
+        scored.groupBy("doc_id", "n_bigrams")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "ll"))).alias("terms"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.expr("aggregate(terms, 0D, (acc, x) -> acc + x.ll)")
+                / F.col("n_bigrams"),
+                4,
+            ).alias("kn_nll"),
+        )
+    )
+
+
+@register(
+    "q284_gtest_collocations",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT s.a AS a, s.b AS b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM (SELECT unnest(list_transform(range(0, len(t) - 1),
+              i -> struct_pack(a := t[i+1], b := t[i+2]))) AS s
+            FROM tok WHERE len(t) >= 2)
+      GROUP BY s.a, s.b
+    ),
+    lefts AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM big GROUP BY a),
+    rights AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM big GROUP BY b),
+    nn AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM big),
+    cells AS (
+      SELECT big.a, big.b, big.c_ab, l.c_a, r.c_b, nn.n,
+             big.c_ab AS o11,
+             l.c_a - big.c_ab AS o12,
+             r.c_b - big.c_ab AS o21,
+             nn.n - l.c_a - r.c_b + big.c_ab AS o22
+      FROM big JOIN lefts l ON big.a = l.a
+               JOIN rights r ON big.b = r.b, nn
+      WHERE big.c_ab >= 5
+    )
+    SELECT a, b, c_ab, c_a, c_b,
+           round(2.0 * (
+             (CASE WHEN o11 > 0 THEN o11 * ln((CAST(o11 AS DOUBLE) * n)
+                / (CAST(c_a AS DOUBLE) * c_b)) ELSE 0.0 END)
+           + (CASE WHEN o12 > 0 THEN o12 * ln((CAST(o12 AS DOUBLE) * n)
+                / (CAST(c_a AS DOUBLE) * (n - c_b))) ELSE 0.0 END)
+           + (CASE WHEN o21 > 0 THEN o21 * ln((CAST(o21 AS DOUBLE) * n)
+                / (CAST(n - c_a AS DOUBLE) * c_b)) ELSE 0.0 END)
+           + (CASE WHEN o22 > 0 THEN o22 * ln((CAST(o22 AS DOUBLE) * n)
+                / (CAST(n - c_a AS DOUBLE) * (n - c_b))) ELSE 0.0 END)
+           ), 4) AS g_score
+    FROM cells
+    ORDER BY g_score DESC, a ASC, b ASC
+    LIMIT 50
+    """,
+)
+def q284_gtest_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by log-likelihood ratio (Dunning 1993's
+    G-test — the standard fix for PMI's sparse-count pathology, q148's
+    better-calibrated sibling): for each bigram with support >= 5, the G
+    statistic 2 * sum O_ij ln(O_ij/E_ij) over the 2x2 contingency table
+    (bigram present/absent x left-token present/absent), top-50. PMI
+    ranks rare pairs first because it normalizes by product of marginals
+    alone; G weights evidence by count, so "of the" scores high and a
+    hapax coincidence scores ~0 — which is why collocation dictionaries
+    and phrase-mining passes (and n-gram feature selection generally) use
+    it.
+
+    Cross-engine parity: every O_ij and marginal is an exact BIGINT; the
+    four ln terms are evaluated with the identical association
+    ((o*n)/(row*col)), summed in the same written order, doubled, and
+    rounded once; the top-50 orders by the ROUNDED score with (a, b)
+    tie-breaks (the q257 round-before-rank rule).
+
+    Scale posture: exactly q277's shuffle plan — occurrence explode,
+    (a, b) count, marginal joins on a then b, a 1-row total scalar as the
+    only broadcast; the support filter (>= 5) cuts the tail before the
+    joins; the final top-50 is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tok = docs.select("doc_id", toks.alias("t"))
+    ex = (
+        tok.filter(F.size("t") >= 2)
+        .select("t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"))
+        .select(
+            F.element_at("t", F.col("i")).alias("a"),
+            F.element_at("t", F.col("i") + 1).alias("b"),
+        )
+    )
+    big = ex.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    lefts = big.groupBy("a").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    rights = big.groupBy("b").agg(F.sum("c_ab").cast("bigint").alias("c_b"))
+    nn = big.agg(F.sum("c_ab").cast("bigint").alias("n"))
+    cells = (
+        big.filter(F.col("c_ab") >= 5)
+        .join(lefts, "a")
+        .join(rights, "b")
+        .crossJoin(F.broadcast(nn))
+    )
+    o11 = F.col("c_ab")
+    o12 = F.col("c_a") - F.col("c_ab")
+    o21 = F.col("c_b") - F.col("c_ab")
+    o22 = F.col("n") - F.col("c_a") - F.col("c_b") + F.col("c_ab")
+    row2 = F.col("n") - F.col("c_a")
+    col2 = F.col("n") - F.col("c_b")
+
+    def term(o, row, col):
+        return F.when(
+            o > 0,
+            o
+            * F.log(
+                (o.cast("double") * F.col("n")) / (row.cast("double") * col)
+            ),
+        ).otherwise(F.lit(0.0))
+
+    g = F.lit(2.0) * (
+        term(o11, F.col("c_a"), F.col("c_b"))
+        + term(o12, F.col("c_a"), col2)
+        + term(o21, row2, F.col("c_b"))
+        + term(o22, row2, col2)
+    )
+    return (
+        cells.select(
+            "a", "b", "c_ab", "c_a", "c_b", F.round(g, 4).alias("g_score")
+        )
+        .orderBy(F.col("g_score").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(50)
+    )

@@ -404,3 +404,77 @@ def q272_resize_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q280_audio_activity_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             512 + (doc_id % 7) * 64 AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n, g.range AS i,
+             (L * 13 + 7 * g.range) % 65536 - 32768 AS x,
+             (L * 13 + 7 * (g.range + 1)) % 65536 - 32768 AS x1
+      FROM base JOIN range(0, 896) g ON g.range < n
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_frames, 8000 AS sample_rate,
+           CAST(count(*) FILTER (WHERE i < n - 1 AND x * x1 < 0) AS BIGINT)
+             AS zcr,
+           CAST(sum(x) AS BIGINT) AS dc_sum,
+           CAST(sum(x * x) AS BIGINT) AS energy
+    FROM px GROUP BY doc_id, n ORDER BY doc_id
+    """,
+)
+def q280_audio_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity features through the REAL WAV codec path (the q270
+    signal, the q264 oracle discipline): per document, the analytic PCM16
+    signal sample(i) = ((13L + 7i) mod 65536) - 32768 is encoded to
+    RIFF/WAVE in the map task and decoded by operators/multimodal.
+    audio_features — chunk walk to raw int16, then zero-crossing count
+    (the classic voiced/unvoiced + pitch proxy), DC-offset sum, and
+    signal energy, ALL in int64 on the raw samples. Unlike q270's rms
+    (float with a dyadic-exactness argument), every output here is an
+    exact integer, so cross-engine parity is unconditional — no rounding,
+    no summation-order caveat. The oracle replays the analytic signal in
+    pure SQL, value-checking encode -> chunk-parse -> int stats end to
+    end.
+
+    Scale posture: identical to q264/q270 — the 2-column frame
+    repartitions to cluster parallelism BEFORE the Python codec pass (the
+    test corpus arrives as one split), blobs are built and consumed
+    inside ONE Arrow map stage, and only the 6-column integer stat rows
+    ever move."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import numpy as np
+
+        from hive_backend_spark.operators.multimodal import encode_wav
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                n = 512 + (did % 7) * 64
+                s = ((np.arange(n) * 7 + length * 13) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                blobs.append(encode_wav(s, 8000, 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    return (
+        MM.audio_features(blobbed)
+        .select("doc_id", "n_frames", "sample_rate", "zcr", "dc_sum", "energy")
+        .orderBy("doc_id")
+    )

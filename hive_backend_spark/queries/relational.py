@@ -2286,3 +2286,128 @@ def q260_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "q286_zonemap_pruning_audit",
+    oracle="""
+    WITH zones AS (
+      SELECT l_orderkey // 512 AS chunk,
+             min(l_shipdate) AS zmin, max(l_shipdate) AS zmax,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    probes AS (
+      SELECT * FROM (VALUES
+        (1, TIMESTAMP '1996-03-01 00:00:00', TIMESTAMP '1996-03-08 00:00:00'),
+        (2, TIMESTAMP '1996-06-01 00:00:00', TIMESTAMP '1996-07-01 00:00:00'),
+        (3, TIMESTAMP '1997-01-01 00:00:00', TIMESTAMP '1997-07-01 00:00:00')
+      ) AS p(pid, lo, hi)
+    ),
+    zstats AS (
+      SELECT p.pid,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(*) FILTER (WHERE z.zmax < p.lo OR z.zmin >= p.hi)
+                  AS BIGINT) AS n_pruned,
+             CAST(coalesce(sum(z.n) FILTER (
+                    WHERE NOT (z.zmax < p.lo OR z.zmin >= p.hi)), 0)
+                  AS BIGINT) AS rows_scanned
+      FROM zones z, probes p
+      GROUP BY p.pid
+    ),
+    hits AS (
+      SELECT p.pid, CAST(count(*) AS BIGINT) AS rows_matched
+      FROM lineitem l JOIN probes p
+        ON l.l_shipdate >= p.lo AND l.l_shipdate < p.hi
+      GROUP BY p.pid
+    )
+    SELECT z.pid, z.n_chunks, z.n_pruned, z.rows_scanned,
+           coalesce(h.rows_matched, 0) AS rows_matched,
+           round(CAST(z.n_pruned AS DOUBLE) / z.n_chunks, 4) AS prune_rate,
+           round(CAST(z.rows_scanned - coalesce(h.rows_matched, 0) AS DOUBLE)
+                 / z.rows_scanned, 4) AS overscan
+    FROM zstats z LEFT JOIN hits h ON z.pid = h.pid
+    ORDER BY z.pid
+    """,
+)
+def q286_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) effectiveness audit — the
+    layout-planning companion of q259's Z-order locality score: chunks of
+    512 consecutive orderkeys stand in for parquet row groups, each
+    carrying its (min, max) shipdate zone map; for three probe date
+    ranges the audit reports how many chunks the zone maps prune
+    (zmax < lo OR zmin >= hi), how many rows the surviving chunks force a
+    scan of, and the overscan ratio (scanned-but-not-matched / scanned).
+    High overscan on a hot predicate column is the signal to re-sort or
+    Z-order the table by that column — the decision this query exists to
+    drive at 100 TB, where a row group is ~128 MB and overscan is real
+    I/O.
+
+    Determinism: counts and timestamp comparisons only — no floats until
+    the two edge-rounded ratios.
+
+    Scale posture: the zone table is one groupBy over the scan
+    (|rows|/512 rows out — the actual parquet footer statistics at
+    scale, computed here because the engine's row-group stats aren't
+    queryable from SQL); the 3-row probe frame broadcasts into both the
+    zone census and the exact-match recount (the only
+    BroadcastNestedLoopJoin — 3-row build side, recorded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    zones = li.groupBy(F.expr("l_orderkey div 512").alias("chunk")).agg(
+        F.min("l_shipdate").alias("zmin"),
+        F.max("l_shipdate").alias("zmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, "1996-03-01 00:00:00", "1996-03-08 00:00:00"),
+            (2, "1996-06-01 00:00:00", "1996-07-01 00:00:00"),
+            (3, "1997-01-01 00:00:00", "1997-07-01 00:00:00"),
+        ],
+        "pid int, lo_s string, hi_s string",
+    ).select(
+        "pid",
+        F.col("lo_s").cast("timestamp").alias("lo"),
+        F.col("hi_s").cast("timestamp").alias("hi"),
+    )
+    pruned = (F.col("zmax") < F.col("lo")) | (F.col("zmin") >= F.col("hi"))
+    zstats = (
+        zones.crossJoin(F.broadcast(probes))
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count(F.when(pruned, 1)).cast("bigint").alias("n_pruned"),
+            F.coalesce(F.sum(F.when(~pruned, F.col("n"))), F.lit(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+    )
+    hits = (
+        li.join(
+            F.broadcast(probes),
+            (F.col("l_shipdate") >= F.col("lo")) & (F.col("l_shipdate") < F.col("hi")),
+        )
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matched"))
+    )
+    return (
+        zstats.join(hits, "pid", "left")
+        .select(
+            "pid",
+            "n_chunks",
+            "n_pruned",
+            "rows_scanned",
+            F.coalesce("rows_matched", F.lit(0)).cast("bigint").alias("rows_matched"),
+            F.round(
+                F.col("n_pruned").cast("double") / F.col("n_chunks"), 4
+            ).alias("prune_rate"),
+            F.round(
+                (F.col("rows_scanned") - F.coalesce("rows_matched", F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("rows_scanned"),
+                4,
+            ).alias("overscan"),
+        )
+        .orderBy("pid")
+    )

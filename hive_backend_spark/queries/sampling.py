@@ -1344,3 +1344,95 @@ def q265_es_weighted_stratified_wor(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source", "rk")
     )
+
+
+@register(
+    "q278_range_partition_planner",
+    oracle="""
+    WITH sample AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+      LIMIT 512
+    ),
+    tiles AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+      FROM sample
+    ),
+    cuts AS (
+      SELECT list_sort(list(mx)) AS cs FROM (
+        SELECT max(o_totalprice) AS mx FROM tiles WHERE tile < 8 GROUP BY tile)
+    ),
+    assigned AS (
+      SELECT o_totalprice,
+             len(list_filter(cs, c -> c < o_totalprice)) AS bucket
+      FROM orders, cuts
+    ),
+    census AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             round(min(o_totalprice), 2) AS min_price,
+             round(max(o_totalprice), 2) AS max_price
+      FROM assigned GROUP BY bucket
+    )
+    SELECT bucket, n_rows, min_price, max_price,
+           round(CAST(n_rows AS DOUBLE) * 8 / sum(n_rows) OVER (), 4) AS balance
+    FROM census ORDER BY bucket
+    """,
+)
+def q278_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based range-partition planning — the algorithm behind Spark's
+    own RangePartitioner (core/Partitioner.scala sketch+bounds) surfaced as
+    an auditable query: draw a FIXED-SIZE deterministic sample (the 512
+    orders with the smallest md5(key) — reservoir-equivalent, engine-
+    portable, and bounded regardless of corpus size, unlike a fraction
+    sample that grows linearly), cut it into 8 ntiles to get 7 split
+    points, assign EVERY order to its range bucket with a strict
+    cut < price rule (ties go left), and report the per-bucket census with
+    a balance factor (n * buckets / total; 1.0 = perfectly even). This is
+    the planning step a 100 TB sort/range-bucketing job runs first — a
+    skewed balance column here means a straggler task there.
+
+    Scale posture: the sample is TakeOrderedAndProject (top-512 by hash —
+    no full sort, no shuffle of the table); the ntile window runs on 512
+    rows (recorded bound); the 7-cut array attaches as a 1-row broadcast
+    scalar so bucket assignment is a pure map over the scan; the census is
+    one 8-group aggregate and the balance window runs over those 8 rows.
+
+    Determinism: the ntile ordering carries the unique key tie-break, cut
+    comparison is on identical doubles, and min/max/count are order-free."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    sample = (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey"))
+        .limit(512)
+    )
+    tiles = sample.withColumn(
+        "tile", F.ntile(8).over(Window.orderBy("o_totalprice", "o_orderkey"))
+    )
+    cuts = (
+        tiles.filter(F.col("tile") < 8)
+        .groupBy("tile")
+        .agg(F.max("o_totalprice").alias("mx"))
+        .agg(F.sort_array(F.collect_list("mx")).alias("cs"))
+    )
+    assigned = orders.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        F.size(F.filter("cs", lambda c: c < F.col("o_totalprice"))).alias("bucket"),
+    )
+    census = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    w = Window.partitionBy()
+    return census.select(
+        "bucket",
+        "n_rows",
+        "min_price",
+        "max_price",
+        F.round(
+            F.col("n_rows").cast("double") * 8 / F.sum("n_rows").over(w), 4
+        ).alias("balance"),
+    ).orderBy("bucket")

@@ -1653,3 +1653,326 @@ def q271_funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg("view_to_click", "t_view", "t_click", "n_click", "n_view"))
         .orderBy("step")
     )
+
+
+@register(
+    "q281_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(extract(day FROM ts) AS INT) AS dom,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, dom, n,
+             CAST(sum(n) OVER w AS BIGINT) AS s7,
+             CAST(count(*) OVER w AS BIGINT) AS c7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY dom
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, dom, (dom - 1) % 7 AS dow, 7 * n - s7 AS detr
+      FROM tr WHERE c7 = 7
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(sum(detr) AS DOUBLE) / count(*) AS m
+      FROM det GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT d.event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(d.detr AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(d.detr * d.detr AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             list_sum(list(d.detr - s.m ORDER BY d.dom)) AS r1,
+             list_sum(list((d.detr - s.m) * (d.detr - s.m) ORDER BY d.dom))
+               AS r2
+      FROM det d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
+      GROUP BY d.event_type
+    )
+    SELECT event_type, n_days,
+           round((s2 - s1 * s1 / n_days) / n_days, 4) AS var_detrended,
+           round((r2 - r1 * r1 / n_days) / n_days, 4) AS var_residual,
+           round(greatest(0.0, 1.0 - (r2 - r1 * r1 / n_days)
+                                     / (s2 - s1 * s1 / n_days)), 4)
+             AS seasonal_strength
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def q281_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal-strength decomposition per event type (Cleveland
+    et al. 1990's trend/seasonal/remainder split, Hyndman's strength
+    statistic F_s = max(0, 1 - Var(remainder)/Var(detrended))): the daily
+    series is detrended by a CENTERED 7-day moving average (complete
+    windows only), the weekly seasonal component is the per-weekday mean
+    of the detrended series, and the strength compares residual to
+    detrended variance — 0 = no weekly pattern, near 1 = metronomic. The
+    decision-grade complement of q258's ACF: the ACF says "is there
+    periodicity", this says "how much of the variance it explains".
+
+    Exactness: the detrended series is kept INTEGER (7n - sum7 instead of
+    n - sum7/7 — same zero crossings, 7x the scale) so trend subtraction
+    introduces no float at all, and the variances are computed from
+    EXACT sums — decimal-cast integer sums for s1/s2, DAY-ORDER folds for
+    the residual sums r1/r2 (sort_array struct fold here, in-list-order
+    list_sum over list(... ORDER BY dom) in DuckDB — the q151 discipline)
+    — then one identical double formula (s2 - s1^2/n)/n. NOT the engines'
+    var_pop, whose double partial-aggregation order is nondeterministic
+    under Spark's partitioning (observed: a round-4 boundary flip on a
+    vanilla session). The per-dow seasonal mean is likewise an explicit
+    exact-int-sum / count division, not avg().
+
+    Scale posture: the corpus collapses to one row per (type, day) before
+    anything else; every window and join after that runs on the bounded
+    daily frame (365 x |types| rows/yr at any corpus size). The MA window
+    is RANGE-based on the day number, so a missing day shrinks c7 and the
+    row drops out instead of silently widening the window span."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").cast("int").alias("dom")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("dom").rangeBetween(-3, 3)
+    tr = daily.withColumn("s7", F.sum("n").over(w).cast("bigint")).withColumn(
+        "c7", F.count(F.lit(1)).over(w).cast("bigint")
+    )
+    det = tr.filter(F.col("c7") == 7).select(
+        "event_type",
+        "dom",
+        ((F.col("dom") - 1) % 7).alias("dow"),
+        (7 * F.col("n") - F.col("s7")).alias("detr"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        (F.sum("detr").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    resid = F.col("detr") - F.col("m")
+    sums = (
+        det.join(seas, ["event_type", "dow"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.col("detr").cast("decimal(38,0)")).cast("double").alias("s1"),
+            F.sum((F.col("detr") * F.col("detr")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s2"),
+            F.sort_array(F.collect_list(F.struct("dom", resid.alias("r")))).alias(
+                "terms"
+            ),
+        )
+        .withColumn("r1", F.expr("aggregate(terms, 0D, (acc, x) -> acc + x.r)"))
+        .withColumn(
+            "r2", F.expr("aggregate(terms, 0D, (acc, x) -> acc + x.r * x.r)")
+        )
+    )
+    var_d = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_days")) / F.col(
+        "n_days"
+    )
+    var_r = (F.col("r2") - F.col("r1") * F.col("r1") / F.col("n_days")) / F.col(
+        "n_days"
+    )
+    return sums.select(
+        "event_type",
+        "n_days",
+        F.round(var_d, 4).alias("var_detrended"),
+        F.round(var_r, 4).alias("var_residual"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - (F.col("r2") - F.col("r1") * F.col("r1") / F.col("n_days"))
+                / (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_days")),
+            ),
+            4,
+        ).alias("seasonal_strength"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q282_automation_signature",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, t_us - prev_us AS gap_us
+      FROM ordered WHERE prev_us IS NOT NULL
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             quantile_cont(gap_us, 0.5) AS med_us,
+             CAST(count(*) FILTER (WHERE gap_us < 60000000) AS BIGINT)
+               AS n_fast
+      FROM gaps GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           round(med_us / 1e6, 3) AS median_gap_s,
+           round(CAST(n_fast AS DOUBLE) / n_gaps, 4) AS pct_sub_minute,
+           (med_us / 1e6 < 1800.0 AND CAST(n_fast AS DOUBLE) / n_gaps > 0.05)
+             AS automated
+    FROM stats
+    ORDER BY user_id
+    """,
+)
+def q282_automation_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user automation/bot signature from inter-event timing: the
+    median gap between consecutive events (EXACT interpolated percentile
+    over integer microsecond gaps) and the share of sub-minute gaps —
+    the two standard burst features behind rate-based bot heuristics
+    (human sessions have heavy-tailed think times; scripted traffic is
+    metronomic and fast). A user flags as automated when the median gap
+    is under 30 minutes AND more than 5% of gaps are sub-minute. The
+    timing complement of q57's sessionizer and q198's inter-arrival
+    fits — those model the aggregate process, this profiles each actor.
+
+    Determinism: gaps are exact integer microseconds with the lag window
+    ordered by (ts, event_id) — the unique tie-break means equal
+    timestamps cannot reorder between engines; the interpolated median of
+    integers is (a+b)/2, exact in double; flag comparisons run on
+    identically-derived doubles in both engines.
+
+    Scale posture: one shuffle on user_id serves the lag window and the
+    per-user fold (same key — Catalyst reuses the partitioning); the
+    output is one row per user. The exact percentile is per-user over
+    that user's gaps — memory bounded by the heaviest actor, the standard
+    posture for actor-profiling (a pathological single-actor flood is
+    exactly what the flag exists to surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select("user_id", "ts", "event_id", t_us.alias("t_us")).withColumn(
+        "prev_us", F.lag("t_us").over(w)
+    )
+    gaps = ordered.filter(F.col("prev_us").isNotNull()).select(
+        "user_id", (F.col("t_us") - F.col("prev_us")).alias("gap_us")
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.expr("percentile(gap_us, 0.5)").alias("med_us"),
+        F.count(F.when(F.col("gap_us") < 60000000, 1)).cast("bigint").alias("n_fast"),
+    )
+    med_s = F.col("med_us") / F.lit(1e6)
+    pct = F.col("n_fast").cast("double") / F.col("n_gaps")
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        F.round(med_s, 3).alias("median_gap_s"),
+        F.round(pct, 4).alias("pct_sub_minute"),
+        ((med_s < 1800.0) & (pct > 0.05)).alias("automated"),
+    ).orderBy("user_id")
+
+
+@register(
+    "q283_holt_linear_smoothing",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(extract(day FROM ts) AS INT) AS dom,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    ys AS (
+      SELECT list(y ORDER BY dom) AS yl, list(dom ORDER BY dom) AS dl,
+             len(list(y)) AS n
+      FROM daily
+    ),
+    hw AS (
+      SELECT 1 AS t,
+             CAST(0 AS DOUBLE) AS f,
+             CAST(yl[1] AS DOUBLE) AS l,
+             CAST(yl[2] AS DOUBLE) - yl[1] AS b
+      FROM ys
+      UNION ALL
+      SELECT t + 1,
+             l + b,
+             CAST(0.3 AS DOUBLE) * yl[t + 1] + CAST(0.7 AS DOUBLE) * (l + b),
+             CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * yl[t + 1]
+                 + CAST(0.7 AS DOUBLE) * (l + b)) - l)
+               + CAST(0.9 AS DOUBLE) * b
+      FROM hw, ys WHERE t < n
+    )
+    SELECT dl[t] AS dom, yl[t] AS y,
+           round(f, 4) AS forecast,
+           round(yl[t] - f, 4) AS error,
+           round(l, 4) AS level,
+           round(b, 4) AS trend
+    FROM hw, ys WHERE t >= 2
+    ORDER BY dom
+    """,
+)
+def q283_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing of the daily arrival
+    series (Holt 1957; alpha = 0.3, beta = 0.1): per day, the one-step-
+    ahead forecast l + b from the previous state, the realized error, and
+    the updated level/trend — the forecasting rung above q266's EWMA
+    chart (level only) and below q281's seasonal decomposition, and the
+    classic capacity-planning baseline ("what did we expect today, how
+    wrong were we").
+
+    A smoothing recursion has no closed window form, so this is the
+    repo's canonical SEQUENTIAL-FOLD shape at its limit: the corpus
+    collapses to one bounded day-ordered list (<= 366 rows/yr at any
+    corpus size), and the recurrence runs ONCE over that list — as an
+    aggregate() accumulator fold here, as a recursive CTE in DuckDB —
+    with the update expressions written in the identical association
+    ((0.3*y + 0.7*(l+b)), then 0.1*(l_new - l) + 0.9*b) so every state
+    is the identical double in both engines; outputs round at the edge.
+
+    Scale posture: one shuffle collapses the corpus to the daily census;
+    everything after runs on the 1-row list frame. The fold is O(days)
+    driver-free sequential work INSIDE one task — exactly as cheap as the
+    recursion is on any engine; the 100 TB cost lives entirely in the
+    census aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").cast("int").alias("dom")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    ys = (
+        daily.agg(
+            F.sort_array(F.collect_list(F.struct("dom", "y"))).alias("dy")
+        )
+        .select(
+            F.expr("transform(dy, x -> x.dom)").alias("dl"),
+            F.expr("transform(dy, x -> x.y)").alias("yl"),
+        )
+        .filter(F.size("yl") >= 2)
+    )
+    fold = """
+    aggregate(
+      sequence(2, size(yl)),
+      named_struct(
+        't', 1,
+        'f', CAST(0 AS DOUBLE),
+        'l', CAST(element_at(yl, 1) AS DOUBLE),
+        'b', CAST(element_at(yl, 2) AS DOUBLE) - element_at(yl, 1),
+        'out', array(named_struct('t', 1, 'f', CAST(0 AS DOUBLE),
+                 'l', CAST(element_at(yl, 1) AS DOUBLE),
+                 'b', CAST(element_at(yl, 2) AS DOUBLE) - element_at(yl, 1)))),
+      (acc, t) -> named_struct(
+        't', t,
+        'f', acc.l + acc.b,
+        'l', 0.3D * element_at(yl, t) + 0.7D * (acc.l + acc.b),
+        'b', 0.1D * ((0.3D * element_at(yl, t) + 0.7D * (acc.l + acc.b)) - acc.l)
+             + 0.9D * acc.b,
+        'out', concat(acc.out, array(named_struct(
+          't', t,
+          'f', acc.l + acc.b,
+          'l', 0.3D * element_at(yl, t) + 0.7D * (acc.l + acc.b),
+          'b', 0.1D * ((0.3D * element_at(yl, t) + 0.7D * (acc.l + acc.b)) - acc.l)
+               + 0.9D * acc.b)))),
+      acc -> acc.out)
+    """
+    rows = ys.select("dl", "yl", F.explode(F.expr(fold)).alias("s")).filter(
+        F.col("s.t") >= 2
+    )
+    return rows.select(
+        F.element_at("dl", F.col("s.t")).alias("dom"),
+        F.element_at("yl", F.col("s.t")).alias("y"),
+        F.round(F.col("s.f"), 4).alias("forecast"),
+        F.round(F.element_at("yl", F.col("s.t")) - F.col("s.f"), 4).alias("error"),
+        F.round(F.col("s.l"), 4).alias("level"),
+        F.round(F.col("s.b"), 4).alias("trend"),
+    ).orderBy("dom")

@@ -2417,3 +2417,95 @@ def q261_eval_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy(F.col("max_train_cosine").desc(), F.col("vec_id"))
     )
+
+
+@register(
+    "q279_mutual_nn_pairs",
+    oracle="""
+    WITH sims AS (
+      SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+                        DESC, b.vec_id ASC
+             ) AS rn
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    top1 AS (SELECT label, src, dst, cos FROM sims WHERE rn = 1)
+    SELECT t1.label, t1.src AS vec_a, t1.dst AS vec_b,
+           round(t1.cos, 6) AS cosine_sim
+    FROM top1 t1
+    JOIN top1 t2 ON t1.dst = t2.src AND t2.dst = t1.src AND t1.src < t2.src
+    ORDER BY vec_a
+    """,
+)
+def q279_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-nearest-neighbor positive-pair mining, blocked by class
+    label: within each label, the pairs (a, b) where a's nearest neighbor
+    is b AND b's nearest neighbor is a — the classic high-precision pair
+    selector (mutual kNN is the standard filter for contrastive-training
+    positives and for merge decisions in agglomerative dedup, cf. de Sa
+    1994's RNN pairs; q213's hard-NEGATIVE miner is its cross-label dual).
+    Output is at most n/2 rows per block — linear — even though candidate
+    scoring is quadratic per block.
+
+    Scale posture (q71's discipline): vectors shuffle ONCE on the block
+    key; each block scores with a single vectorized numpy matmul inside
+    applyInPandas — a join-per-pair formulation would evaluate the 64-dim
+    interpreted dot product ~200k times. Blocks are class-sized; at 100 TB
+    an oversized class is sub-blocked by its IVF cell first (q71/q74),
+    which changes the block key, not this plan shape. Argmax ties break to
+    the smallest vec_id on both sides (rows sorted by vec_id -> numpy
+    first-hit argmax == the oracle's vec_id ASC tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def mutual(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"label": pd.Series([], dtype="int32"),
+                 "vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "cosine_sim": pd.Series([], dtype="float64")}
+            )
+        m = np.stack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        np.fill_diagonal(sims, -np.inf)
+        best = sims.argmax(axis=1)
+        ids = pdf["vec_id"].to_numpy()
+        keep = [
+            (i, best[i])
+            for i in range(n)
+            if best[best[i]] == i and ids[i] < ids[best[i]]
+        ]
+        return pd.DataFrame(
+            {
+                "label": np.full(len(keep), pdf["label"].iloc[0], dtype="int32"),
+                "vec_a": np.array([ids[i] for i, _ in keep], dtype="int64"),
+                "vec_b": np.array([ids[j] for _, j in keep], dtype="int64"),
+                "cosine_sim": np.array(
+                    [np.round(sims[i, j], 6) for i, j in keep], dtype="float64"
+                ),
+            }
+        )
+
+    return (
+        emb.groupBy("label")
+        .applyInPandas(
+            mutual, schema="label int, vec_a bigint, vec_b bigint, cosine_sim double"
+        )
+        .orderBy("vec_a")
+    )

@@ -3700,3 +3700,150 @@ def q245_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q285_brier_decomposition",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             round(LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.5
+                   + LEAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t)))
+                           / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                           * 5.0, 1.0) * 0.5, 4) AS p,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    outcomes AS (
+      SELECT CAST(round(p * 10000, 0) AS BIGINT) AS pi,
+             CASE WHEN count(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END AS d
+      FROM scored
+    ),
+    bins AS (
+      SELECT LEAST(pi // 1000, 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pi) AS BIGINT) AS s,
+             CAST(sum(d) AS BIGINT) AS dd
+      FROM outcomes GROUP BY 1
+    ),
+    one AS (
+      SELECT list(n ORDER BY bin) AS ln, list(s ORDER BY bin) AS ls,
+             list(dd ORDER BY bin) AS ld,
+             CAST(sum(n) AS BIGINT) AS nn, CAST(sum(dd) AS BIGINT) AS ddd,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM bins
+    )
+    SELECT nn AS n_docs, nb AS n_bins,
+           round(CAST(ddd AS DOUBLE) / nn, 6) AS dup_rate,
+           round(list_sum(list_transform(range(1, nb + 1), i ->
+             ln[i] * ((CAST(ls[i] AS DOUBLE) / ln[i] / 10000.0
+                       - CAST(ld[i] AS DOUBLE) / ln[i])
+                    * (CAST(ls[i] AS DOUBLE) / ln[i] / 10000.0
+                       - CAST(ld[i] AS DOUBLE) / ln[i]))))
+             / nn, 6) AS reliability,
+           round(list_sum(list_transform(range(1, nb + 1), i ->
+             ln[i] * ((CAST(ld[i] AS DOUBLE) / ln[i] - CAST(ddd AS DOUBLE) / nn)
+                    * (CAST(ld[i] AS DOUBLE) / ln[i] - CAST(ddd AS DOUBLE) / nn))))
+             / nn, 6) AS resolution,
+           round(CAST(ddd AS DOUBLE) / nn * (1.0 - CAST(ddd AS DOUBLE) / nn), 6)
+             AS uncertainty,
+           round(list_sum(list_transform(range(1, nb + 1), i ->
+             ln[i] * ((CAST(ls[i] AS DOUBLE) / ln[i] / 10000.0
+                       - CAST(ld[i] AS DOUBLE) / ln[i])
+                    * (CAST(ls[i] AS DOUBLE) / ln[i] / 10000.0
+                       - CAST(ld[i] AS DOUBLE) / ln[i]))))
+             / nn
+           - list_sum(list_transform(range(1, nb + 1), i ->
+             ln[i] * ((CAST(ld[i] AS DOUBLE) / ln[i] - CAST(ddd AS DOUBLE) / nn)
+                    * (CAST(ld[i] AS DOUBLE) / ln[i] - CAST(ddd AS DOUBLE) / nn))))
+             / nn
+           + CAST(ddd AS DOUBLE) / nn * (1.0 - CAST(ddd AS DOUBLE) / nn), 6)
+             AS brier_score
+    FROM one
+    """,
+)
+def q285_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973: BS =
+    reliability - resolution + uncertainty) for the q62 quality heuristic
+    read as a duplicate predictor: docs bin by predicted score decile,
+    the outcome is q64's exact-dup membership, and the three components
+    say WHY the heuristic is (mis)calibrated — reliability is the
+    bin-wise gap between predicted and observed rates (0 = perfectly
+    calibrated), resolution is how much the bins separate outcomes, and
+    uncertainty is the outcome's own variance floor. The
+    calibration-audit complement of q236's AUC (pure ranking) and q169's
+    per-decile calibration table: AUC can be high while reliability is
+    terrible, which is exactly what raw heuristic scores look like before
+    a q243-style conformal/Platt adjustment.
+
+    Cross-engine exactness: scores are read as INTEGER ten-thousandths
+    (the rounded 4-decimal codomain), so every bin sum is an exact
+    BIGINT; the <= 10 per-bin terms fold in BIN ORDER on both sides (the
+    q151 discipline) with identical association; the six outputs round
+    once at the edge.
+
+    Scale posture: one scan computes score + fingerprint; the dup flag is
+    a window count over the 16-byte digest (the q64 shuffle); bins
+    collapse to <= 10 rows before any float, and the decomposition runs
+    on the 1-row bin-list frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    quality = F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5 + F.least(
+        stop_hits / n_tokens.cast("double") * 5.0, F.lit(1.0)
+    ) * 0.5
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    scored = docs.select(
+        F.round(quality, 4).alias("p"), fp.alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    outcomes = scored.select(
+        F.round(F.col("p") * 10000, 0).cast("bigint").alias("pi"),
+        F.when(F.count(F.lit(1)).over(w) > 1, 1).otherwise(0).alias("d"),
+    )
+    bins = outcomes.groupBy(
+        F.least(F.expr("pi div 1000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pi").cast("bigint").alias("s"),
+        F.sum("d").cast("bigint").alias("dd"),
+    )
+    one = bins.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "n", "s", "dd"))).alias("terms"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("dd").cast("bigint").alias("ddd"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+    )
+    rel = (
+        F.expr(
+            "aggregate(terms, 0D, (acc, x) -> acc + "
+            "x.n * ((CAST(x.s AS DOUBLE) / x.n / 10000.0D"
+            " - CAST(x.dd AS DOUBLE) / x.n)"
+            " * (CAST(x.s AS DOUBLE) / x.n / 10000.0D"
+            " - CAST(x.dd AS DOUBLE) / x.n)))"
+        )
+        / F.col("nn")
+    )
+    obar = F.col("ddd").cast("double") / F.col("nn")
+    res = (
+        F.expr(
+            "aggregate(terms, 0D, (acc, x) -> acc + "
+            "x.n * ((CAST(x.dd AS DOUBLE) / x.n"
+            " - CAST(ddd AS DOUBLE) / nn)"
+            " * (CAST(x.dd AS DOUBLE) / x.n"
+            " - CAST(ddd AS DOUBLE) / nn)))"
+        )
+        / F.col("nn")
+    )
+    unc = obar * (F.lit(1.0) - obar)
+    return one.select(
+        F.col("nn").alias("n_docs"),
+        F.col("nb").alias("n_bins"),
+        F.round(obar, 6).alias("dup_rate"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(rel - res + unc, 6).alias("brier_score"),
+    )

@@ -512,3 +512,307 @@ def q191_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation
         """
     )
+
+
+# --- round 8: the four remaining official TPC-H shapes (Q2/Q7/Q11/Q20) ------
+# The schema still has no partsupp, so the supply relation is DERIVED from
+# lineitem: per (part, supplier), the minimum observed unit price stands in
+# for ps_supplycost and the shipped quantity for ps_availqty. The plan
+# shapes Catalyst must get right — correlated per-group minimum (Q2),
+# bidirectional nation-pair flows (Q7), group-share-vs-global threshold
+# (Q11), dominant-share semi-join (Q20) — are preserved exactly.
+
+
+@register(
+    "q273_min_cost_supplier",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p.p_partkey, p.p_name, eu.s_name, eu.s_acctbal, eu.n_name,
+             sup.cost,
+             min(sup.cost) OVER (PARTITION BY p.p_partkey) AS best
+      FROM sup
+      JOIN eu ON sup.l_suppkey = eu.s_suppkey
+      JOIN part p ON sup.l_partkey = p.p_partkey
+      WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, round(cost, 6) AS min_cost
+    FROM cand WHERE cost = best
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def q273_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for mid-size STANDARD parts, the
+    EUROPE supplier(s) achieving the lowest unit cost, where the supply
+    relation is derived from lineitem (min observed extendedprice/quantity
+    per part-supplier pair — the partsupp stand-in). Q2's correlated
+    MIN subquery becomes a window MIN over p_partkey with a cost == best
+    filter; the equality is safe because min() only compares values both
+    engines computed identically per-row (IEEE division, no summation).
+
+    Scale posture: lineitem collapses FIRST to the (part, supplier) supply
+    relation — map-side partial min, one shuffle, ~|part x supp-per-part|
+    rows out regardless of fact size. region/nation broadcast by hint; the
+    region-filtered supplier dim (1/5 of suppliers) and the size/type-
+    filtered part slice (~2% of parts) are left to AQE, which broadcasts
+    them at bench SF and shuffles when they outgrow the threshold at 100 TB.
+    The window partitions by p_partkey — thousands of independent groups,
+    no single-task stage."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    sup = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        sup.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("best", F.min("cost").over(Window.partitionBy("p_partkey")))
+    )
+    return (
+        cand.filter(F.col("cost") == F.col("best"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("cost", 6).alias("min_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q274_nation_trade_flows",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           sum(CAST(volume AS DECIMAL(18,4))) AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+          OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q274_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional trade revenue between two
+    nations per ship year. The pair disjunction is decomposed into
+    pushable IN filters on each nation dim (cutting supplier and customer
+    to 2/25 each BEFORE the fact joins) plus a residual same-nation
+    exclusion after — Catalyst cannot split the OR across two tables by
+    itself, so the decomposition is the part this query pins.
+
+    Scale posture: the only fact-fact edge is lineitem x orders (shuffle
+    on orderkey, both sides pre-filtered — lineitem by the pushed shipdate
+    range, orders only carrying custkey). nation broadcasts by hint; the
+    nation-filtered supplier/customer dims by AQE. Sums fold through exact
+    DECIMAL so partial-agg order cannot shift the result (q91 discipline)."""
+    both = ("NATION_3", "NATION_8")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1995-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.filter(F.col("n_name").isin(*both)).select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.filter(F.col("n_name").isin(*both)).select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    s2 = supp.join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+    c2 = cust.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(s2, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c2, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(F.col("volume").cast("decimal(18,4)")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q275_important_part_value",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey AS p_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT sum(val) AS total FROM val)
+    SELECT p_partkey, CAST(val AS DOUBLE) AS value
+    FROM val, tot
+    WHERE CAST(val AS DOUBLE) > 0.001 * CAST(total AS DOUBLE)
+    ORDER BY value DESC, p_partkey ASC
+    """,
+)
+def q275_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose traded value through ASIA
+    suppliers exceeds a fixed fraction of the total — the classic
+    group-share-vs-global-scalar shape (HAVING sum(...) > fraction *
+    (SELECT sum(...))). The inner and outer aggregates read the SAME
+    collapsed per-part table; the global total is a 1-row scalar attached
+    by broadcast, so the 'correlated' subquery costs one extra reduce, not
+    a second fact scan.
+
+    Scale posture: lineitem collapses to per-part DECIMAL-exact sums in
+    one shuffle (map-side partials); the region-filtered supplier dim
+    hangs off the fact scan via AQE; the threshold compare happens on
+    identical doubles in both engines (decimal-exact sums cast once).
+    The 1-row total is the only broadcast-nested-loop site (recorded in
+    plans.BROADCAST_ALLOWLIST / the scalar-BNLJ allowlist)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(asia, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("val"))
+    )
+    tot = val.agg(F.sum("val").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("val").cast("double") > F.lit(0.001) * F.col("total").cast("double")
+        )
+        .select("p_partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("p_partkey").asc())
+    )
+
+
+@register(
+    "q276_dominant_promo_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    share AS (
+      SELECT sh.l_partkey, sh.l_suppkey, sh.qty,
+             sum(sh.qty) OVER (PARTITION BY sh.l_partkey) AS part_qty
+      FROM shipped sh
+      JOIN part p ON sh.l_partkey = p.p_partkey
+      WHERE p.p_type = 'PROMO'
+    )
+    SELECT sp.s_suppkey, sp.s_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS dominated_parts,
+           round(CAST(sum(qty) AS DOUBLE), 2) AS total_qty
+    FROM share
+    JOIN supplier sp ON share.l_suppkey = sp.s_suppkey
+    JOIN nation n ON sp.s_nationkey = n.n_nationkey
+    WHERE CAST(qty AS DOUBLE) > 0.5 * CAST(part_qty AS DOUBLE)
+    GROUP BY sp.s_suppkey, sp.s_name, n.n_name
+    ORDER BY dominated_parts DESC, s_suppkey ASC
+    """,
+)
+def q276_dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers who shipped a
+    MAJORITY (> 50%) of a PROMO part's 1996 volume, with how many parts
+    they dominate — Q20's 'availqty > half of shipped' correlated
+    subquery re-expressed over the derived supply relation as a window
+    share test (per-part total via window sum, no second scan, no
+    self-join on the fact table).
+
+    Scale posture: lineitem collapses FIRST (pushed shipdate range,
+    map-side partial sums, one shuffle to (part, supplier) grain); the
+    PROMO part slice (1/6 of parts) joins by AQE; the share window
+    partitions by l_partkey; the final per-supplier fold runs on the
+    dominated subset only. DECIMAL-exact quantity sums make the 0.5
+    threshold compare identical in both engines."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty")
+    )
+    share = shipped.join(part, F.col("l_partkey") == F.col("p_partkey")).withColumn(
+        "part_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+    )
+    dominated = share.filter(
+        F.col("qty").cast("double") > F.lit(0.5) * F.col("part_qty").cast("double")
+    )
+    return (
+        dominated.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dominated_parts"),
+            F.round(F.sum("qty").cast("double"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("dominated_parts").desc(), F.col("s_suppkey").asc())
+    )

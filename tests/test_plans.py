@@ -428,6 +428,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q259_zorder_locality",  # 1-row global min/max bounds scalar
         "q260_k_anonymity_audit",  # 3-row k-threshold frame over QI groups
         "q263_markov_adequacy",  # |types|^2 transition cell frame (bounded dim x dim)
+        "q275_important_part_value",  # 1-row per-part-value grand total (Q11 scalar)
+        "q277_kneser_ney_bigram",  # 1-row bigram-type-total scalar (KN denominator)
+        "q278_range_partition_planner",  # 1-row 7-cut split-point array scalar
+        "q284_gtest_collocations",  # 1-row bigram-total scalar (G-test N)
+        "q286_zonemap_pruning_audit",  # 3-row probe frame (zone census + recount)
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
