@@ -247,6 +247,10 @@ HEADLINE = [
     "q284_gtest_collocations",
     "q285_brier_decomposition",
     "q286_zonemap_pruning_audit",
+    "q287_clustering_coefficients",
+    "q288_nelson_aalen_hazard",
+    "q289_eb_rate_shrinkage",
+    "q290_cuped_adjustment",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -151,6 +151,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q235_km_gap_survival":
         "24-row fixed hour grid: risk-set and cumulative-log windows over "
         "the administrative-censoring study frame",
+    "q288_nelson_aalen_hazard":
+        "24-row fixed hour grid: risk-set, cumulative-hazard and "
+        "cumulative-log windows over the q235 study frame",
     "q236_quality_auc":
         "<= 10001-row rounded-score codomain: running midrank count "
         "(q144 discipline, bounded by the 4-decimal score grid)",
@@ -316,6 +319,10 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
      'F.sort_array(F.collect_list(F.struct("bin", "n", "s", "dd"))).alias("terms"),'):
         "bin-bounded: exactly <= 10 score-decile rows (q285 Brier "
         "decomposition fold)",
+    ("queries/text.py",
+     'F.sort_array(F.collect_list(F.struct("source", "n", "x"))).alias("terms"),'):
+        "source-bounded: |sources| census rows (q289 beta-binomial "
+        "moment fold)",
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
@@ -505,6 +512,10 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/relational.py", "F.broadcast(probes),"):
         "3-row probe date-range frame, range-joined to the scan for the "
         "exact-match recount (q286 zone-map audit)",
+    ("queries/text.py", "src.crossJoin(F.broadcast(prior))"):
+        "1-row fitted beta-prior scalar (q289 EB shrinkage)",
+    ("queries/sessions.py", "adj = per_user.crossJoin(F.broadcast(theta)).select("):
+        "1-row pooled (theta, mean-X) scalar (q290 CUPED)",
     ("queries/analytics.py", 'F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),'):
         "customer dim, segment-filtered (q41)",
     ("queries/analytics.py",

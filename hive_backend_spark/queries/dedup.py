@@ -2980,3 +2980,109 @@ def q267_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+@register(
+    "q287_clustering_coefficients",
+    oracle=f"""
+    WITH cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    tris AS (
+      SELECT e1.doc_a AS u, e1.doc_b AS v, e2.doc_b AS w
+      FROM cand e1
+      JOIN cand e2 ON e2.doc_a = e1.doc_b
+      JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    tcount AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+        SELECT u AS node FROM tris
+        UNION ALL SELECT v FROM tris
+        UNION ALL SELECT w FROM tris
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS node FROM cand UNION ALL SELECT doc_b FROM cand
+      ) GROUP BY node
+    )
+    SELECT deg.node AS doc_id, deg.d AS degree,
+           COALESCE(t.t, 0) AS n_triangles,
+           round(CAST(2 * COALESCE(t.t, 0) AS DOUBLE)
+                 / (deg.d * (deg.d - 1)), 4) AS lcc
+    FROM deg LEFT JOIN tcount t ON deg.node = t.node
+    WHERE deg.d >= 2
+    ORDER BY doc_id
+    """,
+)
+def q287_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the LSH candidate graph
+    (Watts & Strogatz 1998: lcc(v) = 2 T(v) / d(v)(d(v)-1)) — the
+    NODE-level refinement of q130's global census and q214's per-cluster
+    density: a near-dup node whose neighbors all know each other
+    (lcc ~ 1) sits in a true duplicate clique; lcc ~ 0 at high degree is
+    the hash-collision-hub signature, and those nodes are exactly the
+    ones q195's band-population cap and q211's planner exist to protect
+    against. Triangle corners come from the same compact-forward join as
+    q130 (each triangle found once, credited to all three corners —
+    corner membership is orientation-invariant, so the id-oriented oracle
+    matches the degree-oriented execution).
+
+    Scale posture: shares the persisted candidate expansion
+    (_PAIRS_CACHE) and the q130 join shape — shuffles on the edge key,
+    degree-ordered orientation bounding fan-out by degeneracy, AQE for
+    residual skew; the per-node credit is one explode of the (bounded)
+    triangle list plus a hash aggregate. Exact integers everywhere; the
+    single float is the final ratio, rounded at the edge."""
+    raw = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        raw.select(F.col("doc_a").alias("node"))
+        .unionAll(raw.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("doc_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("doc_b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    edges = (
+        raw.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.when(lower_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(lower_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = e1.join(e2, F.col("e2.src") == F.col("e1.dst")).join(
+        e3,
+        (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+    )
+    corners = (
+        tris.select(F.col("e1.src").alias("node"))
+        .unionAll(tris.select(F.col("e1.dst").alias("node")))
+        .unionAll(tris.select(F.col("e2.dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(corners, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                (2 * F.coalesce("t", F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)),
+                4,
+            ).alias("lcc"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1976,3 +1976,294 @@ def q283_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s.l"), 4).alias("level"),
         F.round(F.col("s.b"), 4).alias("trend"),
     ).orderBy("dom")
+
+
+@register(
+    "q288_nelson_aalen_hazard",
+    oracle=f"""
+    WITH g AS (
+      SELECT CASE
+               WHEN lead(ts) OVER w IS NOT NULL
+               THEN date_diff('microsecond', ts, lead(ts) OVER w) / 3600e6
+               ELSE date_diff('microsecond', ts,
+                              TIMESTAMP '2024-01-31 00:00:00') / 3600e6
+             END AS gap_h,
+             (lead(ts) OVER w IS NOT NULL) AS observed
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    coded AS (
+      SELECT CAST(least(floor(gap_h), {_KM_HOURS}) AS BIGINT) AS bucket,
+             CASE WHEN observed AND gap_h < {_KM_HOURS} THEN 1 ELSE 0 END
+               AS event
+      FROM g
+    ),
+    cells AS (
+      SELECT bucket,
+             CAST(SUM(event) AS BIGINT) AS d,
+             CAST(SUM(1 - event) AS BIGINT) AS c
+      FROM coded WHERE bucket < {_KM_HOURS} GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM coded),
+    grid AS (
+      SELECT CAST(unnest(range(0, {_KM_HOURS})) AS BIGINT) AS bucket
+    ),
+    fulled AS (
+      SELECT g.bucket, COALESCE(d, 0) AS d, COALESCE(c, 0) AS c
+      FROM grid g LEFT JOIN cells USING (bucket)
+    ),
+    risk AS (
+      SELECT bucket, d, c,
+             n_total - COALESCE(SUM(d + c) OVER
+               (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS n_risk
+      FROM fulled, tot
+    ),
+    curve AS (
+      SELECT bucket, d, n_risk,
+             SUM(CAST(d AS DOUBLE) / n_risk) OVER
+               (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum_h,
+             SUM(ln(1.0 - CAST(d AS DOUBLE) / n_risk)) OVER
+               (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS log_s
+      FROM risk
+    )
+    SELECT bucket AS hour, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+           round(CAST(d AS DOUBLE) / n_risk, 6) AS hazard,
+           round(cum_h, 6) AS cum_hazard,
+           round(exp(-cum_h), 6) AS s_fleming,
+           round(exp(log_s), 6) AS s_km,
+           round(exp(-cum_h) - exp(log_s), 6) AS s_gap
+    FROM curve
+    ORDER BY hour
+    """,
+)
+def q288_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of the inter-event gap (Nelson 1972;
+    Aalen 1978: H(t) = sum d_s/n_s) on q235's right-censored study frame,
+    with the Fleming-Harrington survival exp(-H) set beside the
+    Kaplan-Meier product limit and their gap per hour. NA is the
+    estimator of choice when per-bucket event counts are small (its
+    increments are unbiased hazard estimates and it never hits an exact
+    zero the way KM does when d = n), and the hazard COLUMN itself is the
+    quantity q53-style staleness monitors actually threshold — "given the
+    gap reached t hours, how likely does it end this hour". s_gap ~ 0
+    everywhere is the expected sanity bound (FH >= KM always, converging
+    as n grows); a visible gap flags buckets thin enough that the
+    estimator choice matters.
+
+    Scale posture and determinism identical to q235 (one user_id shuffle,
+    checkpointed census, fixed 24-row grid windows — allowlisted bound):
+    hazard terms are bigint ratios; BOTH cumulative folds (the hazard sum
+    and the log product) are running windows evaluated in bucket order in
+    both engines; outputs round at 1e-6."""
+    from ..registry import NOW
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    gap_h = F.when(
+        nxt.isNotNull(),
+        (nxt.cast("double") - F.col("ts").cast("double")) / 3600.0,
+    ).otherwise(
+        (F.lit(NOW).cast("timestamp").cast("double") - F.col("ts").cast("double"))
+        / 3600.0
+    )
+    coded = ev.select(
+        F.least(F.floor(gap_h), F.lit(_KM_HOURS)).cast("bigint").alias("bucket"),
+        (nxt.isNotNull() & (gap_h < _KM_HOURS)).cast("int").alias("event"),
+    )
+    census_all = (
+        coded.groupBy("bucket")
+        .agg(
+            F.sum("event").cast("bigint").alias("d"),
+            F.sum(1 - F.col("event")).cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cells = census_all.filter(F.col("bucket") < _KM_HOURS)
+    tot = census_all.agg(
+        F.sum(F.col("d") + F.col("c")).cast("bigint").alias("n_total")
+    )
+    grid = spark.range(0, _KM_HOURS).select(F.col("id").alias("bucket"))
+    fulled = (
+        grid.join(cells, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w_prev = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 24-row fixed grid: allowlisted bound
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_risk = F.col("n_total") - F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+    )
+    hz = F.col("d").cast("double") / F.col("n_risk")
+    risk = fulled.select(
+        "bucket",
+        "d",
+        n_risk.alias("n_risk"),
+    ).select(
+        "bucket",
+        "d",
+        "n_risk",
+        hz.alias("hz"),
+        F.log(1.0 - hz).alias("log_term"),
+    )
+    cum_h = F.sum("hz").over(w_cum)
+    log_s = F.sum("log_term").over(w_cum)
+    return risk.select(
+        F.col("bucket").alias("hour"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.round("hz", 6).alias("hazard"),
+        F.round(cum_h, 6).alias("cum_hazard"),
+        F.round(F.exp(-cum_h), 6).alias("s_fleming"),
+        F.round(F.exp(log_s), 6).alias("s_km"),
+        F.round(F.exp(-cum_h) - F.exp(log_s), 6).alias("s_gap"),
+    ).orderBy("hour")
+
+
+@register(
+    "q290_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN extract(day FROM ts) <= 15 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN extract(day FROM ts) > 15 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM per_user
+    ),
+    theta AS (
+      SELECT CAST(sx AS DOUBLE) / n AS mx,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS th
+      FROM pooled
+    ),
+    adj AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                  THEN 'treat' ELSE 'control' END AS arm,
+             y, y - th * (x - mx) AS ya
+      FROM per_user, theta
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(CAST(ya AS DECIMAL(38,10))) AS DOUBLE) AS sa,
+             CAST(sum(CAST(ya * ya AS DECIMAL(38,10))) AS DOUBLE) AS saa
+      FROM adj GROUP BY arm
+    )
+    SELECT arm, n_users,
+           round(CAST(sy AS DOUBLE) / n_users, 6) AS mean_y,
+           round(sa / n_users, 6) AS mean_y_cuped,
+           round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_users)
+                 / n_users, 4) AS var_y,
+           round((saa - sa * sa / n_users) / n_users, 4) AS var_y_cuped,
+           round(1.0 - ((saa - sa * sa / n_users) / n_users)
+                 / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_users)
+                    / n_users), 4) AS var_reduction,
+           round((SELECT th FROM theta), 6) AS theta
+    FROM arms
+    ORDER BY arm
+    """,
+)
+def q290_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+    the industry-standard pre-experiment covariate adjustment): the
+    experiment metric is each user's second-half-of-month event count,
+    the covariate is their FIRST-half count (pre-period data no
+    treatment can touch), theta = cov(X,Y)/var(X) is fit on the pooled
+    population, and the adjusted metric Y - theta(X - mean(X)) keeps
+    every arm mean unbiased while stripping the between-user variance
+    the covariate explains. Arms are a deterministic md5 hash split
+    (q77's split discipline). var_reduction ~ rho^2 is the whole point:
+    the same experiment detects an effect 1/(1-rho^2) times smaller at
+    equal traffic — at 100 TB of raw events this is the difference
+    between shipping an A/B readout weekly and monthly.
+
+    Cross-engine exactness: X/Y are exact integer counts, so the pooled
+    moments (sx, sy, sxy, sxx) and the per-arm raw moments (sy, syy) are
+    exact BIGINTs; theta and each adjusted value are identical doubles
+    (identical association); the per-arm sums of the adjusted metric
+    fold through DECIMAL(38,10) per-row casts (the q91 discipline:
+    identical doubles cast identically, decimal addition is
+    order-free), so no float aggregation order exists anywhere.
+
+    Scale posture: one shuffle collapses events to per-user counts; the
+    pooled moment row is a broadcast scalar; arms aggregate the same
+    per-user frame — three hash aggregates, no window, no second scan
+    of the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    dom = F.dayofmonth("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(dom <= 15, 1).otherwise(0)).cast("bigint").alias("x"),
+        F.sum(F.when(dom > 15, 1).otherwise(0)).cast("bigint").alias("y"),
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    theta = pooled.select(
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (
+            (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+            / (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        ).alias("th"),
+    )
+    ya = F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < "80",
+            F.lit("treat"),
+        )
+        .otherwise(F.lit("control"))
+        .alias("arm"),
+        "y",
+        ya.alias("ya"),
+        "th",
+    )
+    arms = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("ya").cast("decimal(38,10)")).cast("double").alias("sa"),
+        F.sum((F.col("ya") * F.col("ya")).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("saa"),
+        F.first("th").alias("th"),
+    )
+    var_y = (
+        F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n_users")
+    ) / F.col("n_users")
+    var_a = (F.col("saa") - F.col("sa") * F.col("sa") / F.col("n_users")) / F.col(
+        "n_users"
+    )
+    return arms.select(
+        "arm",
+        "n_users",
+        F.round(F.col("sy").cast("double") / F.col("n_users"), 6).alias("mean_y"),
+        F.round(F.col("sa") / F.col("n_users"), 6).alias("mean_y_cuped"),
+        F.round(var_y, 4).alias("var_y"),
+        F.round(var_a, 4).alias("var_y_cuped"),
+        F.round(F.lit(1.0) - var_a / var_y, 4).alias("var_reduction"),
+        F.round("th", 6).alias("theta"),
+    ).orderBy("arm")

@@ -3712,12 +3712,11 @@ def q245_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t)))
                            / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
                            * 5.0, 1.0) * 0.5, 4) AS p,
-             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS d
       FROM documents
     ),
     outcomes AS (
-      SELECT CAST(round(p * 10000, 0) AS BIGINT) AS pi,
-             CASE WHEN count(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END AS d
+      SELECT CAST(round(p * 10000, 0) AS BIGINT) AS pi, d
       FROM scored
     ),
     bins AS (
@@ -3735,7 +3734,7 @@ def q245_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bins
     )
     SELECT nn AS n_docs, nb AS n_bins,
-           round(CAST(ddd AS DOUBLE) / nn, 6) AS dup_rate,
+           round(CAST(ddd AS DOUBLE) / nn, 6) AS en_rate,
            round(list_sum(list_transform(range(1, nb + 1), i ->
              ln[i] * ((CAST(ls[i] AS DOUBLE) / ln[i] / 10000.0
                        - CAST(ld[i] AS DOUBLE) / ln[i])
@@ -3766,16 +3765,20 @@ def q245_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q285_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Murphy decomposition of the Brier score (Murphy 1973: BS =
     reliability - resolution + uncertainty) for the q62 quality heuristic
-    read as a duplicate predictor: docs bin by predicted score decile,
-    the outcome is q64's exact-dup membership, and the three components
-    say WHY the heuristic is (mis)calibrated — reliability is the
-    bin-wise gap between predicted and observed rates (0 = perfectly
-    calibrated), resolution is how much the bins separate outcomes, and
-    uncertainty is the outcome's own variance floor. The
-    calibration-audit complement of q236's AUC (pure ranking) and q169's
-    per-decile calibration table: AUC can be high while reliability is
-    terrible, which is exactly what raw heuristic scores look like before
-    a q243-style conformal/Platt adjustment.
+    read as an ENGLISH-NESS predictor: docs bin by predicted score
+    decile, the outcome is lang = 'en' (the q62 score leans on English
+    stopword density, so it IS an implicit language classifier — with
+    real outcome variance at every scale factor, unlike exact-dup
+    membership, which is empty in this corpus and would make the
+    decomposition degenerate), and the three components say WHY the
+    heuristic is (mis)calibrated — reliability is the bin-wise gap
+    between predicted and observed rates (0 = perfectly calibrated),
+    resolution is how much the bins separate outcomes, and uncertainty
+    is the outcome's own variance floor. The calibration-audit
+    complement of q236's AUC (pure ranking) and q169's per-decile
+    calibration table: a score can rank well while reliability is
+    terrible, which is exactly what raw heuristic scores look like
+    before a q243-style conformal/Platt adjustment.
 
     Cross-engine exactness: scores are read as INTEGER ten-thousandths
     (the rounded 4-decimal codomain), so every bin sum is an exact
@@ -3783,10 +3786,9 @@ def q285_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     q151 discipline) with identical association; the six outputs round
     once at the edge.
 
-    Scale posture: one scan computes score + fingerprint; the dup flag is
-    a window count over the 16-byte digest (the q64 shuffle); bins
-    collapse to <= 10 rows before any float, and the decomposition runs
-    on the 1-row bin-list frame."""
+    Scale posture: one scan computes score + outcome (pure column
+    expressions, no second pass); bins collapse to <= 10 rows before any
+    float, and the decomposition runs on the 1-row bin-list frame."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(toks)
@@ -3794,14 +3796,11 @@ def q285_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5 + F.least(
         stop_hits / n_tokens.cast("double") * 5.0, F.lit(1.0)
     ) * 0.5
-    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
-    scored = docs.select(
-        F.round(quality, 4).alias("p"), fp.alias("fp")
-    )
-    w = Window.partitionBy("fp")
-    outcomes = scored.select(
-        F.round(F.col("p") * 10000, 0).cast("bigint").alias("pi"),
-        F.when(F.count(F.lit(1)).over(w) > 1, 1).otherwise(0).alias("d"),
+    outcomes = docs.select(
+        F.round(quality, 4).alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("d"),
+    ).select(
+        F.round(F.col("p") * 10000, 0).cast("bigint").alias("pi"), "d"
     )
     bins = outcomes.groupBy(
         F.least(F.expr("pi div 1000"), F.lit(9)).alias("bin")
@@ -3841,9 +3840,109 @@ def q285_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.col("nn").alias("n_docs"),
         F.col("nb").alias("n_bins"),
-        F.round(obar, 6).alias("dup_rate"),
+        F.round(obar, 6).alias("en_rate"),
         F.round(rel, 6).alias("reliability"),
         F.round(res, 6).alias("resolution"),
         F.round(unc, 6).alias("uncertainty"),
         F.round(rel - res + unc, 6).alias("brier_score"),
+    )
+
+
+@register(
+    "q289_eb_rate_shrinkage",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM documents GROUP BY source
+    ),
+    one AS (
+      SELECT list(n ORDER BY source) AS ln, list(x ORDER BY source) AS lx,
+             CAST(count(*) AS BIGINT) AS k
+      FROM src
+    ),
+    mom AS (
+      SELECT list_sum(list_transform(range(1, k + 1), i ->
+               CAST(lx[i] AS DOUBLE) / ln[i])) / k AS m
+      FROM one
+    ),
+    prior AS (
+      SELECT m,
+             (m * (1.0 - m))
+               / (list_sum(list_transform(range(1, one.k + 1), i ->
+                    (CAST(lx[i] AS DOUBLE) / ln[i] - m)
+                    * (CAST(lx[i] AS DOUBLE) / ln[i] - m))) / one.k)
+               - 1.0 AS c
+      FROM one, mom
+    )
+    SELECT source, n AS n_docs, x AS n_en,
+           round(CAST(x AS DOUBLE) / n, 6) AS raw_rate,
+           round((x + m * c) / (n + c), 6) AS shrunk_rate,
+           round(CAST(n AS DOUBLE) / (n + c), 4) AS shrink_weight,
+           round(m * c, 4) AS prior_alpha,
+           round((1.0 - m) * c, 4) AS prior_beta
+    FROM src, prior
+    ORDER BY source
+    """,
+)
+def q289_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-source English rates under a
+    method-of-moments beta-binomial prior (Robbins 1956's empirical
+    Bayes; the Efron-Morris small-n rate correction): fit (alpha, beta)
+    from the across-source mean m and variance v of the raw rates
+    (alpha + beta = m(1-m)/v - 1), then pull each source's estimate
+    toward the prior mean with weight n/(n + alpha + beta). A source
+    with 25 docs and a lucky streak stops ranking above a source with
+    25k docs — the standard fix for every per-source dashboard rate in
+    this repo (dup rate, quality share, langid precision) whose naive
+    version whipsaws at small n; raw and shrunk sit side by side so the
+    correction is auditable.
+
+    Cross-engine exactness: per-source (n, x) are exact BIGINTs; the
+    across-source moment folds run in SOURCE ORDER on both sides (the
+    q151 discipline, |sources| bounded); every downstream expression is
+    the identical association on identical doubles, rounded at the edge.
+
+    Scale posture: one scan collapses the corpus to the |sources|-row
+    census; the prior is a 1-row scalar attached back by broadcast; no
+    second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    one = src.agg(
+        F.sort_array(F.collect_list(F.struct("source", "n", "x"))).alias("terms"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    m = F.expr(
+        "aggregate(terms, 0D, (acc, t) -> acc + CAST(t.x AS DOUBLE) / t.n)"
+    ) / F.col("k")
+    mom = one.select("terms", "k", m.alias("m"))
+    v = F.expr(
+        "aggregate(terms, 0D, (acc, t) -> acc + "
+        "(CAST(t.x AS DOUBLE) / t.n - m) * (CAST(t.x AS DOUBLE) / t.n - m))"
+    ) / F.col("k")
+    prior = mom.select(
+        "m", ((F.col("m") * (F.lit(1.0) - F.col("m"))) / v - F.lit(1.0)).alias("c")
+    )
+    return (
+        src.crossJoin(F.broadcast(prior))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("x").alias("n_en"),
+            F.round(F.col("x").cast("double") / F.col("n"), 6).alias("raw_rate"),
+            F.round(
+                (F.col("x") + F.col("m") * F.col("c")) / (F.col("n") + F.col("c")), 6
+            ).alias("shrunk_rate"),
+            F.round(F.col("n").cast("double") / (F.col("n") + F.col("c")), 4).alias(
+                "shrink_weight"
+            ),
+            F.round(F.col("m") * F.col("c"), 4).alias("prior_alpha"),
+            F.round((F.lit(1.0) - F.col("m")) * F.col("c"), 4).alias("prior_beta"),
+        )
+        .orderBy("source")
     )

@@ -433,6 +433,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q278_range_partition_planner",  # 1-row 7-cut split-point array scalar
         "q284_gtest_collocations",  # 1-row bigram-total scalar (G-test N)
         "q286_zonemap_pruning_audit",  # 3-row probe frame (zone census + recount)
+        "q288_nelson_aalen_hazard",  # 1-row risk-set total on the 24-row grid
+        "q289_eb_rate_shrinkage",  # 1-row fitted beta-prior scalar
+        "q290_cuped_adjustment",  # 1-row pooled theta/mean scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
