@@ -251,6 +251,9 @@ HEADLINE = [
     "q288_nelson_aalen_hazard",
     "q289_eb_rate_shrinkage",
     "q290_cuped_adjustment",
+    "q291_groupkfold_assignment",
+    "q292_mahalanobis_outliers",
+    "q293_golden_record_merge",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -323,6 +323,10 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
      'F.sort_array(F.collect_list(F.struct("source", "n", "x"))).alias("terms"),'):
         "source-bounded: |sources| census rows (q289 beta-binomial "
         "moment fold)",
+    ("queries/similarity.py",
+     'F.sort_array(F.collect_list(F.struct("dim", "n", "s1", "s2"))).alias("ds")'):
+        "dimension-bounded: exactly |dim|=64 moment rows (q292 "
+        "Mahalanobis stats)",
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
@@ -516,6 +520,10 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row fitted beta-prior scalar (q289 EB shrinkage)",
     ("queries/sessions.py", "adj = per_user.crossJoin(F.broadcast(theta)).select("):
         "1-row pooled (theta, mean-X) scalar (q290 CUPED)",
+    ("queries/dedup.py", "gsize.crossJoin(F.broadcast(leak))"):
+        "1-row leak-audit count scalar (q291 GroupKFold; structurally 0)",
+    ("queries/similarity.py", "emb.crossJoin(F.broadcast(stats))"):
+        "1-row (mu[dim], sd[dim]) moment-array scalar (q292 Mahalanobis)",
     ("queries/analytics.py", 'F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),'):
         "customer dim, segment-filtered (q41)",
     ("queries/analytics.py",

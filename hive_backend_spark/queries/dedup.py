@@ -3086,3 +3086,202 @@ def q287_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q291_groupkfold_assignment",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id,
+             COALESCE(l.cluster_id, d.doc_id) AS gkey,
+             substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 2)
+               AS h
+      FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    ),
+    folded AS (
+      SELECT doc_id, gkey,
+             CASE WHEN h < '33' THEN 0 WHEN h < '66' THEN 1
+                  WHEN h < '99' THEN 2 WHEN h < 'cc' THEN 3 ELSE 4 END AS fold
+      FROM keyed
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS leaked_groups
+      FROM (SELECT gkey FROM folded GROUP BY gkey
+            HAVING count(DISTINCT fold) > 1)
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT gkey) AS BIGINT) AS n_groups,
+           CAST(max(gsize) AS BIGINT) AS max_group,
+           leaked_groups
+    FROM (SELECT fold, gkey, count(*) OVER (PARTITION BY gkey) AS gsize
+          FROM folded), leak
+    GROUP BY fold, leaked_groups
+    ORDER BY fold
+    """,
+)
+def q291_groupkfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-keyed K-fold cross-validation assignment (GroupKFold with
+    near-dup clusters as the groups): every document is assigned to one
+    of 5 folds by hashing its NEAR-DUP CLUSTER label (the q79 connected
+    component; singleton docs key on themselves), so an entire duplicate
+    neighborhood moves as one atom and no fold can hold a near-copy of
+    another fold's text. q161 fixed the split for byte-identical dups and
+    q202 AUDITS how badly the naive per-doc split leaks near-dups; this
+    is the FIX at near-dup granularity, generalized from one train/test
+    split to K folds, with the leak audit built in (leaked_groups is
+    structurally zero and the query proves it rather than asserting it).
+
+    Determinism: folds come from the q76/q77 hex-prefix band rule on
+    md5(cluster_id) — pure column arithmetic, stable across engines,
+    partitionings and reruns; all outputs are exact counts.
+
+    Scale posture: reuses the cached cluster-label table (one signature
+    pass per session); the label attach is a left join on doc_id; fold
+    assignment is scan-side map work; the census is one hash aggregate
+    plus a gkey-partitioned size window; the leak audit is a 1-row scalar
+    attached by broadcast (recorded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    gkey = F.coalesce("cluster_id", "doc_id")
+    h = F.substring(F.md5(gkey.cast("string")), 1, 2)
+    fold = (
+        F.when(h < "33", 0)
+        .when(h < "66", 1)
+        .when(h < "99", 2)
+        .when(h < "cc", 3)
+        .otherwise(4)
+    )
+    folded = docs.join(labels, "doc_id", "left").select(
+        "doc_id", gkey.alias("gkey"), fold.alias("fold")
+    )
+    leak = (
+        folded.groupBy("gkey")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaked_groups"))
+    )
+    gsize = folded.withColumn(
+        "gsize", F.count(F.lit(1)).over(Window.partitionBy("gkey"))
+    )
+    return (
+        gsize.crossJoin(F.broadcast(leak))
+        .groupBy("fold", "leaked_groups")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("gkey").cast("bigint").alias("n_groups"),
+            F.max("gsize").cast("bigint").alias("max_group"),
+        )
+        .select("fold", "n_docs", "n_groups", "max_group", "leaked_groups")
+        .orderBy("fold")
+    )
+
+
+@register(
+    "q293_golden_record_merge",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+    members AS (
+      SELECT l.cluster_id, d.doc_id, d.n_chars, d.lang, d.source,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+      FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+             AS golden_doc_id,
+           CAST(max(n_chars) AS BIGINT) AS golden_n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+    FROM members
+    GROUP BY cluster_id
+    HAVING count(*) >= 2
+    ORDER BY cluster_id
+    """,
+)
+def q293_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction per near-dup cluster — the
+    master-data-management step AFTER q79 forms clusters and BEFORE q90
+    keeps survivors: instead of keeping one member verbatim, merge the
+    cluster field-by-field (the longest-text member is the golden body —
+    (n_chars DESC, doc_id ASC) tie-broken — while language and source
+    metadata union across ALL members). A cluster spanning 2 sources and
+    2 langs is exactly the record where canonical-only keep silently
+    loses provenance; the n_langs/n_sources columns make those clusters
+    greppable, and `langs` carries the merged value.
+
+    Determinism: the golden pick is a rank-1 window with a total order;
+    the merged lang list is sorted before joining; everything else is
+    exact counts.
+
+    Scale posture: reuses the cached cluster-label table; one join
+    attaches member fields (doc_id keys, AQE strategy); the merge is a
+    single cluster_id hash aggregate; the golden pick is a window over
+    cluster-sized groups — the same partition the aggregate shuffles on,
+    so Catalyst reuses one exchange for both."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    members = labels.join(docs, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("golden_doc_id"),
+            F.max("n_chars").cast("bigint").alias("golden_n_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )

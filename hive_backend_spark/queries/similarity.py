@@ -2509,3 +2509,93 @@ def q279_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+@register(
+    "q292_mahalanobis_outliers",
+    oracle="""
+    WITH dims AS (
+      SELECT t.dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(t.v AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(t.v * t.v AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      FROM (
+        SELECT CAST(g.range AS INT) AS dim,
+               CAST(e.embedding[g.range] AS DOUBLE) AS v
+        FROM embeddings e JOIN range(1, 65) g
+          ON g.range <= len(e.embedding)
+      ) t
+      GROUP BY t.dim
+    ),
+    stats AS (
+      SELECT list(s1 / n ORDER BY dim) AS mu,
+             list(sqrt((s2 - s1 * s1 / n) / n) ORDER BY dim) AS sd
+      FROM dims
+    )
+    SELECT vec_id, label, md
+    FROM (
+      SELECT e.vec_id, e.label,
+             round(list_sum(list_transform(range(1, len(mu) + 1), i ->
+               ((CAST(e.embedding[i] AS DOUBLE) - mu[i]) / sd[i])
+               * ((CAST(e.embedding[i] AS DOUBLE) - mu[i]) / sd[i]))), 4) AS md
+      FROM embeddings e, stats
+    )
+    ORDER BY md DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def q292_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outliers by diagonal Mahalanobis distance: per dimension
+    the corpus mean and std, per vector the summed squared z-score — the
+    multivariate outlier screen (Mahalanobis 1936, diagonal-covariance
+    form) that catches what q153's norm audit cannot: a vector with a
+    NORMAL norm but mass in the wrong dimensions (a corrupt encode, a
+    different model's output mixed into the table) scores high here and
+    nowhere else. Top-20, the triage queue before such vectors poison
+    IVF centroids (q73) and ANN recall (q154).
+
+    Cross-engine exactness: per-dim sums fold through DECIMAL(38,12)
+    per-row casts of identical doubles (the q91 discipline — decimal
+    addition is order-free, so Spark's partial aggregation order cannot
+    shift mu/sd); each vector's 64 z-terms fold in DIMENSION ORDER on
+    both sides with identical association; the distance rounds once and
+    ranks by the ROUNDED value with a vec_id tie-break (round-before-
+    rank).
+
+    Scale posture: the moment pass is one posexplode + hash aggregate to
+    a 64-row frame (at 100 TB: the operators/linalg partition-wise
+    moment fold replaces the explode — same numbers, fewer rows moved);
+    the (mu, sd) arrays attach as a 1-row broadcast scalar; scoring is a
+    pure map over the scan; top-20 is TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = (
+        emb.select(F.posexplode("v").alias("dim0", "val"))
+        .groupBy((F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double").alias("s1"),
+            F.sum((F.col("val") * F.col("val")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    stats = dims.agg(
+        F.sort_array(F.collect_list(F.struct("dim", "n", "s1", "s2"))).alias("ds")
+    ).select(
+        F.expr("transform(ds, x -> x.s1 / x.n)").alias("mu"),
+        F.expr("transform(ds, x -> sqrt((x.s2 - x.s1 * x.s1 / x.n) / x.n))").alias(
+            "sd"
+        ),
+    )
+    md = F.expr(
+        "aggregate(sequence(1, size(mu)), 0D, (acc, i) -> acc + "
+        "((element_at(v, i) - element_at(mu, i)) / element_at(sd, i))"
+        " * ((element_at(v, i) - element_at(mu, i)) / element_at(sd, i)))"
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select("vec_id", "label", F.round(md, 4).alias("md"))
+        .orderBy(F.col("md").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )

@@ -436,6 +436,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q288_nelson_aalen_hazard",  # 1-row risk-set total on the 24-row grid
         "q289_eb_rate_shrinkage",  # 1-row fitted beta-prior scalar
         "q290_cuped_adjustment",  # 1-row pooled theta/mean scalar
+        "q291_groupkfold_assignment",  # 1-row leak-audit scalar (structurally 0)
+        "q292_mahalanobis_outliers",  # 1-row (mu[], sd[]) dim-stats scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
