@@ -254,6 +254,10 @@ HEADLINE = [
     "q291_groupkfold_assignment",
     "q292_mahalanobis_outliers",
     "q293_golden_record_merge",
+    "q294_rbo_ranker_churn",
+    "q295_audio_decimate_stats",
+    "q296_dedup_selection_bias",
+    "q297_simpsons_reversal",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

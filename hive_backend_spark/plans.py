@@ -172,6 +172,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q278_range_partition_planner":
         "512-row fixed planner sample (pre-limited by TakeOrderedAndProject "
         "before the ntile window) + the 8-row bucket census balance window",
+    "q294_rbo_ranker_churn":
+        "100-row fixed depth grid (both ranker lists pre-limited by "
+        "TakeOrderedAndProject): running overlap census window",
     "q245_wasserstein_drift":
         "chars-codomain value grid: global-CDF cumulative window over the "
         "bounded grid (per-source CDFs partition by source)",
@@ -327,6 +330,10 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
      'F.sort_array(F.collect_list(F.struct("dim", "n", "s1", "s2"))).alias("ds")'):
         "dimension-bounded: exactly |dim|=64 moment rows (q292 "
         "Mahalanobis stats)",
+    ("queries/corpus.py",
+     'one = xs.agg(F.sort_array(F.collect_list(F.struct("d", "x"))).alias("dx")).select('):
+        "grid-bounded: exactly 100 depth-census rows (q294 RBO fold "
+        "input)",
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
@@ -524,6 +531,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row leak-audit count scalar (q291 GroupKFold; structurally 0)",
     ("queries/similarity.py", "emb.crossJoin(F.broadcast(stats))"):
         "1-row (mu[dim], sd[dim]) moment-array scalar (q292 Mahalanobis)",
+    ("queries/text.py", "per.crossJoin(F.broadcast(pooled))"):
+        "1-row pooled-moments scalar (q297 Simpson screen)",
     ("queries/analytics.py", 'F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),'):
         "customer dim, segment-filtered (q41)",
     ("queries/analytics.py",

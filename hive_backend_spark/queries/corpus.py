@@ -3232,3 +3232,98 @@ def q284_gtest_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("g_score").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(50)
     )
+
+
+@register(
+    "q294_rbo_ranker_churn",
+    oracle=f"""
+    WITH RECURSIVE {_RRF_RANKERS_SQL},
+    joined AS (
+      SELECT greatest(lex_rank, vec_rank) AS m FROM lex JOIN vec USING (doc_id)
+    ),
+    cnts AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM joined GROUP BY m),
+    grid AS (SELECT CAST(unnest(range(1, {_RRF_LIST} + 1)) AS BIGINT) AS d),
+    xs AS (
+      SELECT g.d,
+             CAST(coalesce(sum(c.c) OVER (ORDER BY g.d), 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN cnts c ON c.m = g.d
+    ),
+    one AS (SELECT list(x ORDER BY d) AS xl FROM xs),
+    rec(t, w, acc) AS (
+      SELECT 1, CAST(1.0 AS DOUBLE),
+             CAST(0.1 AS DOUBLE) * CAST(1.0 AS DOUBLE) * xl[1] / 1
+      FROM one
+      UNION ALL
+      SELECT t + 1, w * CAST(0.9 AS DOUBLE),
+             acc + CAST(0.1 AS DOUBLE) * (w * CAST(0.9 AS DOUBLE))
+                   * xl[t + 1] / (t + 1)
+      FROM rec, one WHERE t < {_RRF_LIST}
+    )
+    SELECT t AS depth, xl[t] AS overlap,
+           round(CAST(xl[t] AS DOUBLE) / t, 4) AS agreement,
+           round(acc, 6) AS rbo_prefix
+    FROM rec, one WHERE t IN (1, 5, 10, 25, 50, 100)
+    ORDER BY depth
+    """,
+)
+def q294_rbo_ranker_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the lexical and vector rankings
+    (Webber, Moffat & Zobel 2010: RBO_p = (1-p) sum p^(d-1) |A_d ∩ B_d|/d,
+    p = 0.9, truncated at depth {_RRF_LIST}) — the TOP-WEIGHTED agreement
+    measure q204's Spearman rho cannot provide: rho treats a swap at
+    ranks 1-2 and ranks 99-100 identically, while RBO's geometric
+    weighting makes the head dominate, which is what matters when only
+    the head is ever consumed (RAG context windows, top-k dedup review
+    queues). The prefix curve at sampled depths shows WHERE the rankers
+    diverge; the same query run day-over-day is the standard index-churn
+    monitor.
+
+    Cross-engine exactness: overlap-at-depth comes from exact integer
+    counts (a doc enters the intersection at depth max(rank_a, rank_b);
+    the per-depth census is a running integer window); the geometric
+    weight is built MULTIPLICATIVELY inside the same sequential fold
+    that accumulates the RBO sum (w' = w * 0.9 — never pow(), whose
+    last-ulp behavior differs between libm and the JVM), so every state
+    is the identical double in both engines; outputs round at the edge.
+
+    Scale posture: both rankers end in TakeOrderedAndProject({_RRF_LIST});
+    everything downstream — the max-rank join, the depth census, the
+    {_RRF_LIST}-row fold — runs on bounded frames (allowlisted windows)."""
+    lex, vec = _rrf_rankers(spark, sf_dir)
+    joined = lex.join(vec, "doc_id").select(
+        F.greatest("lex_rank", "vec_rank").alias("m")
+    )
+    cnts = joined.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grid = spark.range(1, _RRF_LIST + 1).select(F.col("id").alias("d"))
+    w_run = Window.orderBy("d")  # 100-row fixed grid: allowlisted bound
+    xs = (
+        grid.join(cnts, F.col("m") == F.col("d"), "left")
+        .select("d", "c")
+        .withColumn("x", F.coalesce(F.sum("c").over(w_run), F.lit(0)).cast("bigint"))
+    )
+    one = xs.agg(F.sort_array(F.collect_list(F.struct("d", "x"))).alias("dx")).select(
+        F.expr("transform(dx, e -> e.x)").alias("xl")
+    )
+    fold = f"""
+    aggregate(
+      sequence(2, {_RRF_LIST}),
+      named_struct('t', 1, 'w', 1.0D,
+        'acc', 0.1D * 1.0D * element_at(xl, 1) / 1,
+        'out', array(named_struct('t', 1, 'x', element_at(xl, 1),
+                 'acc', 0.1D * 1.0D * element_at(xl, 1) / 1))),
+      (s, t) -> named_struct(
+        't', t, 'w', s.w * 0.9D,
+        'acc', s.acc + 0.1D * (s.w * 0.9D) * element_at(xl, t) / t,
+        'out', concat(s.out, array(named_struct('t', t, 'x', element_at(xl, t),
+                'acc', s.acc + 0.1D * (s.w * 0.9D) * element_at(xl, t) / t)))),
+      s -> s.out)
+    """
+    rows = one.select(F.explode(F.expr(fold)).alias("r")).filter(
+        F.col("r.t").isin(1, 5, 10, 25, 50, 100)
+    )
+    return rows.select(
+        F.col("r.t").alias("depth"),
+        F.col("r.x").alias("overlap"),
+        F.round(F.col("r.x").cast("double") / F.col("r.t"), 4).alias("agreement"),
+        F.round(F.col("r.acc"), 6).alias("rbo_prefix"),
+    ).orderBy("depth")

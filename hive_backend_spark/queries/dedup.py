@@ -3285,3 +3285,141 @@ def q293_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .orderBy("cluster_id")
     )
+
+
+_Q296_EPS = 0.0005  # share floor so an emptied stratum stays finite (q180 guard)
+
+
+@register(
+    "q296_dedup_selection_bias",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, w.reach FROM edges e JOIN walk w ON w.node = e.d
+    ),
+    lab AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+    kept AS (
+      SELECT doc_id FROM lab WHERE doc_id = cluster_id
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+    ),
+    feat AS (
+      SELECT 'lang' AS feature, lang AS category, doc_id FROM documents
+      UNION ALL
+      SELECT 'source', source, doc_id FROM documents
+    ),
+    census AS (
+      SELECT f.feature, f.category,
+             CAST(count(*) AS BIGINT) AS n_corpus,
+             CAST(count(k.doc_id) AS BIGINT) AS n_kept
+      FROM feat f LEFT JOIN kept k ON f.doc_id = k.doc_id
+      GROUP BY f.feature, f.category
+    ),
+    shares AS (
+      SELECT feature, category, n_corpus, n_kept,
+             greatest(CAST(n_corpus AS DOUBLE)
+                      / sum(n_corpus) OVER (PARTITION BY feature),
+                      {_Q296_EPS}) AS p,
+             greatest(CAST(n_kept AS DOUBLE)
+                      / sum(n_kept) OVER (PARTITION BY feature),
+                      {_Q296_EPS}) AS q
+      FROM census
+    )
+    SELECT feature, category, n_corpus, n_kept,
+           round(p, 6) AS corpus_share, round(q, 6) AS kept_share,
+           round((p - q) * ln(p / q), 6) AS psi_term,
+           round(sum((p - q) * ln(p / q)) OVER (
+             PARTITION BY feature ORDER BY category
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_psi
+    FROM shares
+    ORDER BY feature, category
+    """,
+)
+def q296_dedup_selection_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-bias audit OF THE DEDUP ITSELF: PSI between the corpus
+    and the q90-surviving set (cluster representatives + never-candidate
+    uniques) over the lang and source distributions — q172 reports how
+    much mass dedup removes and q180 monitors drift BETWEEN snapshots;
+    this asks whether removal is NEUTRAL across strata. Near-dup removal
+    is never uniform (template floods concentrate in specific
+    sources/languages), so a dedup pass silently reweights the training
+    mixture; the per-category psi_term names exactly which stratum
+    shifted, and the running cum_psi's last row per feature is the PSI
+    headline the q113 mixture planner should re-budget against.
+
+    Determinism: all counts exact; shares floor at {_Q296_EPS} (the q180
+    guard) so an emptied category stays finite; psi terms are identical
+    doubles and the cumulative fold is a sequential running window in
+    category order — deterministic in both engines.
+
+    Scale posture: reuses the cached cluster-label table; the survivor
+    set is a rank filter + anti join; the censuses collapse to
+    |langs| + |sources| rows before any float; every window here runs on
+    those bounded frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(spark, sf_dir)
+    reps = labels.filter(F.col("node") == F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    uniques = docs.join(
+        labels.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id")
+    kept = reps.unionAll(uniques)
+    feat = docs.select(
+        F.lit("lang").alias("feature"), F.col("lang").alias("category"), "doc_id"
+    ).unionAll(
+        docs.select(
+            F.lit("source").alias("feature"),
+            F.col("source").alias("category"),
+            "doc_id",
+        )
+    )
+    census = (
+        feat.join(kept.withColumn("k", F.lit(1)), "doc_id", "left")
+        .groupBy("feature", "category")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+            F.count("k").cast("bigint").alias("n_kept"),
+        )
+    )
+    w_f = Window.partitionBy("feature")
+    p = F.greatest(
+        F.col("n_corpus").cast("double") / F.sum("n_corpus").over(w_f),
+        F.lit(_Q296_EPS),
+    )
+    q = F.greatest(
+        F.col("n_kept").cast("double") / F.sum("n_kept").over(w_f),
+        F.lit(_Q296_EPS),
+    )
+    shares = census.select(
+        "feature", "category", "n_corpus", "n_kept", p.alias("p"), q.alias("q")
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("category")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return shares.select(
+        "feature",
+        "category",
+        "n_corpus",
+        "n_kept",
+        F.round("p", 6).alias("corpus_share"),
+        F.round("q", 6).alias("kept_share"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(w_cum), 6).alias("cum_psi"),
+    ).orderBy("feature", "category")

@@ -478,3 +478,76 @@ def q280_audio_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_frames", "sample_rate", "zcr", "dc_sum", "energy")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q295_audio_decimate_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             512 + (doc_id % 7) * 64 AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n, g.range AS i,
+             (L * 13 + 7 * (2 * g.range)) % 65536 - 32768 AS x,
+             (L * 13 + 7 * (2 * g.range + 2)) % 65536 - 32768 AS x1
+      FROM base JOIN range(0, 448) g ON g.range < n // 2
+    )
+    SELECT doc_id, CAST(n // 2 AS INT) AS n_frames, 4000 AS sample_rate,
+           CAST(count(*) FILTER (WHERE i < n // 2 - 1 AND x * x1 < 0)
+                AS BIGINT) AS zcr,
+           CAST(sum(x) AS BIGINT) AS dc_sum,
+           CAST(sum(x * x) AS BIGINT) AS energy
+    FROM px GROUP BY doc_id, n ORDER BY doc_id
+    """,
+)
+def q295_audio_decimate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decimation pipeline value-checked END TO END (the q272 resize
+    discipline on the audio path): the q270 analytic PCM16 signal is
+    encoded to WAV, DECIMATED by 2 through operators/multimodal.
+    decimate_audio (decode -> s[::2] -> re-encode at 4 kHz — a REAL
+    second codec pass, not metadata math), and the decimated blob is
+    decoded again by audio_features for integer-exact ZCR/DC/energy. The
+    oracle composes the analytic sample function with the decimation
+    index map (sample i of the output = sample 2i of the input) in pure
+    SQL, so three codec passes (encode, decimate+re-encode, decode)
+    value-check against closed-form integers with no rounding caveat
+    anywhere.
+
+    Scale posture: identical to q264/q270/q272 — repartition the 2-column
+    frame to cluster parallelism before the Python codec stages; blobs
+    never shuffle (the decimate and feature passes pipeline inside the
+    same stage); only integer stat rows move."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import numpy as np
+
+        from hive_backend_spark.operators.multimodal import encode_wav
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                n = 512 + (did % 7) * 64
+                s = ((np.arange(n) * 7 + length * 13) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                blobs.append(encode_wav(s, 8000, 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    halved = MM.decimate_audio(blobbed, factor=2)
+    return (
+        MM.audio_features(halved)
+        .select("doc_id", "n_frames", "sample_rate", "zcr", "dc_sum", "energy")
+        .orderBy("doc_id")
+    )

@@ -3946,3 +3946,121 @@ def q289_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q297_simpsons_reversal",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(round(round(LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.5
+                   + LEAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t)))
+                           / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                           * 5.0, 1.0) * 0.5, 4) * 10000, 0) AS BIGINT) AS y
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM scored GROUP BY source
+    ),
+    pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM scored
+    ),
+    rs AS (
+      SELECT source, n,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)) AS r
+      FROM per
+    ),
+    rp AS (
+      SELECT (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)) AS r
+      FROM pooled
+    )
+    SELECT rs.source, rs.n AS n_docs,
+           round(rs.r, 4) AS source_corr,
+           round(rp.r, 4) AS pooled_corr,
+           (rs.r > 0) <> (rp.r > 0) AS reversed
+    FROM rs, rp
+    ORDER BY rs.source
+    """,
+)
+def q297_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen (Simpson 1951; the aggregation-reversal
+    audit every metrics warehouse eventually needs): the correlation
+    between document length and the q62 quality score, computed PER
+    SOURCE and POOLED, with a `reversed` flag where the within-stratum
+    sign contradicts the pooled sign. A pooled "longer docs score
+    higher" can be pure composition (one verbose high-scoring source)
+    while every individual source trends the other way — acting on the
+    pooled number (e.g. a q156-style length-biased quality cap) would
+    then hurt every stratum. This is the one-query check that the
+    direction of a correlation survives disaggregation.
+
+    Cross-engine exactness: x is the raw char count, y the quality score
+    as INTEGER ten-thousandths (q285's integerization), so all five
+    moments per stratum are exact BIGINTs; the Pearson r is one
+    identical-association double expression (no engine corr(), whose
+    accumulation order is nondeterministic — the q281 lesson); the sign
+    comparison uses the UNROUNDED r in both engines.
+
+    Scale posture: one scan -> per-source exact moments (map-side
+    partials, one shuffle on source); the pooled moment row attaches as
+    a 1-row broadcast scalar; output is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    quality = F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5 + F.least(
+        stop_hits / n_tokens.cast("double") * 5.0, F.lit(1.0)
+    ) * 0.5
+    scored = docs.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.round(F.round(quality, 4) * 10000, 0).cast("bigint").alias("y"),
+    )
+
+    def moments(grouped):
+        return grouped.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+
+    def pearson():
+        return (
+            F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+        ) / F.sqrt(
+            (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+            * (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+        )
+
+    per = moments(scored.groupBy("source")).select("source", "n", pearson().alias("r"))
+    pooled = moments(scored.groupBy()).select(pearson().alias("rp"))
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round("r", 4).alias("source_corr"),
+            F.round("rp", 4).alias("pooled_corr"),
+            ((F.col("r") > 0) != (F.col("rp") > 0)).alias("reversed"),
+        )
+        .orderBy("source")
+    )

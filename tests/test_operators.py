@@ -727,3 +727,41 @@ def test_resize_media_real_pixels(spark):
     bad = spark.createDataFrame([(9, bytearray(b"JUNKDATA"))], "doc_id long, blob binary")
     with pytest.raises(Exception, match="pillow"):
         MM.resize_media(bad, max_side=16).collect()
+
+
+def test_audio_features_integer_exact(spark):
+    """audio_features: ZCR / DC sum / energy computed on raw int16 samples
+    in int64 must equal the hand-computed values for a known signal —
+    including the strictness of the sign-change rule (a zero sample kills
+    both adjacent products, so [..,-1,0,1,..] counts ZERO crossings)."""
+    import numpy as np
+
+    from hive_backend_spark.operators.multimodal import audio_features, encode_wav
+
+    s = np.array([100, -200, 300, 0, -400, 500], dtype="<i2")
+    df = spark.createDataFrame([(1, bytearray(encode_wav(s, 8000, 1)))], "doc_id bigint, blob binary")
+    row = audio_features(df).collect()[0]
+    x = s.astype(np.int64)
+    assert row["n_frames"] == 6 and row["sample_rate"] == 8000
+    assert row["zcr"] == int(np.sum(x[:-1] * x[1:] < 0)) == 3
+    assert row["dc_sum"] == int(x.sum()) == 300
+    assert row["energy"] == int((x * x).sum())
+
+
+def test_decimate_audio_roundtrip(spark):
+    """decimate_audio: the decimated blob is REAL WAV (decodable), keeps
+    every factor-th sample exactly, and halves the sample rate."""
+    import numpy as np
+
+    from hive_backend_spark.operators.multimodal import (
+        _wav_samples,
+        decimate_audio,
+        encode_wav,
+    )
+
+    s = (np.arange(10) * 1000 - 4500).astype("<i2")
+    df = spark.createDataFrame([(7, bytearray(encode_wav(s, 8000, 1)))], "doc_id bigint, blob binary")
+    out = decimate_audio(df, factor=2).collect()[0]
+    samples, rate, channels = _wav_samples(bytes(out["blob"]))
+    assert rate == 4000 and channels == 1
+    assert np.array_equal(samples, s[::2])

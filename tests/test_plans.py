@@ -438,6 +438,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q290_cuped_adjustment",  # 1-row pooled theta/mean scalar
         "q291_groupkfold_assignment",  # 1-row leak-audit scalar (structurally 0)
         "q292_mahalanobis_outliers",  # 1-row (mu[], sd[]) dim-stats scalar
+        "q294_rbo_ranker_churn",  # rrf-ranker 1-row stats scalars (q200 pattern)
+        "q297_simpsons_reversal",  # 1-row pooled-moments scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
