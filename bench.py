@@ -258,6 +258,9 @@ HEADLINE = [
     "q295_audio_decimate_stats",
     "q296_dedup_selection_bias",
     "q297_simpsons_reversal",
+    "q298_attribution_models",
+    "q299_hamilton_apportionment",
+    "q300_length_debiased_quality",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -175,6 +175,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q294_rbo_ranker_churn":
         "100-row fixed depth grid (both ranker lists pre-limited by "
         "TakeOrderedAndProject): running overlap census window",
+    "q299_hamilton_apportionment":
+        "|sources|-row census frame: remainder rank + leftover-sum "
+        "windows (bounded dimension)",
     "q245_wasserstein_drift":
         "chars-codomain value grid: global-CDF cumulative window over the "
         "bounded grid (per-source CDFs partition by source)",
@@ -533,6 +536,10 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row (mu[dim], sd[dim]) moment-array scalar (q292 Mahalanobis)",
     ("queries/text.py", "per.crossJoin(F.broadcast(pooled))"):
         "1-row pooled-moments scalar (q297 Simpson screen)",
+    ("queries/sampling.py", "quotas = src.crossJoin(F.broadcast(tot)).select("):
+        "1-row corpus-total scalar (q299 apportionment)",
+    ("queries/text.py", "resid = scored.crossJoin(F.broadcast(fit)).select("):
+        "1-row OLS-fit scalar (q300 residualization)",
     ("queries/analytics.py", 'F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),'):
         "customer dim, segment-filtered (q41)",
     ("queries/analytics.py",

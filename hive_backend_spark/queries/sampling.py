@@ -1436,3 +1436,88 @@ def q278_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows").cast("double") * 8 / F.sum("n_rows").over(w), 4
         ).alias("balance"),
     ).orderBy("bucket")
+
+
+_HAMILTON_SEATS = 1000  # sampling budget apportioned across sources
+
+
+@register(
+    "q299_hamilton_apportionment",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM src),
+    quotas AS (
+      SELECT source, n,
+             {_HAMILTON_SEATS} * CAST(n AS DOUBLE) / nn AS quota,
+             CAST(floor({_HAMILTON_SEATS} * CAST(n AS DOUBLE) / nn) AS BIGINT)
+               AS base
+      FROM src, tot
+    ),
+    ranked AS (
+      SELECT source, n, quota, base,
+             row_number() OVER (ORDER BY quota - base DESC, source ASC)
+               AS rk,
+             {_HAMILTON_SEATS} - sum(base) OVER () AS leftover
+      FROM quotas
+    )
+    SELECT source, n AS n_docs,
+           round(quota, 6) AS quota,
+           base,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS allocation
+    FROM ranked
+    ORDER BY source
+    """,
+)
+def q299_hamilton_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a fixed sampling
+    budget of {_HAMILTON_SEATS} across sources (Hamilton 1792; the
+    integer-allocation step every quota design ends with): each source
+    gets the floor of its proportional quota, and the leftover seats go
+    to the largest fractional remainders — the allocation sums EXACTLY
+    to the budget, which proportional rounding alone never guarantees.
+    The integer complement of q223's Neyman allocation (real-valued
+    optimal n_h) and q167's budget waterfill (cap-constrained): those
+    decide the real-number target, this turns it into whole rows to
+    actually draw (then q265/q255 do the drawing).
+
+    Determinism: quotas are identical doubles (exact integer counts, one
+    division); floors of identical doubles agree; the remainder rank
+    carries a source tie-break; the leftover count is exact integer
+    arithmetic.
+
+    Scale posture: one scan collapses to the |sources| census; the rank
+    and leftover windows run on that bounded frame (allowlisted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = src.agg(F.sum("n").cast("bigint").alias("nn"))
+    quota = F.lit(_HAMILTON_SEATS) * F.col("n").cast("double") / F.col("nn")
+    quotas = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        quota.alias("quota"),
+        F.floor(quota).cast("bigint").alias("base"),
+    )
+    w_rk = Window.orderBy(
+        (F.col("quota") - F.col("base")).desc(), F.col("source").asc()
+    )  # |sources|-row frame: allowlisted bound
+    w_all = Window.partitionBy()
+    ranked = quotas.select(
+        "source",
+        "n",
+        "quota",
+        "base",
+        F.row_number().over(w_rk).alias("rk"),
+        (F.lit(_HAMILTON_SEATS) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    extra = F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round("quota", 6).alias("quota"),
+        "base",
+        extra.cast("bigint").alias("extra"),
+        (F.col("base") + extra).alias("allocation"),
+    ).orderBy("source")

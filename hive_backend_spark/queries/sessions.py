@@ -2267,3 +2267,114 @@ def q290_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) - var_a / var_y, 4).alias("var_reduction"),
         F.round("th", 6).alias("theta"),
     ).orderBy("arm")
+
+
+@register(
+    "q298_attribution_models",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS conv_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_id AS touch_id, ts AS touch_ts, event_type
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+      SELECT p.conv_id, t.event_type, t.touch_ts, t.touch_id,
+             count(*) OVER (PARTITION BY p.conv_id) AS k,
+             row_number() OVER (PARTITION BY p.conv_id
+                                ORDER BY t.touch_ts ASC, t.touch_id ASC)
+               AS rk_first,
+             row_number() OVER (PARTITION BY p.conv_id
+                                ORDER BY t.touch_ts DESC, t.touch_id DESC)
+               AS rk_last
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.touch_ts < p.conv_ts
+       AND t.touch_ts >= p.conv_ts - INTERVAL 7 DAY
+    )
+    SELECT event_type AS channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch,
+           CAST(sum(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch,
+           round(CAST(sum(CAST(1.0 / k AS DECIMAL(38,12))) AS DOUBLE), 4)
+             AS linear_credit
+    FROM pairs
+    GROUP BY event_type
+    ORDER BY channel
+    """,
+)
+def q298_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-model conversion attribution side by side — first-touch,
+    last-touch, and linear — per channel (event type), over every
+    purchase's 7-day pre-conversion touch window. q247 answers the
+    single-touch question; real marketing/readout disputes are about
+    MODEL DISAGREEMENT, which only shows when the models share one touch
+    frame: a channel with high first-touch but low last-touch credit is
+    a discovery channel, the reverse is a closer, and linear is the
+    compromise everyone actually ships. Position-based models (Shao &
+    Li 2011 on data-driven attribution — the public framing) all reduce
+    to weights over this same frame.
+
+    Determinism: the touch frame is an equi-join on user_id with an
+    exact timestamp interval; ranks carry (ts, event_id) total orders;
+    first/last credits are exact counts; the linear 1/k credits are
+    identical doubles summed through DECIMAL(38,12) per-row casts (the
+    q91 discipline), so no float aggregation order exists.
+
+    Scale posture: ONE shuffle on user_id co-locates purchases and
+    touches; the interval condition bounds pairs by per-user 7-day
+    activity (attribution's inherent cost); the per-conversion windows
+    partition on conv_id; the report collapses to |channels| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("touch_ts"),
+        "event_type",
+    )
+    pairs = purchases.join(touches, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    wk = Window.partitionBy("conv_id")
+    wf = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").asc(), F.col("touch_id").asc()
+    )
+    wl = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), F.col("touch_id").desc()
+    )
+    ranked = pairs.select(
+        "conv_id",
+        "event_type",
+        F.count(F.lit(1)).over(wk).alias("k"),
+        F.row_number().over(wf).alias("rk_first"),
+        F.row_number().over(wl).alias("rk_last"),
+    )
+    return (
+        ranked.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.when(F.col("rk_first") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("first_touch"),
+            F.sum(F.when(F.col("rk_last") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("last_touch"),
+            F.round(
+                F.sum((F.lit(1.0) / F.col("k")).cast("decimal(38,12)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("linear_credit"),
+        )
+        .orderBy("channel")
+    )

@@ -4064,3 +4064,111 @@ def q297_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q300_length_debiased_quality",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(round(round(LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.5
+                   + LEAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> list_contains({list(STOPWORDS)!r}::VARCHAR[], t)))
+                           / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                           * 5.0, 1.0) * 0.5, 4) * 10000, 0) AS BIGINT) AS y
+      FROM documents
+    ),
+    fit AS (
+      SELECT (CAST(sum(x * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(y) / count(*))
+               / (CAST(sum(x * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(x) / count(*))
+               AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      FROM scored
+    ),
+    resid AS (
+      SELECT doc_id, source, x, y,
+             y - ((CAST(sy AS DOUBLE) - b * sx) / n + b * x) AS r
+      FROM scored, fit
+    ),
+    flagged AS (
+      SELECT doc_id, source, x AS n_chars, y AS quality_e4,
+             round(r, 4) AS residual,
+             CASE WHEN r > 0 THEN 'over' ELSE 'under' END AS side
+      FROM resid
+    )
+    SELECT * FROM (
+      (SELECT * FROM flagged ORDER BY residual DESC, doc_id ASC LIMIT 10)
+      UNION ALL
+      (SELECT * FROM flagged ORDER BY residual ASC, doc_id ASC LIMIT 10)
+    )
+    ORDER BY residual DESC, doc_id ASC
+    """,
+)
+def q300_length_debiased_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-debiased quality ranking: regress the q62 score on document
+    length (one pooled OLS from exact integer moments) and rank documents
+    by the RESIDUAL — quality the length term cannot explain. The q62
+    heuristic hard-codes a length reward, so raw-score ranking (q112,
+    q156's caps) partly re-ranks by length; the residual surfaces the
+    short-but-good docs a raw cutoff would discard and the long-but-empty
+    docs it would keep — the two triage queues this emits (top/bottom 10
+    by residual). Residualization-before-ranking is the standard
+    confound control (the regression form of q297's Simpson screen —
+    there it DETECTS the length confound, here it REMOVES it).
+
+    Determinism: slope and intercept come from exact BIGINT moments in
+    one identical-association expression; each residual is an identical
+    double; ranking is by the ROUNDED residual with a doc_id tie-break
+    (round-before-rank).
+
+    Scale posture: one scan computes (x, y); the fit is a 1-row scalar
+    attached by broadcast; the two triage queues are TakeOrdered top-10s
+    (no global window anywhere — ranking the FULL corpus by residual
+    would be the q144 two-level problem; a bounded head never is)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    quality = F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5 + F.least(
+        stop_hits / n_tokens.cast("double") * 5.0, F.lit(1.0)
+    ) * 0.5
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.round(F.round(quality, 4) * 10000, 0).cast("bigint").alias("y"),
+    )
+    fit = scored.agg(
+        (
+            (
+                F.sum(F.col("x") * F.col("y")).cast("double")
+                - F.sum("x").cast("double") * F.sum("y") / F.count(F.lit(1))
+            )
+            / (
+                F.sum(F.col("x") * F.col("x")).cast("double")
+                - F.sum("x").cast("double") * F.sum("x") / F.count(F.lit(1))
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    r = F.col("y") - (
+        (F.col("sy").cast("double") - F.col("b") * F.col("sx")) / F.col("n")
+        + F.col("b") * F.col("x")
+    )
+    resid = scored.crossJoin(F.broadcast(fit)).select(
+        "doc_id",
+        "source",
+        F.col("x").alias("n_chars"),
+        F.col("y").alias("quality_e4"),
+        F.round(r, 4).alias("residual"),
+        F.when(r > 0, "over").otherwise("under").alias("side"),
+    )
+    top = resid.orderBy(F.col("residual").desc(), F.col("doc_id").asc()).limit(10)
+    bottom = resid.orderBy(F.col("residual").asc(), F.col("doc_id").asc()).limit(10)
+    return top.unionAll(bottom).orderBy(
+        F.col("residual").desc(), F.col("doc_id").asc()
+    )

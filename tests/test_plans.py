@@ -440,6 +440,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q292_mahalanobis_outliers",  # 1-row (mu[], sd[]) dim-stats scalar
         "q294_rbo_ranker_churn",  # rrf-ranker 1-row stats scalars (q200 pattern)
         "q297_simpsons_reversal",  # 1-row pooled-moments scalar
+        "q299_hamilton_apportionment",  # 1-row corpus-total scalar
+        "q300_length_debiased_quality",  # 1-row OLS-fit scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
