@@ -261,6 +261,10 @@ HEADLINE = [
     "q298_attribution_models",
     "q299_hamilton_apportionment",
     "q300_length_debiased_quality",
+    "q301_rfm_segments",
+    "q302_fano_burstiness",
+    "q303_markov_entropy_rate",
+    "q304_peak_concurrency",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -178,6 +178,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q299_hamilton_apportionment":
         "|sources|-row census frame: remainder rank + leftover-sum "
         "windows (bounded dimension)",
+    "q304_peak_concurrency":
+        "256-row chunk-head prefix-sum table (two-level prefix sum, "
+        "level 2, q107/q208 discipline)",
     "q245_wasserstein_drift":
         "chars-codomain value grid: global-CDF cumulative window over the "
         "bounded grid (per-source CDFs partition by source)",
@@ -337,6 +340,12 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
      'one = xs.agg(F.sort_array(F.collect_list(F.struct("d", "x"))).alias("dx")).select('):
         "grid-bounded: exactly 100 depth-census rows (q294 RBO fold "
         "input)",
+    ("queries/sessions.py",
+     'F.collect_list(F.struct("a", "b", "c_ab", "c_a"))'):
+        "type-bounded: |types|^2 transition cells (q303 entropy fold)",
+    ("queries/sessions.py",
+     'F.sort_array(F.collect_list(F.struct("b", "c_b"))).alias("mterms"),'):
+        "type-bounded: |types| marginal cells (q303 entropy fold)",
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
@@ -540,6 +549,16 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row corpus-total scalar (q299 apportionment)",
     ("queries/text.py", "resid = scored.crossJoin(F.broadcast(fit)).select("):
         "1-row OLS-fit scalar (q300 residualization)",
+    ("queries/sessions.py", "scored = per_user.crossJoin(F.broadcast(cuts)).select("):
+        "1-row quintile-cuts scalar (q301 RFM)",
+    ("queries/sessions.py", "per.crossJoin(F.broadcast(grid))"):
+        "1-row hour-grid-size scalar (q302 Fano)",
+    ("queries/sessions.py", "one.crossJoin(F.broadcast(onem))"):
+        "1-row marginal-entropy list frame (q303; |types| bounded)",
+    ("queries/sessions.py", "tagged = bounds.crossJoin(F.broadcast(brange)).select("):
+        "1-row time-span min/max scalar (q304 chunk bucketing)",
+    ("queries/sessions.py", 'run = local.join(F.broadcast(offsets), "chunk").select('):
+        "256-row chunk-offset head table (q304 two-level prefix sum)",
     ("queries/analytics.py", 'F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),'):
         "customer dim, segment-filtered (q41)",
     ("queries/analytics.py",

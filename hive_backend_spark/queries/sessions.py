@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..registry import register
+from ..registry import NOW, register
 
 SESSION_GAP_MIN = 30
 
@@ -2377,4 +2377,436 @@ def q298_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("linear_credit"),
         )
         .orderBy("channel")
+    )
+
+
+@register(
+    "q301_rfm_segments",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(date_diff('day', max(ts), TIMESTAMP '{NOW}') AS BIGINT)
+               AS recency_d,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_d, [0.2, 0.4, 0.6, 0.8]) AS rc,
+             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+      FROM per_user
+    ),
+    scored AS (
+      SELECT user_id, recency_d, frequency,
+             round(monetary, 2) AS monetary,
+             5 - len(list_filter(rc, c -> c < recency_d)) AS r_score,
+             1 + len(list_filter(fc, c -> c < frequency)) AS f_score,
+             1 + len(list_filter(mc, c -> c < monetary)) AS m_score
+      FROM per_user, cuts
+    )
+    SELECT user_id, recency_d, frequency, monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE
+             WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champion'
+             WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+             WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+             WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+             ELSE 'regular'
+           END AS segment
+    FROM scored
+    ORDER BY user_id
+    """,
+)
+def q301_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes 1994's recency/frequency/monetary scoring
+    — the standard customer-value grid): per user, days since last event,
+    event count, and decimal-exact value total, each scored 1-5 against
+    the population's quintile cuts, then mapped to the classic named
+    segments (champion / loyal / at_risk / hibernating / regular).
+    Recency scores INVERT (recent = 5). The per-actor summary view that
+    q282 (timing signature) and q247/q298 (attribution) hang off.
+
+    Determinism: R and F are exact integers and M folds through
+    DECIMAL(38,10) casts; the quintile cuts are interpolated percentiles
+    — both engines use the R-7 (n-1)p linear-interpolation convention on
+    identical inputs — attached as a 1-row scalar; scoring is a strict
+    `cut < metric` count, so ties at a cut land identically.
+
+    Scale posture: one shuffle collapses events to per-user rows; the
+    cut computation is one scalar aggregate over that frame; scoring is
+    scan-side map work against the broadcast cuts (NO ntile over the
+    user table — a global rank window over users is exactly what the
+    unpartitioned-window invariant forbids at 100 TB)."""
+    from ..registry import NOW
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.lit(NOW).cast("timestamp"), F.max("ts"))
+        .cast("bigint")
+        .alias("recency_d"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("monetary"),
+    )
+    cuts = per_user.agg(
+        F.expr("percentile(recency_d, array(0.2, 0.4, 0.6, 0.8))").alias("rc"),
+        F.expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").alias("fc"),
+        F.expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").alias("mc"),
+    )
+    nlt = lambda arr, m: F.size(F.filter(arr, lambda c: c < m))  # noqa: E731
+    scored = per_user.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "recency_d",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        (F.lit(5) - nlt(F.col("rc"), F.col("recency_d"))).cast("int").alias("r_score"),
+        (F.lit(1) + nlt(F.col("fc"), F.col("frequency"))).cast("int").alias("f_score"),
+        (F.lit(1) + nlt(F.col("mc"), F.col("monetary"))).cast("int").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg).orderBy("user_id")
+
+
+@register(
+    "q302_fano_burstiness",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events
+      GROUP BY event_type, extract(day FROM ts), extract(hour FROM ts)
+    ),
+    grid AS (
+      SELECT CAST(24 * count(DISTINCT extract(day FROM ts)) AS BIGINT) AS nb
+      FROM events
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, nb AS n_bins, s1 AS n_events,
+           round(CAST(s1 AS DOUBLE) / nb, 4) AS mean_per_hour,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nb) / nb, 4)
+             AS var_per_hour,
+           round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nb) / nb)
+                 / (CAST(s1 AS DOUBLE) / nb), 4) AS fano,
+           ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nb) / nb)
+             / (CAST(s1 AS DOUBLE) / nb) > 1.5 AS bursty
+    FROM per, grid
+    ORDER BY event_type
+    """,
+)
+def q302_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, var/mean of hourly arrival counts)
+    per event type — the Poisson-ness test for event streams (Fano 1947;
+    F = 1 under Poisson, F >> 1 = bursty/clumped, F < 1 = regularized):
+    the arrival-side complement of q150's term burstiness and the
+    diagnostic that says whether q198's exponential inter-arrival fit and
+    q266's control limits (both Poisson-flavored) are even applicable.
+    Missing hours count as TRUE ZERO bins: the bin denominator is the
+    full 24 x observed-days grid, not just hours that happened to have
+    events — dropping empty bins is the classic Fano mistake that biases
+    F down exactly for the burstiest types.
+
+    Determinism: zeros contribute nothing to the sums, so s1/s2 over
+    OBSERVED cells plus the exact grid size give the exact-sum variance
+    ((s2 - s1^2/N)/N, the q281 discipline) — every output derives from
+    three exact BIGINTs; the >1.5 flag compares identically-derived
+    doubles.
+
+    Scale posture: one hash aggregate to (type, day, hour) cells, one to
+    per-type sums; the grid size is a 1-row scalar; output is |types|
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("dom"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grid = ev.agg(
+        (24 * F.countDistinct(F.dayofmonth("ts"))).cast("bigint").alias("nb")
+    )
+    per = hourly.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nb")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("nb")
+    ) / F.col("nb")
+    return (
+        per.crossJoin(F.broadcast(grid))
+        .select(
+            "event_type",
+            F.col("nb").alias("n_bins"),
+            F.col("s1").alias("n_events"),
+            F.round(mean, 4).alias("mean_per_hour"),
+            F.round(var, 4).alias("var_per_hour"),
+            F.round(var / mean, 4).alias("fano"),
+            (var / mean > 1.5).alias("bursty"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q303_markov_entropy_rate",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    cells AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM ordered WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    rows_ AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cells GROUP BY a),
+    cols_ AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cells GROUP BY b),
+    tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t FROM cells),
+    one AS (
+      SELECT list(c.c_ab ORDER BY c.a, c.b) AS lab,
+             list(r.c_a ORDER BY c.a, c.b) AS la,
+             CAST(count(*) AS BIGINT) AS k
+      FROM cells c JOIN rows_ r ON c.a = r.a
+    ),
+    onem AS (
+      SELECT list(c_b ORDER BY b) AS lb, CAST(count(*) AS BIGINT) AS km
+      FROM cols_
+    )
+    SELECT t AS n_transitions, k AS n_cells,
+           round(-list_sum(list_transform(range(1, km + 1), i ->
+             CAST(lb[i] AS DOUBLE) / t * ln(CAST(lb[i] AS DOUBLE) / t))),
+             6) AS h_marginal,
+           round(-list_sum(list_transform(range(1, k + 1), i ->
+             CAST(lab[i] AS DOUBLE) / t * ln(CAST(lab[i] AS DOUBLE) / la[i]))),
+             6) AS h_rate,
+           round(-list_sum(list_transform(range(1, km + 1), i ->
+             CAST(lb[i] AS DOUBLE) / t * ln(CAST(lb[i] AS DOUBLE) / t)))
+             - (-list_sum(list_transform(range(1, k + 1), i ->
+               CAST(lab[i] AS DOUBLE) / t * ln(CAST(lab[i] AS DOUBLE) / la[i])))),
+             6) AS info_gain
+    FROM one, onem, tot
+    """,
+)
+def q303_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov entropy rate of the per-user event sequence
+    (Shannon 1948: H(B|A) = -sum p(a,b) ln p(b|a)) beside the marginal
+    entropy H(B), with the information gain H(B) - H(B|A) — how many nats
+    of next-event uncertainty knowing the current event removes. The
+    information-theoretic summary of q263's transition matrix (which
+    tests whether first-order is ADEQUATE; this says how much the order
+    BUYS) and the principled version of q188's lift-vs-uniform readout.
+    Gain ~ 0 means event types arrive memorylessly and any sequence
+    model is wasted capacity; large gain justifies sequence features in
+    the q124 pipeline.
+
+    Determinism: all cell/marginal counts are exact BIGINTs; both
+    entropy folds run in fixed (a, b) / (b) cell order on bounded
+    |types|^2 frames (the q151 discipline); info_gain is written as the
+    same two folds re-evaluated and subtracted — identical association —
+    rather than a new expression.
+
+    Scale posture: one user_id shuffle for the lead() pairing, hash
+    aggregates to the |types|^2 cell census, folds on 1-row list frames."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b")
+    )
+    cells = (
+        ordered.filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    rows_ = cells.groupBy("a").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    cols_ = cells.groupBy("b").agg(F.sum("c_ab").cast("bigint").alias("c_b"))
+    tot = cells.agg(F.sum("c_ab").cast("bigint").alias("t"))
+    one = (
+        cells.join(rows_, "a")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("a", "b", "c_ab", "c_a"))
+            ).alias("terms"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    onem = cols_.agg(
+        F.sort_array(F.collect_list(F.struct("b", "c_b"))).alias("mterms"),
+        F.count(F.lit(1)).cast("bigint").alias("km"),
+    )
+    h_marg = -F.expr(
+        "aggregate(mterms, 0D, (acc, x) -> acc + "
+        "CAST(x.c_b AS DOUBLE) / t * ln(CAST(x.c_b AS DOUBLE) / t))"
+    )
+    h_rate = -F.expr(
+        "aggregate(terms, 0D, (acc, x) -> acc + "
+        "CAST(x.c_ab AS DOUBLE) / t * ln(CAST(x.c_ab AS DOUBLE) / x.c_a))"
+    )
+    return (
+        one.crossJoin(F.broadcast(onem))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("n_transitions"),
+            F.col("k").alias("n_cells"),
+            F.round(h_marg, 6).alias("h_marginal"),
+            F.round(h_rate, 6).alias("h_rate"),
+            F.round(h_marg - h_rate, 6).alias("info_gain"),
+        )
+    )
+
+
+@register(
+    "q304_peak_concurrency",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    sess AS (
+      SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+      FROM numbered GROUP BY user_id, sid
+    ),
+    bounds AS (
+      SELECT s_start AS t, 1 AS d, user_id, sid FROM sess
+      UNION ALL
+      SELECT s_end, -1, user_id, sid FROM sess
+    ),
+    run AS (
+      SELECT t, d,
+             CAST(sum(d) OVER (ORDER BY t, d DESC, user_id, sid
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS load
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(extract(day FROM t) AS INT) AS dom,
+             CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS sessions_started,
+             CAST(max(load) AS BIGINT) AS peak
+      FROM run GROUP BY 1
+    ),
+    peak_at AS (
+      SELECT CAST(extract(day FROM t) AS INT) AS dom, load, min(t) AS at_ts
+      FROM run GROUP BY 1, 2
+    )
+    SELECT d.dom, d.sessions_started, d.peak, p.at_ts AS peak_ts
+    FROM daily d JOIN peak_at p ON d.dom = p.dom AND d.peak = p.load
+    ORDER BY d.dom
+    """,
+)
+def q304_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line maximum-overlap
+    query (+1 at each session start, -1 at each end, running sum, max):
+    the capacity-planning number every serving layer budgets against,
+    over the q57 gap-sessions. Interval endpoints are INCLUSIVE (starts
+    sort before ends at the same instant), so a zero-length single-event
+    session still counts while it exists; peak_ts is the first instant
+    each day's peak is reached.
+
+    Scale posture — the whole point of this query: the sweep's running
+    sum is a global prefix over a corpus-sized boundary stream, which is
+    NEVER computed as one unpartitioned window. It is the q208/q107
+    TWO-LEVEL decomposition on SUM: boundaries range-bucket into 256
+    order-preserving chunks of the time span (bounds from a 1-row
+    min/max scalar), the within-chunk running sum is a window
+    PARTITIONED by chunk, per-chunk sums reduce to a 256-row head table
+    whose own prefix sum is the only unpartitioned window (bounded by
+    construction, allowlisted), and prior-chunk offset + local running
+    sum reassembles the exact global load. The oracle computes the same
+    sweep with one flat window, proving the decomposition row for row.
+
+    Determinism: the sweep order (t, d DESC, user_id, sid) is total;
+    loads are exact integers; peak attribution joins on the exact
+    (day, load) pair."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    numbered = ev.withColumn(
+        "is_new",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sess = numbered.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    bounds = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("d"), "user_id", "sid"
+    ).unionAll(
+        sess.select(
+            F.col("s_end").alias("t"), F.lit(-1).alias("d"), "user_id", "sid"
+        )
+    )
+    us = F.unix_micros(F.col("t"))
+    brange = bounds.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    span = F.col("hi") - F.col("lo") + 1
+    chunk = F.floor((us - F.col("lo")) * 256 / span)
+    tagged = bounds.crossJoin(F.broadcast(brange)).select(
+        "t", "d", "user_id", "sid", us.alias("us"), chunk.alias("chunk")
+    )
+    w_local = (
+        Window.partitionBy("chunk")
+        .orderBy(F.col("us").asc(), F.col("d").desc(), "user_id", "sid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = tagged.withColumn("local_run", F.sum("d").over(w_local))
+    heads = tagged.groupBy("chunk").agg(F.sum("d").alias("csum"))
+    w_head = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 256 rows — bounded by construction
+    offsets = heads.select(
+        "chunk", F.coalesce(F.sum("csum").over(w_head), F.lit(0)).alias("prior")
+    )
+    run = local.join(F.broadcast(offsets), "chunk").select(
+        "t",
+        "d",
+        (F.col("prior") + F.col("local_run")).cast("bigint").alias("load"),
+    )
+    daily = run.groupBy(F.dayofmonth("t").cast("int").alias("dom")).agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("sessions_started"),
+        F.max("load").cast("bigint").alias("peak"),
+    )
+    peak_at = run.groupBy(
+        F.dayofmonth("t").cast("int").alias("dom"), F.col("load")
+    ).agg(F.min("t").alias("at_ts"))
+    return (
+        daily.join(
+            peak_at,
+            (daily.dom == peak_at.dom) & (daily.peak == peak_at.load),
+        )
+        .select(
+            daily.dom.alias("dom"),
+            "sessions_started",
+            "peak",
+            F.col("at_ts").alias("peak_ts"),
+        )
+        .orderBy("dom")
     )

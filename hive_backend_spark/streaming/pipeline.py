@@ -1118,3 +1118,87 @@ def ewma_monitor_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def session_emitter_stream(
+    events: DataFrame, gap_min: int = 30, delay: str = "1 hour"
+) -> DataFrame:
+    """Closed-session records from keyed state with EVENT-TIME timeouts —
+    the custom stateful form of sessionization (vs session_counts'
+    built-in session_window aggregate): per user, the open session lives
+    in state as (start, last_ts, n); an in-batch gap > gap_min closes and
+    EMITS the finished session immediately, and the event-time timeout
+    (last_ts + gap) closes idle sessions once the watermark passes — so
+    every emission is a final, immutable session record (append
+    semantics), the shape downstream training pipelines want (q57 is the
+    batch equivalent; its trailing still-open sessions are exactly the
+    ones this operator correctly withholds until they age out).
+
+    State is O(1) per active user regardless of session length or stream
+    age; the watermark bounds how long an idle user's state survives.
+    Rows inside a micro-batch are walked in (ts, event_id) order — the
+    same total order as the batch sessionizer, so stream and batch agree
+    exactly on closed sessions."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint"
+    )
+    state_schema = "session_start timestamp, last_ts timestamp, n_events bigint"
+    gap_ms = gap_min * 60 * 1000
+
+    def walk(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            s0, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [s0],
+                    "session_end": [last],
+                    "n_events": [n],
+                }
+            )
+            return
+        cur = state.get if state.exists else None
+        closed = []
+        gap = pd.Timedelta(minutes=gap_min)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for ts in batch["ts"]:
+                if cur is None:
+                    cur = (ts, ts, 1)
+                elif ts - cur[1] > gap:
+                    closed.append(cur)
+                    cur = (ts, ts, 1)
+                else:
+                    cur = (cur[0], ts, cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(int(cur[1].value // 1_000_000) + gap_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            walk,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

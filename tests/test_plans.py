@@ -442,6 +442,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q297_simpsons_reversal",  # 1-row pooled-moments scalar
         "q299_hamilton_apportionment",  # 1-row corpus-total scalar
         "q300_length_debiased_quality",  # 1-row OLS-fit scalar
+        "q301_rfm_segments",  # 1-row quintile-cuts scalar
+        "q302_fano_burstiness",  # 1-row hour-grid-size scalar
+        "q303_markov_entropy_rate",  # 1-row cell-list frames (|types| bounded)
+        "q304_peak_concurrency",  # 1-row span scalar + 256-row offsets head
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):

@@ -1450,3 +1450,66 @@ def test_ewma_monitor_stream_matches_recursion_and_survives_crash(
     srow = final.collect()
     assert len(srow) == 1 and srow[0]["i"] == 3
     assert abs(srow[0]["z"] - z) < 1e-12
+
+
+def test_session_emitter_stream_batch_parity(spark, stream_src):
+    """session_emitter_stream emits exactly the CLOSED q57 sessions: every
+    batch session except those still open at end-of-stream (a user's last
+    session whose timeout the final watermark has not passed). Stream and
+    batch must agree on (user, start, end, n_events) row for row."""
+    import pandas as pd
+
+    from hive_backend_spark.catalog import load_table
+
+    got = _run_to_memory(
+        spark,
+        S.session_emitter_stream(S.read_event_stream(spark, stream_src)),
+        "closed_sessions",
+    ).collect()
+
+    # batch reference: q57 sessionization over the same events
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    numbered = events.withColumn(
+        "is_new", F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sess = (
+        numbered.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    # closure rule mirrored from the operator: closed inline by a later
+    # session of the same user, or timed out once the FINAL watermark
+    # (global max ts - 1h delay) passed session_end + 30min gap.
+    max_ts = load_table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    wm = pd.Timestamp(max_ts) - pd.Timedelta(hours=1)
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expected = set()
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["session_start"])
+        for i, r in enumerate(rows):
+            inline_closed = i < len(rows) - 1
+            timed_out = (
+                pd.Timestamp(r["session_end"]) + pd.Timedelta(minutes=30) < wm
+            )
+            if inline_closed or timed_out:
+                expected.add(
+                    (uid, r["session_start"], r["session_end"], r["n_events"])
+                )
+    got_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    }
+    assert got_set == expected
+    assert len(got_set) > 0
