@@ -265,6 +265,9 @@ HEADLINE = [
     "q302_fano_burstiness",
     "q303_markov_entropy_rate",
     "q304_peak_concurrency",
+    "q305_session_basket_lift",
+    "q306_kendall_tau",
+    "q307_hll_mergeable_cube",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -559,6 +559,19 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row time-span min/max scalar (q304 chunk bucketing)",
     ("queries/sessions.py", 'run = local.join(F.broadcast(offsets), "chunk").select('):
         "256-row chunk-offset head table (q304 two-level prefix sum)",
+    ("queries/sessions.py", 'pairs.join(F.broadcast(pa), "a")'):
+        "|types|-row basket census (q305 lift)",
+    ("queries/sessions.py", '.join(F.broadcast(pb), "b")'):
+        "|types|-row basket census (q305 lift)",
+    ("queries/sessions.py", ".crossJoin(F.broadcast(nb))"):
+        "1-row basket-total scalar (q305 lift)",
+    ("queries/corpus.py", 'x.join(F.broadcast(y), F.col("did_x") < F.col("did_y"))'):
+        "100-row shared ranked list, self-paired for concordance counting "
+        "(q306 Kendall; bounded by the TakeOrdered list depth)",
+    ("queries/corpus.py", "return pairs.crossJoin(F.broadcast(nn)).select("):
+        "1-row shared-list-size scalar (q306 Kendall)",
+    ("queries/relational.py", "g_rows = g_exact.crossJoin(F.broadcast(g_est)).select("):
+        "1-row global sketch-estimate scalar (q307 cube)",
     ("queries/analytics.py", 'F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),'):
         "customer dim, segment-filtered (q41)",
     ("queries/analytics.py",

@@ -3327,3 +3327,87 @@ def q294_rbo_ranker_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r.x").cast("double") / F.col("r.t"), 4).alias("agreement"),
         F.round(F.col("r.acc"), 6).alias("rbo_prefix"),
     ).orderBy("depth")
+
+
+@register(
+    "q306_kendall_tau",
+    oracle=f"""
+    WITH {_RRF_RANKERS_SQL},
+    shared AS (SELECT lex.doc_id, lex_rank, vec_rank
+               FROM lex JOIN vec USING (doc_id)),
+    rr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY lex_rank) AS rl,
+             row_number() OVER (ORDER BY vec_rank) AS rv
+      FROM shared
+    ),
+    pairs AS (
+      SELECT CAST(count(*) FILTER (
+               WHERE (x.rl - y.rl) * (x.rv - y.rv) > 0) AS BIGINT)
+               AS concordant,
+             CAST(count(*) FILTER (
+               WHERE (x.rl - y.rl) * (x.rv - y.rv) < 0) AS BIGINT)
+               AS discordant,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM rr x JOIN rr y ON x.doc_id < y.doc_id
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rr)
+    SELECT n AS n_shared, concordant, discordant, n_pairs,
+           round(CAST(concordant - discordant AS DOUBLE) / n_pairs, 6)
+             AS kendall_tau
+    FROM pairs, nn
+    """,
+)
+def q306_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation between the lexical and vector rankings
+    (Kendall 1938: tau = (C - D) / C(n,2)) — the third leg of the
+    rank-agreement family: q204's Spearman weights squared rank GAPS,
+    q294's RBO weights the head, tau counts pairwise ORDER AGREEMENTS —
+    the probability a random doc pair is ranked the same way by both
+    rankers, the most interpretable of the three and the one with the
+    known robustness edge (bounded influence per pair). Re-ranked within
+    the intersection, ranks are distinct, so tau-a and tau-b coincide
+    (no tie terms — stated, not assumed).
+
+    Determinism: concordant/discordant are exact integer counts over the
+    bounded pair frame; tau is one exact-int division rounded at the
+    edge.
+
+    Scale posture: both rankers end in TakeOrderedAndProject({_RRF_LIST});
+    the pair frame is the bounded {_RRF_LIST}-row list self-joined
+    (<= C({_RRF_LIST},2) rows by construction) — quadratic only in the
+    bounded list depth, never in the corpus."""
+    lex, vec = _rrf_rankers(spark, sf_dir)
+    shared = lex.join(vec, "doc_id")
+    rr_ = shared.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("lex_rank")).alias("rl"),
+        F.row_number().over(Window.orderBy("vec_rank")).alias("rv"),
+    )
+    x = rr_.select(
+        F.col("doc_id").alias("did_x"), F.col("rl").alias("rlx"), F.col("rv").alias("rvx")
+    )
+    y = rr_.select(
+        F.col("doc_id").alias("did_y"), F.col("rl").alias("rly"), F.col("rv").alias("rvy")
+    )
+    sign = (F.col("rlx") - F.col("rly")) * (F.col("rvx") - F.col("rvy"))
+    pairs = (
+        x.join(F.broadcast(y), F.col("did_x") < F.col("did_y"))
+        .agg(
+            F.count(F.when(sign > 0, 1)).cast("bigint").alias("concordant"),
+            F.count(F.when(sign < 0, 1)).cast("bigint").alias("discordant"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    nn = rr_.agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    return pairs.crossJoin(F.broadcast(nn)).select(
+        "n_shared",
+        "concordant",
+        "discordant",
+        "n_pairs",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.col("n_pairs"),
+            6,
+        ).alias("kendall_tau"),
+    )

@@ -2411,3 +2411,130 @@ def q286_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+@register(
+    "q307_hll_mergeable_cube",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(extract(day FROM ts) AS INT) AS dom
+      FROM events
+    ),
+    type_level AS (
+      SELECT 'type' AS level, event_type AS key,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM ut GROUP BY event_type
+    ),
+    day_level AS (
+      SELECT 'day' AS level, CAST(dom AS VARCHAR) AS key,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM ut GROUP BY dom
+    ),
+    all_level AS (
+      SELECT 'all' AS level, '*' AS key,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM ut
+    )
+    SELECT level, key, exact_users, TRUE AS merged_within_bound
+    FROM (SELECT * FROM type_level
+          UNION ALL SELECT * FROM day_level
+          UNION ALL SELECT * FROM all_level)
+    ORDER BY level, key
+    """,
+)
+def q307_hll_mergeable_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch CUBE: distinct users per event type, per day, and
+    globally — all three granularities served from ONE pass of
+    per-(type, day) HLL sketches, coarser levels by UNION-MERGING the
+    base cells (never re-scanning the corpus). This is the OLAP serving
+    pattern sketches exist for at 100 TB: materialize the finest-grain
+    sketch table once, answer every rollup by merge (q126 pins the
+    COUNT-rollup merge == rebuild; q192 pins one sketch union exact;
+    this pins the full cube derivation). The exact distinct counts are
+    computed beside each level, and the flag asserts each MERGED
+    estimate lands within 5% of exact (~3 sigma at lgK=12, rse ~1.6% —
+    merging HLLs loses nothing: the union sketch is identical to
+    sketching the union, which is why the bound stays single-sketch
+    sized; the q241 bound discipline, with the accompanying pytest
+    giving the readable failure).
+
+    Scale posture: one shuffle to (type, day) cells carrying 4 KB
+    sketches + exact distinct sets collapse; every rollup after that
+    merges <= |cells| sketches — no second corpus scan anywhere."""
+    levels = _q307_level_frame(spark, sf_dir)
+    return levels.select(
+        "level",
+        "key",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("merged_within_bound"),
+    ).orderBy("level", "key")
+
+
+def _q307_level_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(level, key, exact_users, est): one base sketch pass, three merged
+    rollup levels, exact distinct counts beside each."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("string")
+    base = ev.groupBy(
+        "event_type", F.dayofmonth("ts").cast("int").alias("dom")
+    ).agg(F.hll_sketch_agg(u, F.lit(12)).alias("sk"))
+    # exact side (one distinct collapse, reused by all three levels)
+    ut = ev.select(
+        "user_id", "event_type", F.dayofmonth("ts").cast("int").alias("dom")
+    ).distinct()
+    t_exact = ut.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    d_exact = ut.groupBy("dom").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    g_exact = ut.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    t_est = base.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    d_est = base.groupBy("dom").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    g_est = base.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    t_rows = t_exact.join(t_est, "event_type").select(
+        F.lit("type").alias("level"),
+        F.col("event_type").alias("key"),
+        "exact_users",
+        "est",
+    )
+    d_rows = d_exact.join(d_est, "dom").select(
+        F.lit("day").alias("level"),
+        F.col("dom").cast("string").alias("key"),
+        "exact_users",
+        "est",
+    )
+    g_rows = g_exact.crossJoin(F.broadcast(g_est)).select(
+        F.lit("all").alias("level"), F.lit("*").alias("key"), "exact_users", "est"
+    )
+    return t_rows.unionAll(d_rows).unionAll(g_rows)
+
+
+def q307_measured_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit companion to q307 (the q241_measured_errors pattern): the same
+    per-level frame WITH the merged estimate and its relative error kept
+    as columns, for tests/test_sketches.py::test_q307_cube_bound which
+    asserts the bound with a readable per-level message. Not registered —
+    sketch estimates are engine-specific and must not enter the
+    hash-compared surface."""
+    return _q307_level_frame(spark, sf_dir).select(
+        "level",
+        "key",
+        "exact_users",
+        "est",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users")
+        ).alias("err_frac"),
+    )
+

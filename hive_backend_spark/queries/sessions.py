@@ -2810,3 +2810,118 @@ def q304_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dom")
     )
+
+
+@register(
+    "q305_session_basket_lift",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    baskets AS (
+      SELECT DISTINCT user_id, sid, event_type FROM numbered
+    ),
+    nb AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT user_id, sid FROM baskets)
+    ),
+    per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS b FROM baskets
+      GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT x.event_type AS a, y.event_type AS b_,
+             CAST(count(*) AS BIGINT) AS b_ab
+      FROM baskets x JOIN baskets y
+        ON x.user_id = y.user_id AND x.sid = y.sid
+       AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.a, p.b_ AS b, pa.b AS baskets_a, pb.b AS baskets_b,
+           p.b_ab AS baskets_both,
+           round(CAST(p.b_ab AS DOUBLE) / n, 6) AS support,
+           round(CAST(p.b_ab AS DOUBLE) * n / (CAST(pa.b AS DOUBLE) * pb.b), 4)
+             AS lift
+    FROM pairs p
+    JOIN per pa ON p.a = pa.event_type
+    JOIN per pb ON p.b_ = pb.event_type, nb
+    ORDER BY a, b
+    """,
+)
+def q305_session_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types with SESSIONS as baskets
+    (Agrawal & Srikant 1994's support/lift, the q57 gap-sessions as the
+    transaction unit): lift(a,b) = P(a,b)/(P(a)P(b)) over baskets — > 1
+    means the two event types co-occur within a session beyond chance
+    (a real flow), ~1 means independent arrivals. q194 mines frequent
+    pairs over DOCUMENT-term baskets; this is the behavioral-sequence
+    counterpart, and (vs q303's entropy rate) it names WHICH pairs carry
+    the sequence structure rather than how much structure exists.
+
+    Determinism: every count is exact (distinct presence per basket; the
+    pair census self-joins the deduplicated presence table on the basket
+    key); support and lift are single identical-association expressions
+    rounded at the edge.
+
+    Scale posture: one user_id shuffle builds sessions (q57); presence
+    dedup and the pair self-join key on (user, sid) — work bounded by
+    |types| per basket, output bounded by |types|^2; the basket total is
+    a 1-row broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    numbered = ev.withColumn(
+        "is_new",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    baskets = numbered.select("user_id", "sid", "event_type").distinct()
+    nb = baskets.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("b")
+    )
+    x = baskets.select("user_id", "sid", F.col("event_type").alias("a"))
+    y = baskets.select("user_id", "sid", F.col("event_type").alias("b"))
+    pairs = (
+        x.join(y, ["user_id", "sid"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("b_ab"))
+    )
+    pa = per.select(F.col("event_type").alias("a"), F.col("b").alias("baskets_a"))
+    pb = per.select(F.col("event_type").alias("b"), F.col("b").alias("baskets_b"))
+    return (
+        pairs.join(F.broadcast(pa), "a")
+        .join(F.broadcast(pb), "b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "baskets_a",
+            "baskets_b",
+            F.col("b_ab").alias("baskets_both"),
+            F.round(F.col("b_ab").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(
+                F.col("b_ab").cast("double")
+                * F.col("n")
+                / (F.col("baskets_a").cast("double") * F.col("baskets_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("a", "b")
+    )

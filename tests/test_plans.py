@@ -446,6 +446,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q302_fano_burstiness",  # 1-row hour-grid-size scalar
         "q303_markov_entropy_rate",  # 1-row cell-list frames (|types| bounded)
         "q304_peak_concurrency",  # 1-row span scalar + 256-row offsets head
+        "q305_session_basket_lift",  # 1-row basket-total scalar
+        "q306_kendall_tau",  # 100-row bounded list self-pairing + 1-row scalar
+        "q307_hll_mergeable_cube",  # 1-row global sketch-estimate scalar
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):

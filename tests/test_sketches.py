@@ -27,3 +27,22 @@ def test_q241_bound(spark, sf_dir):
             for r in bad
         )
     )
+
+
+def test_q307_cube_bound(spark, sf_dir):
+    """Every merged rollup level of the HLL cube lands within 5% of the
+    exact distinct count (~3 sigma at lgK=12) — merging per-(type, day)
+    sketches must estimate exactly as well as sketching each level
+    directly."""
+    from hive_backend_spark.queries.relational import q307_measured_errors
+
+    rows = q307_measured_errors(spark, sf_dir).collect()
+    assert rows, "q307 level frame is empty — expected |types|+|days|+1 rows"
+    bad = [r for r in rows if r["err_frac"] > 0.05]
+    assert not bad, "merged HLL cube error exceeded 5% of exact for: " + (
+        "; ".join(
+            f"{r['level']}={r['key']} est={r['est']:.1f} "
+            f"exact={r['exact_users']} err={r['err_frac']:.2%}"
+            for r in bad
+        )
+    )
