@@ -181,6 +181,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q304_peak_concurrency":
         "256-row chunk-head prefix-sum table (two-level prefix sum, "
         "level 2, q107/q208 discipline)",
+    "q306_kendall_tau":
+        "top-k ranker heads, pre-limited by TakeOrderedAndProject before "
+        "the rank windows (the q204 frame)",
     "q245_wasserstein_drift":
         "chars-codomain value grid: global-CDF cumulative window over the "
         "bounded grid (per-source CDFs partition by source)",

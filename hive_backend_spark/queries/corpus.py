@@ -3353,7 +3353,8 @@ def q294_rbo_ranker_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rr)
     SELECT n AS n_shared, concordant, discordant, n_pairs,
-           round(CAST(concordant - discordant AS DOUBLE) / n_pairs, 6)
+           round(CAST(concordant - discordant AS DOUBLE)
+                 / nullif(CAST(n_pairs AS DOUBLE), 0.0), 6)
              AS kendall_tau
     FROM pairs, nn
     """,
@@ -3371,7 +3372,9 @@ def q306_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: concordant/discordant are exact integer counts over the
     bounded pair frame; tau is one exact-int division rounded at the
-    edge.
+    edge, nullif-guarded identically in both engines for the n < 2
+    shared-list case (at some scale factors the two top-100 heads barely
+    intersect — bit the sf0.1 bench).
 
     Scale posture: both rankers end in TakeOrderedAndProject({_RRF_LIST});
     the pair frame is the bounded {_RRF_LIST}-row list self-joined
@@ -3407,7 +3410,7 @@ def q306_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(
             (F.col("concordant") - F.col("discordant")).cast("double")
-            / F.col("n_pairs"),
+            / F.nullif(F.col("n_pairs").cast("double"), F.lit(0.0)),
             6,
         ).alias("kendall_tau"),
     )
