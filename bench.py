@@ -268,6 +268,9 @@ HEADLINE = [
     "q305_session_basket_lift",
     "q306_kendall_tau",
     "q307_hll_mergeable_cube",
+    "q308_bfs_hop_census",
+    "q309_degree_assortativity",
+    "q310_sentence_stats",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

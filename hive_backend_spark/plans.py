@@ -184,6 +184,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q306_kendall_tau":
         "top-k ranker heads, pre-limited by TakeOrderedAndProject before "
         "the rank windows (the q204 frame)",
+    "q308_bfs_hop_census":
+        "<= 5-row hop frame (4 pinned BFS rounds): cumulative-reach "
+        "window (bounded by construction)",
     "q245_wasserstein_drift":
         "chars-codomain value grid: global-CDF cumulative window over the "
         "bounded grid (per-source CDFs partition by source)",

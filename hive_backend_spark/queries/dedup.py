@@ -3423,3 +3423,172 @@ def q296_dedup_selection_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(w_cum), 6).alias("cum_psi"),
     ).orderBy("feature", "category")
+
+
+@register(
+    "q308_bfs_hop_census",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    seed AS (SELECT min(doc_a) AS s0 FROM cand),
+    bfs(node, hop) AS (
+      SELECT s0, 0 FROM seed
+      UNION
+      SELECT e.d, b.hop + 1
+      FROM bfs b JOIN edges e ON e.s = b.node
+      WHERE b.hop < 4
+    ),
+    lvl AS (SELECT node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY node)
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(count(*)) OVER (ORDER BY hop
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_reached
+    FROM lvl GROUP BY hop ORDER BY hop
+    """,
+)
+def q308_bfs_hop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop census from the candidate graph's smallest-id
+    edge endpoint: how many nodes sit at each hop distance (<= 4) and the
+    cumulative reach — the neighborhood-growth curve that distinguishes a
+    tight duplicate clique (everything at hop 1-2, then flat) from a
+    template CHAIN (steady growth per hop, the q214 weak-link signature
+    seen radially). Four pinned rounds is the q244 label-propagation
+    discipline: at near-dup diameters anything beyond 3 hops is already
+    pathological and the census SHOWS it rather than walking it forever.
+
+    Scale posture: reuses the persisted candidate expansion
+    (_PAIRS_CACHE); each round is one join of the frontier against the
+    edge table (shuffle on the edge key), localCheckpoint'ed so the plan
+    stays O(rounds) deep; per-hop counts are exact integers, as is the
+    running cumulative over the 5-row hop frame.
+
+    Determinism: min-hop labeling is order-free (BFS level = min over
+    discovery paths); the seed is the minimum edge endpoint."""
+    raw = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        raw.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionAll(raw.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed = raw.agg(F.min("doc_a").alias("node")).select(
+        "node", F.lit(0).alias("hop")
+    )
+    frontier = seed.localCheckpoint(eager=False)
+    levels = frontier
+    for hop in range(1, 5):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.s)
+            .select(F.col("d").alias("node"), F.lit(hop).alias("hop"))
+            .distinct()
+            .join(levels.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        levels = levels.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    per_hop = levels.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    w_cum = Window.orderBy("hop").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # <= 5-row hop frame: allowlisted bound
+    return per_hop.select(
+        F.col("hop").cast("int").alias("hop"),
+        "n_nodes",
+        F.sum("n_nodes").over(w_cum).cast("bigint").alias("n_reached"),
+    ).orderBy("hop")
+
+
+@register(
+    "q309_degree_assortativity",
+    oracle=f"""
+    WITH cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS k FROM (
+        SELECT doc_a AS node FROM cand UNION ALL SELECT doc_b FROM cand
+      ) GROUP BY node
+    ),
+    ends AS (
+      SELECT da.k AS x, db.k AS y
+      FROM cand c JOIN deg da ON c.doc_a = da.node
+                  JOIN deg db ON c.doc_b = db.node
+    ),
+    sym AS (
+      SELECT x, y FROM ends UNION ALL SELECT y, x FROM ends
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM sym
+    )
+    SELECT n AS n_edge_ends,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)),
+                 6) AS assortativity
+    FROM mom
+    """,
+)
+def q309_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the LSH candidate graph (Newman 2002: the
+    Pearson correlation of degrees across edge ends, symmetrized) — the
+    one-number answer to "do hubs link to hubs?": near-dup CLIQUES are
+    assortative (high-degree nodes interlink, r > 0); hash-collision
+    STARS are disassortative (one hub linked to many leaves, r < 0), so a
+    negative swing on a corpus update is the earliest cheap signal that a
+    band started colliding — cheaper than q130's triangle census and
+    complementary to q287's per-node view.
+
+    Determinism: degrees and all five moments are exact BIGINTs over the
+    symmetrized end list; r is one identical-association expression (no
+    engine corr() — the q281/q297 discipline) rounded at the edge.
+
+    Scale posture: reuses the persisted candidate expansion; two
+    degree-attach joins on the edge keys (AQE strategy) and one exact
+    moment fold; output is a single row."""
+    raw = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        raw.select(F.col("doc_a").alias("node"))
+        .unionAll(raw.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    da = deg.select(F.col("node").alias("doc_a"), F.col("k").alias("x"))
+    db = deg.select(F.col("node").alias("doc_b"), F.col("k").alias("y"))
+    ends = raw.join(da, "doc_a").join(db, "doc_b").select("x", "y")
+    sym = ends.unionAll(ends.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    mom = sym.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    r = (
+        F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / F.sqrt(
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        * (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+    )
+    return mom.select(
+        F.col("n").alias("n_edge_ends"), F.round(r, 6).alias("assortativity")
+    )

@@ -4172,3 +4172,84 @@ def q300_length_debiased_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.unionAll(bottom).orderBy(
         F.col("residual").desc(), F.col("doc_id").asc()
     )
+
+
+@register(
+    "q310_sentence_stats",
+    oracle="""
+    WITH sent AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '[.!?]+'),
+                         s -> len(trim(s)) > 0) AS ss
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id, source,
+             CAST(len(ss) AS BIGINT) AS n_sentences,
+             CAST(list_sum(list_transform(ss, s ->
+               len(list_filter(regexp_split_to_array(trim(s), '\\s+'),
+                               t -> len(t) > 0)))) AS BIGINT) AS n_words
+      FROM sent WHERE len(ss) > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sentences) AS BIGINT) AS n_sentences,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           round(CAST(sum(n_words) AS DOUBLE) / sum(n_sentences), 4)
+             AS words_per_sentence,
+           round(CAST(sum(n_sentences) AS DOUBLE) / count(*), 4)
+             AS sentences_per_doc
+    FROM per
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q310_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level shape statistics per source: sentences split on
+    terminal punctuation runs ([.!?]+), words per sentence and sentences
+    per document — the sentence-granularity complement of q60's token
+    stats and the core input of every readability formula (Flesch/
+    Kincaid are affine functions of words-per-sentence plus a syllable
+    term); long-sentence sources are the first place extraction bugs
+    (lost punctuation, concatenated boilerplate) show up, upstream of
+    any quality score that tokenizes.
+
+    Cross-engine contract: the sentence splitter is the same
+    regexp-split-both-engines pattern as the canonical tokenizer (split
+    on the punctuation class, drop whitespace-only fragments; words per
+    sentence re-split each fragment with the canonical \\s+ rule,
+    dropping empties — stated operationally so both engines execute the
+    identical definition). All outputs derive from exact integer counts.
+
+    Scale posture: pure column expressions inside codegen (no UDF), one
+    hash aggregate to |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ss = F.filter(
+        F.split(F.trim(F.col("text")), r"[.!?]+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    words_in = lambda s: F.size(  # noqa: E731
+        F.filter(F.split(F.trim(s), r"\s+"), lambda t: F.length(t) > 0)
+    )
+    per = docs.select(
+        "source",
+        F.size(ss).cast("bigint").alias("n_sentences"),
+        F.aggregate(
+            ss, F.lit(0).cast("bigint"), lambda acc, s: acc + words_in(s)
+        ).alias("n_words"),
+    ).filter(F.col("n_sentences") > 0)
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sentences").cast("bigint").alias("n_sentences"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.round(
+                F.sum("n_words").cast("double") / F.sum("n_sentences"), 4
+            ).alias("words_per_sentence"),
+            F.round(
+                F.sum("n_sentences").cast("double") / F.count(F.lit(1)), 4
+            ).alias("sentences_per_doc"),
+        )
+        .orderBy("source")
+    )
