@@ -271,6 +271,8 @@ HEADLINE = [
     "q308_bfs_hop_census",
     "q309_degree_assortativity",
     "q310_sentence_stats",
+    "q311_ship_sla_attainment",
+    "q312_embedding_separability",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -352,6 +352,14 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/sessions.py",
      'F.sort_array(F.collect_list(F.struct("b", "c_b"))).alias("mterms"),'):
         "type-bounded: |types| marginal cells (q303 entropy fold)",
+    ("queries/similarity.py",
+     'F.collect_list(F.struct("dim", F.col("s_dec").cast("double").alias("s")))'):
+        "dimension-bounded: exactly |dim|=64 component sums per label / "
+        "total (q312 separability)",
+    ("queries/similarity.py",
+     'F.collect_list(F.struct("dim", F.col("sd").cast("double").alias("s")))'):
+        "dimension-bounded: exactly |dim|=64 total component sums "
+        "(q312 separability)",
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
@@ -578,6 +586,10 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row shared-list-size scalar (q306 Kendall)",
     ("queries/relational.py", "g_rows = g_exact.crossJoin(F.broadcast(g_est)).select("):
         "1-row global sketch-estimate scalar (q307 cube)",
+    ("queries/similarity.py", ".crossJoin(F.broadcast(stot))"):
+        "1-row 64-length total component-sum array scalar (q312)",
+    ("queries/similarity.py", ".crossJoin(F.broadcast(tot))"):
+        "1-row (N, Q_tot) scalar (q312)",
     ("queries/analytics.py", 'F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),'):
         "customer dim, segment-filtered (q41)",
     ("queries/analytics.py",

@@ -809,3 +809,71 @@ def q207_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge("customer.nationkey", c, "c_nationkey", n, "n_nationkey"))
         .orderBy("fk")
     )
+
+
+@register(
+    "q311_ship_sla_attainment",
+    oracle="""
+    WITH lags AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_d
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(lag_d) AS BIGINT) AS min_days,
+           round(quantile_cont(lag_d, 0.5), 4) AS p50_days,
+           round(quantile_cont(lag_d, 0.9), 4) AS p90_days,
+           round(quantile_cont(lag_d, 0.99), 4) AS p99_days,
+           CAST(max(lag_d) AS BIGINT) AS max_days,
+           round(CAST(sum(CASE WHEN lag_d <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS sla_90d
+    FROM lags
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def q311_ship_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA per order priority: exact integer day
+    lags from order date to each line's ship date, interpolated
+    p50/p90/p99, and the share shipped within a 90-day SLA — the ops
+    dashboard that answers whether the priority field DOES anything
+    (a 1-URGENT line shipping no faster than 5-LOW is a broken
+    fulfillment queue; the reference's whole domain is a priority queue,
+    so this is its fact-side audit, q01's dequeue discipline measured
+    after the fact).
+
+    Determinism: lags are exact integer days; the interpolated
+    percentiles follow the shared R-7 convention on integer inputs
+    ((a + b)/2-style exact dyadic interpolants — the q282 median
+    argument); the SLA share is an exact-count ratio.
+
+    Scale posture: the one fact-fact join (orders x lineitem) shuffles
+    on orderkey; per-priority exact percentiles aggregate within the 5
+    priority groups — memory bounded by the largest group's lag
+    multiset, the documented exact-percentile posture (q45); at 100 TB
+    the drop-in replacement is approx_percentile with the q134 bound
+    audit."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lags = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lag_d"),
+    )
+    return (
+        lags.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min("lag_d").cast("bigint").alias("min_days"),
+            F.round(F.expr("percentile(lag_d, 0.5)"), 4).alias("p50_days"),
+            F.round(F.expr("percentile(lag_d, 0.9)"), 4).alias("p90_days"),
+            F.round(F.expr("percentile(lag_d, 0.99)"), 4).alias("p99_days"),
+            F.max("lag_d").cast("bigint").alias("max_days"),
+            F.round(
+                F.sum(F.when(F.col("lag_d") <= 90, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("sla_90d"),
+        )
+        .orderBy("priority")
+    )

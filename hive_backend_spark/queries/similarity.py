@@ -2599,3 +2599,140 @@ def q292_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("md").desc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "q312_embedding_separability",
+    oracle="""
+    WITH comp AS (
+      SELECT label, CAST(g.range AS INT) AS dim,
+             sum(CAST(CAST(e.embedding[g.range] AS DOUBLE)
+                      AS DECIMAL(38,12))) AS s_dec
+      FROM embeddings e JOIN range(1, 65) g ON g.range <= len(e.embedding)
+      GROUP BY label, g.range
+    ),
+    svec AS (
+      SELECT label, list(CAST(s_dec AS DOUBLE) ORDER BY dim) AS sv
+      FROM comp GROUP BY label
+    ),
+    stot AS (
+      SELECT list(CAST(sd AS DOUBLE) ORDER BY dim) AS st FROM (
+        SELECT dim, sum(s_dec) AS sd FROM comp GROUP BY dim)
+    ),
+    qrow AS (
+      SELECT label,
+             list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x)) AS q
+      FROM embeddings
+    ),
+    qlab AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(q AS DECIMAL(38,12))) AS DOUBLE) AS qc
+      FROM qrow GROUP BY label
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum(CAST(q AS DECIMAL(38,12))) AS DOUBLE) AS qt
+      FROM qrow
+    )
+    SELECT v.label, l.n AS n_vectors,
+           round((list_dot_product(sv, sv) - qc)
+                 / nullif(l.n * (l.n - 1), 0), 6) AS mean_intra_dot,
+           round((list_dot_product(sv, st) - list_dot_product(sv, sv))
+                 / nullif(l.n * (nn - l.n), 0), 6) AS mean_inter_dot,
+           round(((list_dot_product(sv, sv) - qc)
+                    / nullif(l.n * (l.n - 1), 0)
+                  - (list_dot_product(sv, st) - list_dot_product(sv, sv))
+                    / nullif(l.n * (nn - l.n), 0))
+                 / (qt / nn), 6) AS separability
+    FROM svec v JOIN qlab l ON v.label = l.label, stot, tot
+    ORDER BY v.label
+    """,
+)
+def q312_embedding_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding class separability WITHOUT a pairwise pass: per label,
+    the mean intra-class dot product and the mean dot against everything
+    else, from the closed-form aggregate identities
+
+        mean_intra = (||S_c||^2 - sum||v||^2) / n_c(n_c - 1)
+        mean_inter = (S_c . (S_tot - S_c)) / n_c(N - n_c)
+
+    where S_c is the per-label component-sum vector — i.e. the
+    O(N^2)-pair Fisher-style between/within contrast computed from O(N)
+    aggregates (the sum-vector identity; the same algebra behind the
+    between/within scatter decomposition). The separability column
+    normalizes the margin by the mean squared norm, giving the
+    scale-free number a contrastive-training pipeline tracks per class:
+    near 0 = embeddings carry no label signal (q72's kNN and q279's
+    mutual pairs would be noise); the per-class view localizes WHICH
+    label collapsed after a bad re-embed, where q166's anisotropy and
+    q153's norm audit only see the global shape.
+
+    Cross-engine exactness: component sums and squared-norm sums fold
+    through DECIMAL(38,12) per-value casts (order-free — the q292
+    discipline); per-row ||v||^2 folds in ARRAY order; every dot product
+    is the shared array-order fold (dot() here, list_dot_product in
+    DuckDB — the module's established pairing); divisions are
+    nullif-guarded identically.
+
+    Scale posture: one posexplode + hash aggregate to |labels| x dim
+    component cells; everything after runs on |labels|-row frames with
+    64-length arrays. NO pairwise candidate generation anywhere — that
+    is the point."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    comp = (
+        emb.select("label", F.posexplode("v").alias("dim0", "val"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.sum(F.col("val").cast("decimal(38,12)")).alias("s_dec"))
+    )
+    svec = comp.groupBy("label").agg(
+        F.sort_array(
+            F.collect_list(F.struct("dim", F.col("s_dec").cast("double").alias("s")))
+        ).alias("ds")
+    ).select("label", F.expr("transform(ds, x -> x.s)").alias("sv"))
+    stot = (
+        comp.groupBy("dim")
+        .agg(F.sum("s_dec").alias("sd"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("dim", F.col("sd").cast("double").alias("s")))
+            ).alias("ds")
+        )
+        .select(F.expr("transform(ds, x -> x.s)").alias("st"))
+    )
+    qrow = emb.select(
+        "label", F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)").alias("q")
+    )
+    qlab = qrow.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,12)")).cast("double").alias("qc"),
+    )
+    tot = qrow.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum(F.col("q").cast("decimal(38,12)")).cast("double").alias("qt"),
+    )
+    d_ss = dot(F.col("sv"), F.col("sv"))
+    d_st = dot(F.col("sv"), F.col("st"))
+    intra = (d_ss - F.col("qc")) / F.nullif(
+        (F.col("n") * (F.col("n") - 1)).cast("double"), F.lit(0.0)
+    )
+    inter = (d_st - d_ss) / F.nullif(
+        (F.col("n") * (F.col("nn") - F.col("n"))).cast("double"), F.lit(0.0)
+    )
+    return (
+        svec.join(qlab, "label")
+        .crossJoin(F.broadcast(stot))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            F.col("n").alias("n_vectors"),
+            F.round(intra, 6).alias("mean_intra_dot"),
+            F.round(inter, 6).alias("mean_inter_dot"),
+            F.round((intra - inter) / (F.col("qt") / F.col("nn")), 6).alias(
+                "separability"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -449,6 +449,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q305_session_basket_lift",  # 1-row basket-total scalar
         "q306_kendall_tau",  # 100-row bounded list self-pairing + 1-row scalar
         "q307_hll_mergeable_cube",  # 1-row global sketch-estimate scalar
+        "q312_embedding_separability",  # 1-row total-sum-array + (N, Q) scalars
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
