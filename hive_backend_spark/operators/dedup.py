@@ -285,24 +285,31 @@ def explode_bands(
 # NEAR-identical template flood (a boilerplate page whose K variants differ
 # by one token) can still populate one bucket with K distinct fingerprints
 # and make the self-join's output C(K, 2) — an output-size explosion no
-# partitioning fixes. Buckets beyond the cap are EXCLUDED from pair
-# generation (their pairs are overwhelmingly template noise, not signal)
-# and surfaced by ``overpopulated_buckets`` / the q195 census, whose
-# documented escalation is raising the band width (more rows per band →
-# finer buckets) rather than raising this cap. The default sits far above
-# any legitimate distinct-text bucket at the tested scale factors, so the
-# oracle-checked outputs are unchanged; floods are the only thing it cuts.
+# partitioning fixes. Buckets beyond the cap are never self-joined at their
+# original width; instead they ESCALATE to a second-level pass at double
+# rows-per-band (adjacent bands fused, so agreement requires twice the
+# MinHash rows → strictly finer buckets) and only buckets still over the
+# cap at that width are dropped — surfaced by ``residual_overpopulated_
+# buckets``. ``overpopulated_buckets`` / the q195 census reports the
+# level-1 escalation set. The default cap sits far above any legitimate
+# distinct-text bucket at the tested scale factors, so the oracle-checked
+# outputs are unchanged; floods are the only thing the two-level ladder
+# ever touches.
 BUCKET_CAP = 4096
 
 
 def overpopulated_buckets(
     fp_bands: DataFrame, bucket_cap: int = BUCKET_CAP
 ) -> DataFrame:
-    """The dropped-bucket report beside ``fp_candidate_pairs``: every
+    """The escalated-bucket report beside ``fp_candidate_pairs``: every
     (band_idx, band_sig, n_fps) bucket whose distinct-fingerprint
     population exceeds the cap — the buckets candidate generation refused
-    to expand, each one C(n_fps, 2) pairs of avoided output. Non-empty
-    output is the raise-the-band-width alarm (q195's monitoring purpose)."""
+    to expand at the original band width, each one C(n_fps, 2) pairs of
+    avoided output. These buckets are no longer silently dropped: their
+    fingerprints re-band at double rows-per-band (``fp_candidate_pairs``
+    escalation) and only level-2 residuals are withheld (see
+    ``residual_overpopulated_buckets``). Non-empty output remains the
+    flood-monitoring signal (q195's purpose)."""
     return (
         fp_bands.filter(F.col("band_sig").isNotNull())
         .groupBy("band_idx", "band_sig")
@@ -311,32 +318,109 @@ def overpopulated_buckets(
     )
 
 
-def fp_candidate_pairs(
+def _fused_bands(fp_bands: DataFrame, esc_fps: DataFrame) -> DataFrame:
+    """Level-2 band table for the escalated fingerprints: adjacent original
+    bands (2i, 2i+1) fuse into one band of double the MinHash rows. Two
+    fingerprints agree on fused band i iff they agree on BOTH constituent
+    band digests, which is exactly agreement on 2*ROWS_PER_BAND signature
+    rows — so the fused key (concat of the two digests) reproduces the
+    raise-the-band-width remedy without re-running the signature pass.
+    Odd trailing bands have no sibling and are excluded (N_BANDS is even
+    here; the filter makes the generalization explicit)."""
+    rows = fp_bands.join(esc_fps, "fp", "left_semi").filter(
+        F.col("band_sig").isNotNull()
+    )
+    # pivot via a 1:1 even-half x odd-half equi-join on (fp, band2_idx),
+    # NOT a groupBy with max(string) buffers: a string-valued aggregate
+    # buffer forces SortAggregate (UnsafeRow can't mutate var-length
+    # fields) — the exact plan regression the collapse_exact discipline
+    # and the q67 plan pin exist to prevent. The join keys are unique per
+    # side (one digest per (fp, band), by construction upstream), so the
+    # join emits exactly one fused row per band pair.
+    half = (F.col("band_idx") / 2).cast("int").alias("band2_idx")
+    ev = rows.filter(F.col("band_idx") % 2 == 0).select(
+        "fp", half, F.col("band_sig").alias("__s0")
+    )
+    od = rows.filter(F.col("band_idx") % 2 == 1).select(
+        "fp", half, F.col("band_sig").alias("__s1")
+    )
+    return ev.join(od, ["fp", "band2_idx"]).select(
+        "fp", "band2_idx", F.concat("__s0", "__s1").alias("band2_sig")
+    )
+
+
+def residual_overpopulated_buckets(
     fp_bands: DataFrame, bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
+    """Level-2 dropped-bucket report: (band2_idx, band2_sig, n_fps) fused
+    buckets that remain over the cap even at double rows-per-band — the
+    only buckets ``fp_candidate_pairs`` actually withholds. Non-empty
+    output means a flood of variants whose signatures agree on 2x-width
+    bands, i.e. near-byte-identical templates; the remaining remedy is
+    upstream (boilerplate stripping / exact-dup widening), not more bands."""
+    esc_fps = _escalated_fps(fp_bands, bucket_cap)
+    return (
+        _fused_bands(fp_bands, esc_fps)
+        .groupBy("band2_idx", "band2_sig")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+        .filter(F.col("n_fps") > bucket_cap)
+    )
+
+
+def _escalated_fps(fp_bands: DataFrame, bucket_cap: int) -> DataFrame:
+    """Distinct fingerprints appearing in at least one over-cap level-1
+    bucket — the population the level-2 pass re-bands."""
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band_idx", "band_sig")
+    return (
+        fp_bands.filter(F.col("band_sig").isNotNull())
+        .withColumn("__bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bucket_n") > bucket_cap)
+        .select("fp")
+        .distinct()
+    )
+
+
+def fp_candidate_pairs(
+    fp_bands: DataFrame, bucket_cap: int = BUCKET_CAP, escalate: bool = True
 ) -> DataFrame:
     """Fingerprint-level candidate pairs (fp_a < fp_b, n_shared_bands) from
     a (fp, band_idx, band_sig) table over DISTINCT texts. The self-join's
     output is bounded by distinct-text bucket sizes — the exact-dup flood
     case never reaches this join (it was collapsed to one row per text
     upstream) — AND by the per-bucket ceiling: buckets over ``bucket_cap``
-    fingerprints (a near-identical template flood) are excluded before the
-    join, so the pair output is <= sum over surviving buckets of
-    C(min(n, cap), 2) by construction. The bucket census is a window
-    PARTITIONED by the join key itself, so it rides the self-join's own
-    shuffle; NULL band signatures (gram-less texts) are filtered up front —
-    they can never equi-join and would only skew the census partition."""
+    fingerprints (a near-identical template flood) are excluded from the
+    original-width join, so the level-1 pair output is <= sum over
+    surviving buckets of C(min(n, cap), 2) by construction. The bucket
+    census is a window PARTITIONED by the join key itself, so it rides the
+    self-join's own shuffle; NULL band signatures (gram-less texts) are
+    filtered up front — they can never equi-join and would only skew the
+    census partition.
+
+    Two-level escalation (``escalate=True``, the default): fingerprints
+    trapped in over-cap buckets are NOT dropped — they re-band at double
+    rows-per-band (``_fused_bands``: adjacent band digests concatenated,
+    equivalent to halving the band count of the same signatures), the
+    fused buckets get the same cap, and surviving fused buckets self-join.
+    Recovered pairs carry their EXACT shared-band count (a join back to
+    the full band table, bounded by the recovered-pair volume) and
+    override the level-1 row for the same pair; level-2 residual buckets
+    are the only withheld output (``residual_overpopulated_buckets``).
+    When no bucket exceeds the cap the escalation branch is empty and the
+    output is byte-identical to the uncapped self-join — the
+    oracle-unchanged guarantee."""
     from pyspark.sql.window import Window
 
     wb = Window.partitionBy("band_idx", "band_sig")
-    sized = (
+    counted = (
         fp_bands.filter(F.col("band_sig").isNotNull())
         .withColumn("__bucket_n", F.count(F.lit(1)).over(wb))
-        .filter(F.col("__bucket_n") <= bucket_cap)
-        .drop("__bucket_n")
     )
+    sized = counted.filter(F.col("__bucket_n") <= bucket_cap).drop("__bucket_n")
     a = sized.alias("a")
     b = sized.alias("b")
-    return (
+    l1 = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -345,6 +429,74 @@ def fp_candidate_pairs(
         )
         .groupBy(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    if not escalate:
+        return l1
+
+    # Adaptive escalation (the AQE discipline applied at plan-build time):
+    # probe whether ANY bucket exceeds the cap before composing the
+    # level-2 DAG. The probe is a bounded action — a map-side-combined
+    # bucket census filtered to over-cap rows, LIMIT 1, so it returns at
+    # most one row regardless of corpus size — and in the production path
+    # it reads the already-persisted signature table (_sig_tables cache).
+    # Without it, every no-flood run (all tested scale factors, most real
+    # corpora) would pay ~6 extra shuffles of the band table for an empty
+    # escalation branch — measured 2x on the cold clustering pass (q79).
+    has_over = (
+        fp_bands.filter(F.col("band_sig").isNotNull())
+        .groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > bucket_cap)
+        .limit(1)
+        .count()
+    )
+    if has_over == 0:
+        return l1
+
+    esc_fps = (
+        counted.filter(F.col("__bucket_n") > bucket_cap).select("fp").distinct()
+    )
+    fused = _fused_bands(fp_bands, esc_fps)
+    w2 = Window.partitionBy("band2_idx", "band2_sig")
+    sized2 = (
+        fused.withColumn("__n2", F.count(F.lit(1)).over(w2))
+        .filter(F.col("__n2") <= bucket_cap)
+        .drop("__n2")
+    )
+    fa = sized2.alias("fa")
+    fb = sized2.alias("fb")
+    esc_pairs = (
+        fa.join(
+            fb,
+            (F.col("fa.band2_idx") == F.col("fb.band2_idx"))
+            & (F.col("fa.band2_sig") == F.col("fb.band2_sig"))
+            & (F.col("fa.fp") < F.col("fb.fp")),
+        )
+        .select(F.col("fa.fp").alias("fp_a"), F.col("fb.fp").alias("fp_b"))
+        .distinct()
+    )
+    # exact shared-band recount for the recovered pairs only — bounded by
+    # the recovered-pair volume (each fused bucket <= cap), never the flood
+    nn = fp_bands.filter(F.col("band_sig").isNotNull())
+    ba = nn.select(F.col("fp").alias("fp_a"), "band_idx", "band_sig")
+    bb = nn.select(F.col("fp").alias("fp_b"), "band_idx", "band_sig")
+    esc_counted = (
+        esc_pairs.join(ba, "fp_a")
+        .join(bb, ["fp_b", "band_idx", "band_sig"])
+        .groupBy("fp_a", "fp_b")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    # recovered pairs take the exact full-width count (it subsumes any
+    # surviving-bucket count); pairs only seen at level 1 keep theirs
+    return (
+        l1.join(esc_counted, ["fp_a", "fp_b"], "full_outer")
+        .select(
+            "fp_a",
+            "fp_b",
+            F.coalesce(F.col("n_exact"), F.col("n_shared_bands")).alias(
+                "n_shared_bands"
+            ),
+        )
     )
 
 

@@ -1628,10 +1628,12 @@ def q195_band_population_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact floods never appear here (they are one fingerprint by
     construction); what this catches is the NEAR-identical flood — a
     template family whose members tie on some band — where a growing
-    max_bucket_fps / pair_budget says "raise the band width (rows per
-    band) before candidate generation goes quadratic". Production runs
-    this gate before the self-join; the pre-collapse plus this audit are
-    the two halves of the flood defense.
+    max_bucket_fps / pair_budget says band-width pressure is building.
+    Candidate generation no longer needs a human for the first response:
+    over-BUCKET_CAP buckets escalate automatically to fused double-width
+    bands (operators/dedup.py fp_candidate_pairs), and only level-2
+    residuals are withheld; this audit plus the residual census are the
+    monitoring halves of that flood defense.
 
     Scale posture: one aggregation of the (cached) fingerprint band table
     keyed by (band_idx, band_sig) — digest-keyed, map-side combined —
@@ -1826,7 +1828,8 @@ def q203_dedup_weighted_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Candidate (bands x rows) splits of the 8-hash MinHash signature. The
 # S-curve P(candidate | jaccard=j) = 1 - (1 - j^r)^b steepens around
 # (1/b)^(1/r); more rows per band -> fewer, higher-precision candidates —
-# exactly the escalation the BUCKET_CAP dropped-bucket report recommends.
+# exactly the move the automated BUCKET_CAP escalation applies to over-cap
+# buckets (operators/dedup.py fp_candidate_pairs: 4x2 -> 2x4 fused bands).
 _PLANNER_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
 
 
@@ -1873,9 +1876,10 @@ def q211_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard of the observed candidate pairs and report, per config, the
     S-curve midpoint, expected candidate volume, expected true-pair
     capture, and the implied recall/precision trade. This is the decision
-    table behind the BUCKET_CAP escalation path ("raise the band width"):
-    when the dropped-bucket report fires, this query says what moving from
-    (4 x 2) to (2 x 4) actually costs in recall and buys in volume.
+    table behind the BUCKET_CAP escalation ladder ("raise the band width"),
+    which fp_candidate_pairs now applies AUTOMATICALLY to over-cap buckets
+    (4 x 2 -> fused 2 x 4); this query quantifies what that move costs in
+    recall and buys in volume, and what a further corpus-wide move would.
 
     Honesty bound: the pair universe is the CURRENT config's candidate
     set — pairs invisible to 4 x 2 banding cannot be measured without an

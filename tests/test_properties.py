@@ -653,7 +653,7 @@ def test_near_clone_flood_bounded_by_bucket_cap(spark):
     dropped = {(r["band_idx"], r["band_sig"]): r["n_fps"] for r in report.collect()}
     assert dropped and max(dropped.values()) > CAP
 
-    # capped pair output <= the surviving buckets' own pair budget
+    # level-1 pair output <= the surviving buckets' own pair budget
     census = (
         fpb.filter(F.col("band_sig").isNotNull())
         .groupBy("band_idx", "band_sig")
@@ -661,9 +661,17 @@ def test_near_clone_flood_bounded_by_bucket_cap(spark):
         .collect()
     )
     budget = sum(r["n"] * (r["n"] - 1) // 2 for r in census if r["n"] <= CAP)
-    capped = D.fp_candidate_pairs(fpb, bucket_cap=CAP)
+    capped = D.fp_candidate_pairs(fpb, bucket_cap=CAP, escalate=False)
     n_capped = capped.count()
     assert n_capped <= budget < K * (K - 1) // 2
+
+    # a fully-agreeing flood cannot split at double band width either: the
+    # escalated pass withholds it too (residual census non-empty) and the
+    # escalated output stays inside the same budget plus the residual-free
+    # fused buckets' own pair budget — never C(K, 2)
+    assert D.residual_overpopulated_buckets(fpb, CAP).count() > 0
+    n_escalated = D.fp_candidate_pairs(fpb, bucket_cap=CAP).count()
+    assert n_escalated < K * (K - 1) // 2
 
     # default cap: report empty, pairs identical to the uncapped self-join
     assert D.overpopulated_buckets(fpb).count() == 0
@@ -681,6 +689,154 @@ def test_near_clone_flood_bounded_by_bucket_cap(spark):
     got = D.fp_candidate_pairs(fpb)
     assert got.exceptAll(naive).count() == 0
     assert naive.exceptAll(got).count() == 0
+
+
+# Magic shingles for the escalation-recovery fixture: token triples whose
+# 3-gram shingle hashes (md5(f"{seed}|{shingle}")) carry a "00" prefix under
+# exactly the named seeds — so a document containing the triple takes that
+# hash as its MinHash min for those seeds (all other shingles hash >= "4"
+# first-nibble with overwhelming probability, verified by the structural
+# asserts below). M0 wins seeds {0,1} (band 0); M1 wins seeds {2,3}
+# (band 1). Found by deterministic search; md5 is stable, so the fixture's
+# bucket structure is frozen forever.
+_M0 = "am727432 bm727432 cm727432"
+_M1 = "dm1239447 em1239447 fm1239447"
+
+
+def _escalation_fixture():
+    """24 docs, CAP=8: a 4-doc true near-dup family carrying BOTH magic
+    triples (agrees on bands 0 and 1), 10 noise docs carrying only M0
+    (flooding the family's band-0 bucket) and 10 carrying only M1
+    (flooding its band-1 bucket). Level 1 alone emits ZERO pairs — every
+    bucket the family occupies is over cap; the fused (double-width) pass
+    isolates the family into its own 4-member bucket."""
+    fill = lambda tag, i: " ".join(f"{tag}{i}f{j}" for j in range(8))
+    rows = [(100 + i, f"{_M0} {_M1} " + fill("fam", i)) for i in range(4)]
+    rows += [(200 + i, f"{_M0} " + fill("na", i)) for i in range(10)]
+    rows += [(300 + i, f"{_M1} " + fill("nb", i)) for i in range(10)]
+    return rows, 8
+
+
+def test_lsh_over_cap_escalation_recovers_trapped_family(spark):
+    """The two-level escalation ladder end-to-end over text: a true
+    near-dup family whose every level-1 bucket is flooded over the cap is
+    recovered — not just censused — by the double-rows-per-band pass, with
+    its exact shared-band count; the noise docs (which only ever agree on
+    one band) stay excluded; and the family pairs flow all the way through
+    ``lsh_candidate_pairs`` to doc-level output."""
+    rows, CAP = _escalation_fixture()
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    _members, reps = D.collapse_exact(df, "doc_id")
+    fpb = D.explode_bands(reps, "fp", id_type="string").cache()
+    try:
+        # structure: exactly two over-cap buckets (band 0 and band 1),
+        # each population 14 = family(4) + its noise flood(10)
+        report = {
+            r["band_idx"]: r["n_fps"]
+            for r in D.overpopulated_buckets(fpb, CAP).collect()
+        }
+        assert report == {0: 14, 1: 14}
+
+        # level 1 alone loses the family entirely
+        assert D.fp_candidate_pairs(fpb, CAP, escalate=False).count() == 0
+
+        # the escalated pass recovers exactly the family's C(4,2) pairs,
+        # each with its TRUE shared-band count (bands 0 and 1 agree)
+        fam_fps = {
+            r["fp"]: r["doc_id"]
+            for r in _members.filter(F.col("doc_id") < 200).collect()
+        }
+        got = D.fp_candidate_pairs(fpb, CAP).collect()
+        assert len(got) == 6
+        assert all(r["fp_a"] in fam_fps and r["fp_b"] in fam_fps for r in got)
+        assert all(r["n_shared_bands"] == 2 for r in got)
+
+        # nothing residual: the fused family bucket (4) is under the cap
+        assert D.residual_overpopulated_buckets(fpb, CAP).count() == 0
+    finally:
+        fpb.unpersist()
+
+    # at CAP=2 even the fused family bucket is over cap: pairs withheld,
+    # residual census reports it — the documented upstream-remedy signal
+    assert D.fp_candidate_pairs(fpb, 2).count() == 0
+    assert D.residual_overpopulated_buckets(fpb, 2).count() > 0
+
+
+def _py_two_level_pairs(bands_rows, cap):
+    """Independent pure-Python oracle of the two-level candidate algorithm
+    over a raw (fp, band_idx, band_sig) table: level-1 pairs from <=cap
+    buckets with surviving-bucket counts; over-cap fingerprints re-band at
+    fused (2i, 2i+1) keys; <=cap fused buckets emit pairs carrying their
+    exact full-width shared-band count, overriding any level-1 row."""
+    import itertools
+    from collections import defaultdict
+
+    buckets = defaultdict(set)
+    doc_bands = defaultdict(dict)
+    for fp, bi, sig in bands_rows:
+        if sig is None:
+            continue
+        buckets[(bi, sig)].add(fp)
+        doc_bands[fp][bi] = sig
+    l1 = defaultdict(int)
+    esc = set()
+    for (bi, sig), members in buckets.items():
+        if len(members) <= cap:
+            for a, b in itertools.combinations(sorted(members), 2):
+                l1[(a, b)] += 1
+        else:
+            esc |= members
+    fused = defaultdict(set)
+    for fp in esc:
+        bs = doc_bands[fp]
+        for b2 in range(max(bs) // 2 + 1):
+            if 2 * b2 in bs and 2 * b2 + 1 in bs:
+                fused[(b2, bs[2 * b2] + bs[2 * b2 + 1])].add(fp)
+    out = dict(l1)
+    for (_, _), members in fused.items():
+        if 1 < len(members) <= cap:
+            for a, b in itertools.combinations(sorted(members), 2):
+                exact = sum(
+                    1
+                    for bi, s in doc_bands[a].items()
+                    if doc_bands[b].get(bi) == s
+                )
+                out[(a, b)] = exact
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 25),  # fp index
+            st.integers(0, 3),  # band_idx
+            st.integers(0, 5),  # sig bucket id (small domain -> collisions)
+        ),
+        min_size=4,
+        max_size=120,
+    ),
+    st.integers(2, 6),
+)
+@settings(**_SETTINGS)
+def test_fp_candidate_pairs_two_level_matches_python(spark, rows, cap):
+    """Randomized band tables (small sig domain forces over-cap buckets,
+    partial band coverage, repeated rows) against the independent
+    pure-Python two-level oracle — exact pair-set AND count parity."""
+    # dedupe (fp, band_idx) to one sig each — a fingerprint has ONE digest
+    # per band by construction upstream
+    seen = {}
+    for fp, bi, sig in rows:
+        seen.setdefault((fp, bi), sig)
+    data = [
+        (f"fp{fp:02d}", bi, f"sig{bi}_{sig}") for (fp, bi), sig in seen.items()
+    ]
+    expected = _py_two_level_pairs(data, cap)
+    df = spark.createDataFrame(data, "fp string, band_idx int, band_sig string")
+    got = {
+        (r["fp_a"], r["fp_b"]): r["n_shared_bands"]
+        for r in D.fp_candidate_pairs(df, cap).collect()
+    }
+    assert got == expected
 
 
 def test_bloom_sizing_ceiling_raises():
