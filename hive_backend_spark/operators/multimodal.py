@@ -437,9 +437,16 @@ def audio_features(
             for b in pdf[blob_col]:
                 samples, rate, channels = _wav_samples(bytes(b))
                 s = samples.astype(np.int64)
+                # zcr must compare CONSECUTIVE samples of the SAME channel:
+                # WAV interleaves frames (L R L R ...), so de-interleave to
+                # (n_frames, channels) and count sign changes down each
+                # column, summed across channels. For mono this reduces to
+                # the adjacent-sample comparison exactly; without the
+                # reshape a stereo blob would compare L against R.
+                ch = s.reshape(-1, channels)
                 out["n_frames"].append(len(samples) // channels)
                 out["sample_rate"].append(rate)
-                out["zcr"].append(int(np.sum(s[:-1] * s[1:] < 0)))
+                out["zcr"].append(int(np.sum(ch[:-1, :] * ch[1:, :] < 0)))
                 out["dc_sum"].append(int(s.sum()))
                 out["energy"].append(int((s * s).sum()))
             yield pd.DataFrame(out)

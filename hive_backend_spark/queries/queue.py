@@ -940,7 +940,9 @@ def q266_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
           + (1-lambda)^(i+1)*mu
     — so both engines compute an identical window expression, no
     sequential state; (1-lambda)^(-i) stays bounded (0.8^-31 ~ 1e3) over
-    any retention window's day count. Exact limits with the
+    the retention window's day count, and a raise_error guard enforces
+    the 128-day precision horizon the closed form depends on. Exact
+    limits with the
     (1-(1-lambda)^(2(i+1))) start-up factor, not the asymptote (Hunter
     1986), so early days don't over-alarm.
 
@@ -967,7 +969,24 @@ def q266_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("x").alias("mu"), F.stddev_samp("x").alias("sigma")
     )
     lam, r = _EWMA_LAMBDA, 1.0 - _EWMA_LAMBDA
-    wsum = F.sum(F.col("x") * F.pow(F.lit(r), -F.col("i"))).over(
+    # The closed form weights term j by (1-lambda)^(-j), which grows
+    # geometrically: past ~128 days the earliest and latest terms differ
+    # by > 2^41 and the sum starts shedding mantissa bits silently (by
+    # ~160 days, all of them). The day frame is retention-bounded (~31
+    # rows), but nothing upstream enforces that — so enforce the
+    # precision horizon here: a day index past it raises at evaluation
+    # time instead of emitting a subtly wrong z. (The unconditionally
+    # stable alternative is the sequential aggregate() fold q283/q294
+    # use; this query keeps the closed form for oracle symmetry.)
+    i_safe = F.when(F.col("i") < F.lit(128), F.col("i")).otherwise(
+        F.raise_error(
+            F.lit(
+                "q266: day frame exceeds the 128-day EWMA closed-form "
+                "precision bound; switch to the sequential fold (q283)"
+            )
+        )
+    )
+    wsum = F.sum(F.col("x") * F.pow(F.lit(r), -i_safe)).over(
         Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
     )
     z = (

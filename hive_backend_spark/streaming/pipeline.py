@@ -1168,8 +1168,13 @@ def session_emitter_stream(
         cur = state.get if state.exists else None
         closed = []
         gap = pd.Timedelta(minutes=gap_min)
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        if len(batch):
+        # Spark currently never invokes the function with an empty
+        # iterator unless hasTimedOut, but that is an implementation
+        # detail, not a contract: guard it (pd.concat raises ValueError
+        # on zero frames) and keep existing state/timeout untouched.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
             batch = batch.sort_values(["ts", "event_id"])
             for ts in batch["ts"]:
                 if cur is None:
@@ -1181,7 +1186,10 @@ def session_emitter_stream(
                     cur = (cur[0], ts, cur[2] + 1)
         if cur is not None:
             state.update(cur)
-            state.setTimeoutTimestamp(int(cur[1].value // 1_000_000) + gap_ms)
+            # normalize: state-restored values arrive as datetime.datetime
+            # (no .value); fresh in-batch values are pandas Timestamps
+            last_ms = int(pd.Timestamp(cur[1]).value // 1_000_000)
+            state.setTimeoutTimestamp(last_ms + gap_ms)
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(closed),

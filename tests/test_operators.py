@@ -747,6 +747,20 @@ def test_audio_features_integer_exact(spark):
     assert row["dc_sum"] == int(x.sum()) == 300
     assert row["energy"] == int((x * x).sum())
 
+    # stereo: ZCR must compare consecutive samples of the SAME channel
+    # (de-interleaved), never L against R. L = [100, -100, 100] crosses
+    # twice; R = [50, 50, 50] never — but the raw interleaved stream
+    # [100, 50, -100, 50, 100, 50] sign-changes at every L|R boundary.
+    st = np.array([100, 50, -100, 50, 100, 50], dtype="<i2")
+    df2 = spark.createDataFrame(
+        [(2, bytearray(encode_wav(st, 8000, 2)))], "doc_id bigint, blob binary"
+    )
+    row2 = audio_features(df2).collect()[0]
+    assert row2["n_frames"] == 3
+    assert row2["zcr"] == 2  # L-channel crossings only
+    assert row2["dc_sum"] == int(st.astype(np.int64).sum())
+    assert row2["energy"] == int((st.astype(np.int64) ** 2).sum())
+
 
 def test_decimate_audio_roundtrip(spark):
     """decimate_audio: the decimated blob is REAL WAV (decodable), keeps
