@@ -273,6 +273,7 @@ HEADLINE = [
     "q310_sentence_stats",
     "q311_ship_sla_attainment",
     "q312_embedding_separability",
+    "q313_bpe_train_merges",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -1249,6 +1249,87 @@ def q159_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q313: iterated BPE merge training (the loop q159 is one round of) -------
+
+_BPE_TRAIN_ROUNDS = 3
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled 3-round BPE replay: the same word-frequency collapse, the
+    same ``" sym\\x1f"`` string encoding, and the same left-to-right
+    non-overlapping ``replace`` (= BPE leftmost-scan merge) as
+    operators/bpe — DuckDB's replace has identical scan semantics, so each
+    round's merge application is literally the same string operation in
+    both engines. Ties break (count desc, left, right) in both."""
+    blocks = ["""
+    wf0 AS (
+      SELECT regexp_replace(w, '(.)', ' \\1' || chr(31), 'g') AS enc,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE len(w) >= 1
+      GROUP BY w
+    )"""]
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        p = r - 1
+        blocks.append(f"""
+    p{r} AS (
+      SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(syms)),
+                 i -> struct_pack(a := syms[i], b := syms[i+1]))) AS pr
+        FROM (SELECT freq,
+                     str_split(substring(enc, 2, length(enc) - 2),
+                               chr(31) || ' ') AS syms
+              FROM wf{p})
+      )
+      GROUP BY pr.a, pr.b
+    ),
+    m{r} AS (SELECT a, b, cnt FROM p{r}
+             ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+    wf{r} AS (
+      SELECT freq,
+             replace(enc,
+                     ' ' || m{r}.a || chr(31) || ' ' || m{r}.b || chr(31),
+                     ' ' || m{r}.a || m{r}.b || chr(31)) AS enc
+      FROM wf{p}, m{r}
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, a AS left_sym, "
+        f"b AS right_sym, a || b AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )
+    return "WITH" + ",".join(blocks) + f"\n    {union}\n    ORDER BY merge_round"
+
+
+@register("q313_bpe_train_merges", oracle=_bpe_train_oracle())
+def q313_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE tokenizer training (Sennrich et al.): the actual
+    merge-learning loop that q159 computes one candidate table of —
+    {_BPE_TRAIN_ROUNDS} rounds of count-pairs -> argmax merge -> re-segment,
+    emitted as the training transcript (round, rule, fused symbol, count).
+
+    Determinism: exact integer pair counts; ties break (count desc, left,
+    right) identically in both engines; merge application is the SAME
+    left-to-right non-overlapping string replace in both (see
+    operators/bpe for why that equals the BPE leftmost-scan rule).
+
+    Scale posture: ONE corpus scan collapses to the word-frequency table
+    (map-side combined); every round after runs on that vocabulary-sized
+    frame — pair counting is a HashAggregate over symbol-alphabet^2 keys,
+    merge application a codegen'd replace, driver state the 1-row argmax
+    per round (the q155 k-means discipline), and the frame is
+    localCheckpoint'ed per round so lineage never re-runs earlier rounds.
+    Hypothesis-tested against a pure-Python BPE on random corpora
+    (tests/test_properties.py)."""
+    from ..operators.bpe import merges_frame, train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _wf = train_merges(docs, _BPE_TRAIN_ROUNDS)
+    return merges_frame(spark, merges).orderBy("merge_round")
+
+
 # --- q163: heavy hitters via mergeable Misra-Gries sketch --------------------
 
 _MG_CAPACITY = 256

@@ -839,6 +839,71 @@ def test_fp_candidate_pairs_two_level_matches_python(spark, rows, cap):
     assert got == expected
 
 
+def _py_bpe_train(texts: list[str], k: int):
+    """Independent pure-Python BPE trainer: word-frequency weighted pair
+    counts, argmax with (count desc, pair lexicographic) tie-break, and
+    the leftmost-scan merge rule (a merged position cannot chain into the
+    next) — the textbook Sennrich loop, no string-encoding tricks."""
+    from collections import Counter
+
+    wf: Counter = Counter()
+    for t in texts:
+        for w in t.strip(" ").split():
+            if w:
+                wf[w] += 1
+    syms = {w: tuple(w) for w in wf}
+    merges = []
+    for r in range(1, k + 1):
+        counts: Counter = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, a + b, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_bpe_train_merges_matches_pure_python(spark, texts):
+    """operators/bpe.train_merges vs the independent pure-Python trainer on
+    random tiny-alphabet corpora: identical merge SEQUENCE (rules, order,
+    and counts), including tie-breaks and the overlap rule ("aaa" merges
+    to [aa, a], never chains) and early stop when the pair table drains.
+    The tiny 'ab' alphabet maximizes ties and self-overlapping runs — the
+    adversarial cases for the string-replace merge encoding."""
+    from hive_backend_spark.operators.bpe import train_merges
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got, _wf = train_merges(df, 3)
+    assert got == _py_bpe_train(texts, 3)
+
+
 def test_bloom_sizing_ceiling_raises():
     """optimal_params must refuse a bitmap beyond the documented
     driver/executor ceiling and tell the caller to shard."""
