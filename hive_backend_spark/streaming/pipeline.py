@@ -965,6 +965,177 @@ def run_incremental_index(
     q.awaitTermination()
 
 
+# --- stream-side near-dup admission (streaming mirror of q105 + q173) --------
+
+NEARDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("fp", StringType()),        # md5(text) — exact identity
+        StructField("band_idx", IntegerType()),
+        StructField("band_sig", StringType()),  # NULL for gram-less texts
+        StructField("sbucket", StringType()),   # substr(band_sig,1,1) | '_'
+    ]
+)
+
+def _sbucket_col():
+    # built lazily: Column construction needs an active SparkContext
+    return F.coalesce(F.substring("band_sig", 1, 1), F.lit("_"))
+
+
+def read_neardup_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The standing admission index: one (fp, band_idx, band_sig) row per
+    admitted document per band, partitioned by band-signature hex prefix
+    ('_' parks the NULL-signature rows of gram-less texts, which still
+    serve as exact-fingerprint membership markers)."""
+    return VersionedStateTable(
+        spark, index_dir, NEARDUP_STATE_SCHEMA, "sbucket"
+    ).read_latest()
+
+
+def run_near_dup_admission(
+    spark: SparkSession,
+    source_dir: str,
+    decisions_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streamed documents are ADMITTED or HELD against a persisted LSH band
+    index — the streaming mirror of q105's exact-fingerprint admission
+    lifted to near-dups (q173's incremental-probe contract kept alive
+    across triggers): only the arriving batch pays the signature pass; the
+    standing corpus is probed by band digest, never re-signed.
+
+    Admission rule (equivalent to processing arrivals one at a time in
+    doc_id order — the sequential reference the parity test replays):
+      - exact duplicate of an indexed or earlier-ADMITTED doc -> held
+        ('exact': the q105 anti-join predicate);
+      - shares >= 1 LSH band with an indexed or earlier-ADMITTED doc ->
+        held ('near_dup': the q67/q173 candidate predicate);
+      - otherwise admitted, and its band rows join the index.
+    HELD documents do NOT enter the index, so a later arrival blocked only
+    by a held doc is admitted — exactly what one-at-a-time processing
+    does (held docs never existed, index-wise).
+
+    Per trigger: the batch's band table (delta-only signature pass,
+    mapInPandas) determines <= 17 touched signature buckets; ONLY those
+    partitions of the VersionedStateTable are read (the band probe is an
+    equi-join on band_sig, so non-matching prefixes cannot hit; an exact
+    duplicate's rows are co-located by construction — identical text =>
+    identical band digests), and only they are rewritten with the admitted
+    rows merged in. Driver state per trigger is the decision walk's input:
+    one row per batch doc plus the batch's self-collision edges — bounded
+    by the micro-batch (a crawl shard) and its internal near-dup edge
+    count, the irreducible input of the sequential rule; the corpus-side
+    index is never collected.
+
+    Restart idempotence is the state table's contract (replay reads each
+    bucket's newest version < N, rewrites exactly its own outputs;
+    decisions_dir overwrites its own batch_id partition dynamically) —
+    pinned by the crash-replay test, same rigor as the incremental index."""
+    from ..operators import dedup as D
+
+    def sink(docs: DataFrame, batch_id: int) -> None:
+        sess = docs.sparkSession
+        state = VersionedStateTable(
+            sess, index_dir, NEARDUP_STATE_SCHEMA, "sbucket"
+        )
+        base = docs.select("doc_id", "text", F.md5("text").alias("fp"))
+        bands = (
+            D.explode_bands(base.select("doc_id", "text"), "doc_id")
+            .join(base.select("doc_id", "fp"), "doc_id")
+            .withColumn("sbucket", _sbucket_col())
+        )
+        touched = {
+            r["sbucket"] for r in bands.select("sbucket").distinct().collect()
+        }  # <= 17 hex-prefix buckets — bounded by construction
+        if not touched:
+            state.prune(batch_id)
+            return
+        prior = state.read_latest(before_batch=batch_id).filter(
+            F.col("sbucket").isin(*touched)
+        )
+        # index probes: exact fingerprint membership and band collisions
+        exact_idx = {
+            r["doc_id"]
+            for r in base.join(
+                prior.select("fp").distinct(), "fp", "left_semi"
+            ).select("doc_id").collect()
+        }
+        nn = bands.filter(F.col("band_sig").isNotNull())
+        near_idx = {
+            r["doc_id"]
+            for r in nn.join(
+                prior.filter(F.col("band_sig").isNotNull()),
+                ["band_idx", "band_sig"],
+                "left_semi",
+            ).select("doc_id").distinct().collect()
+        }
+        # within-batch self edges (earlier admitted doc blocks later one)
+        a, b = base.alias("a"), base.alias("b")
+        e_exact = a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        na, nb = nn.alias("na"), nn.alias("nb")
+        e_near = (
+            na.join(
+                nb,
+                (F.col("na.band_idx") == F.col("nb.band_idx"))
+                & (F.col("na.band_sig") == F.col("nb.band_sig"))
+                & (F.col("na.doc_id") < F.col("nb.doc_id")),
+            )
+            .select(F.col("na.doc_id").alias("u"), F.col("nb.doc_id").alias("v"))
+            .distinct()
+        )
+        ex_edges = {(r["u"], r["v"]) for r in e_exact.collect()}
+        nr_edges = {(r["u"], r["v"]) for r in e_near.collect()}
+        fps = {
+            r["doc_id"]: r["fp"] for r in base.select("doc_id", "fp").collect()
+        }
+        # the sequential walk: doc_id order IS arrival order within a batch
+        admitted: set = set()
+        rows = []
+        for did in sorted(fps):
+            blockers_ex = did in exact_idx or any(
+                u in admitted for (u, v) in ex_edges if v == did
+            )
+            blockers_nr = did in near_idx or any(
+                u in admitted for (u, v) in nr_edges if v == did
+            )
+            if blockers_ex:
+                rows.append((did, fps[did], False, "exact"))
+            elif blockers_nr:
+                rows.append((did, fps[did], False, "near_dup"))
+            else:
+                admitted.add(did)
+                rows.append((did, fps[did], True, "admitted"))
+        decisions = sess.createDataFrame(
+            rows, "doc_id bigint, fp string, admitted boolean, reason string"
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            decisions.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(decisions_dir)
+        )
+        adm_ids = decisions.filter(F.col("admitted")).select("doc_id")
+        new_rows = bands.join(adm_ids, "doc_id", "left_semi").select(
+            "fp", "band_idx", "band_sig", "sbucket"
+        )
+        merged = prior.unionByName(new_rows)
+        state.overwrite_parts(merged, F.col("sbucket"), touched, batch_id)
+        state.prune(batch_id)
+
+    q = (
+        read_document_stream(spark, source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "admission"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_heavy_hitters(
     events: DataFrame, capacity: int = 16, shards: int = 8
 ) -> DataFrame:

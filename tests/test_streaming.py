@@ -1106,6 +1106,177 @@ def test_incremental_index_untouched_bucket_not_rewritten(spark, tmp_path):
             assert vers == ["state_version=0"], (tok, vers)  # never rewritten
 
 
+# --- stream-side near-dup admission -------------------------------------------
+
+# Magic shingles (see tests/test_properties.py): M0's 3-gram wins MinHash
+# seeds {0,1} (band 0), M1's wins seeds {2,3} (band 1) — deterministic md5
+# structure used to build a held-doc-does-not-block chain.
+_ADM_M0 = "am727432 bm727432 cm727432"
+_ADM_M1 = "dm1239447 em1239447 fm1239447"
+
+
+def _seq_admit(spark, batches):
+    """Independent sequential reference: process every document ONE AT A
+    TIME in (batch, doc_id) order against a growing admitted-only index —
+    exact fingerprint first (q105's predicate), then any shared non-null
+    LSH band (q67/q173's candidate predicate). Band signatures come from
+    the same explode_bands operator, so this tests the ADMISSION logic,
+    not the (property-tested) MinHash."""
+    import hashlib
+
+    import hive_backend_spark.operators.dedup as D
+
+    all_rows = [(r[0], r[1]) for rows in batches for r in rows]
+    df = spark.createDataFrame(all_rows, "doc_id bigint, text string")
+    bands = {}
+    for r in D.explode_bands(df, "doc_id").collect():
+        bands.setdefault(r["doc_id"], set())
+        if r["band_sig"] is not None:
+            bands[r["doc_id"]].add((r["band_idx"], r["band_sig"]))
+    idx_fps, idx_bands = set(), set()
+    decisions = {}
+    for rows in batches:
+        for did, text, *_ in sorted(rows):
+            fp = hashlib.md5(text.encode()).hexdigest()
+            if fp in idx_fps:
+                decisions[did] = (False, "exact")
+            elif bands[did] & idx_bands:
+                decisions[did] = (False, "near_dup")
+            else:
+                decisions[did] = (True, "admitted")
+                idx_fps.add(fp)
+                idx_bands |= bands[did]
+    return decisions
+
+
+def _admission_batches():
+    base1 = "the quick brown fox jumps over the lazy dog today and tomorrow"
+    base2 = "completely different content with many unique words present here now"
+    fresh = "another fully unrelated document about streaming state tables indeed"
+    fill = lambda tag: " ".join(f"{tag}f{j}" for j in range(8))
+    return [
+        # batch 0: three distinct docs + a gram-less one
+        [(1, base1), (2, base2), (3, "xy"), (4, f"{_ADM_M0} " + fill("a"))],
+        # batch 1: exact dup of 1, near-variant of 1, gram-less exact dup,
+        # a genuinely new doc, and the held-does-not-block chain:
+        # 15 carries M0 (collides with indexed 4 -> held) AND M1;
+        # 16 carries only M1 -> collides ONLY with held 15 -> admitted
+        [
+            (10, base1),
+            (11, base1.replace("tomorrow", "tonight")),
+            (12, "xy"),
+            (13, fresh),
+            (15, f"{_ADM_M0} {_ADM_M1} " + fill("b")),
+            (16, f"{_ADM_M1} " + fill("c")),
+        ],
+        # batch 2: within-batch exact pair (20 admits, 21 held) and a
+        # near-variant of batch-1's admitted doc 13
+        [
+            (20, "a brand new text about graph contraction rounds at scale"),
+            (21, "a brand new text about graph contraction rounds at scale"),
+            (22, fresh.replace("indeed", "truly")),
+        ],
+    ]
+
+
+def test_near_dup_admission_matches_sequential(spark, tmp_path):
+    """Stream/batch parity: admission decisions over N micro-batches equal
+    the one-document-at-a-time sequential reference (q105 exact semantics
+    + q173 band-collision semantics), including the held-does-not-block
+    rule, within-batch ordering, gram-less docs, and the final index
+    containing exactly the admitted docs' band rows."""
+    batches = _admission_batches()
+    src = tmp_path / "src"
+    src.mkdir()
+    for b, rows in enumerate(batches):
+        _mk_doc_batch(
+            spark, tmp_path, src, b, [(i, t, "en", "s0", len(t)) for i, t in rows]
+        )
+    dec_dir = str(tmp_path / "decisions")
+    idx_dir = str(tmp_path / "index")
+    S.run_near_dup_admission(
+        spark, src.as_posix(), dec_dir, idx_dir, str(tmp_path / "ckpt")
+    )
+    got = {
+        r["doc_id"]: (r["admitted"], r["reason"])
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+    want = _seq_admit(spark, batches)
+    assert got == want
+
+    # the fixture exercises every decision class
+    assert got[10] == (False, "exact")  # cross-batch exact (q105)
+    assert got[12] == (False, "exact")  # gram-less exact dup
+    assert got[11] == (False, "near_dup")  # cross-batch near-dup
+    assert got[21] == (False, "exact")  # within-batch exact
+    assert got[22] == (False, "near_dup")  # near-dup of a later admission
+    assert got[15] == (False, "near_dup")  # magic-M0 collision with doc 4
+    assert got[16] == (True, "admitted")  # blocked ONLY by held 15 -> in
+
+    # index state == admitted docs' band rows, nothing of the held ones
+    import hive_backend_spark.operators.dedup as D
+
+    adm = sorted(d for d, (a, _) in want.items() if a)
+    all_docs = spark.createDataFrame(
+        [(i, t) for rows in batches for i, t in rows], "doc_id bigint, text string"
+    )
+    want_rows = {
+        (r["fp"], r["band_idx"], r["band_sig"])
+        for r in D.explode_bands(
+            all_docs.filter(F.col("doc_id").isin(adm)), "doc_id"
+        )
+        .join(
+            all_docs.select("doc_id", F.md5("text").alias("fp")), "doc_id"
+        )
+        .select("fp", "band_idx", "band_sig")
+        .collect()
+    }
+    got_rows = {
+        (r["fp"], r["band_idx"], r["band_sig"])
+        for r in S.read_neardup_index(spark, idx_dir).collect()
+    }
+    assert got_rows == want_rows
+
+
+def test_near_dup_admission_replay_after_crash_is_idempotent(spark, tmp_path):
+    """Crash between state write and checkpoint commit: the replayed batch
+    re-reads each touched bucket's newest version < N and deterministically
+    rewrites its own decisions partition and state versions — decisions
+    and index are unchanged after the replay."""
+    batches = _admission_batches()
+    src = tmp_path / "src"
+    src.mkdir()
+    for b, rows in enumerate(batches):
+        _mk_doc_batch(
+            spark, tmp_path, src, b, [(i, t, "en", "s0", len(t)) for i, t in rows]
+        )
+    dec_dir = str(tmp_path / "decisions")
+    idx_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    S.run_near_dup_admission(spark, src.as_posix(), dec_dir, idx_dir, ckpt)
+    before_dec = sorted(
+        tuple(r) for r in spark.read.parquet(dec_dir).collect()
+    )
+    before_idx = sorted(
+        tuple(r) for r in S.read_neardup_index(spark, idx_dir).collect()
+    )
+
+    commits = os.path.join(ckpt, "admission", "commits")
+    last = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    S.run_near_dup_admission(spark, src.as_posix(), dec_dir, idx_dir, ckpt)
+    after_dec = sorted(tuple(r) for r in spark.read.parquet(dec_dir).collect())
+    after_idx = sorted(
+        tuple(r) for r in S.read_neardup_index(spark, idx_dir).collect()
+    )
+    assert after_dec == before_dec
+    assert after_idx == before_idx
+
+
 def test_streaming_heavy_hitters_mg_guarantees(spark, stream_src):
     """The streaming Misra-Gries summary, after draining all micro-batches,
     must satisfy the MG contract per shard against the exact batch counts:
