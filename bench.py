@@ -274,6 +274,7 @@ HEADLINE = [
     "q311_ship_sla_attainment",
     "q312_embedding_separability",
     "q313_bpe_train_merges",
+    "q314_rounding_margin_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -877,3 +877,133 @@ def q311_ship_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- q314: rounding-margin audit (the determinism rule made checkable) --------
+
+# The oracle comparison rounds float aggregates in both engines; the sweep
+# test (tests/test_oracle_parity.py::test_rounded_value_margins_clear_of_
+# boundaries) proves most compared values sit far from a rounding decision
+# boundary. Two classes sit ON it by construction and are exempted there:
+# decimal-grid sums (4-decimal money rounded at 2 decimals — q41/q48) and
+# closed-form rational scores (q62's quality grid). Their safety premise is
+# BIT-EQUALITY of the pre-round double across engines, not margin — and this
+# query converts that premise into a per-round checked fact: it emits the
+# measured boundary margins themselves, so if either engine's summation ever
+# drifts by one ulp, the margin columns (and sub-ulp censuses) hash-mismatch
+# and the driver flags it. The q241 emit-the-measured-error discipline
+# applied to rounding.
+
+
+@register(
+    "q314_rounding_margin_audit",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST('q41_revenue_grid' AS VARCHAR) AS audit_class,
+             sum(l_extendedprice * (1 - l_discount)) * 100.0 AS y
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    qual AS (
+      SELECT CAST('q62_quality_grid' AS VARCHAR) AS audit_class,
+             (CASE WHEN len(toks) / 100.0 < 1.0 THEN len(toks) / 100.0 ELSE 1.0 END * 0.5
+              + CASE WHEN len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and')))
+                          / CAST(len(toks) AS DOUBLE) * 5.0 < 1.0
+                     THEN len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and')))
+                          / CAST(len(toks) AS DOUBLE) * 5.0
+                     ELSE 1.0 END * 0.5) * 10000.0 AS y
+      FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+    ),
+    ys AS (SELECT * FROM rev UNION ALL SELECT * FROM qual),
+    m AS (
+      SELECT audit_class, y,
+             abs(y - floor(y) - 0.5)
+               / (CASE WHEN abs(y) > 1.0 THEN abs(y) ELSE 1.0 END
+                  * CAST(power(2.0, -52.0) AS DOUBLE)) AS margin_ulps
+      FROM ys
+    )
+    SELECT audit_class,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(CASE WHEN margin_ulps = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_half,
+           CAST(sum(CASE WHEN margin_ulps > 0.0 AND margin_ulps < 1.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sub_ulp,
+           CAST(sum(CASE WHEN margin_ulps >= 1.0 AND margin_ulps < 16.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_16_ulps,
+           round(min(CASE WHEN margin_ulps > 0.0 THEN margin_ulps END), 4)
+             AS min_nonzero_margin_ulps
+    FROM m GROUP BY audit_class ORDER BY audit_class
+    """,
+)
+def q314_rounding_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured distance-to-rounding-boundary for the two compared-value
+    classes whose true values sit ON the boundary by construction: per-order
+    revenue sums (4-decimal money rounded at 2 decimals, y = sum*100) and
+    the q62 quality grid (rational score rounded at 4 decimals, y = q*1e4).
+    Emits, per class, the exact-half census, the sub-ulp census (values a
+    1-ulp engine drift could flip), the 16-ulp neighborhood, and the
+    smallest nonzero margin in ulps of y. The VALUE of this query is the
+    comparison itself: both engines must produce bit-identical y for the
+    margins to hash-match, so a summation-order or expression-form drift in
+    either engine fails THIS query loudly instead of silently flipping a
+    rounded output elsewhere.
+
+    Scale posture: two map-side-combined HashAggregates (per-order sums,
+    per-doc scores) reduced to 2 output rows; margin arithmetic is pure
+    column math on the aggregate. Nothing is collected."""
+    from .text import STOPWORDS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0)
+            .alias("y")
+        )
+        .select(F.lit("q41_revenue_grid").alias("audit_class"), "y")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens.cast(
+        "double"
+    )
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.5
+    )
+    qual = docs.select(
+        F.lit("q62_quality_grid").alias("audit_class"),
+        (quality * 10000.0).alias("y"),
+    )
+    ys = rev.unionByName(qual)
+    margin = F.abs(F.col("y") - F.floor("y") - 0.5) / (
+        F.greatest(F.abs("y"), F.lit(1.0)) * F.lit(2.0**-52)
+    )
+    m = ys.select("audit_class", margin.alias("margin_ulps"))
+    return (
+        m.groupBy("audit_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.sum((F.col("margin_ulps") == 0.0).cast("int"))
+            .cast("bigint")
+            .alias("n_exact_half"),
+            F.sum(
+                ((F.col("margin_ulps") > 0.0) & (F.col("margin_ulps") < 1.0)).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_sub_ulp"),
+            F.sum(
+                (
+                    (F.col("margin_ulps") >= 1.0) & (F.col("margin_ulps") < 16.0)
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_within_16_ulps"),
+            F.round(
+                F.min(F.when(F.col("margin_ulps") > 0.0, F.col("margin_ulps"))), 4
+            ).alias("min_nonzero_margin_ulps"),
+        )
+        .orderBy("audit_class")
+    )
