@@ -47,6 +47,47 @@ def read_schemas(df: DataFrame) -> list[str]:
     return _READSCHEMA_RE.findall(formatted_plan(df))
 
 
+def oracle_unpartitioned_window_specs(sql: str) -> list[str]:
+    """Every window spec in an ORACLE SQL text with no PARTITION BY —
+    inline ``OVER (...)`` forms and named ``WINDOW w AS (...)`` clauses
+    referenced via ``OVER w``. The DuckDB oracle runs at toy scale, so a
+    flat window there is legal; this scanner exists so each one is an
+    ASSERTED intentional divergence (either mirroring a Spark-side
+    bounded window from UNPARTITIONED_WINDOW_ALLOWLIST, or listed in
+    ORACLE_ONLY_GLOBAL_WINDOWS with the Spark-side alternative named),
+    never an unexamined default."""
+    import re
+
+    spec = re.compile(r"over\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)", re.I | re.S)
+    named = re.compile(
+        r"window\s+(\w+)\s+as\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)", re.I | re.S
+    )
+    specs = [m.group(1) for m in spec.finditer(sql)]
+    defs = {m.group(1): m.group(2) for m in named.finditer(sql)}
+    for m in re.finditer(r"over\s+(\w+)", sql, re.I):
+        if m.group(1) in defs:
+            specs.append(defs[m.group(1)])
+    return [
+        re.sub(r"\s+", " ", s.strip())
+        for s in specs
+        if s.strip() and "partition by" not in s.lower()
+    ]
+
+
+# Oracle texts allowed a flat window WITHOUT a matching Spark-side
+# UNPARTITIONED_WINDOW_ALLOWLIST entry: the Spark implementation avoids the
+# window entirely, so the divergence is the point — recorded here per query.
+# tests/test_plans.py::test_oracle_global_windows_are_intentional enforces
+# that every flat oracle window is covered by one of the two lists and that
+# no entry here is stale.
+ORACLE_ONLY_GLOBAL_WINDOWS: dict[str, str] = {
+    "q155_kmeans_train":
+        "oracle ranks the k init seeds with a flat row_number over a "
+        "k-row LIMIT; the Spark side collects the k seeds driver-side "
+        "(bounded model state), so its plan has no window at all",
+}
+
+
 def unpartitioned_window_specs(df: DataFrame) -> list[str]:
     """Every ``windowspecdefinition(...)`` in the EXECUTED plan whose
     partition spec is empty — the single-task funnel shape (Exchange

@@ -465,6 +465,34 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     assert not offenders, f"scale-hostile operators in plans: {offenders}"
 
 
+def test_oracle_global_windows_are_intentional():
+    """Every flat (no PARTITION BY) window in an ORACLE SQL text must be an
+    asserted divergence: either the query carries a Spark-side
+    UNPARTITIONED_WINDOW_ALLOWLIST entry (the oracle mirrors the same
+    bounded-frame window) or it appears in ORACLE_ONLY_GLOBAL_WINDOWS with
+    the Spark-side alternative named (e.g. q155's driver-side seed
+    collection). Also fails on stale ORACLE_ONLY entries whose oracle no
+    longer contains a flat window — the two lists stay exact."""
+    from hive_backend_spark.registry import all_queries
+
+    flagged = {
+        name
+        for name, spec in all_queries().items()
+        if spec.oracle and P.oracle_unpartitioned_window_specs(spec.oracle)
+    }
+    allowed = set(P.UNPARTITIONED_WINDOW_ALLOWLIST) | set(
+        P.ORACLE_ONLY_GLOBAL_WINDOWS
+    )
+    uncovered = flagged - allowed
+    assert not uncovered, (
+        "oracle SQL uses a flat window with no recorded intent "
+        f"(add to ORACLE_ONLY_GLOBAL_WINDOWS with the Spark-side "
+        f"alternative, or decompose): {sorted(uncovered)}"
+    )
+    stale = set(P.ORACLE_ONLY_GLOBAL_WINDOWS) - flagged
+    assert not stale, f"stale ORACLE_ONLY_GLOBAL_WINDOWS entries: {sorted(stale)}"
+
+
 def test_unpartitioned_windows_are_bounded(spark, sf_dir):
     """The unpartitioned-window invariant (plans.UNPARTITIONED_WINDOW_
     ALLOWLIST): a window with no partition columns funnels its whole input
