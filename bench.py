@@ -275,6 +275,9 @@ HEADLINE = [
     "q312_embedding_separability",
     "q313_bpe_train_merges",
     "q314_rounding_margin_audit",
+    "q315_bpe_segmentation",
+    "q316_heaps_law_fit",
+    "q317_t_closeness_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -166,6 +166,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q141_zipf_slope":
         "top-30 zipf head, pre-limited by TakeOrderedAndProject before the "
         "rank window",
+    "q316_heaps_law_fit":
+        "10-row decile frame: cumulative token/vocab prefix sums over the "
+        "fixed decile dimension (q225 growth-curve discipline)",
     "q144_curriculum_stages":
         "<= 10001-row per-score population table: the rounded quality "
         "score's codomain (running count, two-level rank level 2)",
@@ -314,6 +317,10 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
         "rank-bounded: per-term row_number <= 20 applied BEFORE the collect "
         "(q109 posting head — hot-term lists never materialize)",
     ("queries/corpus.py",
+     'F.array_sort(F.collect_list(F.struct("decile", "x", "y"))).alias("a"),'):
+        "codomain-bounded: exactly 10 decile points folded into the 1-row "
+        "Heaps regression frame (q316, the q141 ordered-fold discipline)",
+    ("queries/corpus.py",
      'F.map_from_entries(F.collect_list(F.struct("term", "c"))).alias("vmap"),'):
         "Heaps-bounded: unigram vocabulary V ~ K*N^0.5 — O(1.5e8) terms / a "
         "few GB at 100 TB, the documented ceiling of q114's map design; the "
@@ -419,6 +426,15 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/relational.py", "qi.crossJoin(F.broadcast(ks))"):
         "3-row k-threshold frame over the QI-group table (q260 "
         "k-anonymity)",
+    ("queries/relational.py", 'gd.join(F.broadcast(glob), "d")'):
+        "10-row global sensitive-digit census joined to the (QI, digit) "
+        "count table (q317 t-closeness)",
+    ("queries/relational.py", ".crossJoin(F.broadcast(tot))"):
+        "1-row corpus-total scalar attached to the QI-group frame "
+        "(q317 t-closeness common denominator)",
+    ("queries/relational.py", "tv.crossJoin(F.broadcast(th))"):
+        "3-row t-threshold frame over the |QI groups|-row distance table "
+        "(q317 t-closeness, the q260 shape)",
     ("queries/corpus.py", "q = dims.crossJoin(F.broadcast(bounds)).select("):
         "1-row global min/max bounds scalar for 4-bit quantization "
         "(q259 z-order, the q255 pattern)",

@@ -1254,13 +1254,15 @@ def q159_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_ROUNDS = 3
 
 
-def _bpe_train_oracle() -> str:
-    """Unrolled 3-round BPE replay: the same word-frequency collapse, the
-    same ``" sym\\x1f"`` string encoding, and the same left-to-right
-    non-overlapping ``replace`` (= BPE leftmost-scan merge) as
-    operators/bpe — DuckDB's replace has identical scan semantics, so each
-    round's merge application is literally the same string operation in
-    both engines. Ties break (count desc, left, right) in both."""
+def _bpe_round_ctes() -> list[str]:
+    """The shared unrolled-3-round BPE CTE blocks (wf0, p1/m1/wf1 ... m3):
+    the same word-frequency collapse, the same ``" sym\\x1f"`` string
+    encoding, and the same left-to-right non-overlapping ``replace``
+    (= BPE leftmost-scan merge) as operators/bpe — DuckDB's replace has
+    identical scan semantics, so each round's merge application is
+    literally the same string operation in both engines. Ties break
+    (count desc, left, right) in both. Reused by q313 (the training
+    transcript) and q315 (corpus segmentation under the learned rules)."""
     blocks = ["""
     wf0 AS (
       SELECT regexp_replace(w, '(.)', ' \\1' || chr(31), 'g') AS enc,
@@ -1295,12 +1297,18 @@ def _bpe_train_oracle() -> str:
                      ' ' || m{r}.a || m{r}.b || chr(31)) AS enc
       FROM wf{p}, m{r}
     )""")
+    return blocks
+
+
+def _bpe_train_oracle() -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_round, a AS left_sym, "
         f"b AS right_sym, a || b AS merged, cnt AS pair_count FROM m{r}"
         for r in range(1, _BPE_TRAIN_ROUNDS + 1)
     )
-    return "WITH" + ",".join(blocks) + f"\n    {union}\n    ORDER BY merge_round"
+    return (
+        "WITH" + ",".join(_bpe_round_ctes()) + f"\n    {union}\n    ORDER BY merge_round"
+    )
 
 
 @register("q313_bpe_train_merges", oracle=_bpe_train_oracle())
@@ -1328,6 +1336,261 @@ def q313_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges, _wf = train_merges(docs, _BPE_TRAIN_ROUNDS)
     return merges_frame(spark, merges).orderBy("merge_round")
+
+
+# --- q315: corpus segmentation under the learned BPE rules --------------------
+
+
+def _bpe_segmentation_oracle() -> str:
+    """q313's unrolled training CTEs, then the 3 learned rules applied
+    SEQUENTIALLY (nested non-overlapping replace — merge order is part of
+    BPE semantics) to a per-(lang, word) frequency table, aggregated to
+    per-language fertility and compression."""
+    rep = "enc"
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        rep = (
+            f"replace({rep}, ' ' || m{r}.a || chr(31) || ' ' || m{r}.b || chr(31),"
+            f" ' ' || m{r}.a || m{r}.b || chr(31))"
+        )
+    froms = ", ".join(f"m{r}" for r in range(1, _BPE_TRAIN_ROUNDS + 1))
+    nsym = "(length(enc2) - length(replace(enc2, chr(31), '')))"
+    return (
+        "WITH"
+        + ",".join(_bpe_round_ctes())
+        + f""",
+    wl AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS freq,
+             regexp_replace(w, '(.)', ' \\1' || chr(31), 'g') AS enc
+      FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE len(w) >= 1
+      GROUP BY lang, w
+    ),
+    seg AS (SELECT lang, w, freq, {rep} AS enc2 FROM wl, {froms})
+    SELECT lang,
+           CAST(sum(freq) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(freq * length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(freq * {nsym}) AS BIGINT) AS n_symbols,
+           round(sum(freq * {nsym}) / CAST(sum(freq) AS DOUBLE), 4)
+             AS symbols_per_word,
+           round(sum(freq * {nsym}) / CAST(sum(freq * length(w)) AS DOUBLE), 4)
+             AS compression
+    FROM seg GROUP BY lang ORDER BY lang
+    """
+    )
+
+
+@register("q315_bpe_segmentation", oracle=_bpe_segmentation_oracle())
+def q315_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus segmentation under the rules q313 learns: the 3 trained
+    merges are applied in learned order to every (language, word) with its
+    frequency, and the per-language report gives the tokenizer-designer's
+    acceptance numbers — symbols per word (fertility, the q138 metric but
+    for the TRAINED tokenizer instead of an assumed one) and the
+    symbol-per-character compression the merge table buys. The fertility
+    gap across languages is the classic signal that a tokenizer trained on
+    a mixed corpus taxes the minority language.
+
+    Determinism: the merge rules are q313's (oracle-proven identical);
+    application is the same sequential non-overlapping replace in both
+    engines; counts are exact integers, ratios exact-ratio rounding.
+
+    Scale posture: training reuses the q313 loop (one corpus pass +
+    vocab-frame rounds, 1-row driver state per round); segmentation is a
+    second corpus-collapse to the (lang, word) frequency table (map-side
+    combined) followed by 3 codegen'd replaces and a |langs|-row
+    aggregate. The corpus text is scanned twice total, never shuffled."""
+    from ..operators.bpe import SEP, apply_merge, train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _wf = train_merges(docs, _BPE_TRAIN_ROUNDS)
+    words = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    wl = words.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    ).withColumn("enc", F.regexp_replace("w", "(.)", " $1" + SEP))
+    for _r, a, b, _m, _c in merges:
+        wl = apply_merge(wl, a, b)
+    nsym = (
+        F.length("enc") - F.length(F.replace(F.col("enc"), F.lit(SEP), F.lit("")))
+    ).cast("bigint")
+    seg = wl.select("lang", "freq", F.length("w").cast("bigint").alias("n_chars"), nsym.alias("n_syms"))
+    return (
+        seg.groupBy("lang")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.col("freq") * F.col("n_chars")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("freq") * F.col("n_syms")).cast("bigint").alias("n_symbols"),
+            F.round(
+                F.sum(F.col("freq") * F.col("n_syms"))
+                / F.sum("freq").cast("double"),
+                4,
+            ).alias("symbols_per_word"),
+            F.round(
+                F.sum(F.col("freq") * F.col("n_syms"))
+                / F.sum(F.col("freq") * F.col("n_chars")).cast("double"),
+                4,
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- q316: Heaps' law vocabulary-growth fit -----------------------------------
+
+
+@register(
+    "q316_heaps_law_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) * 10 // 256 AS decile,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    per_tok AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY decile
+    ),
+    firsts AS (SELECT term, min(decile) AS d0 FROM tok GROUP BY term),
+    per_new AS (
+      SELECT d0 AS decile, CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY d0
+    ),
+    curve AS (
+      SELECT p.decile,
+             SUM(p.n_tok) OVER w AS cum_tokens,
+             SUM(COALESCE(n.n_new, 0)) OVER w AS cum_vocab
+      FROM per_tok p LEFT JOIN per_new n ON p.decile = n.decile
+      WINDOW w AS (ORDER BY p.decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    arr AS (
+      SELECT list(struct_pack(d := decile,
+                              x := ln(CAST(cum_tokens AS DOUBLE)),
+                              y := ln(CAST(cum_vocab AS DOUBLE))) ORDER BY decile)
+               AS a,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
+             CAST(max(cum_vocab) AS BIGINT) AS vocab
+      FROM curve
+    ),
+    s AS (
+      SELECT k, total_tokens, vocab,
+             list_aggregate(list_transform(a, s -> s.x), 'sum') AS sx,
+             list_aggregate(list_transform(a, s -> s.y), 'sum') AS sy,
+             list_aggregate(list_transform(a, s -> s.x * s.y), 'sum') AS sxy,
+             list_aggregate(list_transform(a, s -> s.x * s.x), 'sum') AS sxx,
+             list_aggregate(list_transform(a, s -> s.y * s.y), 'sum') AS syy
+      FROM arr
+    )
+    SELECT CAST(k AS BIGINT) AS n_points, total_tokens, vocab,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS heaps_beta,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4)
+             AS heaps_log_k,
+           round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+)
+def q316_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(n) ~ K * n^beta, estimated by
+    least squares of ln(cumulative vocabulary) on ln(cumulative tokens)
+    over the 10 hash-order deciles (the q225 growth-prefix trick applied
+    to VOCABULARY instead of duplicates — one pass resolves all 10
+    prefixes). beta is the capacity-planning exponent for every
+    vocabulary-sized structure in the pipeline (tokenizer tables, term
+    indexes, embedding rows): natural corpora sit at beta ~ 0.4-0.6;
+    beta drifting up means vocabulary churn (noise, boilerplate IDs),
+    down means template collapse. Complements q141 (Zipf head slope —
+    frequency structure) and q182 (coverage curve — head mass): this is
+    the GROWTH law the other two don't measure.
+
+    Determinism: cumulative counts are exact integers; the regression
+    sums are sequential folds over ONE decile-ordered 10-element array
+    (F.aggregate / list_aggregate — the q141 discipline), so both engines
+    accumulate identically and the rounded fit hash-matches.
+
+    Scale posture: one corpus-sized (term, decile) aggregate (map-side
+    combined, vocabulary-bounded output) feeds both the token census and
+    the first-seen census; everything after runs on the 10-row decile
+    frame (bounded window, allowlisted) and a 10-element fold. The corpus
+    is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    decile = (
+        F.floor(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+            ).cast("bigint")
+            * 10
+            / 256
+        )
+        .cast("bigint")
+        .alias("decile")
+    )
+    tok = docs.select(
+        decile, F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    # one corpus-sized aggregate; both censuses read its (term, decile) rows
+    td = tok.groupBy("term", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_tok = td.groupBy("decile").agg(F.sum("n").cast("bigint").alias("n_tok"))
+    per_new = (
+        td.groupBy("term")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_tok.join(per_new, "decile", "left")
+        .select(
+            "decile",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    pts = curve.select(
+        "decile",
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+        "cum_tokens",
+        "cum_vocab",
+    )
+    folded = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("cum_tokens").cast("bigint").alias("total_tokens"),
+        F.max("cum_vocab").cast("bigint").alias("vocab"),
+        F.array_sort(F.collect_list(F.struct("decile", "x", "y"))).alias("a"),
+    ).select(
+        "k",
+        "total_tokens",
+        "vocab",
+        F.expr("aggregate(a, 0D, (acc, s) -> acc + s.x)").alias("sx"),
+        F.expr("aggregate(a, 0D, (acc, s) -> acc + s.y)").alias("sy"),
+        F.expr("aggregate(a, 0D, (acc, s) -> acc + s.x * s.y)").alias("sxy"),
+        F.expr("aggregate(a, 0D, (acc, s) -> acc + s.x * s.x)").alias("sxx"),
+        F.expr("aggregate(a, 0D, (acc, s) -> acc + s.y * s.y)").alias("syy"),
+    )
+    kk, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    beta = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    return folded.select(
+        F.col("k").alias("n_points"),
+        "total_tokens",
+        "vocab",
+        F.round(beta, 4).alias("heaps_beta"),
+        F.round((sy - beta * sx) / kk, 4).alias("heaps_log_k"),
+        F.round(
+            (kk * sxy - sx * sy)
+            * (kk * sxy - sx * sy)
+            / ((kk * sxx - sx * sx) * (kk * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    )
 
 
 # --- q163: heavy hitters via mergeable Misra-Gries sketch --------------------

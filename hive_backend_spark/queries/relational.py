@@ -2289,6 +2289,129 @@ def q260_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q317_t_closeness_audit",
+    oracle="""
+    WITH s AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(floor(c_acctbal / 100) AS BIGINT) % 10 AS d
+      FROM customer
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+    gcd AS (SELECT d, CAST(count(*) AS BIGINT) AS cd FROM s GROUP BY d),
+    gd AS (
+      SELECT nk, seg, bal_band, d, CAST(count(*) AS BIGINT) AS c
+      FROM s GROUP BY 1, 2, 3, 4
+    ),
+    gn AS (
+      SELECT nk, seg, bal_band, CAST(sum(c) AS BIGINT) AS n_g
+      FROM gd GROUP BY 1, 2, 3
+    ),
+    tv AS (
+      SELECT gd.nk, gd.seg, gd.bal_band, gn.n_g, tot.n,
+             CAST(sum(abs(gd.c * tot.n - gcd.cd * gn.n_g)) AS BIGINT)
+               + (tot.n - CAST(sum(gcd.cd) AS BIGINT)) * gn.n_g AS t_num
+      FROM gd JOIN gn USING (nk, seg, bal_band) JOIN gcd USING (d), tot
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    th AS (SELECT unnest([CAST(0.20 AS DOUBLE), CAST(0.35 AS DOUBLE),
+                          CAST(0.50 AS DOUBLE)]) AS t0)
+    SELECT t0 AS t_threshold,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (WHERE t_num / (2.0 * n * n_g) > t0) AS BIGINT)
+             AS groups_over_t,
+           CAST(coalesce(sum(n_g) FILTER (WHERE t_num / (2.0 * n * n_g) > t0), 0)
+                AS BIGINT) AS rows_over_t,
+           round(max(t_num / (2.0 * n * n_g)), 6) AS max_t,
+           round(sum(t_num) / (2.0 * max(n) * max(n)), 6) AS weighted_mean_t
+    FROM tv, th GROUP BY t0 ORDER BY t0
+    """,
+)
+def q317_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third rung of the release-gating privacy ladder
+    (k-anonymity and l-diversity are q260): a QI group can be k-anonymous
+    AND l-diverse yet still leak if its sensitive-value DISTRIBUTION skews
+    far from the global one (the classic salary example: all l values
+    present but 90% mass on one). Per q260's QI tuple (nation, segment,
+    balance band) and sensitive attribute (balance hundreds digit), the
+    audit computes each group's total-variation distance to the global
+    digit distribution — the categorical Earth-Mover's distance — and
+    reports, per threshold t in {0.20, 0.35, 0.50}, the violating groups
+    and their row mass, plus the worst and member-weighted-mean distances.
+
+    Determinism: TVD is evaluated over a COMMON integer denominator —
+    t_num = sum_d |c_gd*N - C_d*n_g| + (N - sum_d_present C_d)*n_g (the
+    absent-digit mass folded in closed form, so no 10-way domain explode)
+    — exact bigint sums, one final division; the weighted mean collapses
+    to sum(t_num)/(2*N^2), again integer-exact. The bigint products bound
+    the exact form to N*n_g < 2^63 (~3e9 x 3e9); past that the audit
+    switches to double ratios and tolerates last-ulp noise — stated, not
+    hidden.
+
+    Scale: one corpus-collapse to (QI, digit) counts (map-side combined),
+    a 10-row broadcast global digit census, and a 3-row threshold frame —
+    the q260 shuffle shape with one extra bounded join."""
+    cust = load_table(spark, sf_dir, "customer")
+    digit = F.floor(F.col("c_acctbal") / 100).cast("bigint") % 10
+    s = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        digit.alias("d"),
+    )
+    gd = s.groupBy("nk", "seg", "bal_band", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    glob = gd.groupBy("d").agg(F.sum("c").cast("bigint").alias("cd"))
+    tot = glob.agg(F.sum("cd").cast("bigint").alias("n"))
+    gn = gd.groupBy("nk", "seg", "bal_band").agg(
+        F.sum("c").cast("bigint").alias("n_g")
+    )
+    tv = (
+        gd.join(F.broadcast(glob), "d")
+        .join(gn, ["nk", "seg", "bal_band"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nk", "seg", "bal_band", "n_g", "n")
+        .agg(
+            (
+                F.sum(F.abs(F.col("c") * F.col("n") - F.col("cd") * F.col("n_g")))
+                + (
+                    F.first("n") - F.sum("cd")
+                ) * F.first("n_g")
+            )
+            .cast("bigint")
+            .alias("t_num")
+        )
+    )
+    th = spark.range(0, 3).select(
+        F.element_at(
+            F.array(F.lit(0.20), F.lit(0.35), F.lit(0.50)),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("double")
+        .alias("t0")
+    )
+    t = F.col("t_num") / (2.0 * F.col("n") * F.col("n_g"))
+    over = t > F.col("t0")
+    return (
+        tv.crossJoin(F.broadcast(th))
+        .groupBy(F.col("t0").alias("t_threshold"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(over.cast("bigint")).cast("bigint").alias("groups_over_t"),
+            F.sum(F.when(over, F.col("n_g")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("rows_over_t"),
+            F.round(F.max(t), 6).alias("max_t"),
+            F.round(
+                F.sum("t_num") / (2.0 * F.max("n") * F.max("n")), 6
+            ).alias("weighted_mean_t"),
+        )
+        .orderBy("t_threshold")
+    )
+
+
+@register(
     "q286_zonemap_pruning_audit",
     oracle="""
     WITH zones AS (

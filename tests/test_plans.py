@@ -427,6 +427,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q258_acf_daily_counts",  # 7-row lag frame x |days|-row daily table
         "q259_zorder_locality",  # 1-row global min/max bounds scalar
         "q260_k_anonymity_audit",  # 3-row k-threshold frame over QI groups
+        "q317_t_closeness_audit",  # 1-row N scalar + 3-row t-threshold frame
         "q263_markov_adequacy",  # |types|^2 transition cell frame (bounded dim x dim)
         "q275_important_part_value",  # 1-row per-part-value grand total (Q11 scalar)
         "q277_kneser_ney_bigram",  # 1-row bigram-type-total scalar (KN denominator)
