@@ -278,6 +278,8 @@ HEADLINE = [
     "q315_bpe_segmentation",
     "q316_heaps_law_fit",
     "q317_t_closeness_audit",
+    "q318_kcenter_coreset",
+    "q319_code_switch_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -41,6 +41,122 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+_KCENTER_K = 5
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled {k}-round greedy k-center (farthest-point) replay: seed =
+    min vec_id, then each round picks the vector with the LARGEEST
+    min-squared-distance to the selected set (ties: min vec_id), with the
+    running min-distance updated incrementally against only the newly
+    selected point — the same O(N) per round recurrence the Spark side
+    runs. Distances use the q155 form d2 = v.v + s.s - 2 v.s."""
+    blocks = ["""
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s1 AS (SELECT vec_id, label, v FROM e ORDER BY vec_id LIMIT 1),
+    d1 AS (
+      SELECT e.vec_id, e.label, e.v,
+             list_dot_product(e.v, e.v) + list_dot_product(s.v, s.v)
+               - 2 * list_dot_product(e.v, s.v) AS d2
+      FROM e, s1 s
+    )"""]
+    for r in range(2, _KCENTER_K + 1):
+        blocks.append(f"""
+    s{r} AS (SELECT vec_id, label, v, d2 FROM d{r - 1}
+             ORDER BY d2 DESC, vec_id ASC LIMIT 1)""")
+        if r < _KCENTER_K:
+            blocks.append(f""",
+    d{r} AS (
+      SELECT x.vec_id, x.label, x.v,
+             least(x.d2,
+                   list_dot_product(x.v, x.v) + list_dot_product(s.v, s.v)
+                     - 2 * list_dot_product(x.v, s.v)) AS d2
+      FROM d{r - 1} x, s{r} s
+    )""")
+    rounds = ["""
+    SELECT CAST(1 AS INT) AS sel_round, vec_id, label,
+           CAST(NULL AS DOUBLE) AS radius
+    FROM s1"""]
+    for r in range(2, _KCENTER_K + 1):
+        rounds.append(f"""
+    SELECT CAST({r} AS INT) AS sel_round, vec_id, label,
+           round(sqrt(greatest(d2, 0.0)), 6) AS radius
+    FROM s{r}""")
+    body = ",".join(blocks[:2]) + "".join(
+        b if b.startswith(",") else "," + b for b in blocks[2:]
+    )
+    return "WITH" + body + "\n    UNION ALL".join(rounds) + "\n    ORDER BY sel_round"
+
+
+@register("q318_kcenter_coreset", oracle=_kcenter_oracle())
+def q318_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-point sampling, the 2-approx
+    Gonzalez algorithm): select {k} maximally-spread embedding vectors —
+    the data-SELECTION primitive behind diverse fine-tuning subsets,
+    active-learning seed picks, and coreset-based cluster init (it is
+    k-means++'s deterministic cousin). Each selected row reports the
+    coverage radius at its pick — the max distance any point had to the
+    already-selected set — so the radius column IS the classic k-center
+    objective curve, and a plateauing radius says the corpus's diversity
+    is exhausted at that k.
+
+    Determinism: seed = min vec_id; argmax ties break on vec_id; distances
+    are the q155 expansion d2 = v.v + s.s - 2 v.s via the same sequential
+    dot fold both engines share (q70/q155-proven parity); radii round
+    engine-side at 6.
+
+    Scale posture: the recurrence is incremental — each round updates the
+    running min-distance against ONLY the newly selected point (one
+    map-only pass, localCheckpoint'ed so round r's lineage doesn't replay
+    rounds 1..r-1) and takes a 1-row TakeOrdered argmax (driver state = k
+    vectors, the q155 centroid discipline). At 100 TB the same loop runs
+    per IVF cell with the applyInPandas matmul kernel (q116's shape);
+    this is the exact global form, O(k) passes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cur = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    first = cur.orderBy("vec_id").limit(1).collect()[0]  # 1 row — the seed
+
+    def lit_vec(xs) -> Column:
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    rows = [(1, int(first["vec_id"]), int(first["label"]), None)]
+    sv = lit_vec(first["v"])
+    d = cur.withColumn(
+        "d2", dot(F.col("v"), F.col("v")) + dot(sv, sv) - 2 * dot(F.col("v"), sv)
+    ).localCheckpoint(eager=False)
+    for r in range(2, _KCENTER_K + 1):
+        top = d.orderBy(F.col("d2").desc(), F.col("vec_id").asc()).limit(1).collect()[
+            0
+        ]  # 1-row argmax per round — bounded driver state
+        rows.append((r, int(top["vec_id"]), int(top["label"]), float(top["d2"])))
+        if r < _KCENTER_K:
+            sv = lit_vec(top["v"])
+            d = d.withColumn(
+                "d2",
+                F.least(
+                    F.col("d2"),
+                    dot(F.col("v"), F.col("v")) + dot(sv, sv) - 2 * dot(F.col("v"), sv),
+                ),
+            ).localCheckpoint(eager=False)
+    out = spark.createDataFrame(
+        rows, "sel_round int, vec_id bigint, label int, d2 double"
+    )
+    # radius rounding happens ENGINE-side (python round is HALF_EVEN,
+    # SQL round is HALF_UP — driver-side rounding would diverge)
+    return out.select(
+        "sel_round",
+        "vec_id",
+        "label",
+        # keep the seed's NULL radius (greatest() would swallow it to 0.0)
+        F.when(
+            F.col("d2").isNotNull(),
+            F.round(F.sqrt(F.greatest(F.col("d2"), F.lit(0.0))), 6),
+        ).alias("radius"),
+    ).orderBy("sel_round")
+
+
 @register(
     "q70_cosine_topk",
     oracle="""

@@ -4253,3 +4253,119 @@ def q310_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q319: code-switch / segment-level language-consistency audit --------------
+
+_CS_SEGMENTS = 4
+
+
+def _code_switch_oracle() -> str:
+    """Per-document quarter segmentation via 1-based inclusive list slices;
+    a quarter is en-like iff its stopword hits reach 10% of its tokens
+    (integer compare hits*10 >= len — no float threshold)."""
+    segs = []
+    for q in range(1, _CS_SEGMENTS + 1):
+        lo = f"(({q - 1}) * n) // {_CS_SEGMENTS} + 1"
+        hi = f"({q} * n) // {_CS_SEGMENTS}"
+        seg = f"toks[{lo}:{hi}]"
+        segs.append(
+            f"CASE WHEN {hi} >= {lo} THEN "
+            f"CASE WHEN len(list_filter({seg}, t -> list_contains("
+            f"{list(STOPWORDS)!r}::VARCHAR[], t))) * 10 >= len({seg}) "
+            f"THEN 1 ELSE 0 END END AS en{q}"
+        )
+    flags = ", ".join(segs)
+    ens = " , ".join(f"en{q}" for q in range(1, _CS_SEGMENTS + 1))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ),
+    seg AS (SELECT doc_id, lang, n, {flags} FROM base),
+    per_doc AS (
+      SELECT doc_id, lang,
+             len(list_filter([{ens}], x -> x IS NOT NULL)) AS n_segs,
+             coalesce(en1, 0) + coalesce(en2, 0) + coalesce(en3, 0)
+               + coalesce(en4, 0) AS n_en_segs
+      FROM seg
+    )
+    SELECT lang AS labeled_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_segs >= 2 AND n_en_segs > 0
+                          AND n_en_segs < n_segs THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_switched,
+           round(sum(CASE WHEN n_segs >= 2 AND n_en_segs > 0
+                           AND n_en_segs < n_segs THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS switch_rate,
+           round(avg(CAST(n_en_segs AS DOUBLE) / n_segs), 6) AS mean_en_frac
+    FROM per_doc GROUP BY lang ORDER BY labeled_lang
+    """
+
+
+@register("q319_code_switch_audit", oracle=_code_switch_oracle())
+def q319_code_switch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level language-consistency audit: each document splits into
+    {_CS_SEGMENTS} token quarters, each quarter gets the q66/q175 stopword
+    language test (en-like iff stopword hits reach 10% of the quarter's
+    tokens — an integer compare, no float threshold), and a document whose
+    non-empty quarters DISAGREE is flagged as code-switched. Mixed-language
+    documents defeat document-level lang-ID (the whole-doc vote averages
+    the signal away) and poison monolingual training mixtures — this is
+    the census that budgets a segment-level re-labeling pass, per labeled
+    language. Complements q175 (document-level classifier-vs-label
+    confusion): q175 asks "is the label right", this asks "is ONE label
+    even the right model".
+
+    Determinism: quarter boundaries are integer floor arithmetic on the
+    token count; the en-like test is an exact integer compare; rates are
+    exact-ratio rounding.
+
+    Scale posture: pure map — slices and higher-order filters over the
+    token array, no shuffle until the |langs|-row aggregate. At 100x only
+    the scan grows (the q60/q119 class)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id", "lang", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    flags = []
+    for q in range(1, _CS_SEGMENTS + 1):
+        lo = F.floor((q - 1) * F.col("n") / _CS_SEGMENTS) + 1
+        hi = F.floor(q * F.col("n") / _CS_SEGMENTS)
+        seg = F.slice("toks", lo.cast("int"), (hi - lo + 1).cast("int"))
+        hits = F.size(F.filter(seg, lambda t: t.isin(*STOPWORDS)))
+        flags.append(
+            F.when(hi >= lo, (hits * 10 >= F.size(seg)).cast("int")).alias(
+                f"en{q}"
+            )
+        )
+    seg = base.select("doc_id", "lang", "n", *flags)
+    en_cols = [F.col(f"en{q}") for q in range(1, _CS_SEGMENTS + 1)]
+    n_segs = F.size(
+        F.filter(F.array(*en_cols), lambda x: x.isNotNull())
+    )
+    n_en = sum(F.coalesce(c, F.lit(0)) for c in en_cols[1:]) + F.coalesce(
+        en_cols[0], F.lit(0)
+    )
+    per_doc = seg.select(
+        "lang", n_segs.alias("n_segs"), n_en.alias("n_en_segs")
+    )
+    switched = (
+        (F.col("n_segs") >= 2)
+        & (F.col("n_en_segs") > 0)
+        & (F.col("n_en_segs") < F.col("n_segs"))
+    ).cast("int")
+    return (
+        per_doc.groupBy(F.col("lang").alias("labeled_lang"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(switched).cast("bigint").alias("n_switched"),
+            F.round(F.sum(switched) / F.count(F.lit(1)), 6).alias("switch_rate"),
+            F.round(
+                F.avg(F.col("n_en_segs").cast("double") / F.col("n_segs")), 6
+            ).alias("mean_en_frac"),
+        )
+        .orderBy("labeled_lang")
+    )
