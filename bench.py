@@ -280,6 +280,9 @@ HEADLINE = [
     "q317_t_closeness_audit",
     "q318_kcenter_coreset",
     "q319_code_switch_audit",
+    "q320_pair_alignment_forensics",
+    "q321_successive_halving",
+    "q322_sinkhorn_transport",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -169,6 +169,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q316_heaps_law_fit":
         "10-row decile frame: cumulative token/vocab prefix sums over the "
         "fixed decile dimension (q225 growth-curve discipline)",
+    "q321_successive_halving":
+        "<= 20-row arm frame per round: |sources| is the bounded "
+        "dimension being ranked (elimination-bracket row_number)",
     "q144_curriculum_stages":
         "<= 10001-row per-score population table: the rounded quality "
         "score's codomain (running count, two-level rank level 2)",
@@ -294,6 +297,21 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
      'F.collect_list(F.struct("b", "v"))  # <= B=256 bucket pairs'):
         "codomain-bounded: <= 256 (bucket, contribution) pairs per doc — "
         "the 2-hex-char md5 bucket codomain (q219 DSIR ordered fold)",
+    ("queries/similarity.py",
+     'F.array_sort(F.collect_list(F.struct("pos", "mx"))),'):
+        "dim-bounded: 64 (pos, mean) pairs per centroid row (q322)",
+    ("queries/similarity.py",
+     'F.array_sort(F.collect_list(F.struct("li", "lj", "cst"))),'):
+        "label^2-bounded: 100 cost-matrix cells folded into the 1-row "
+        "Sinkhorn state (q322)",
+    ("queries/similarity.py",
+     "F.array_sort(F.collect_list(F.struct(F.col(\"label\"), F.col(\"p\")))),"):
+        "label-bounded: 10 marginal shares folded to one ordered array "
+        "(q322)",
+    ("queries/similarity.py",
+     "F.array_sort(F.collect_list(F.struct(F.col(\"label\"), F.col(\"q\")))),"):
+        "label-bounded: 10 marginal shares folded to one ordered array "
+        "(q322)",
     ("queries/similarity.py",
      "F.array_sort(F.collect_list(F.struct(F.col(\"pos\"), F.col(\"m\")))),"):
         "dim-bounded: 64 (pos, mean) pairs per centroid row (_ivf_centroids)",
@@ -423,6 +441,14 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "(q269 Theil-Sen; bounded by the retention window)",
     ("queries/sessions.py", ".crossJoin(F.broadcast(tot))"):
         "1-row funnel stage-totals scalar (q271 conversion lag)",
+    ("queries/similarity.py", "pairs = a.crossJoin(F.broadcast(b)).select("):
+        "|labels|-row centroid table self-crossed to the L x L cost "
+        "matrix (q322 Sinkhorn ground cost; L = 10 cells)",
+    ("queries/similarity.py", "halves.crossJoin(F.broadcast(tot))"):
+        "1-row half-corpus totals scalar attached to the |labels|-row "
+        "marginal table (q322)",
+    ("queries/similarity.py", "st = cmat.crossJoin(F.broadcast(marg)).select("):
+        "1-row x 1-row Sinkhorn state assembly (q322 model state)",
     ("queries/relational.py", "qi.crossJoin(F.broadcast(ks))"):
         "3-row k-threshold frame over the QI-group table (q260 "
         "k-anonymity)",

@@ -311,6 +311,117 @@ def q68_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q320_pair_alignment_forensics",
+    oracle=f"""
+    WITH cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_ORACLE_BANDS}) a JOIN ({_ORACLE_BANDS}) b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+    al AS (
+      SELECT doc_a, doc_b, x.toks AS ta, y.toks AS tb,
+             len(x.toks) AS la, len(y.toks) AS lb
+      FROM cand JOIN tk x ON x.doc_id = doc_a JOIN tk y ON y.doc_id = doc_b
+    ),
+    m AS (
+      SELECT doc_a, doc_b, la, lb,
+        coalesce(list_min(list_filter(list_transform(range(1, least(la, lb) + 1),
+          i -> CASE WHEN ta[i] <> tb[i] THEN i END), v -> v IS NOT NULL)),
+          least(la, lb) + 1) - 1 AS lcp,
+        coalesce(list_min(list_filter(list_transform(range(1, least(la, lb) + 1),
+          i -> CASE WHEN ta[la - i + 1] <> tb[lb - i + 1] THEN i END),
+          v -> v IS NOT NULL)), least(la, lb) + 1) - 1 AS lcs_raw
+      FROM al
+    )
+    SELECT doc_a, doc_b,
+           CAST(la AS BIGINT) AS len_a, CAST(lb AS BIGINT) AS len_b,
+           CAST(lcp AS BIGINT) AS lcp_tokens,
+           CAST(least(lcs_raw, least(la, lb) - lcp) AS BIGINT) AS lcs_tokens,
+           CAST(la - lcp - least(lcs_raw, least(la, lb) - lcp) AS BIGINT)
+             AS core_a,
+           CAST(lb - lcp - least(lcs_raw, least(la, lb) - lcp) AS BIGINT)
+             AS core_b,
+           CASE WHEN lcp + least(lcs_raw, least(la, lb) - lcp) >= least(la, lb)
+                THEN 'affix_only' ELSE 'internal_edit' END AS edit_class
+    FROM m ORDER BY doc_a, doc_b
+    """,
+)
+def q320_pair_alignment_forensics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE near-duplicates differ: for every LSH candidate pair, the
+    token-level longest common prefix and suffix, the residual core sizes
+    outside the shared affixes, and a shape class — 'affix_only' (one text
+    extends/truncates the other: navigation chrome, appended footers)
+    versus 'internal_edit' (mid-document mutation: template slot-filling,
+    paraphrase). Dedup FORENSICS, not detection: q68 says how similar a
+    pair is, this says what KIND of edit separates them, which is what
+    decides the remedy (boilerplate stripping vs cluster-collapse) at
+    pipeline-tuning time.
+
+    Determinism: affix lengths are first-mismatch positions — integer
+    minima over exact token comparisons (suffix side scans the reversed
+    index), with the suffix capped at min(len) - lcp so overlapping
+    affixes in containment pairs never double-count.
+
+    Scale posture: the expensive object (candidate pairs) is the shared
+    cached LSH output — O(candidates), never all-pairs; texts join to
+    pairs by doc_id (two broadcast-friendly joins at candidate volume) and
+    the affix scan is a per-row higher-order fold bounded by
+    min(len_a, len_b). Reference: no diff surface; §7 Phase-3 dedup
+    forensics beside q68/q179/q195."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    tk = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    x, y = tk.alias("x"), tk.alias("y")
+    al = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, F.col("y.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("x.toks").alias("ta"),
+            F.col("y.toks").alias("tb"),
+            F.size("x.toks").alias("la"),
+            F.size("y.toks").alias("lb"),
+        )
+    )
+    lcp = F.expr(
+        "coalesce(array_min(filter(transform(sequence(1, least(la, lb)),"
+        " i -> CASE WHEN element_at(ta, i) != element_at(tb, i) THEN i END),"
+        " v -> v IS NOT NULL)), least(la, lb) + 1) - 1"
+    )
+    lcs_raw = F.expr(
+        "coalesce(array_min(filter(transform(sequence(1, least(la, lb)),"
+        " i -> CASE WHEN element_at(ta, la - i + 1) != element_at(tb, lb - i + 1)"
+        " THEN i END), v -> v IS NOT NULL)), least(la, lb) + 1) - 1"
+    )
+    m = al.select(
+        "doc_a", "doc_b", "la", "lb", lcp.alias("lcp"), lcs_raw.alias("lcs_raw")
+    )
+    lcs = F.least(F.col("lcs_raw"), F.least("la", "lb") - F.col("lcp"))
+    return m.select(
+        "doc_a",
+        "doc_b",
+        F.col("la").cast("bigint").alias("len_a"),
+        F.col("lb").cast("bigint").alias("len_b"),
+        F.col("lcp").cast("bigint").alias("lcp_tokens"),
+        lcs.cast("bigint").alias("lcs_tokens"),
+        (F.col("la") - F.col("lcp") - lcs).cast("bigint").alias("core_a"),
+        (F.col("lb") - F.col("lcp") - lcs).cast("bigint").alias("core_b"),
+        F.when(
+            F.col("lcp") + lcs >= F.least("la", "lb"), F.lit("affix_only")
+        )
+        .otherwise(F.lit("internal_edit"))
+        .alias("edit_class"),
+    ).orderBy("doc_a", "doc_b")
+
+
 _ORACLE_SIMHASH = """
     WITH tok AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t

@@ -1527,3 +1527,129 @@ def q299_hamilton_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.cast("bigint").alias("extra"),
         (F.col("base") + extra).alias("allocation"),
     ).orderBy("source")
+
+
+# --- q321: successive-halving source selection ---------------------------------
+
+# (budget hash-prefix ceiling, survivors kept) per round: 25% of docs rank
+# all 20 arms, 50% rank the top 10, the full corpus ranks the last 5.
+_SH_ROUNDS = (("40", 10), ("80", 5), (None, 3))
+
+
+def _sh_oracle() -> str:
+    """Unrolled successive halving: per-arm quality mass as EXACT integers
+    (the q62 score rounded onto its 1e-4 grid and cast), so each round's
+    ranking compares identical doubles s/n in both engines."""
+    qual = """
+      SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             CAST(round((CASE WHEN len(toks) / 100.0 < 1.0
+                              THEN len(toks) / 100.0 ELSE 1.0 END * 0.5
+                  + CASE WHEN len(list_filter(toks,
+                            t -> t IN ('the', 'a', 'of', 'and')))
+                              / CAST(len(toks) AS DOUBLE) * 5.0 < 1.0
+                         THEN len(list_filter(toks,
+                            t -> t IN ('the', 'a', 'of', 'and')))
+                              / CAST(len(toks) AS DOUBLE) * 5.0
+                         ELSE 1.0 END * 0.5) * 10000.0, 0) AS BIGINT) AS qi
+      FROM (SELECT source, doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents)
+    """
+    blocks = [f"q AS ({qual})"]
+    prev_keep = None
+    selects = []
+    for i, (ceil_b, keep) in enumerate(_SH_ROUNDS, start=1):
+        where = f"WHERE bucket < '{ceil_b}'" if ceil_b else ""
+        src_filter = (
+            f"JOIN (SELECT source FROM k{i - 1} WHERE rk <= {prev_keep}) USING (source)"
+            if prev_keep
+            else ""
+        )
+        blocks.append(f"""
+    r{i} AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(qi) AS BIGINT) AS s
+      FROM q {src_filter} {where} GROUP BY source
+    ),
+    k{i} AS (
+      SELECT source, n, s,
+             row_number() OVER (ORDER BY s * 1.0 / n DESC, source) AS rk
+      FROM r{i}
+    )""")
+        selects.append(
+            f"SELECT CAST({i} AS INT) AS sh_round, source, n AS n_docs, "
+            f"round(s / 10000.0 / n, 6) AS mean_quality, "
+            f"CAST(rk AS INT) AS rank, rk <= {keep} AS kept FROM k{i}"
+        )
+        prev_keep = keep
+    return (
+        "WITH " + ",".join(blocks) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY sh_round, rank"
+    )
+
+
+@register("q321_successive_halving", oracle=_sh_oracle())
+def q321_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive halving over data sources (the Hyperband inner loop,
+    Jamieson & Talwalkar 2016, applied to SOURCE selection): all 20 arms
+    are scored on a cheap 25% hash-prefix sample, the top half re-scores
+    on 50%, the survivors on the full corpus — the budget-efficient way to
+    pick high-quality sources when scoring the full corpus per candidate
+    is unaffordable, exactly the regime of a 100 TB mixture search. Each
+    round emits every evaluated arm with its sample size, mean quality,
+    rank, and survival flag, so the output is the full elimination
+    bracket.
+
+    Determinism: per-doc quality lands on its 1e-4 grid and sums as exact
+    BIGINTs; each arm's mean is one int/int division (identical doubles
+    in both engines), so rankings cannot flip on accumulation order.
+    Budgets are hash-prefix prefixes (the q105/q216 sampling discipline) —
+    round r+1's sample CONTAINS round r's, as successive halving requires.
+
+    Scale posture: each round is one map-side-combined aggregate over its
+    sample with survivors attached by a |arms|-row semi-join; rankings
+    are flat windows over <= 20-row arm frames (allowlisted). No round
+    re-reads losers' documents — that is the algorithm's whole point."""
+    from .text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens.cast(
+        "double"
+    )
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.5
+    )
+    q = docs.select(
+        "source",
+        hash_bucket("doc_id").alias("bucket"),
+        F.round(quality * 10000.0, 0).cast("bigint").alias("qi"),
+    )
+    out = None
+    survivors = None
+    w = Window.orderBy((F.col("s") * 1.0 / F.col("n")).desc(), F.col("source"))
+    for i, (ceil_b, keep) in enumerate(_SH_ROUNDS, start=1):
+        sample = q.filter(F.col("bucket") < ceil_b) if ceil_b else q
+        if survivors is not None:
+            sample = sample.join(survivors, "source", "left_semi")
+        k = (
+            sample.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("qi").cast("bigint").alias("s"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+        )
+        rows = k.select(
+            F.lit(i).alias("sh_round"),
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("s") / 10000.0 / F.col("n"), 6).alias("mean_quality"),
+            F.col("rk").cast("int").alias("rank"),
+            (F.col("rk") <= keep).alias("kept"),
+        )
+        out = rows if out is None else out.unionByName(rows)
+        survivors = k.filter(F.col("rk") <= keep).select("source")
+    return out.orderBy("sh_round", "rank")

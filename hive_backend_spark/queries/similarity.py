@@ -2877,3 +2877,242 @@ def q312_embedding_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- q322: entropic optimal transport (Sinkhorn) between corpus halves --------
+
+_SK_ITERS = 3
+_SK_EPS = 0.1
+
+
+def _sinkhorn_oracle() -> str:
+    """Unrolled {t}-iteration Sinkhorn replay on single-row ARRAY state:
+    u/v/K/C live in one row as ordered lists, every matrix-vector product
+    is a sequential list fold (nested lambdas), so both engines accumulate
+    in identical order — no grouped float sums anywhere past the centroid
+    build (whose parity is the proven q73 idiom)."""
+    head = f"""
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT label, list(mx ORDER BY pos) AS c
+      FROM (SELECT label, pos, sum(x) / count(*) AS mx
+            FROM (SELECT label, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM e)
+            GROUP BY label, pos)
+      GROUP BY label
+    ),
+    cmat AS (
+      SELECT list(cst ORDER BY li, lj) AS carr,
+             CAST(count(DISTINCT li) AS BIGINT) AS l
+      FROM (
+        SELECT a.label AS li, b.label AS lj,
+               round(sqrt(greatest(list_aggregate(
+                 list_transform(range(1, len(a.c) + 1),
+                   d -> (a.c[d] - b.c[d]) * (a.c[d] - b.c[d])), 'sum'), 0.0)), 6)
+                 AS cst
+        FROM cent a, cent b)
+    ),
+    marg AS (
+      SELECT list(p ORDER BY label) AS p, list(q ORDER BY label) AS q
+      FROM (
+        SELECT label,
+               sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                 / (SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) FROM e) AS p,
+               sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                 / (SELECT CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) FROM e) AS q
+        FROM e GROUP BY label)
+    ),
+    it0 AS (
+      SELECT l, carr, list_transform(carr, c -> exp(-c / {_SK_EPS})) AS k, p, q,
+             list_transform(p, x -> 1.0) AS v0
+      FROM cmat, marg
+    )"""
+    blocks = [head]
+    for t in range(1, _SK_ITERS + 1):
+        blocks.append(f""",
+    it{t}a AS (
+      SELECT *, list_transform(range(1, l + 1),
+        i -> p[i] / list_aggregate(list_transform(range(1, l + 1),
+             j -> k[(i - 1) * l + j] * v{t - 1}[j]), 'sum')) AS u{t}
+      FROM it{t - 1 if t > 1 else 0}{"b" if t > 1 else ""}
+    ),
+    it{t}b AS (
+      SELECT *, list_transform(range(1, l + 1),
+        j -> q[j] / list_aggregate(list_transform(range(1, l + 1),
+             i -> k[(i - 1) * l + j] * u{t}[i]), 'sum')) AS v{t}
+      FROM it{t}a
+    )""")
+    selects = []
+    for t in range(1, _SK_ITERS + 1):
+        cost = (
+            f"list_aggregate(list_transform(range(1, l * l + 1), x -> "
+            f"u{t}[(x - 1) // l + 1] * k[x] * v{t}[(x - 1) % l + 1] * carr[x]), "
+            f"'sum')"
+        )
+        row_err = (
+            f"list_aggregate(list_transform(range(1, l + 1), i -> abs("
+            f"u{t}[i] * list_aggregate(list_transform(range(1, l + 1), "
+            f"j -> k[(i - 1) * l + j] * v{t}[j]), 'sum') - p[i])), 'sum')"
+        )
+        col_err = (
+            f"list_aggregate(list_transform(range(1, l + 1), j -> abs("
+            f"v{t}[j] * list_aggregate(list_transform(range(1, l + 1), "
+            f"i -> k[(i - 1) * l + j] * u{t}[i]), 'sum') - q[j])), 'sum')"
+        )
+        selects.append(
+            f"SELECT CAST({t} AS INT) AS sk_iter, round({cost}, 6) AS "
+            f"transport_cost, round({row_err}, 6) AS row_marginal_err, "
+            f"round({col_err}, 6) AS col_marginal_err FROM it{_SK_ITERS}b"
+        )
+    return (
+        "WITH" + "".join(blocks) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY sk_iter"
+    )
+
+
+@register("q322_sinkhorn_transport", oracle=_sinkhorn_oracle())
+def q322_sinkhorn_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropic optimal transport (Sinkhorn-Knopp, Cuturi 2013) between the
+    label distributions of two corpus halves (vec_id parity split), with
+    ground cost = pairwise distances between per-label embedding
+    centroids. Unlike the 1-D Wasserstein drift (q245) or categorical TVD
+    (q317), this measures distribution shift THROUGH the embedding
+    geometry: mass moving between two nearby cells is cheap, between far
+    cells expensive — the right drift notion for mixture rebalancing and
+    data valuation. Emits the per-iteration transport cost and marginal
+    violations, so the output is the convergence trace ({_SK_ITERS}
+    unrolled iterations, the q155/q313 fixed-k discipline).
+
+    Determinism: the cost matrix is built from ROUNDED centroid distances
+    (q73-idiom centroids), then ALL Sinkhorn state lives in one row as
+    ordered arrays — every matrix-vector product is a sequential nested-
+    lambda fold, identical accumulation order in both engines, no grouped
+    float sums anywhere in the iteration.
+
+    Scale posture: the corpus collapses to |labels| centroids (posexplode
+    partial sums, the q73 shuffle) and two |labels|-row marginal tables;
+    the iteration itself is O(L^2) arithmetic on a single row — model
+    state, not data. At 100 TB only the centroid/marginal scans grow."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    exploded = vecs.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg((F.sum("x") / F.count(F.lit(1))).alias("mx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                lambda s: s.getField("mx"),
+            ).alias("c")
+        )
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    cst = F.expr(
+        "round(sqrt(greatest(aggregate(transform(sequence(1, size(a.c)),"
+        " d -> (element_at(a.c, d) - element_at(b.c, d))"
+        " * (element_at(a.c, d) - element_at(b.c, d))), 0D,"
+        " (acc, x) -> acc + x), 0D)), 6)"
+    )
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        F.col("a.label").alias("li"), F.col("b.label").alias("lj"), cst.alias("cst")
+    )
+    cmat = pairs.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("li", "lj", "cst"))),
+            lambda s: s.getField("cst"),
+        ).alias("carr"),
+        F.countDistinct("li").cast("bigint").alias("l"),
+    )
+    halves = vecs.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("int")).alias("n0"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("int")).alias("n1"),
+    )
+    tot = halves.agg(
+        F.sum("n0").cast("double").alias("t0"), F.sum("n1").cast("double").alias("t1")
+    )
+    marg = (
+        halves.crossJoin(F.broadcast(tot))
+        .select("label", (F.col("n0") / F.col("t0")).alias("p"), (F.col("n1") / F.col("t1")).alias("q"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("label"), F.col("p")))),
+                lambda s: s.getField("p"),
+            ).alias("p"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("label"), F.col("q")))),
+                lambda s: s.getField("q"),
+            ).alias("q"),
+        )
+    )
+    st = cmat.crossJoin(F.broadcast(marg)).select(
+        "l",
+        "carr",
+        F.expr(f"transform(carr, c -> exp(-c / {_SK_EPS}))").alias("k"),
+        "p",
+        "q",
+        F.expr("transform(p, x -> 1.0D)").alias("v0"),
+    )
+    for t in range(1, _SK_ITERS + 1):
+        st = st.withColumn(
+            f"u{t}",
+            F.expr(
+                f"transform(sequence(1, l), i -> element_at(p, CAST(i AS INT))"
+                f" / aggregate(transform(sequence(1, l), j ->"
+                f" element_at(k, CAST((i - 1) * l + j AS INT))"
+                f" * element_at(v{t - 1}, CAST(j AS INT))), 0D, (acc, x) -> acc + x))"
+            ),
+        ).withColumn(
+            f"v{t}",
+            F.expr(
+                f"transform(sequence(1, l), j -> element_at(q, CAST(j AS INT))"
+                f" / aggregate(transform(sequence(1, l), i ->"
+                f" element_at(k, CAST((i - 1) * l + j AS INT))"
+                f" * element_at(u{t}, CAST(i AS INT))), 0D, (acc, x) -> acc + x))"
+            ),
+        )
+        # truncate per iteration: v{t}'s analyzed expression embeds u{t}'s,
+        # which embeds v{t-1}'s — without a checkpoint the nested-lambda
+        # tree grows geometrically through the chain and Catalyst analysis
+        # never returns (measured: hang at 3 iterations). State is 1 row.
+        st = st.localCheckpoint(eager=False)
+    outs = []
+    for t in range(1, _SK_ITERS + 1):
+        cost = (
+            f"aggregate(transform(sequence(1, l * l), x ->"
+            f" element_at(u{t}, CAST((x - 1) div l + 1 AS INT))"
+            f" * element_at(k, CAST(x AS INT))"
+            f" * element_at(v{t}, CAST((x - 1) % l + 1 AS INT))"
+            f" * element_at(carr, CAST(x AS INT))), 0D, (acc, y) -> acc + y)"
+        )
+        row_err = (
+            f"aggregate(transform(sequence(1, l), i -> abs("
+            f"element_at(u{t}, CAST(i AS INT)) * aggregate(transform(sequence(1, l),"
+            f" j -> element_at(k, CAST((i - 1) * l + j AS INT))"
+            f" * element_at(v{t}, CAST(j AS INT))), 0D, (acc, x) -> acc + x)"
+            f" - element_at(p, CAST(i AS INT)))), 0D, (acc, y) -> acc + y)"
+        )
+        col_err = (
+            f"aggregate(transform(sequence(1, l), j -> abs("
+            f"element_at(v{t}, CAST(j AS INT)) * aggregate(transform(sequence(1, l),"
+            f" i -> element_at(k, CAST((i - 1) * l + j AS INT))"
+            f" * element_at(u{t}, CAST(i AS INT))), 0D, (acc, x) -> acc + x)"
+            f" - element_at(q, CAST(j AS INT)))), 0D, (acc, y) -> acc + y)"
+        )
+        outs.append(
+            st.select(
+                F.lit(t).cast("int").alias("sk_iter"),
+                F.round(F.expr(cost), 6).alias("transport_cost"),
+                F.round(F.expr(row_err), 6).alias("row_marginal_err"),
+                F.round(F.expr(col_err), 6).alias("col_marginal_err"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("sk_iter")
