@@ -283,6 +283,8 @@ HEADLINE = [
     "q320_pair_alignment_forensics",
     "q321_successive_halving",
     "q322_sinkhorn_transport",
+    "q323_posting_compression_audit",
+    "q324_obrien_fleming_monitor",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -169,6 +169,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "q316_heaps_law_fit":
         "10-row decile frame: cumulative token/vocab prefix sums over the "
         "fixed decile dimension (q225 growth-curve discipline)",
+    "q324_obrien_fleming_monitor":
+        "|days|-row daily frame: cumulative looks over the calendar-"
+        "bounded monitoring window (the q266/q250 day-grid discipline)",
     "q321_successive_halving":
         "<= 20-row arm frame per round: |sources| is the bounded "
         "dimension being ranked (elimination-bracket row_number)",
@@ -449,6 +452,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "marginal table (q322)",
     ("queries/similarity.py", "st = cmat.crossJoin(F.broadcast(marg)).select("):
         "1-row x 1-row Sinkhorn state assembly (q322 model state)",
+    ("queries/queue.py", "cum.crossJoin(F.broadcast(p0t))"):
+        "1-row week-1 baseline-rate scalar on the |days|-row GST frame "
+        "(q324, the q250 pattern)",
     ("queries/relational.py", "qi.crossJoin(F.broadcast(ks))"):
         "3-row k-threshold frame over the QI-group table (q260 "
         "k-anonymity)",

@@ -3758,3 +3758,105 @@ def q306_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_tau"),
     )
+
+
+# --- q323: posting-list compression planning audit ------------------------------
+
+
+@register(
+    "q323_posting_compression_audit",
+    oracle="""
+    WITH post AS (
+      SELECT term, doc_id
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY term, doc_id
+    ),
+    gaps AS (
+      SELECT term,
+             doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                               -1) AS gap
+      FROM post
+    ),
+    per_term AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(2 * length(bin(gap)) - 1) AS BIGINT) AS gamma_bits,
+             CAST(sum(((length(bin(gap)) + 6) // 7) * 8) AS BIGINT) AS vbyte_bits
+      FROM gaps GROUP BY term
+    )
+    SELECT CAST(length(bin(df)) AS INT) AS df_log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(sum(df) * 64 AS BIGINT) AS raw_bits,
+           CAST(sum(gamma_bits) AS BIGINT) AS gamma_bits,
+           CAST(sum(vbyte_bits) AS BIGINT) AS vbyte_bits,
+           round(CAST(sum(gamma_bits) AS DOUBLE) / (sum(df) * 64), 6)
+             AS gamma_ratio,
+           round(CAST(sum(vbyte_bits) AS DOUBLE) / (sum(df) * 64), 6)
+             AS vbyte_ratio
+    FROM per_term GROUP BY 1 ORDER BY df_log2_bucket
+    """,
+)
+def q323_posting_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index storage planning: exact Elias-gamma and
+    variable-byte bit costs of delta-encoded posting lists, bucketed by
+    posting-list length (floor(log2 df) + 1). Gap encoding is where an
+    index's bytes actually go, and the df-bucketed ratios are the planner's
+    decision table — short tails barely compress (one absolute id each),
+    stopword-class lists approach the entropy of their dense gaps — which
+    prices index storage BEFORE building it (the q217/q109 index family's
+    capacity-planning sibling).
+
+    Determinism: everything is integer — gaps from a lag window (first
+    posting charged as an absolute id via the -1 sentinel, the standard
+    convention), code lengths from binary-digit counts (length(bin(g)) =
+    floor(log2 g) + 1 exactly), raw cost fixed at 64-bit ids; ratios are
+    exact-ratio rounding.
+
+    Scale posture: postings distinct-aggregate (term, doc_id) map-side;
+    gaps are a window PARTITIONED BY TERM (each posting list sorts within
+    its own partition slice — the scalable layout, never a global sort);
+    the final rollup is |log2 buckets| <= ~20 rows. Document text is read
+    once and never moves after tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.lit(1))
+        .select("term", "doc_id")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = post.select(
+        "term",
+        (F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))).alias(
+            "gap"
+        ),
+    )
+    blen = F.length(F.bin(F.col("gap")))
+    per_term = gaps.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(2 * blen - 1).cast("bigint").alias("gamma_bits"),
+        F.sum(F.floor((blen + 6) / 7) * 8).cast("bigint").alias("vbyte_bits"),
+    )
+    return (
+        per_term.groupBy(
+            F.length(F.bin(F.col("df"))).cast("int").alias("df_log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            (F.sum("df") * 64).cast("bigint").alias("raw_bits"),
+            F.sum("gamma_bits").cast("bigint").alias("gamma_bits"),
+            F.sum("vbyte_bits").cast("bigint").alias("vbyte_bits"),
+            F.round(
+                F.sum("gamma_bits").cast("double") / (F.sum("df") * 64), 6
+            ).alias("gamma_ratio"),
+            F.round(
+                F.sum("vbyte_bits").cast("double") / (F.sum("df") * 64), 6
+            ).alias("vbyte_ratio"),
+        )
+        .orderBy("df_log2_bucket")
+    )

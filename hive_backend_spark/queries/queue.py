@@ -1165,3 +1165,117 @@ def q268_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q324: O'Brien-Fleming group-sequential monitor -----------------------------
+
+_GST_BASELINE_END = "2024-01-08 00:00:00"  # week-1 baseline (q250's window)
+# OBF shape constant: the z-boundary at information fraction f is C/sqrt(f),
+# with C chosen for overall two-sided alpha ~= 0.05 at daily looks over the
+# monitoring window (Lan-DeMets OBF spending; C = 2.2414 is the tabulated
+# value in that regime and is pinned as a constant — it is a DESIGN input,
+# not a data-derived quantity).
+_GST_C = 2.2414
+
+
+@register(
+    "q324_obrien_fleming_monitor",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             ts < TIMESTAMP '{_GST_BASELINE_END}' AS base,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+      FROM events
+    ),
+    p0t AS (
+      SELECT CAST(sum(err) AS DOUBLE) / count(*) AS p0 FROM e WHERE base
+    ),
+    daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_d, CAST(sum(err) AS BIGINT) AS x_d
+      FROM e WHERE NOT base GROUP BY day
+    ),
+    cum AS (
+      SELECT day, n_d, x_d,
+             CAST(sum(n_d) OVER w AS BIGINT) AS n_t,
+             CAST(sum(x_d) OVER w AS BIGINT) AS x_t,
+             CAST(sum(n_d) OVER () AS BIGINT) AS n_total
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           n_t AS cum_n, x_t AS cum_errors,
+           round(CAST(n_t AS DOUBLE) / n_total, 6) AS info_frac,
+           round((x_t - n_t * p0) / sqrt(n_t * p0 * (1.0 - p0)), 6) AS z,
+           round({_GST_C} / sqrt(CAST(n_t AS DOUBLE) / n_total), 6) AS boundary,
+           abs((x_t - n_t * p0) / sqrt(n_t * p0 * (1.0 - p0)))
+             > {_GST_C} / sqrt(CAST(n_t AS DOUBLE) / n_total) AS crossed
+    FROM cum, p0t
+    ORDER BY day
+    """,
+)
+def q324_obrien_fleming_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitor (Lan & DeMets 1983): the
+    daily error rate tested against the week-1 baseline with the OBF
+    spending boundary C/sqrt(information fraction) — extremely conservative
+    early (a day-2 blip must be enormous to stop) and converging to the
+    fixed-horizon critical value at full information, which is exactly the
+    operating characteristic a release monitor wants. Completes the
+    sequential-decision family: CUSUM (q187) is distribution-free
+    detection, SPRT (q250) is likelihood-optimal for a KNOWN lift, EWMA
+    (q266) is a smoothed control chart; GST is the fixed-alpha early-STOP
+    rule when looks are scheduled (the clinical-trials standard applied to
+    canary analysis).
+
+    Determinism: daily and cumulative counts are exact ints (the running
+    window orders by the day grid); z and the boundary are identical
+    closed forms of those ints and the 1-row baseline; the crossing flag
+    compares the same two doubles in both engines.
+
+    Scale posture: one map-side partial agg to the |days| daily frame;
+    the cumulative window runs over that bounded frame (allowlisted); the
+    baseline is a 1-row broadcast scalar. Only the scan grows at 100x."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        (F.col("ts") < F.lit(_GST_BASELINE_END).cast("timestamp")).alias("base"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("err"),
+    )
+    p0t = e.filter("base").agg(
+        (F.sum("err").cast("double") / F.count(F.lit(1))).alias("p0")
+    )
+    daily = (
+        e.filter(~F.col("base"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_d"),
+            F.sum("err").cast("bigint").alias("x_d"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "day",
+        F.sum("n_d").over(w).cast("bigint").alias("n_t"),
+        F.sum("x_d").over(w).cast("bigint").alias("x_t"),
+        F.sum("n_d").over(wall).cast("bigint").alias("n_total"),
+    )
+    z = (F.col("x_t") - F.col("n_t") * F.col("p0")) / F.sqrt(
+        F.col("n_t") * F.col("p0") * (1.0 - F.col("p0"))
+    )
+    info = F.col("n_t").cast("double") / F.col("n_total")
+    bound = F.lit(_GST_C) / F.sqrt(info)
+    return (
+        cum.crossJoin(F.broadcast(p0t))
+        .select(
+            "day",
+            F.col("n_t").alias("cum_n"),
+            F.col("x_t").alias("cum_errors"),
+            F.round(info, 6).alias("info_frac"),
+            F.round(z, 6).alias("z"),
+            F.round(bound, 6).alias("boundary"),
+            (F.abs(z) > bound).alias("crossed"),
+        )
+        .orderBy("day")
+    )

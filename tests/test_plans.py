@@ -417,6 +417,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q237_distinctive_terms",  # 1-row global token total attached to vocab frame
         "q249_importance_ess",  # 1-row token-totals scalar (q219 DSIR pattern)
         "q250_sprt_monitor",  # 1-row baseline-rate scalar on the daily grid
+        "q324_obrien_fleming_monitor",  # 1-row baseline scalar on the day grid
         "q266_ewma_control_chart",  # 1-row (mu, sigma) scalar on the day frame
         "q271_funnel_conversion_lag",  # 1-row stage-totals scalar per leg
         "q255_systematic_pps_sample",  # 1-row bounds + totals scalars (q208 pattern)
@@ -543,8 +544,11 @@ def test_two_level_rewrites_keep_chunk_partitioned_windows(spark, sf_dir):
 
     q144 = _df(spark, sf_dir, "q144_curriculum_stages")
     up144 = P.unpartitioned_window_specs(q144)
-    assert len(up144) == 1 and up144[0].startswith(
-        "windowspecdefinition(q#"
+    # two frames over the SAME bounded score table since round 9: the
+    # running count (n_above) and the full-frame total (n_total rides the
+    # same window pass instead of a second corpus scan + broadcast)
+    assert 1 <= len(up144) <= 2 and all(
+        s.startswith("windowspecdefinition(q#") for s in up144
     ), up144
     assert any(s.strip().startswith("q#") for s in specs(q144)), (
         "q144 lost its score-partitioned within-score rank window"
