@@ -285,6 +285,7 @@ HEADLINE = [
     "q322_sinkhorn_transport",
     "q323_posting_compression_audit",
     "q324_obrien_fleming_monitor",
+    "q325_gif_decode_stats",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

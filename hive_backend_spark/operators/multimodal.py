@@ -6,10 +6,12 @@ The container has no media libraries, so the DECODE step has two paths
 (both clearly marked):
   - ``decode_media(..., stub=False)`` REALLY decodes the formats the
     stdlib+numpy can handle alone — BMP (24bpp uncompressed), WAV
-    (16-bit PCM) and PNG (8-bit non-interlaced, zlib inflate + all five
-    scanline filters), dispatched per blob by magic bytes — and raises
-    NotImplementedError naming the missing dependency (pillow/av/
-    soundfile) for the remaining compressed formats (JPEG/MP3/MP4);
+    (16-bit PCM), PNG (8-bit non-interlaced, zlib inflate + all five
+    scanline filters) and GIF (87a/89a single-frame non-interlaced,
+    hand-written variable-width LZW), dispatched per blob by magic
+    bytes — and raises NotImplementedError naming the missing dependency
+    (pillow/av/soundfile) for the remaining compressed formats
+    (JPEG/MP3/MP4);
   - ``decode_media(..., stub=True)`` (default) derives a DETERMINISTIC fake
     decode from the blob's md5 digest, so the Spark-side plumbing — schema,
     batch shape, partitioning, downstream joins — is testable on arbitrary
@@ -354,6 +356,225 @@ def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# --- GIF (87a/89a): hand-written variable-width LZW --------------------------
+#
+# GIF is the one COMPRESSED image format whose codec is small enough to
+# implement honestly without a media library: variable-width (3..12 bit)
+# LSB-first LZW with CLEAR/EOI codes and the deferred-clear rule. The
+# decoder handles any conforming single-frame non-interlaced stream; the
+# encoder is its test companion and builds REAL dictionary-compressed
+# streams (not the degenerate all-literals trick), so decode(encode(x))
+# exercises the dictionary path end-to-end.
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits CLEAR, dictionary-compresses the index
+    stream with code width growing from min+1 to 12 bits, re-CLEARs when
+    the table fills, ends with EOI. LSB-first bit packing."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    def fresh():
+        return {(i,): i for i in range(1 << min_code_size)}
+
+    table = fresh()
+    next_code, width = eoi + 1, min_code_size + 1
+    emit(clear, width)
+    s: tuple = ()
+    for ix in indices:
+        ix = int(ix)
+        cand = s + (ix,)
+        if cand in table:
+            s = cand
+            continue
+        emit(table[s], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            # the DECODER widens when its next slot reaches 2^width; the
+            # encoder must widen at the same moment or the streams skew
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table, next_code, width = fresh(), eoi + 1, min_code_size + 1
+        s = (ix,)
+    if s:
+        emit(table[s], width)
+    emit(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> list:
+    """GIF-variant LZW decode: variable width, CLEAR resets, the KwKwK
+    special case, deferred clear (full table stops growing until CLEAR)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = acc = n_bits = 0
+    width = min_code_size + 1
+    table: list = [(i,) for i in range(1 << min_code_size)] + [(), ()]
+    out: list = []
+    prev: tuple | None = None
+
+    def read_code() -> int | None:
+        nonlocal pos, acc, n_bits
+        while n_bits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code is None or code == eoi:
+            return out
+        if code == clear:
+            table = [(i,) for i in range(1 << min_code_size)] + [(), ()]
+            width, prev = min_code_size + 1, None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} of {len(table)}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+        # the decoder's table lags the encoder's by ONE entry (its add for
+        # code k happens while reading code k+1), so it must widen one
+        # entry EARLY relative to the encoder's table-size test — the
+        # classic GIF off-by-one: widen at 2^width - 1, not 2^width
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+
+
+def _gif_pixels(blob: bytes):
+    """Stdlib GIF decode to the (h, w, 3) uint8 RGB array: header +
+    logical screen descriptor, global/local color table, extension-block
+    skip, image descriptor, sub-block reassembly, LZW decode, palette
+    map. Single-frame non-interlaced streams (the overwhelming majority
+    of real GIFs; animation frames would loop the same image step)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF blob")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(blob[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(blob):
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _lf, _tp, w, h, ip = struct.unpack("<HHHHB", blob[pos : pos + 9])
+            pos += 9
+            if ip & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if ip & 0x80:
+                n = 2 << (ip & 0x07)
+                palette = np.frombuffer(
+                    blob[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF image has no color table")
+            mcs = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos]:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decompress(bytes(data), mcs)[: w * h]
+            if len(idx) < w * h:
+                raise ValueError("GIF LZW stream shorter than w*h")
+            arr = np.asarray(idx, dtype=np.int64).reshape(h, w)
+            return palette[arr]  # (h, w, 3) uint8
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _decode_gif(blob: bytes) -> dict:
+    """GIF stats decode: _gif_pixels + the shared feature convention
+    (per-channel means + luminance, /255) — same contract as _decode_png."""
+    import numpy as np
+
+    rgb = _gif_pixels(blob).astype(np.float64)
+    h, w, _ = rgb.shape
+    means = rgb.mean(axis=(0, 1))
+    lum = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]).mean()
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": 3,
+        "features": [means[0] / 255.0, means[1] / 255.0, means[2] / 255.0, lum / 255.0],
+    }
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Stdlib GIF87a encoder (the test/fixture companion of _decode_gif):
+    (h, w) palette-index array + (n, 3) uint8 palette -> single-frame
+    non-interlaced GIF with a REAL LZW-compressed stream. Palette size is
+    padded to the next power of two (>= 4, GIF's minimum code size 2)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices)
+    h, w = idx.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    bits = max(2, int(len(pal) - 1).bit_length())
+    n = 1 << bits
+    padded = np.zeros((n, 3), dtype=np.uint8)
+    padded[: len(pal)] = pal
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += padded.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(bits)  # LZW minimum code size
+    lzw = _lzw_compress(idx.reshape(-1).tolist(), bits)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _real_decode(blob: bytes) -> dict:
     """Magic-byte dispatch to a real decoder; loud failure for formats
     that genuinely need a media library."""
@@ -363,12 +584,14 @@ def _real_decode(blob: bytes) -> dict:
         return _decode_wav(blob)
     if blob[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return _decode_png(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(blob)
     head = bytes(blob[:4])
     raise NotImplementedError(
         f"no container-supported decoder for magic {head!r}: BMP(24bpp), "
-        "WAV(PCM16) and PNG(8-bit non-interlaced) decode with stdlib+numpy; "
-        "JPEG/MP3/MP4 require pillow/av/soundfile, not present in this "
-        "container"
+        "WAV(PCM16), PNG(8-bit non-interlaced) and GIF(single-frame LZW) "
+        "decode with stdlib+numpy; JPEG/MP3/MP4 require pillow/av/"
+        "soundfile, not present in this container"
     )
 
 

@@ -551,3 +551,90 @@ def q295_audio_decimate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_frames", "sample_rate", "zcr", "dc_sum", "energy")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q325_gif_decode_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             5 + doc_id % 6 AS w, 5 + (doc_id * 7) % 6 AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT a.range AS x, b.range AS y FROM range(0, 11) a, range(0, 11) b
+    ),
+    px AS (
+      SELECT doc_id, w, h, (L * 7 + 3 * x + 5 * y) % 64 AS i
+      FROM base JOIN grid ON x < w AND y < h
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           3 AS channels,
+           round(avg((i * 37) % 256) / 255.0, 6) AS mean_r,
+           round(avg((i * 59 + 11) % 256) / 255.0, 6) AS mean_g,
+           round(avg((i * 83 + 22) % 256) / 255.0, 6) AS mean_b
+    FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+)
+def q325_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode through the full multimodal pipeline — the round-9
+    extension of q264's codec-path discipline to a COMPRESSED format: per
+    document a deterministic analytic palette image — index(y, x) =
+    (7L + 3x + 5y) mod 64 over a fixed 64-color palette, dimensions keyed
+    to doc_id — is encoded to a real single-frame GIF inside the map task
+    (hand-written variable-width LZW with dictionary compression, CLEAR /
+    EOI codes, LSB-first packing), then decoded back by
+    operators/multimodal._decode_gif via decode_media(stub=False). The
+    oracle replays the analytic index->palette function in pure SQL, so
+    every channel mean value-checks the whole
+    encode->LZW-compress->LZW-decode->palette-map->aggregate chain
+    engine-to-engine. With PNG (zlib/DEFLATE, q264) this makes two real
+    compressed-codec paths exercised without any media library.
+
+    Scale posture: blobs are built and decoded inside ONE Arrow map pass
+    (mapInPandas -> decode_media), never shuffled; the small (doc_id, L)
+    frame repartitions to cluster parallelism first (single-split test
+    corpus gotcha, the q264 fix)."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import numpy as np
+
+        from hive_backend_spark.operators.multimodal import encode_gif
+
+        pal = np.stack(
+            [
+                (np.arange(64) * 37) % 256,
+                (np.arange(64) * 59 + 11) % 256,
+                (np.arange(64) * 83 + 22) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                w, h = 5 + did % 6, 5 + (did * 7) % 6
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                idx = (length * 7 + 3 * x + 5 * y) % 64
+                blobs.append(encode_gif(idx, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    decoded = MM.decode_media(blobbed, stub=False)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round(F.element_at("features", 1), 6).alias("mean_r"),
+        F.round(F.element_at("features", 2), 6).alias("mean_g"),
+        F.round(F.element_at("features", 3), 6).alias("mean_b"),
+    ).orderBy("doc_id")

@@ -779,3 +779,57 @@ def test_decimate_audio_roundtrip(spark):
     samples, rate, channels = _wav_samples(bytes(out["blob"]))
     assert rate == 4000 and channels == 1
     assert np.array_equal(samples, s[::2])
+
+
+def test_gif_lzw_codec_roundtrip_and_known_stream():
+    """The hand-written GIF LZW codec: (1) a hand-computed bitstream for
+    [0,1,1,0] at min-code-size 2 — CLEAR(3b) 0(3b) 1(3b) then the width
+    bump to 4 bits exactly when the decoder's lagged table hits 2^w - 1 —
+    packs to 44 02 0a; (2) decode(encode(x)) over dictionary-heavy runs,
+    the KwKwK special case, and a 20k-symbol stream that fills the 4096
+    table and re-CLEARs mid-stream."""
+    import numpy as np
+
+    from hive_backend_spark.operators.multimodal import (
+        _gif_pixels,
+        _lzw_compress,
+        _lzw_decompress,
+        encode_gif,
+    )
+
+    assert _lzw_compress([0, 1, 1, 0], 2) == bytes([0x44, 0x02, 0x0A])
+    assert _lzw_decompress(bytes([0x44, 0x02, 0x0A]), 2) == [0, 1, 1, 0]
+
+    assert _lzw_decompress(_lzw_compress([1] * 500, 2), 2) == [1] * 500  # KwKwK
+
+    rng = np.random.RandomState(7)
+    for npal in (3, 16, 200, 256):
+        pal = rng.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+        idx = rng.randint(0, npal, size=(17, 23))
+        assert (_gif_pixels(encode_gif(idx, pal)) == pal[idx]).all()
+    # table-full + re-clear path (> 4096 dictionary entries)
+    idx = np.array([(i * 7 + (i // 3) * 5) % 256 for i in range(20000)]).reshape(
+        100, 200
+    )
+    pal = (np.arange(256 * 3, dtype=np.int64) % 251).astype(np.uint8).reshape(256, 3)
+    assert (_gif_pixels(encode_gif(idx, pal)) == pal[idx]).all()
+
+
+def test_decode_media_real_gif(spark):
+    """decode_media(stub=False) dispatches GIF blobs to the real LZW
+    decoder and emits the shared (dims, channel-mean) convention."""
+    import numpy as np
+
+    from hive_backend_spark.operators import multimodal as MM
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [0, 0, 0]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 3]])
+    df = spark.createDataFrame(
+        [(1, bytearray(MM.encode_gif(idx, pal)))], "doc_id bigint, blob binary"
+    )
+    row = MM.decode_media(df, stub=False).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (2, 2, 3)
+    feats = row["features"]
+    assert abs(feats[0] - (255 / 4) / 255.0) < 1e-12  # mean R
+    assert abs(feats[1] - (255 / 4) / 255.0) < 1e-12  # mean G
+    assert abs(feats[2] - (255 / 4) / 255.0) < 1e-12  # mean B
