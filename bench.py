@@ -286,6 +286,7 @@ HEADLINE = [
     "q323_posting_compression_audit",
     "q324_obrien_fleming_monitor",
     "q325_gif_decode_stats",
+    "q326_readability_scores",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

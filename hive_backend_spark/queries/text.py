@@ -4369,3 +4369,104 @@ def q319_code_switch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang")
     )
+
+
+# --- q326: readability indices ---------------------------------------------------
+
+
+@register(
+    "q326_readability_scores",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                      s -> trim(s) <> '')), 1) AS sents,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS words,
+             list_aggregate(list_transform(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1)),
+               'sum') AS sylls,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(sents) AS BIGINT) AS n_sentences,
+           CAST(sum(sylls) AS BIGINT) AS n_syllables,
+           round(CAST(sum(words) AS DOUBLE) / sum(sents), 4)
+             AS words_per_sentence,
+           round(CAST(sum(sylls) AS DOUBLE) / sum(words), 4)
+             AS syllables_per_word,
+           round(206.835 - 1.015 * (CAST(sum(words) AS DOUBLE) / sum(sents))
+                 - 84.6 * (CAST(sum(sylls) AS DOUBLE) / sum(words)), 4)
+             AS flesch_ease,
+           round(0.39 * (CAST(sum(words) AS DOUBLE) / sum(sents))
+                 + 11.8 * (CAST(sum(sylls) AS DOUBLE) / sum(words)) - 15.59, 4)
+             AS fk_grade,
+           round(4.71 * (CAST(sum(chars) AS DOUBLE) / sum(words))
+                 + 0.5 * (CAST(sum(words) AS DOUBLE) / sum(sents)) - 21.43, 4)
+             AS ari
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q326_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability indices — Flesch Reading Ease,
+    Flesch-Kincaid grade, and ARI — from exact corpus-level counts of
+    words, sentences ([.!?]+ segmentation), syllables (vowel-group runs
+    per token, floor 1 — the standard dictionary-free proxy), and
+    alphanumeric characters. Readability bands are a routine quality /
+    complexity-stratification signal in pretraining mixture design
+    (complements q62's length/stopword score and q146's token entropy
+    with SENTENCE-level structure, which neither sees).
+
+    Determinism: all four inputs are exact integer sums (per-doc counts
+    via higher-order folds over the token array, identical in both
+    engines); each index is a closed form of two exact ratios, rounded
+    at 4 — no float aggregation anywhere.
+
+    Scale posture: pure map over the scan (regex splits + per-doc folds),
+    then a |langs|-row aggregate of integer partials — the q60/q119
+    zero-shuffle class."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda s: F.trim(s) != "",
+            )
+        ),
+        F.lit(1),
+    )
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sylls = F.expr(
+        "aggregate(transform(split(trim(lower(text)), '\\\\s+'),"
+        " t -> greatest(size(regexp_extract_all(t, '[aeiouy]+', 0)), 1)),"
+        " 0, (acc, x) -> acc + x)"
+    )
+    chars = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
+    per_doc = docs.select(
+        "lang",
+        sents.alias("sents"),
+        words.alias("words"),
+        sylls.alias("sylls"),
+        chars.alias("chars"),
+    )
+    wps = F.sum("words").cast("double") / F.sum("sents")
+    spw = F.sum("sylls").cast("double") / F.sum("words")
+    cpw = F.sum("chars").cast("double") / F.sum("words")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("n_words"),
+            F.sum("sents").cast("bigint").alias("n_sentences"),
+            F.sum("sylls").cast("bigint").alias("n_syllables"),
+            F.round(wps, 4).alias("words_per_sentence"),
+            F.round(spw, 4).alias("syllables_per_word"),
+            F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
+            F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+            F.round(4.71 * cpw + 0.5 * wps - 21.43, 4).alias("ari"),
+        )
+        .orderBy("lang")
+    )
