@@ -287,6 +287,7 @@ HEADLINE = [
     "q324_obrien_fleming_monitor",
     "q325_gif_decode_stats",
     "q326_readability_scores",
+    "q327_bag_dup_groups",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

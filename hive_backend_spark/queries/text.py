@@ -4470,3 +4470,67 @@ def q326_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- q327: word-order-insensitive (bag-of-words) duplicate census ---------------
+
+
+@register(
+    "q327_bag_dup_groups",
+    oracle="""
+    WITH bags AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(
+               regexp_split_to_array(trim(text), '\\s+')), ' ')) AS bag_fp,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS exact_fp
+      FROM documents
+    )
+    SELECT bag_fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT exact_fp) AS BIGINT) AS n_distinct_texts,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           count(DISTINCT exact_fp) > 1 AS reordered
+    FROM bags
+    GROUP BY bag_fp
+    HAVING count(*) > 1
+    ORDER BY bag_fp
+    """,
+)
+def q327_bag_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-order-insensitive duplicate census — the reorder-invariant rung
+    between exact dedup (q64: byte identity) and near-dup LSH (q67:
+    shingle overlap): documents whose sorted token MULTISETS collide are
+    grouped by the bag fingerprint (md5 of the sorted token list), and
+    `reordered` marks groups whose members are NOT byte-identical — the
+    template-shuffle duplicates (list reorderings, navigation permutes,
+    shuffled boilerplate) that exact dedup misses and shingle LSH only
+    partially catches (reordering destroys most 3-gram shingles). The
+    keeper rule mirrors q64 (min doc_id).
+
+    Determinism: fingerprints are md5 digests of canonical forms (sorted
+    token join; lowercased whitespace-normalized text); counts exact.
+
+    Scale posture: one map pass computes both digests per document (the
+    sort is per-doc, bounded by doc length), then a digest-keyed
+    HashAggregate — the q64 shuffle shape with a 16-byte key; text never
+    moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bag_fp = F.md5(F.array_join(F.array_sort(toks), " "))
+    exact_fp = F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    )
+    bags = docs.select(
+        "doc_id", bag_fp.alias("bag_fp"), exact_fp.alias("exact_fp")
+    )
+    return (
+        bags.groupBy("bag_fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("exact_fp").cast("bigint").alias("n_distinct_texts"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            (F.countDistinct("exact_fp") > 1).alias("reordered"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("bag_fp")
+    )
