@@ -288,6 +288,7 @@ HEADLINE = [
     "q325_gif_decode_stats",
     "q326_readability_scores",
     "q327_bag_dup_groups",
+    "q328_jpeg_decode_stats",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -7,11 +7,12 @@ The container has no media libraries, so the DECODE step has two paths
   - ``decode_media(..., stub=False)`` REALLY decodes the formats the
     stdlib+numpy can handle alone — BMP (24bpp uncompressed), WAV
     (16-bit PCM), PNG (8-bit non-interlaced, zlib inflate + all five
-    scanline filters) and GIF (87a/89a single-frame non-interlaced,
-    hand-written variable-width LZW), dispatched per blob by magic
-    bytes — and raises NotImplementedError naming the missing dependency
-    (pillow/av/soundfile) for the remaining compressed formats
-    (JPEG/MP3/MP4);
+    scanline filters), GIF (87a/89a single-frame non-interlaced,
+    hand-written variable-width LZW) and JPEG (baseline sequential,
+    hand-written Huffman + IDCT, 4:4:4/4:2:2/4:2:0 and restart markers
+    — operators/jpeg), dispatched per blob by magic bytes — and raises
+    NotImplementedError naming the missing dependency (av/soundfile/
+    pillow) for the remaining formats (MP3/MP4, progressive JPEG);
   - ``decode_media(..., stub=True)`` (default) derives a DETERMINISTIC fake
     decode from the blob's md5 digest, so the Spark-side plumbing — schema,
     batch shape, partitioning, downstream joins — is testable on arbitrary
@@ -61,14 +62,17 @@ def _fake_decode(blob: bytes) -> dict:
 
 # --- real decoders for container-supported formats ---------------------------
 #
-# Three formats decode with the stdlib + numpy alone — no pillow/av/
+# Five formats decode with the stdlib + numpy alone — no pillow/av/
 # soundfile needed — so `stub=False` is REAL for them:
 #   - BMP (Windows bitmap, BITMAPINFOHEADER, 24bpp uncompressed)
 #   - WAV (RIFF PCM, 16-bit)
 #   - PNG (8-bit non-interlaced gray/RGB/GA/RGBA: zlib inflate + the five
 #     scanline filters; palette/16-bit/Adam7 still raise)
-# Codec-compressed formats (JPEG/MP3/MP4...) still raise loudly, naming
-# the missing dependency. Dispatch is by magic bytes, per blob.
+#   - GIF (87a/89a single-frame non-interlaced, hand-written LZW — below)
+#   - JPEG (baseline sequential: hand-written Huffman + IDCT, any 1-2
+#     sampling factors, restart markers — operators/jpeg)
+# Remaining formats (MP3/MP4, progressive JPEG) raise loudly, naming the
+# missing dependency. Dispatch is by magic bytes, per blob.
 
 
 def _bmp_pixels(blob: bytes):
@@ -575,6 +579,31 @@ def encode_gif(indices, palette) -> bytes:
     return bytes(out)
 
 
+def _decode_jpeg(blob: bytes) -> dict:
+    """JPEG stats decode: operators/jpeg baseline decoder + the shared
+    feature convention (per-channel means + luminance, /255)."""
+    import numpy as np
+
+    from .jpeg import _jpeg_pixels
+
+    arr = _jpeg_pixels(blob).astype(np.float64)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        rgb = np.repeat(arr[..., None], 3, axis=2)
+        nch = 1
+    else:
+        h, w, nch = arr.shape
+        rgb = arr
+    means = rgb.mean(axis=(0, 1))
+    lum = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]).mean()
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": int(nch),
+        "features": [means[0] / 255.0, means[1] / 255.0, means[2] / 255.0, lum / 255.0],
+    }
+
+
 def _real_decode(blob: bytes) -> dict:
     """Magic-byte dispatch to a real decoder; loud failure for formats
     that genuinely need a media library."""
@@ -586,12 +615,15 @@ def _real_decode(blob: bytes) -> dict:
         return _decode_png(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(blob)
+    if blob[:2] == b"\xff\xd8":
+        return _decode_jpeg(blob)
     head = bytes(blob[:4])
     raise NotImplementedError(
         f"no container-supported decoder for magic {head!r}: BMP(24bpp), "
-        "WAV(PCM16), PNG(8-bit non-interlaced) and GIF(single-frame LZW) "
-        "decode with stdlib+numpy; JPEG/MP3/MP4 require pillow/av/"
-        "soundfile, not present in this container"
+        "WAV(PCM16), PNG(8-bit non-interlaced), GIF(single-frame LZW) and "
+        "JPEG(baseline sequential, incl. 4:2:0 and restart markers) decode "
+        "with stdlib+numpy; MP3/MP4 (and progressive JPEG) require "
+        "av/soundfile/pillow, not present in this container"
     )
 
 
@@ -762,11 +794,18 @@ def resize_media(
                     arr = _png_pixels(blob)
                 elif blob[:2] == b"BM":
                     arr = _bmp_pixels(blob)
+                elif blob[:6] in (b"GIF87a", b"GIF89a"):
+                    arr = _gif_pixels(blob)
+                elif blob[:2] == b"\xff\xd8":
+                    from .jpeg import _jpeg_pixels
+
+                    arr = _jpeg_pixels(blob)
                 else:
                     raise NotImplementedError(
                         f"no container-supported pixel decoder for magic "
-                        f"{blob[:4]!r}: PNG and BMP resize with stdlib+numpy; "
-                        "JPEG needs pillow, not present in this container"
+                        f"{blob[:4]!r}: PNG, BMP, GIF and baseline JPEG "
+                        "resize with stdlib+numpy; other formats need "
+                        "pillow, not present in this container"
                     )
                 h, w = arr.shape[:2]
                 scale = min(1.0, max_side / max(w, h))

@@ -638,3 +638,82 @@ def q325_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 2), 6).alias("mean_g"),
         F.round(F.element_at("features", 3), 6).alias("mean_b"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q328_jpeg_decode_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             2 + doc_id % 3 AS bw, 2 + (doc_id * 5) % 3 AS bh
+      FROM documents
+    ),
+    grid AS (
+      SELECT a.range AS x, b.range AS y FROM range(0, 5) a, range(0, 5) b
+    ),
+    blocks AS (
+      SELECT doc_id, bw, bh, (L * 7 + 11 * x + 13 * y) % 256 AS v
+      FROM base JOIN grid ON x < bw AND y < bh
+    )
+    SELECT doc_id, CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+           1 AS channels,
+           round(avg(v) / 255.0, 6) AS mean_lum
+    FROM blocks GROUP BY doc_id, bw, bh ORDER BY doc_id
+    """,
+)
+def q328_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode through the full multimodal pipeline — the third
+    compressed codec path (DEFLATE via PNG q264, LZW via GIF q325, now
+    Huffman+DCT via JPEG): per document a block-constant grayscale mosaic
+    — 8x8 block (bx, by) holds value (7L + 11bx + 13by) mod 256, with the
+    block-grid dimensions keyed to doc_id — is encoded to a real baseline
+    JPEG inside the map task (hand-written canonical Huffman coding, DC
+    prediction, byte stuffing, forward DCT) and decoded back by
+    operators/jpeg via decode_media(stub=False). Block-constant inputs
+    under all-ones quantization make the lossy codec BIT-EXACT (a
+    constant block's DCT is a single integer DC coefficient), so the
+    oracle's pure-SQL replay of the analytic block values checks the
+    whole encode->Huffman->stuff->parse->Huffman-decode->IDCT chain
+    exactly — no tolerance anywhere. The general lossy paths (random
+    content, 4:2:0, restart markers, quantization) are pytest-bounded in
+    tests/test_operators.py.
+
+    Scale posture: blobs are built and decoded inside ONE Arrow map pass,
+    never shuffled; the small (doc_id, L) frame repartitions to cluster
+    parallelism first (the q264/q325 single-split fix)."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import numpy as np
+
+        from hive_backend_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                bw, bh = 2 + did % 3, 2 + (did * 5) % 3
+                by, bx = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+                vals = (length * 7 + 11 * bx + 13 * by) % 256
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                    np.uint8
+                )
+                blobs.append(encode_jpeg(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    decoded = MM.decode_media(blobbed, stub=False)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round(F.element_at("features", 4), 6).alias("mean_lum"),
+    ).orderBy("doc_id")

@@ -833,3 +833,71 @@ def test_decode_media_real_gif(spark):
     assert abs(feats[0] - (255 / 4) / 255.0) < 1e-12  # mean R
     assert abs(feats[1] - (255 / 4) / 255.0) < 1e-12  # mean G
     assert abs(feats[2] - (255 / 4) / 255.0) < 1e-12  # mean B
+
+
+def test_jpeg_codec_roundtrips():
+    """The stdlib baseline JPEG codec (operators/jpeg): block-constant
+    grayscale with all-ones quantization roundtrips BIT-EXACTLY (DC-only
+    blocks — the property q328's oracle check rides on); random gray /
+    RGB 4:4:4 stay within the float-rounding bound; 4:2:0 subsampling and
+    DRI/RSTn restart markers decode within the chroma-averaging bound;
+    progressive frames raise loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.jpeg import _jpeg_pixels, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 256, size=(3, 4))
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    assert (_jpeg_pixels(encode_jpeg(img)) == img).all()  # bit-exact
+
+    g = rng.randint(0, 256, size=(21, 35)).astype(np.uint8)
+    assert np.abs(_jpeg_pixels(encode_jpeg(g)).astype(int) - g).max() <= 2
+
+    c = rng.randint(0, 256, size=(17, 19, 3)).astype(np.uint8)
+    assert np.abs(_jpeg_pixels(encode_jpeg(c)).astype(int) - c).max() <= 4
+
+    yy, xx = np.meshgrid(np.arange(37), np.arange(45), indexing="ij")
+    smooth = np.stack(
+        [yy * 2 + xx * 2, 30 + yy + xx * 2, 200 - yy * 2 - xx], axis=2
+    ).astype(np.uint8)
+    out = _jpeg_pixels(encode_jpeg(smooth, subsample420=True))
+    assert out.shape == smooth.shape
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 8
+
+    blob = encode_jpeg(g, restart_interval=3)
+    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+    assert np.abs(_jpeg_pixels(blob).astype(int) - g).max() <= 2
+
+    # lossy quantization on a smooth gradient stays visually tight
+    q = np.clip(np.arange(64).reshape(8, 8) + 10, 1, 255)
+    s2 = ((yy * 2 + xx * 3) % 200).astype(np.uint8)
+    assert np.abs(
+        _jpeg_pixels(encode_jpeg(s2, quant=q)).astype(int) - s2
+    ).max() <= 48
+
+    prog = bytearray(encode_jpeg(g))
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        _jpeg_pixels(bytes(prog))
+
+
+def test_decode_media_real_jpeg(spark):
+    """decode_media(stub=False) dispatches JPEG blobs to the baseline
+    decoder: a block-constant gray image decodes bit-exactly, so the
+    emitted mean equals the analytic block mean."""
+    import numpy as np
+
+    from hive_backend_spark.operators import multimodal as MM
+    from hive_backend_spark.operators.jpeg import encode_jpeg
+
+    vals = np.array([[10, 200], [60, 130]])
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img)))], "doc_id bigint, blob binary"
+    )
+    row = MM.decode_media(df, stub=False).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (16, 16, 1)
+    assert abs(row["features"][3] - vals.mean() / 255.0) < 1e-12
