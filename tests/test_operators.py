@@ -901,3 +901,19 @@ def test_decode_media_real_jpeg(spark):
     row = MM.decode_media(df, stub=False).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (16, 16, 1)
     assert abs(row["features"][3] - vals.mean() / 255.0) < 1e-12
+
+
+def test_jpeg_parser_tolerates_fill_bytes_and_tem():
+    """Legal inter-segment noise real encoders emit: repeated 0xFF fill
+    bytes and the standalone TEM (0x01) marker carry no length field and
+    must be skipped, not parsed as segments."""
+    import numpy as np
+
+    from hive_backend_spark.operators.jpeg import _jpeg_pixels, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 256, size=(2, 3))
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    blob = encode_jpeg(img)
+    noisy = blob[:20] + b"\xff\xff\xff\x01" + blob[20:]  # after APP0
+    assert (_jpeg_pixels(noisy) == img).all()
