@@ -289,6 +289,9 @@ HEADLINE = [
     "q326_readability_scores",
     "q327_bag_dup_groups",
     "q328_jpeg_decode_stats",
+    "q329_mp4_structure_stats",
+    "q330_mp3_frame_stats",
+    "q331_progressive_jpeg_stats",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -298,6 +298,22 @@ def explode_bands(
 BUCKET_CAP = 4096
 
 
+def _overcap_census(fp_bands: DataFrame, bucket_cap: int) -> DataFrame:
+    """THE bucket census: per-(band_idx, band_sig) fingerprint population,
+    filtered to over-cap rows. Computed as ONE map-side-combined aggregate
+    and reused by the escalation probe, the cap filter (anti-join), and
+    the escalation set — the round-9 shape computed it three times (two
+    windows + a probe aggregate), ~1.2 s of duplicated census on the cold
+    q79 pass. Its output is bounded by the number of FLOOD buckets (zero
+    on every tested corpus), so it broadcasts."""
+    return (
+        fp_bands.filter(F.col("band_sig").isNotNull())
+        .groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+        .filter(F.col("n_fps") > bucket_cap)
+    )
+
+
 def overpopulated_buckets(
     fp_bands: DataFrame, bucket_cap: int = BUCKET_CAP
 ) -> DataFrame:
@@ -310,12 +326,7 @@ def overpopulated_buckets(
     escalation) and only level-2 residuals are withheld (see
     ``residual_overpopulated_buckets``). Non-empty output remains the
     flood-monitoring signal (q195's purpose)."""
-    return (
-        fp_bands.filter(F.col("band_sig").isNotNull())
-        .groupBy("band_idx", "band_sig")
-        .agg(F.count(F.lit(1)).alias("n_fps"))
-        .filter(F.col("n_fps") > bucket_cap)
-    )
+    return _overcap_census(fp_bands, bucket_cap)
 
 
 def _fused_bands(fp_bands: DataFrame, esc_fps: DataFrame) -> DataFrame:
@@ -367,16 +378,21 @@ def residual_overpopulated_buckets(
     )
 
 
-def _escalated_fps(fp_bands: DataFrame, bucket_cap: int) -> DataFrame:
+def _escalated_fps(
+    fp_bands: DataFrame, bucket_cap: int, over: DataFrame | None = None
+) -> DataFrame:
     """Distinct fingerprints appearing in at least one over-cap level-1
-    bucket — the population the level-2 pass re-bands."""
-    from pyspark.sql.window import Window
-
-    wb = Window.partitionBy("band_idx", "band_sig")
+    bucket — the population the level-2 pass re-bands. Pass ``over`` to
+    reuse an already-computed (ideally persisted) census instead of
+    re-aggregating the band table."""
+    if over is None:
+        over = _overcap_census(fp_bands, bucket_cap)
     return (
-        fp_bands.filter(F.col("band_sig").isNotNull())
-        .withColumn("__bucket_n", F.count(F.lit(1)).over(wb))
-        .filter(F.col("__bucket_n") > bucket_cap)
+        fp_bands.join(
+            F.broadcast(over.select("band_idx", "band_sig")),
+            ["band_idx", "band_sig"],
+            "left_semi",
+        )
         .select("fp")
         .distinct()
     )
@@ -393,69 +409,76 @@ def fp_candidate_pairs(
     fingerprints (a near-identical template flood) are excluded from the
     original-width join, so the level-1 pair output is <= sum over
     surviving buckets of C(min(n, cap), 2) by construction. The bucket
-    census is a window PARTITIONED by the join key itself, so it rides the
-    self-join's own shuffle; NULL band signatures (gram-less texts) are
-    filtered up front — they can never equi-join and would only skew the
-    census partition.
+    census is computed ONCE (``_overcap_census``, a map-side-combined
+    aggregate whose output is bounded by the flood-bucket count) and
+    reused three ways: as the escalation probe, as a broadcast anti-join
+    cap filter, and as the escalation set — the no-flood path (every
+    tested corpus) then self-joins the raw band table with NO window sort
+    and NO cap filter at all, since the probe proved the filter a no-op.
+    NULL band signatures (gram-less texts) are filtered up front — they
+    can never equi-join and would only skew the census.
 
     Two-level escalation (``escalate=True``, the default): fingerprints
     trapped in over-cap buckets are NOT dropped — they re-band at double
     rows-per-band (``_fused_bands``: adjacent band digests concatenated,
     equivalent to halving the band count of the same signatures), the
     fused buckets get the same cap, and surviving fused buckets self-join.
-    Recovered pairs carry their EXACT shared-band count (a join back to
-    the full band table, bounded by the recovered-pair volume) and
-    override the level-1 row for the same pair; level-2 residual buckets
-    are the only withheld output (``residual_overpopulated_buckets``).
+    When escalation fires, ALL emitted pairs — recovered and level-1
+    alike — are recounted against the full band table (bounded by the
+    emitted-pair volume x the fixed band count), so ``n_shared_bands``
+    is the exact full-width shared-band count on every row, one scale
+    for downstream rankers (q67/q173); level-2 residual buckets are the
+    only withheld output (``residual_overpopulated_buckets``).
     When no bucket exceeds the cap the escalation branch is empty and the
     output is byte-identical to the uncapped self-join — the
     oracle-unchanged guarantee."""
     from pyspark.sql.window import Window
 
-    wb = Window.partitionBy("band_idx", "band_sig")
-    counted = (
-        fp_bands.filter(F.col("band_sig").isNotNull())
-        .withColumn("__bucket_n", F.count(F.lit(1)).over(wb))
-    )
-    sized = counted.filter(F.col("__bucket_n") <= bucket_cap).drop("__bucket_n")
-    a = sized.alias("a")
-    b = sized.alias("b")
-    l1 = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.fp") < F.col("b.fp")),
+    nn = fp_bands.filter(F.col("band_sig").isNotNull())
+
+    def _l1(sized: DataFrame) -> DataFrame:
+        a = sized.alias("a")
+        b = sized.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.fp") < F.col("b.fp")),
+            )
+            .groupBy(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         )
-        .groupBy(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
+
+    over = _overcap_census(fp_bands, bucket_cap)
     if not escalate:
-        return l1
+        # lazy cap-filtered level-1 join (the census anti-joins as a
+        # broadcast — its row count is the flood-bucket count)
+        return _l1(
+            nn.join(F.broadcast(over), ["band_idx", "band_sig"], "left_anti")
+        )
 
     # Adaptive escalation (the AQE discipline applied at plan-build time):
     # probe whether ANY bucket exceeds the cap before composing the
-    # level-2 DAG. The probe is a bounded action — a map-side-combined
-    # bucket census filtered to over-cap rows, LIMIT 1, so it returns at
-    # most one row regardless of corpus size — and in the production path
-    # it reads the already-persisted signature table (_sig_tables cache).
-    # Without it, every no-flood run (all tested scale factors, most real
-    # corpora) would pay ~6 extra shuffles of the band table for an empty
-    # escalation branch — measured 2x on the cold clustering pass (q79).
-    has_over = (
-        fp_bands.filter(F.col("band_sig").isNotNull())
-        .groupBy("band_idx", "band_sig")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > bucket_cap)
-        .limit(1)
-        .count()
-    )
+    # level-2 DAG. The probe is a bounded action — the shared over-cap
+    # census LIMIT 1, at most one row regardless of corpus size — and in
+    # the production path it reads the already-persisted signature table
+    # (_sig_tables cache). Without it, every no-flood run (all tested
+    # scale factors, most real corpora) would pay ~6 extra shuffles of
+    # the band table for an empty escalation branch — measured 2x on the
+    # cold clustering pass (q79). The census is PERSISTED before the
+    # probe so the flood path's three reuses (probe, cap anti-join,
+    # escalation semi-join) aggregate the band table exactly once.
+    over = over.persist()
+    has_over = over.limit(1).count()
     if has_over == 0:
-        return l1
+        over.unpersist()
+        # proven no-op filter: self-join the raw band table directly —
+        # no window sort, no anti-join, nothing the cap could change
+        return _l1(nn)
 
-    esc_fps = (
-        counted.filter(F.col("__bucket_n") > bucket_cap).select("fp").distinct()
-    )
+    l1 = _l1(nn.join(F.broadcast(over), ["band_idx", "band_sig"], "left_anti"))
+    esc_fps = _escalated_fps(fp_bands, bucket_cap, over=over)
     fused = _fused_bands(fp_bands, esc_fps)
     w2 = Window.partitionBy("band2_idx", "band2_sig")
     sized2 = (
@@ -475,28 +498,23 @@ def fp_candidate_pairs(
         .select(F.col("fa.fp").alias("fp_a"), F.col("fb.fp").alias("fp_b"))
         .distinct()
     )
-    # exact shared-band recount for the recovered pairs only — bounded by
-    # the recovered-pair volume (each fused bucket <= cap), never the flood
+    # Uniform-semantics recount: once ANY bucket was over cap, level-1
+    # counts are surviving-bucket-only (a pair that also shares an over-cap
+    # bucket undercounts), so recount EVERY emitted pair — level-1 and
+    # recovered alike — against the full band table. n_shared_bands then
+    # means the same thing on every row: the exact full-width shared-band
+    # count. The recount joins are output-bounded (pairs x fixed band
+    # count), never flood-sized, and the no-flood fast path above returns
+    # l1 untouched — the oracle-unchanged guarantee.
+    all_pairs = l1.select("fp_a", "fp_b").unionByName(esc_pairs).distinct()
     nn = fp_bands.filter(F.col("band_sig").isNotNull())
     ba = nn.select(F.col("fp").alias("fp_a"), "band_idx", "band_sig")
     bb = nn.select(F.col("fp").alias("fp_b"), "band_idx", "band_sig")
-    esc_counted = (
-        esc_pairs.join(ba, "fp_a")
+    return (
+        all_pairs.join(ba, "fp_a")
         .join(bb, ["fp_b", "band_idx", "band_sig"])
         .groupBy("fp_a", "fp_b")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-    )
-    # recovered pairs take the exact full-width count (it subsumes any
-    # surviving-bucket count); pairs only seen at level 1 keep theirs
-    return (
-        l1.join(esc_counted, ["fp_a", "fp_b"], "full_outer")
-        .select(
-            "fp_a",
-            "fp_b",
-            F.coalesce(F.col("n_exact"), F.col("n_shared_bands")).alias(
-                "n_shared_bands"
-            ),
-        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
 

@@ -68,9 +68,13 @@ def oracle_unpartitioned_window_specs(sql: str) -> list[str]:
         if m.group(1) in defs:
             specs.append(defs[m.group(1)])
     return [
-        re.sub(r"\s+", " ", s.strip())
+        # A bare OVER () — the most global window shape of all — must not
+        # silently drop out of the audit just because its spec text is
+        # empty; report it as the sentinel '<empty>' so the intent tests
+        # see it like any other flat window.
+        re.sub(r"\s+", " ", s.strip()) or "<empty>"
         for s in specs
-        if s.strip() and "partition by" not in s.lower()
+        if "partition by" not in s.lower()
     ]
 
 

@@ -717,3 +717,288 @@ def q328_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         F.round(F.element_at("features", 4), 6).alias("mean_lum"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q329_mp4_structure_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+    ),
+    tracks AS (
+      SELECT doc_id,
+             CASE (doc_id + 3 * t.range) % 4
+               WHEN 0 THEN 'avc1' WHEN 1 THEN 'mp4a'
+               WHEN 2 THEN 'hvc1' ELSE 'tx3g' END AS codec
+      FROM base JOIN range(0, 3) t ON t.range < 1 + doc_id % 3
+    )
+    SELECT b.doc_id,
+           'isom' AS major_brand,
+           CAST(600 * (1 + b.doc_id % 4) AS BIGINT) AS timescale,
+           CAST(b.L * 7 + b.doc_id % 50 AS BIGINT) AS duration,
+           round(CAST(b.L * 7 + b.doc_id % 50 AS DOUBLE)
+                 / (600 * (1 + b.doc_id % 4)), 6) AS duration_s,
+           CAST(1 + b.doc_id % 3 AS INT) AS n_tracks,
+           string_agg(t.codec, ',' ORDER BY t.codec) AS codecs,
+           CAST(16 + b.L % 240 AS BIGINT) AS mdat_bytes
+    FROM base b JOIN tracks t ON b.doc_id = t.doc_id
+    GROUP BY b.doc_id, b.L
+    ORDER BY b.doc_id
+    """,
+)
+def q329_mp4_structure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF container triage — the round-10 extension of the codec
+    ladder (DEFLATE q264, LZW q325, Huffman+DCT q328) to the CONTAINER
+    layer: per document a minimal but spec-shaped MP4 skeleton (real
+    [size][type] atoms: ftyp + moov(mvhd + n trak(tkhd/mdhd/hdlr/stsd)) +
+    mdat; movie timescale/duration, track codecs and mdat payload length
+    all keyed analytically to doc_id and text length; mvhd/mdhd version
+    alternates 0/1 by doc_id so both the 32-bit and 64-bit header layouts
+    are walked) is built in the map task by operators/mp4.
+    encode_mp4_skeleton and walked back by mp4_structure — size/largesize
+    arithmetic, box nesting, fixed-offset big-endian fields. The oracle
+    replays every parameter in pure SQL (string_agg over the codec
+    selector reproduces the sorted codec list), so brand, timescale,
+    duration (raw and seconds), track count, codec inventory and mdat
+    accounting are value-checked engine-to-engine.
+
+    This is the 100 TB triage shape for crawled video: container facts —
+    is it isom? h264 or hevc? how long? how big is the media payload? —
+    extracted in ONE Arrow map pass with zero sample-data decode, the
+    filter a training-data pipeline applies before paying for any real
+    decoding. No reference parity (the reference has no media handling;
+    slides-code.gs:312-375 reads only shape metadata) — §7 extension
+    surface like q325/q328.
+
+    Scale posture: blobs are built and parsed inside one mapInPandas
+    pass, never shuffled; the small (doc_id, L) frame repartitions to
+    cluster parallelism first (the q264/q325 single-split fix)."""
+    import pandas as pd
+
+    from ..operators import mp4 as MP4
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    CODECS = ["avc1", "mp4a", "hvc1", "tx3g"]
+    HANDLERS = ["vide", "soun", "text"]
+
+    def gen(batches):
+        from hive_backend_spark.operators.mp4 import encode_mp4_skeleton
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                tracks = [
+                    (
+                        HANDLERS[i % 3],
+                        CODECS[(did + 3 * i) % 4],
+                        1000 * (i + 1),
+                        length + i,
+                    )
+                    for i in range(1 + did % 3)
+                ]
+                blobs.append(
+                    encode_mp4_skeleton(
+                        timescale=600 * (1 + did % 4),
+                        duration=length * 7 + did % 50,
+                        tracks=tracks,
+                        mdat_len=16 + length % 240,
+                        version=did % 2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    return (
+        MP4.mp4_structure_stats(blobbed)
+        .withColumn("duration_s", F.round("duration_s", 6))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q330_mp3_frame_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+    ),
+    params AS (
+      SELECT doc_id, L, 4 + L % 7 AS n_frames,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END AS sr
+      FROM base
+    ),
+    frames AS (
+      SELECT p.doc_id, p.sr, p.n_frames, f.range AS f,
+             CASE WHEN p.doc_id % 2 = 0 THEN 1 + p.doc_id % 14
+                  ELSE 1 + (p.doc_id + f.range) % 14 END AS bidx,
+             CAST((p.doc_id + f.range) % 2 AS INT) AS pad
+      FROM params p JOIN range(0, 11) f ON f.range < p.n_frames
+    ),
+    sized AS (
+      SELECT doc_id, sr, n_frames, f, pad, kbps,
+             (144 * kbps * 1000) // sr + pad AS flen
+      FROM frames
+      JOIN (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),(7,96),
+                   (8,112),(9,128),(10,160),(11,192),(12,224),(13,256),
+                   (14,320)) br(idx, kbps) ON frames.bidx = br.idx
+    )
+    SELECT doc_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(sr AS INT) AS sample_rate,
+           (min(kbps) = max(kbps)) AS is_cbr,
+           CAST(min(CASE WHEN f = 0 THEN kbps END) AS INT)
+             AS bitrate_first_kbps,
+           round(avg(CAST(kbps AS DOUBLE)), 6) AS bitrate_avg_kbps,
+           round(n_frames * 1152 / CAST(sr AS DOUBLE), 6) AS duration_s,
+           round(CAST(sum(flen) * 8 AS DOUBLE)
+                   / (min(CASE WHEN f = 0 THEN kbps END) * 1000)
+                 - n_frames * 1152 / CAST(sr AS DOUBLE), 6) AS vbr_drift_s,
+           CAST(sum(flen) AS BIGINT) AS total_bytes
+    FROM sized GROUP BY doc_id, sr, n_frames ORDER BY doc_id
+    """,
+)
+def q330_mp3_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG audio frame-header triage — the audio twin of q329's container
+    walk: per document a raw MPEG-1 Layer III frame stream (real sync
+    words and header bit-packing via operators/mp3.encode_mp3_frames;
+    frame count, sample rate, per-frame bitrate index and padding bit all
+    keyed analytically to doc_id and text length; even doc_ids are CBR,
+    odd ones cycle the bitrate table = VBR) is walked back by
+    mp3_structure — sync scan, spec bitrate/sample-rate tables, the
+    ``144*bitrate/sr + pad`` frame-length arithmetic. The oracle replays
+    the whole stream in pure SQL over a range() frame grid joined to the
+    bitrate VALUES table, so frame count, CBR detection, exact
+    (frame-count-based) duration, the naive header-extrapolated duration's
+    VBR drift, and total byte accounting are value-checked
+    engine-to-engine.
+
+    ``vbr_drift_s`` is the triage lesson: every MPEG-1 Layer III frame is
+    1152 samples regardless of bitrate, so the exact duration needs the
+    full walk; extrapolating from the first header (what a lazy pipeline
+    does) is only right for CBR — the drift column makes the error
+    measurable. No reference parity (no media in the reference) — §7
+    extension surface like q329.
+
+    Scale posture: one Arrow map pass, nothing shuffled; small frame
+    repartitioned to cluster parallelism first (q264/q325 fix)."""
+    import pandas as pd
+
+    from ..operators import mp3 as MP3
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        from hive_backend_spark.operators.mp3 import encode_mp3_frames
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                n_frames = 4 + length % 7
+                sridx = did % 3
+                frames = [
+                    (
+                        1 + did % 14 if did % 2 == 0 else 1 + (did + f) % 14,
+                        sridx,
+                        (did + f) % 2,
+                    )
+                    for f in range(n_frames)
+                ]
+                blobs.append(encode_mp3_frames(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    return (
+        MP3.mp3_frame_stats(blobbed)
+        .withColumn("bitrate_avg_kbps", F.round("bitrate_avg_kbps", 6))
+        .withColumn("duration_s", F.round("duration_s", 6))
+        .withColumn("vbr_drift_s", F.round("vbr_drift_s", 6))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q331_progressive_jpeg_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             2 + (doc_id * 3) % 3 AS bw, 2 + (doc_id * 11) % 3 AS bh
+      FROM documents
+    ),
+    grid AS (
+      SELECT a.range AS x, b.range AS y FROM range(0, 5) a, range(0, 5) b
+    ),
+    blocks AS (
+      SELECT doc_id, bw, bh, (L * 11 + 17 * x + 19 * y) % 256 AS v
+      FROM base JOIN grid ON x < bw AND y < bh
+    )
+    SELECT doc_id, CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+           1 AS channels,
+           round(avg(v) / 255.0, 6) AS mean_lum
+    FROM blocks GROUP BY doc_id, bw, bh ORDER BY doc_id
+    """,
+)
+def q331_progressive_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) decode through the full multimodal pipeline
+    — the round-10 close of the last stdlib-feasible NotImplementedError
+    in operators/jpeg: per document the q328-style block-constant mosaic
+    (block (bx, by) holds (11L + 17bx + 19by) mod 256, grid keyed to
+    doc_id) is encoded as a REAL 8-scan progressive file inside the map
+    task (encode_progressive_jpeg: interleaved DC first at Al=1, DC
+    refinement, per-band spectral-selection AC first scans at Al=1 and
+    their successive-approximation refinements with EOBRUN run-lengths
+    and G.1.2.3 correction bits) and decoded back by the new SOF2 path in
+    operators/jpeg via the same decode_media dispatch q328 uses. Bit-exact
+    for the same reason q328 is (all-ones quant + block-constant input =>
+    single integer DC coefficient per block), so the oracle's pure-SQL
+    analytic replay value-checks every progressive scan class end-to-end;
+    pytest additionally pins progressive==baseline bit-identity on random
+    content, RGB, quantized and odd-dimension inputs
+    (tests/test_operators.py::test_progressive_jpeg_matches_baseline).
+
+    Scale posture: identical to q328 — one Arrow map pass, nothing
+    shuffled, small frame repartitioned to cluster parallelism first."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import numpy as np
+
+        from hive_backend_spark.operators.jpeg import encode_progressive_jpeg
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                bw, bh = 2 + (did * 3) % 3, 2 + (did * 11) % 3
+                by, bx = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+                vals = (length * 11 + 17 * bx + 19 * by) % 256
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                    np.uint8
+                )
+                blobs.append(encode_progressive_jpeg(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    decoded = MM.decode_media(blobbed, stub=False)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round(F.element_at("features", 4), 6).alias("mean_lum"),
+    ).orderBy("doc_id")

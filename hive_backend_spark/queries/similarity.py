@@ -2544,8 +2544,11 @@ def q261_eval_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataF
             {
                 "vec_id": ev["vec_id"].to_numpy(),
                 "label": ev["label"].to_numpy(),
-                # flag on the UNROUNDED max (oracle parity), round for report
-                "max_train_cosine": np.round(mx, 6),
+                # UNROUNDED: rounding happens in-engine with F.round so the
+                # HALF_UP semantics match the oracle's SQL round() (np.round
+                # is banker's half-even) and the guarded-F.round boundary
+                # sweep in tests/test_plans.py keeps this query in scope.
+                "max_train_cosine": mx,
                 "contaminated": mx > 0.30,
             }
         )
@@ -2556,6 +2559,7 @@ def q261_eval_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataF
             label_block,
             schema="vec_id bigint, label int, max_train_cosine double, contaminated boolean",
         )
+        .withColumn("max_train_cosine", F.round("max_train_cosine", 6))
         .orderBy(F.col("max_train_cosine").desc(), F.col("vec_id"))
     )
 

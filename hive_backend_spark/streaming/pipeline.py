@@ -1069,46 +1069,39 @@ def run_near_dup_admission(
                 "left_semi",
             ).select("doc_id").distinct().collect()
         }
-        # within-batch self edges (earlier admitted doc blocks later one)
-        a, b = base.alias("a"), base.alias("b")
-        e_exact = a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
-        na, nb = nn.alias("na"), nn.alias("nb")
-        e_near = (
-            na.join(
-                nb,
-                (F.col("na.band_idx") == F.col("nb.band_idx"))
-                & (F.col("na.band_sig") == F.col("nb.band_sig"))
-                & (F.col("na.doc_id") < F.col("nb.doc_id")),
+        # Within-batch blocking WITHOUT the band self-join: a template-flood
+        # micro-batch (K near-identical docs) would turn the e_near/e_exact
+        # pair joins into C(K,2) collected edges — quadratic driver state
+        # and an O(N*E) decision walk. Instead collect each doc's OWN keys
+        # (fp + its fixed-count band digests: O(K x bands), linear in the
+        # batch) and replay the one-at-a-time rule with admitted-key sets:
+        # "an earlier ADMITTED doc shares my fp/band" is exactly "my
+        # fp/band key is already in the admitted set" — same semantics the
+        # sequential-parity test replays, flood-proof driver footprint.
+        doc_bands: dict = {}
+        for r in nn.select("doc_id", "band_idx", "band_sig").collect():
+            doc_bands.setdefault(r["doc_id"], []).append(
+                (r["band_idx"], r["band_sig"])
             )
-            .select(F.col("na.doc_id").alias("u"), F.col("nb.doc_id").alias("v"))
-            .distinct()
-        )
-        ex_edges = {(r["u"], r["v"]) for r in e_exact.collect()}
-        nr_edges = {(r["u"], r["v"]) for r in e_near.collect()}
         fps = {
             r["doc_id"]: r["fp"] for r in base.select("doc_id", "fp").collect()
         }
         # the sequential walk: doc_id order IS arrival order within a batch
-        admitted: set = set()
+        admitted_fps: set = set()
+        admitted_buckets: set = set()
         rows = []
         for did in sorted(fps):
-            blockers_ex = did in exact_idx or any(
-                u in admitted for (u, v) in ex_edges if v == did
-            )
-            blockers_nr = did in near_idx or any(
-                u in admitted for (u, v) in nr_edges if v == did
-            )
-            if blockers_ex:
-                rows.append((did, fps[did], False, "exact"))
-            elif blockers_nr:
-                rows.append((did, fps[did], False, "near_dup"))
+            fp = fps[did]
+            if did in exact_idx or fp in admitted_fps:
+                rows.append((did, fp, False, "exact"))
+            elif did in near_idx or any(
+                k in admitted_buckets for k in doc_bands.get(did, ())
+            ):
+                rows.append((did, fp, False, "near_dup"))
             else:
-                admitted.add(did)
-                rows.append((did, fps[did], True, "admitted"))
+                admitted_fps.add(fp)
+                admitted_buckets.update(doc_bands.get(did, ()))
+                rows.append((did, fp, True, "admitted"))
         decisions = sess.createDataFrame(
             rows, "doc_id bigint, fp string, admitted boolean, reason string"
         ).withColumn("batch_id", F.lit(batch_id))

@@ -917,3 +917,141 @@ def test_jpeg_parser_tolerates_fill_bytes_and_tem():
     blob = encode_jpeg(img)
     noisy = blob[:20] + b"\xff\xff\xff\x01" + blob[20:]  # after APP0
     assert (_jpeg_pixels(noisy) == img).all()
+
+
+def test_mp4_box_walker_roundtrips_and_raises():
+    """operators/mp4: the ISO-BMFF walker recovers every encoded container
+    fact through both the version-0 (32-bit) and version-1 (64-bit)
+    mvhd/mdhd layouts, and every truncation class fails the codec's
+    ValueError contract ('raise loudly, name the problem'), never a raw
+    IndexError/struct.error."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.mp4 import encode_mp4_skeleton, mp4_structure
+
+    tracks = [("vide", "avc1", 12288, 86016), ("soun", "mp4a", 48000, 336000)]
+    for version in (0, 1):
+        blob = encode_mp4_skeleton(600, 4242, tracks, mdat_len=33, version=version)
+        m = mp4_structure(blob)
+        assert m["major_brand"] == "isom"
+        assert (m["timescale"], m["duration"], m["n_tracks"]) == (600, 4242, 2)
+        assert m["duration_s"] == 4242 / 600
+        assert [t["codec"] for t in m["tracks"]] == ["avc1", "mp4a"]
+        assert [t["handler"] for t in m["tracks"]] == ["vide", "soun"]
+        assert [t["timescale"] for t in m["tracks"]] == [12288, 48000]
+        assert m["mdat_bytes"] == 33
+    for cut in (3, 10, 40, len(blob) - 5):
+        with _pytest.raises(ValueError):
+            mp4_structure(blob[:cut])
+    with _pytest.raises(ValueError):
+        mp4_structure(b"\x00\x00\x00\x08free")  # no ftyp
+    # size==0 ("to end of file") on the LAST box is legal per spec
+    tail = encode_mp4_skeleton(600, 100, tracks[:1], mdat_len=5)
+    idx = tail.rindex(b"mdat") - 4
+    open_ended = tail[:idx] + b"\x00\x00\x00\x00" + tail[idx + 4 :]
+    assert mp4_structure(open_ended)["mdat_bytes"] == 5
+
+
+def test_mp3_frame_walker_cbr_vbr_and_raises():
+    """operators/mp3: frame walk recovers count/rate/bitrates, the exact
+    duration is frame-count-based (identical for CBR and VBR at equal
+    frame count and sample rate), the naive header-extrapolated duration
+    drifts exactly on VBR, and truncation/sync damage raises ValueError."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.mp3 import (
+        SAMPLES_PER_FRAME,
+        encode_mp3_frames,
+        frame_length,
+        mp3_structure,
+    )
+
+    cbr = mp3_structure(encode_mp3_frames([(9, 0, i % 2) for i in range(6)]))
+    assert cbr["is_cbr"] and cbr["n_frames"] == 6
+    assert cbr["sample_rate"] == 44100 and cbr["bitrate_first_kbps"] == 128
+    assert cbr["duration_s"] == 6 * SAMPLES_PER_FRAME / 44100
+    assert cbr["total_bytes"] == sum(frame_length(128, 44100, i % 2) for i in range(6))
+
+    vbr = mp3_structure(encode_mp3_frames([(1 + (3 + i) % 14, 1, 0) for i in range(5)]))
+    assert not vbr["is_cbr"]
+    assert vbr["duration_s"] == 5 * SAMPLES_PER_FRAME / 48000  # bitrate-free
+    assert abs(vbr["naive_cbr_duration_s"] - vbr["duration_s"]) > 0.01
+
+    blob = encode_mp3_frames([(9, 0, 0), (9, 0, 0)])
+    for bad in (blob[:2], blob[:10], blob[: len(blob) - 3], b"\x12" + blob[1:]):
+        with _pytest.raises(ValueError):
+            mp3_structure(bad)
+
+
+def test_jpeg_truncation_raises_value_error():
+    """operators/jpeg round-10 hardening: a truncated or malformed blob
+    fails with the codec's ValueError contract at EVERY cut point — never
+    an IndexError from raw byte indexing (the r9 ADVICE defect)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.jpeg import _jpeg_pixels, encode_jpeg
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    blob = encode_jpeg(img)
+    for cut in range(2, len(blob) - 1):
+        try:
+            got = _jpeg_pixels(blob[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        # a cut that only drops trailing EOI bytes AFTER complete scan
+        # data may legally decode — but then it must decode CORRECTLY
+        assert (got == img).all(), f"cut {cut}: silent wrong decode"
+
+
+def test_progressive_jpeg_matches_baseline():
+    """operators/jpeg round-10: the SOF2 progressive path (spectral
+    selection + successive approximation, G.1.2) decodes bit-identically
+    to the baseline twin of the same input on every supported shape —
+    block-constant (bit-exact vs source), random gray, RGB 4:4:4, real
+    quantization, and non-multiple-of-8 dimensions. The encoder companion
+    emits all four progressive scan classes (DC first/refine, AC
+    first/refine with EOBRUN + correction bits), so a pass here exercises
+    each decode branch."""
+    import numpy as np
+
+    from hive_backend_spark.operators.jpeg import (
+        _jpeg_pixels,
+        encode_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.RandomState(42)
+    vals = rng.randint(0, 256, (3, 4)).astype(np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    assert (_jpeg_pixels(encode_progressive_jpeg(img)) == img).all()
+
+    g = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    assert (
+        _jpeg_pixels(encode_progressive_jpeg(g)) == _jpeg_pixels(encode_jpeg(g))
+    ).all()
+
+    c = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    assert (
+        _jpeg_pixels(encode_progressive_jpeg(c)) == _jpeg_pixels(encode_jpeg(c))
+    ).all()
+
+    q = np.full((8, 8), 4, dtype=int)
+    q[0, 0] = 2
+    assert (
+        _jpeg_pixels(encode_progressive_jpeg(g, quant=q))
+        == _jpeg_pixels(encode_jpeg(g, quant=q))
+    ).all()
+
+    o = rng.randint(0, 256, (13, 21)).astype(np.uint8)
+    assert (
+        _jpeg_pixels(encode_progressive_jpeg(o)) == _jpeg_pixels(encode_jpeg(o))
+    ).all()
+
+    # progressive truncation keeps the ValueError contract too
+    import pytest as _pytest
+
+    blob = encode_progressive_jpeg(img)
+    for cut in (3, 25, len(blob) // 2, len(blob) - 10):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            _jpeg_pixels(blob[:cut])

@@ -5,6 +5,8 @@ These assert the optimizer still produces those plans."""
 
 from __future__ import annotations
 
+import pytest
+
 from hive_backend_spark import plans as P
 from hive_backend_spark.registry import all_queries
 
@@ -932,3 +934,87 @@ def test_round8_additions_plan_shapes(spark, sf_dir):
     s269 = plan269._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in s269, s269
     P.assert_plan(plan269, forbids=["CartesianProduct"])
+
+
+def test_coverage_header_counts_match_registry():
+    """COVERAGE.md's headline counts are GENERATED facts, not prose: the
+    pinned COUNTS block must state exactly len(all_queries()) registered
+    and the true oracle-checked count, so the header can never go stale
+    (the round-9 header said 326 while the registry held 328 — this test
+    makes that class of drift a commit-time failure)."""
+    import pathlib
+    import re
+
+    from hive_backend_spark.registry import all_queries
+
+    qs = all_queries()
+    n_reg = len(qs)
+    n_oracle = sum(1 for s in qs.values() if s.oracle)
+    text = (pathlib.Path(__file__).parent.parent / "COVERAGE.md").read_text()
+    m = re.search(r"COUNTS:BEGIN.*?-->\n(.*?)\n<!-- COUNTS:END", text, re.S)
+    assert m, "COVERAGE.md lost its pinned COUNTS block"
+    claimed = m.group(1)
+    want = f"{n_reg} registered queries, {n_oracle} oracle-checked"
+    assert claimed.strip() == want, (
+        f"COVERAGE.md header counts are stale: says {claimed.strip()!r}, "
+        f"registry says {want!r} — update the COUNTS block"
+    )
+
+
+# (name, shuffle Exchange count, *Aggregate op count) of the 20 most
+# expensive BENCH_full_r09 queries' plans, recorded round 10 under a fixed
+# protocol: caches cleared once, then plans built in THIS order (earlier
+# entries may materialize shared signature/pair caches that later entries
+# legitimately reuse — the order is part of the recording). The pin fails
+# on GROWTH of either count: an extra shuffle is the cheapest-to-introduce
+# and most-expensive-at-scale plan regression, and bench only catches it a
+# round late and only on an idle box. A smaller count is allowed (a genuine
+# improvement — re-record when one lands).
+TOP20_PLAN_SIGNATURES = [
+    ("q79_dup_clusters", 18, 28),
+    ("q227_kcore_decomposition", 16, 28),
+    ("q222_prefix_filter_join", 6, 8),
+    ("q309_degree_assortativity", 15, 18),
+    ("q190_bloom_fpr_audit", 4, 6),
+    ("q171_decontamination_ladder", 18, 14),
+    ("q130_triangle_census", 16, 20),
+    ("q123_pagerank_centrality", 13, 6),
+    ("q220_multiprobe_lsh", 18, 6),
+    ("q287_clustering_coefficients", 11, 16),
+    ("q295_audio_decimate_stats", 2, 0),
+    ("q184_bloom_decontamination", 2, 2),
+    ("q304_peak_concurrency", 29, 48),
+    ("q267_fellegi_sunter_scores", 11, 4),
+    ("q124_training_pipeline", 13, 10),
+    ("q100_simhash_near_dup", 1, 2),
+    ("q272_resize_pipeline_stats", 1, 0),
+    ("q328_jpeg_decode_stats", 2, 0),
+    ("q212_chunk_dedup_census", 7, 12),
+    ("q179_containment_pairs", 11, 12),
+]
+
+
+def test_top20_plan_shuffle_counts_do_not_grow(spark, sf_dir):
+    """Plan-signature regression pin for the 20 most expensive queries
+    (the q01/q67 pin discipline, extended per the round-9 verdict). Runs
+    as ONE test with a cache clear up front so the recorded counts are
+    reproducible regardless of which other tests ran first in the
+    session; violations are collected across all 20 and reported
+    together."""
+    from hive_backend_spark.queries.dedup import clear_bands_cache
+    from hive_backend_spark.registry import all_queries
+
+    clear_bands_cache()
+    spark.catalog.clearCache()
+    specs = all_queries()
+    grew = {}
+    for name, pin_ex, pin_agg in TOP20_PLAN_SIGNATURES:
+        ops = P.physical_ops(specs[name].fn(spark, sf_dir))
+        n_ex = sum(1 for o in ops if o == "Exchange")
+        n_agg = sum(1 for o in ops if "Aggregate" in o)
+        if n_ex > pin_ex or n_agg > pin_agg:
+            grew[name] = f"exchanges {pin_ex}->{n_ex}, aggregates {pin_agg}->{n_agg}"
+    assert not grew, (
+        "plan-signature regressions (shuffle/aggregate count grew past the "
+        f"recorded pin — fix the plan or consciously re-record): {grew}"
+    )

@@ -1684,3 +1684,50 @@ def test_session_emitter_stream_batch_parity(spark, stream_src):
     }
     assert got_set == expected
     assert len(got_set) > 0
+
+
+def test_near_dup_admission_template_flood_stays_bounded(spark, tmp_path):
+    """Flood posture (round-10): a 30-variant template flood arriving
+    ACROSS triggers must neither grow the persisted index nor the driver
+    state — held docs never enter the index, so after the first variant
+    admits, every later trigger's touched-bucket read is the SAME one
+    admitted doc's rows, and the within-batch walk is admitted-key-set
+    based (O(batch x bands) driver state), not a C(K,2) self-join edge
+    list. Decisions must still match the one-at-a-time sequential
+    reference (q105/q173 semantics)."""
+    fill = lambda i: " ".join(f"v{i}w{j}" for j in range(6))
+    # every variant carries the magic M0 shingle, so band 0's signature is
+    # identical across all 30 — a deterministic single-bucket flood
+    batches = [
+        [(b * 100 + i, f"{_ADM_M0} {fill(b * 100 + i)}") for i in range(10)]
+        for b in range(3)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for b, rows in enumerate(batches):
+        _mk_doc_batch(
+            spark, tmp_path, src, b, [(i, t, "en", "s0", len(t)) for i, t in rows]
+        )
+    dec_dir = str(tmp_path / "decisions")
+    idx_dir = str(tmp_path / "index")
+    S.run_near_dup_admission(
+        spark, src.as_posix(), dec_dir, idx_dir, str(tmp_path / "ckpt")
+    )
+    got = {
+        r["doc_id"]: (r["admitted"], r["reason"])
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+    assert got == _seq_admit(spark, batches)
+    admitted = [d for d, (a, _) in got.items() if a]
+    assert admitted == [0]  # first variant wins, 29 held
+    assert all(got[d] == (False, "near_dup") for d in got if d != 0)
+
+    # index boundedness: after 3 flood triggers the standing index holds
+    # exactly ONE doc's band rows — the volume every later trigger reads
+    import hive_backend_spark.operators.dedup as D
+
+    doc0 = spark.createDataFrame([batches[0][0]], "doc_id bigint, text string")
+    want_n = (
+        D.explode_bands(doc0, "doc_id").filter(F.col("band_sig").isNotNull()).count()
+    )
+    assert S.read_neardup_index(spark, idx_dir).count() == want_n
