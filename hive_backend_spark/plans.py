@@ -436,6 +436,16 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("operators/dedup.py", 'F.broadcast(over.select("band_idx", "band_sig")),'):
+        "over-cap bucket census: rows = flood buckets only (zero on every "
+        "non-flooded corpus, a handful under attack) — the r10 shared-census "
+        "escalation set (_escalated_fps)",
+    ("operators/dedup.py", 'nn.join(F.broadcast(over), ["band_idx", "band_sig"], "left_anti")'):
+        "same over-cap census as anti-join cap filter (escalate=False path); "
+        "bounded by flood-bucket count, not corpus",
+    ("operators/dedup.py", 'l1 = _l1(nn.join(F.broadcast(over), ["band_idx", "band_sig"], "left_anti"))'):
+        "same over-cap census, escalation path cap filter — probe proved it "
+        "non-empty but it is still only the flood buckets",
     ("queries/sessions.py", 'hourly.join(F.broadcast(profile), "hod")'):
         "24-row hour-of-day seasonal profile table (q257)",
     ("queries/sessions.py", "a.crossJoin(F.broadcast(lags))"):

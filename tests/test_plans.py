@@ -973,7 +973,11 @@ def test_coverage_header_counts_match_registry():
 TOP20_PLAN_SIGNATURES = [
     ("q79_dup_clusters", 18, 28),
     ("q227_kcore_decomposition", 16, 28),
-    ("q222_prefix_filter_join", 6, 8),
+    # re-recorded r10: 6 -> 10 — the verify joins now carry SHUFFLE_HASH
+    # hints (4 exchanges replace what small-SF Catalyst solved by
+    # broadcast), killing the SMJ sort-with-array-payloads cliff measured
+    # at sf1 (85 s -> 10 s, exponent 1.40 -> ~0.5; BENCH_sf1_r10.json)
+    ("q222_prefix_filter_join", 10, 8),
     ("q309_degree_assortativity", 15, 18),
     ("q190_bloom_fpr_audit", 4, 6),
     ("q171_decontamination_ladder", 18, 14),
