@@ -841,7 +841,7 @@ def test_jpeg_codec_roundtrips():
     blocks — the property q328's oracle check rides on); random gray /
     RGB 4:4:4 stay within the float-rounding bound; 4:2:0 subsampling and
     DRI/RSTn restart markers decode within the chroma-averaging bound;
-    progressive frames raise loudly."""
+    structurally-invalid progressive relabels raise loudly."""
     import numpy as np
     import pytest as _pytest
 
@@ -877,10 +877,14 @@ def test_jpeg_codec_roundtrips():
         _jpeg_pixels(encode_jpeg(s2, quant=q)).astype(int) - s2
     ).max() <= 48
 
+    # a baseline file RELABELED as SOF2 is malformed progressive (its one
+    # scan spans Ss=0..Se=63, which T.81 forbids in a progressive frame):
+    # the real SOF2 path (test_progressive_jpeg_matches_baseline) must
+    # reject it loudly rather than half-decode it
     prog = bytearray(encode_jpeg(g))
     i = prog.index(b"\xff\xc0")
     prog[i + 1] = 0xC2  # flip SOF0 -> SOF2
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    with _pytest.raises(ValueError, match="mixes DC and AC"):
         _jpeg_pixels(bytes(prog))
 
 
