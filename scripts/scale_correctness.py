@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Correctness AT SCALE: run a sample of registered queries at sf1.0 (the
+10x corpus from make_scaledata.py) through BOTH engines — the Spark
+implementation and the DuckDB oracle — and value-compare with the driver's
+own normalization (sorted columns, sorted rows, repr-normalized floats).
+
+The sf0.01 oracle gate proves semantics; this proves the implementations
+do not DIVERGE as data grows (cap/escalation branches that only arm on
+bigger corpora, overflow classes, sampling-fraction edges). Sample: the
+driver's first-12 alphabetical slice + the top-20 perf set + the round-10
+media queries. Oracles that are themselves quadratic at 50k docs (naive
+all-pairs forms kept deliberately naive for readability) are excluded by
+name with the reason recorded in the output JSON.
+
+Output: one JSON line {"metric": "scale_correctness", "sf_dir": ...,
+"pass": N, "fail": [...], "excluded": {...}} — committed as
+CORRECTNESS_sf1_r10.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import duckdb
+
+from conftest import TABLES, normalize_rows
+from hive_backend_spark.registry import all_queries
+from hive_backend_spark.session import get_spark
+
+SF1 = os.environ.get("SCALE_SF1", "/root/repo/.scaledata/sf1")
+
+# naive quadratic oracle forms that are fine at the 500-doc driver scale
+# but would grind DuckDB at 50k docs — the SPARK side of each is covered
+# by the exponent table instead (BENCH_sf1_r10.json)
+EXCLUDED = {
+    "q222_prefix_filter_join": "oracle is the naive any-shared-shingle all-pairs form",
+    "q179_containment_pairs": "oracle is the naive all-pairs containment form",
+    "q220_multiprobe_lsh": "oracle replays every probe x corpus pair naively",
+    "q130_triangle_census": "oracle joins the full candidate-pair closure",
+    "q287_clustering_coefficients": "oracle joins the full candidate-pair closure",
+    "q309_degree_assortativity": "oracle joins the full candidate-pair closure",
+    "q227_kcore_decomposition": "oracle peels with recursive CTE over full pair closure",
+    "q79_dup_clusters": "oracle computes connected components via recursive CTE",
+    "q171_decontamination_ladder": "oracle replays 4 dedup rungs naively",
+    "q82_minhash_bands": "oracle replays the 128-seed minhash in SQL — linear "
+    "but with a DuckDB constant measured at ~25 min for 50k docs; verified "
+    "ONCE manually at sf1 (200,000 rows, value match, r10) and excluded "
+    "from the recurring sweep for runtime only",
+    "q212_chunk_dedup_census": "oracle replays the chunk fingerprint pass in SQL",
+    "q67_lsh_candidates": "oracle replays the full band table in SQL",
+    "q123_pagerank_centrality": "oracle's unrolled pagerank over the pair "
+    "closure OOMs DuckDB at 50k docs (measured r10) — Spark side covered by "
+    "the exponent table",
+}
+
+
+def main() -> None:
+    spark = get_spark("hive-backend-spark-scale-correctness")
+    specs = all_queries()
+    sample = sorted(specs)[:12]
+    top = [
+        "q82_minhash_bands", "q190_bloom_fpr_audit", "q123_pagerank_centrality",
+        "q295_audio_decimate_stats", "q184_bloom_decontamination",
+        "q304_peak_concurrency", "q267_fellegi_sunter_scores",
+        "q124_training_pipeline", "q100_simhash_near_dup",
+        "q272_resize_pipeline_stats", "q328_jpeg_decode_stats",
+        "q212_chunk_dedup_census", "q329_mp4_structure_stats",
+        "q330_mp3_frame_stats", "q331_progressive_jpeg_stats",
+        "q40_pricing_summary", "q91_market_share", "q57_sessionize",
+        "q14_latest_wins", "q67_lsh_candidates",
+    ]
+    names = [n for n in dict.fromkeys(sample + top) if n not in EXCLUDED]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF1}/{t}.parquet"
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
+
+    passed, failed = [], []
+    for name in names:
+        spec = specs[name]
+        try:
+            sdf = spec.fn(spark, SF1)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            rel = con.sql(spec.oracle)
+            d_cols, d_rows = rel.columns, rel.fetchall()
+            ok = (
+                sorted(s_cols) == sorted(d_cols)
+                and len(s_rows) == len(d_rows)
+                and normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows)
+            )
+            (passed if ok else failed).append(name)
+            print(
+                f"# {name}: {'OK' if ok else 'MISMATCH'} "
+                f"(spark {len(s_rows)} rows, oracle {len(d_rows)})",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            failed.append(name)
+            print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_correctness",
+                "sf_dir": SF1,
+                "n_checked": len(names),
+                "pass": len(passed),
+                "fail": failed,
+                "excluded": EXCLUDED,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
