@@ -292,6 +292,9 @@ HEADLINE = [
     "q329_mp4_structure_stats",
     "q330_mp3_frame_stats",
     "q331_progressive_jpeg_stats",
+    "q332_warc_ingest_stats",
+    "q333_tagged_mp3_ingest",
+    "q334_zip_member_census",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -1002,3 +1002,249 @@ def q331_progressive_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         F.round(F.element_at("features", 4), 6).alias("mean_lum"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q332_warc_ingest_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             1 + doc_id % 3 AS n_pages,
+             CAST(doc_id % 2 = 0 AS INT) AS has_meta
+      FROM documents
+    ),
+    pages AS (
+      SELECT doc_id, n_pages, has_meta, p.range AS i,
+             20 + (L + p.range * 7) % 50 AS resp_len,
+             16 + p.range AS req_len,
+             CAST((doc_id + p.range) % 5 <> 0 AS INT) AS is200
+      FROM base JOIN range(0, 3) p ON p.range < n_pages
+    )
+    SELECT doc_id,
+           CAST(2 * n_pages + has_meta AS INT) AS n_records,
+           CAST(n_pages AS INT) AS n_responses,
+           CAST(n_pages AS INT) AS n_requests,
+           CAST(sum(is200) AS INT) AS n_http_200,
+           CAST(sum(resp_len + req_len) + 12 * has_meta AS BIGINT)
+             AS payload_bytes,
+           CAST(sum(resp_len + req_len) + 12 * has_meta
+                + 64 * n_pages AS BIGINT) AS content_bytes
+    FROM pages GROUP BY doc_id, n_pages, has_meta ORDER BY doc_id
+    """,
+)
+def q332_warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-file ingest triage — the round-10 rung that takes the
+    codec ladder to the INGESTION layer: per document a synthetic but
+    spec-shaped WARC file (operators/warc.encode_warc — WARC/1.0 version
+    lines, named headers, Content-Length octet framing, each record its
+    own gzip member exactly like Common Crawl segments; 1-3
+    request+response page pairs with real embedded HTTP/1.1 messages,
+    status flipping 200/404 analytically, plus a metadata record on even
+    doc_ids) is built in the map task and walked back by parse_warc:
+    multi-member gzip splitting via the zlib unused_data loop, record
+    grammar, HTTP status extraction, payload-vs-content octet accounting.
+    The oracle replays every framing quantity in pure SQL (the embedded
+    HTTP header is 64 octets by construction — 2-digit lengths, 3-digit
+    statuses — so content_bytes = payload + 64*pages is exact), so the
+    whole encode->gzip->split->parse chain is value-checked.
+
+    Why it matters at 100 TB: crawl corpora ARRIVE as per-record-gzipped
+    WARC; member-boundary splitting is what makes a segment
+    worker-parallel, and record/status/payload census is the filter a
+    training pipeline runs before touching content. No reference parity
+    (the reference ingests only JSON, db.mjs:285-293) — §7 extension.
+
+    Scale posture: one Arrow map pass, nothing shuffled; small frame
+    repartitioned to cluster parallelism first (q264/q325 fix)."""
+    import pandas as pd
+
+    from ..operators import warc as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        from hive_backend_spark.operators.warc import encode_warc
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                n_pages = 1 + did % 3
+                recs = []
+                for i in range(n_pages):
+                    uri = f"http://corpus.example/{did}/{i}"
+                    recs.append(
+                        ("request", uri, 0, bytes((65 + j % 26) for j in range(16 + i)))
+                    )
+                    status = 200 if (did + i) % 5 != 0 else 404
+                    plen = 20 + (length + i * 7) % 50
+                    recs.append(
+                        ("response", uri, status, bytes((97 + j % 26) for j in range(plen)))
+                    )
+                if did % 2 == 0:
+                    recs.append(
+                        ("metadata", f"http://corpus.example/{did}", 0, b"fetch-ms: 12")
+                    )
+                blobs.append(encode_warc(recs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    return W.warc_ingest_stats(blobbed).orderBy("doc_id")
+
+
+@register(
+    "q333_tagged_mp3_ingest",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, octet_length(encode(text)) AS L FROM documents
+    )
+    SELECT doc_id,
+           CAST(3 + doc_id % 2 AS INT) AS id3_version,
+           CAST(10
+                + (11 + 1 + length(CAST(doc_id AS VARCHAR)))
+                + (11 + length(source))
+                + CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END
+                + doc_id % 17 AS INT) AS tag_bytes,
+           CAST(2 + CAST(doc_id % 3 = 0 AS INT) AS INT) AS n_tag_frames,
+           'd' || CAST(doc_id AS VARCHAR) AS title,
+           source AS album,
+           CAST(3 + L % 5 AS INT) AS n_frames,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS INT) AS sample_rate,
+           round((3 + L % 5) * 1152
+                 / CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        ELSE 32000 END AS DOUBLE), 6) AS duration_s
+    FROM base ORDER BY doc_id
+    """,
+)
+def q333_tagged_mp3_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-world MP3 ingest: an ID3v2 metadata tag IN FRONT of the MPEG
+    frame stream — per document operators/id3.encode_id3v2 builds a v2.3
+    or v2.4 tag (alternating by doc_id, so BOTH frame-size grammars —
+    plain 32-bit and synchsafe — are walked every run; TIT2/TALB text
+    frames keyed to doc_id and source, a TRCK frame on every third doc,
+    deterministic zero padding) and operators/mp3.encode_mp3_frames
+    appends a CBR frame stream. mp3_with_id3_stats then does what every
+    real ingest must: size the tag with the synchsafe header arithmetic,
+    decode the text frames, SKIP the tag, and frame-walk the remainder
+    (an unskipped tag mis-syncs at byte 0 — the classic crawl-audio bug).
+    The oracle replays the tag geometry octet-by-octet in SQL
+    (header 10 + per-frame 10+1+len(text) + padding), so tag sizing,
+    frame census, text decoding and the downstream frame walk are all
+    value-checked.
+
+    Scale posture: one Arrow map pass, nothing shuffled; small frame
+    repartitioned first (q264/q325 fix)."""
+    import pandas as pd
+
+    from ..operators import id3 as ID3
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        from hive_backend_spark.operators.id3 import encode_id3v2
+        from hive_backend_spark.operators.mp3 import encode_mp3_frames
+
+        for pdf in batches:
+            blobs = []
+            for did, src, length in zip(pdf["doc_id"], pdf["source"], pdf["L"]):
+                did, length = int(did), int(length)
+                frames = [("TIT2", f"d{did}"), ("TALB", str(src))]
+                if did % 3 == 0:
+                    frames.append(("TRCK", "7"))
+                tag = encode_id3v2(
+                    frames, version=3 + did % 2, padding=did % 17
+                )
+                audio = encode_mp3_frames(
+                    [(1 + did % 14, did % 3, 0)] * (3 + length % 5)
+                )
+                blobs.append(tag + audio)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    return (
+        ID3.mp3_with_id3_stats(blobbed)
+        .withColumn("duration_s", F.round("duration_s", 6))
+        .drop("is_cbr")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q334_zip_member_census",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             2 + doc_id % 3 AS n_entries
+      FROM documents
+    ),
+    members AS (
+      SELECT doc_id, n_entries, m.range AS i,
+             30 + (L + 11 * m.range) % 100 AS usize,
+             CAST((doc_id + m.range) % 2 = 1 AS INT) AS deflated
+      FROM base JOIN range(0, 5) m ON m.range < n_entries
+    )
+    SELECT doc_id,
+           CAST(n_entries AS INT) AS n_entries,
+           CAST(sum(deflated) AS INT) AS n_deflated,
+           CAST(sum(usize) AS BIGINT) AS uncompressed_bytes,
+           CAST(sum(CASE WHEN deflated = 0 THEN usize ELSE 0 END) AS BIGINT)
+             AS stored_bytes,
+           CAST(n_entries AS INT) AS n_crc_ok
+    FROM members GROUP BY doc_id, n_entries ORDER BY doc_id
+    """,
+)
+def q334_zip_member_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive census with full CRC audit — the archive rung of the
+    ingestion ladder (WARC q332, tagged MP3 q333): per document a real
+    archive (operators/zip.encode_zip — hand-rolled local headers,
+    central directory, EOCD; 2-4 members alternating STORED and DEFLATE,
+    sizes keyed analytically to doc_id and text length) is built in the
+    map task and walked back by parse_zip: EOCD located by backward scan,
+    the central directory read WITHOUT touching members (the
+    listability-without-scan property a 100 TB ingest planner fans out
+    on), then every member decompressed (raw zlib for DEFLATE) and
+    CRC-32-verified. The oracle replays the directory geometry in SQL;
+    n_crc_ok == n_entries is the value-checked assertion that the real
+    decompress+CRC audit passed for every member (a corrupted member
+    flips it — pytest-pinned). Interop is two-way pytest-pinned against
+    stdlib zipfile: our archives read there, stdlib archives read here.
+
+    Scale posture: one Arrow map pass, nothing shuffled; small frame
+    repartitioned first (q264/q325 fix)."""
+    import pandas as pd
+
+    from ..operators import zip as ZIP
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        from hive_backend_spark.operators.zip import encode_zip
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                entries = []
+                for i in range(2 + did % 3):
+                    usize = 30 + (length + 11 * i) % 100
+                    data = bytes((did + i + j) % 251 for j in range(usize))
+                    entries.append(
+                        (f"f{i}.txt", data, 8 if (did + i) % 2 == 1 else 0)
+                    )
+                blobs.append(encode_zip(entries))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    return ZIP.zip_census(blobbed).orderBy("doc_id")

@@ -1059,3 +1059,94 @@ def test_progressive_jpeg_matches_baseline():
     for cut in (3, 25, len(blob) // 2, len(blob) - 10):
         with _pytest.raises((ValueError, NotImplementedError)):
             _jpeg_pixels(blob[:cut])
+
+
+def test_warc_walker_roundtrips_and_raises():
+    """operators/warc: encode->gzip-member-split->parse recovers every
+    record fact in both layouts (per-record gzip members a la Common
+    Crawl, and raw); truncation at any framing layer raises ValueError."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.warc import encode_warc, parse_warc
+
+    recs = [
+        ("request", "http://ex.com/a", 0, b"GET /a HTTP/1.1\r\n\r\n"),
+        ("response", "http://ex.com/a", 200, b"<html>hello</html>"),
+        ("response", "http://ex.com/b", 404, b"nope"),
+        ("metadata", "http://ex.com/a", 0, b"fetch-ms: 12"),
+    ]
+    blob = encode_warc(recs)
+    parsed = parse_warc(blob)
+    assert [r["type"] for r in parsed] == ["request", "response", "response", "metadata"]
+    assert [r["http_status"] for r in parsed] == [None, 200, 404, None]
+    assert parsed[1]["payload_bytes"] == 18 and parsed[2]["payload_bytes"] == 4
+    assert parse_warc(encode_warc(recs, gzip_members=False), gzip_members=False) == parsed
+    for cut in (1, 10, len(blob) // 2, len(blob) - 3):
+        with _pytest.raises(ValueError):
+            parse_warc(blob[:cut])
+
+
+def test_id3_walker_both_grammars_and_mp3_skip():
+    """operators/id3: v2.3 (plain sizes) and v2.4 (synchsafe sizes) tags
+    parse identically, text frames decode, padding is skipped, and the
+    frame walker behind the tag sees clean sync after id3_tag_size."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.id3 import (
+        encode_id3v2,
+        id3_tag_size,
+        parse_id3v2,
+    )
+    from hive_backend_spark.operators.mp3 import encode_mp3_frames, mp3_structure
+
+    audio = encode_mp3_frames([(9, 0, 0)] * 4)
+    for ver in (3, 4):
+        tag = encode_id3v2(
+            [("TIT2", "Song Title"), ("TALB", "An Album")], version=ver, padding=13
+        )
+        blob = tag + audio
+        p = parse_id3v2(blob)
+        assert p["version"] == ver and p["tag_bytes"] == len(tag)
+        assert p["frames"] == {"TIT2": "Song Title", "TALB": "An Album"}
+        assert mp3_structure(blob[id3_tag_size(blob) :])["n_frames"] == 4
+        # an UNskipped tag must fail the sync contract, loudly
+        with _pytest.raises(ValueError, match="sync"):
+            mp3_structure(blob)
+    assert parse_id3v2(audio) == {"version": 0, "tag_bytes": 0, "frames": {}}
+    with _pytest.raises(ValueError):
+        parse_id3v2(tag[:12])
+
+
+def test_zip_walker_interop_crc_and_raises():
+    """operators/zip: two-way stdlib interop (our archives read in
+    zipfile, zipfile archives read here), CRC audit flags a corrupted
+    member, truncation raises."""
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.zip import encode_zip, parse_zip
+
+    entries = [("a.txt", b"hello world" * 20, 8), ("b.bin", bytes(range(100)), 0)]
+    blob = encode_zip(entries)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.namelist() == ["a.txt", "b.bin"]
+    assert zf.read("a.txt") == b"hello world" * 20
+    ours = parse_zip(blob)
+    assert [(e["name"], e["method"], e["usize"], e["crc_ok"]) for e in ours] == [
+        ("a.txt", 8, 220, True),
+        ("b.bin", 0, 100, True),
+    ]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("x.txt", "some text content here")
+    assert [(e["name"], e["crc_ok"]) for e in parse_zip(buf.getvalue())] == [
+        ("x.txt", True)
+    ]
+    bad = bytearray(blob)
+    bad[40] ^= 0xFF  # flip a byte inside a.txt's deflate stream
+    assert [e["crc_ok"] for e in parse_zip(bytes(bad))] == [False, True]
+    for cut in (5, 40, len(blob) - 10):
+        with _pytest.raises(ValueError):
+            parse_zip(blob[:cut])
