@@ -295,6 +295,7 @@ HEADLINE = [
     "q332_warc_ingest_stats",
     "q333_tagged_mp3_ingest",
     "q334_zip_member_census",
+    "q335_targz_census",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -1248,3 +1248,74 @@ def q334_zip_member_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
     return ZIP.zip_census(blobbed).orderBy("doc_id")
+
+
+@register(
+    "q335_targz_census",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             1 + doc_id % 4 AS n_files
+      FROM documents
+    ),
+    files AS (
+      SELECT doc_id, n_files, f.range AS i,
+             40 + (L + 13 * f.range) % 200 AS fsize
+      FROM base JOIN range(0, 4) f ON f.range < n_files
+    )
+    SELECT doc_id,
+           CAST(n_files + 1 AS INT) AS n_entries,
+           1 AS n_dirs,
+           CAST(sum(fsize) AS BIGINT) AS total_bytes,
+           CAST(n_files + 1 AS INT) AS n_checksum_ok,
+           CAST(1767225600 + doc_id % 86400 AS BIGINT) AS max_mtime
+    FROM files GROUP BY doc_id, n_files ORDER BY doc_id
+    """,
+)
+def q335_targz_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tar.gz sequential-walk census — the streaming-archive rung beside
+    q334's ZIP: per document a real gzipped ustar archive
+    (operators/tar.encode_tar — 512-octet headers with octal fields and
+    the space-substitution checksum, one directory entry + 1-4 member
+    files with sizes and a shared mtime keyed analytically to doc_id and
+    text length, 512 data padding, the two-zero-block terminator, zlib
+    gzip envelope) is built in the map task and walked back by parse_tar
+    with every header checksum re-computed. The oracle replays the
+    geometry in SQL; n_checksum_ok == n_entries value-checks that every
+    recomputed checksum matched (a corrupted header flips it —
+    pytest-pinned, alongside two-way stdlib tarfile interop).
+
+    The design lesson the pair (q334, q335) encodes for an ingest
+    planner: ZIP's central directory lists members from one tiny read
+    (fan out per member); tar has no directory and only walks
+    sequentially (fine for read-everything training ingest, wrong for
+    selective access). Scale posture: one Arrow map pass, nothing
+    shuffled; small frame repartitioned first (q264/q325 fix)."""
+    import pandas as pd
+
+    from ..operators import tar as TAR
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        from hive_backend_spark.operators.tar import encode_tar
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                mtime = 1767225600 + did % 86400
+                entries = [("data/", None)]
+                for i in range(1 + did % 4):
+                    fsize = 40 + (length + 13 * i) % 200
+                    entries.append(
+                        (f"data/f{i}.txt", bytes((did + i + j) % 251 for j in range(fsize)))
+                    )
+                blobs.append(encode_tar(entries, mtime=mtime))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    return TAR.tar_census(blobbed).orderBy("doc_id")

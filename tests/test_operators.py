@@ -1150,3 +1150,58 @@ def test_zip_walker_interop_crc_and_raises():
     for cut in (5, 40, len(blob) - 10):
         with _pytest.raises(ValueError):
             parse_zip(blob[:cut])
+
+
+def test_tar_walker_interop_checksum_and_raises():
+    """operators/tar: ustar octal fields, the space-substitution header
+    checksum (corruption flips checksum_ok), 512 padding, the two-block
+    terminator, the gzip envelope; two-way stdlib tarfile interop."""
+    import io
+    import tarfile
+    import zlib
+
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.tar import encode_tar, parse_tar
+
+    entries = [
+        ("data/", None),
+        ("data/a.txt", b"hello" * 30),
+        ("data/b.txt", b"x" * 512),
+        ("c.bin", bytes(range(7))),
+    ]
+    blob = encode_tar(entries)
+    parsed = parse_tar(blob)
+    assert [(e["name"], e["type"], e["size"]) for e in parsed] == [
+        ("data/", "dir", 0),
+        ("data/a.txt", "file", 150),
+        ("data/b.txt", "file", 512),
+        ("c.bin", "file", 7),
+    ]
+    assert all(e["checksum_ok"] for e in parsed)
+
+    tf = tarfile.open(fileobj=io.BytesIO(blob), mode="r:gz")
+    assert tf.getnames() == ["data", "data/a.txt", "data/b.txt", "c.bin"]
+    assert tf.extractfile("data/a.txt").read() == b"hello" * 30
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as t:
+        ti = tarfile.TarInfo("z.txt")
+        data = b"stdlib tar content"
+        ti.size = len(data)
+        t.addfile(ti, io.BytesIO(data))
+    assert [(e["name"], e["checksum_ok"]) for e in parse_tar(buf.getvalue())] == [
+        ("z.txt", True)
+    ]
+
+    for cut in (10, len(blob) // 2):
+        with _pytest.raises(ValueError):
+            parse_tar(blob[:cut])
+    raw = zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(blob)
+    bad = bytearray(raw)
+    bad[20] ^= 0x01
+    assert [e["checksum_ok"] for e in parse_tar(bytes(bad), gzipped=False)] == [
+        False, True, True, True,
+    ]
+    with _pytest.raises(ValueError, match="terminator"):
+        parse_tar(raw[: len(raw) - 600], gzipped=False)
