@@ -328,6 +328,24 @@ SHARES_BAND_CACHE = [
 ]
 
 
+# Calibration canary (round 11): cross-round totals from this shared box
+# have drifted up to 1.35x on byte-identical code (r9->r10 forensics, see
+# VERDICT r10), so every bench run times three PINNED queries whose source
+# is frozen (enforced by tests/test_plans.py::test_calibration_canaries_frozen)
+# and reports their median ratio to a fixed idle-box reference record. A
+# calibration factor ~1.0 means the box runs like the reference box did;
+# per-query times divided by the factor are comparable across rounds
+# without forensics. The reference is the r9 full-bench record — the most
+# recent idle-box run (load_1m 0.61) before the drift was first observed;
+# it must NEVER be re-based, or the factor loses its meaning.
+CALIBRATION_REF = {
+    "q01_priority_dequeue": 0.2389,
+    "q44_order_priority_check": 0.3436,
+    "q64_exact_dup_groups": 0.1867,
+}
+CALIBRATION_REF_SOURCE = "BENCH_full_r09.json (idle box, load_1m 0.61, sf0.1)"
+
+
 # Harness versioning so cross-round per-query deltas are interpretable:
 #   v1 (round 1): execution forced with count() — under-measured map-only
 #      queries (Catalyst pruned unused projections); warm caches could hide
@@ -419,6 +437,25 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # Calibration factor: median now/reference ratio of the three frozen
+    # canaries. Only meaningful at the reference's scale factor — at any
+    # other SF the field is null and normalized times are omitted.
+    calibration = None
+    queries_normalized = None
+    if sf == "0.1" and all(q in timings for q in CALIBRATION_REF):
+        ratios = sorted(timings[q] / ref for q, ref in CALIBRATION_REF.items())
+        factor = round(ratios[len(ratios) // 2], 4)
+        calibration = {
+            "factor": factor,
+            "per_query": {
+                q: {"now": timings[q], "ref": ref, "ratio": round(timings[q] / ref, 4)}
+                for q, ref in CALIBRATION_REF.items()
+            },
+            "reference": CALIBRATION_REF_SOURCE,
+        }
+        queries_normalized = {
+            k: round(v / factor, 4) for k, v in timings.items()
+        }
     # Environmental context: wall times on a shared box scale with external
     # load (observed: a steady ~5-core external load inflates every query
     # ~1.3x uniformly). Recording the at-start load averages beside the
@@ -433,6 +470,11 @@ def main() -> None:
                 "queries": timings,
                 "harness_version": HARNESS_VERSION,
                 "harness_method": HARNESS_METHOD,
+                "calibration": calibration,
+                "queries_normalized": queries_normalized,
+                "value_normalized": (
+                    round(total / calibration["factor"], 4) if calibration else None
+                ),
                 "shares_band_cache": SHARES_BAND_CACHE,
                 "load_avg_1m_at_start": _load_start_1m,
                 "load_avg_5m_at_start": _load_start_5m,

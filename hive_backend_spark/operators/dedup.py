@@ -29,6 +29,26 @@ N_HASHES = 8
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+# Flood-path census persistence is BOUNDED, not leaked: fp_candidate_pairs
+# must leave its over-cap census persisted when it returns (the lazy plan
+# it hands back reuses the census in two joins that have not materialized
+# yet), so the newest census per live application evicts the previous one
+# here. Unpersisting a still-referenced census is always safe — a late
+# consumer just recomputes the aggregate — and stale applications are
+# swept on the next lookup, the _sig_tables discipline
+# (queries/dedup.py:58).
+_FLOOD_CENSUS: dict[str, DataFrame] = {}
+
+
+def _retain_flood_census(census: DataFrame) -> None:
+    app_id = census.sparkSession.sparkContext.applicationId
+    for k in [k for k in _FLOOD_CENSUS if k != app_id]:
+        del _FLOOD_CENSUS[k]
+    prev = _FLOOD_CENSUS.get(app_id)
+    if prev is not None and prev is not census:
+        prev.unpersist()
+    _FLOOD_CENSUS[app_id] = census
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (the same normalization the text queries use)."""
@@ -477,6 +497,10 @@ def fp_candidate_pairs(
         # no window sort, no anti-join, nothing the cap could change
         return _l1(nn)
 
+    # flood path: the census must outlive this call (the returned lazy
+    # plan joins it twice), so hand it to the bounded per-application
+    # registry — the next flood-path call unpersists this one.
+    _retain_flood_census(over)
     l1 = _l1(nn.join(F.broadcast(over), ["band_idx", "band_sig"], "left_anti"))
     esc_fps = _escalated_fps(fp_bands, bucket_cap, over=over)
     fused = _fused_bands(fp_bands, esc_fps)

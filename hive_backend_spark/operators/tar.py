@@ -26,7 +26,17 @@ BLOCK = 512
 
 
 def _octal(n: int, width: int) -> bytes:
-    return f"{n:0{width - 1}o}".encode("ascii") + b"\x00"
+    s = f"{n:0{width - 1}o}"
+    if len(s) > width - 1:
+        # f-string zero-pads to a MINIMUM width: a size >= 8**11 (~8.6 GB)
+        # formats to 12+ digits, and assigning 13 bytes to a 12-byte
+        # bytearray slice would silently GROW the header block, shifting
+        # every later field — corrupt output, not an error. Refuse loudly
+        # (the 'name too long' discipline).
+        raise ValueError(
+            f"value {n} does not fit a {width}-byte ustar octal field"
+        )
+    return s.encode("ascii") + b"\x00"
 
 
 def _header(name: str, size: int, typeflag: bytes, mtime: int) -> bytes:

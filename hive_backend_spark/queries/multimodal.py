@@ -930,7 +930,7 @@ def q330_mp3_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT doc_id, octet_length(encode(text)) AS L,
-             2 + (doc_id * 3) % 3 AS bw, 2 + (doc_id * 11) % 3 AS bh
+             2 + (doc_id * 7) % 3 AS bw, 2 + (doc_id * 11) % 3 AS bh
       FROM documents
     ),
     grid AS (
@@ -984,7 +984,7 @@ def q331_progressive_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             blobs = []
             for did, length in zip(pdf["doc_id"], pdf["L"]):
                 did, length = int(did), int(length)
-                bw, bh = 2 + (did * 3) % 3, 2 + (did * 11) % 3
+                bw, bh = 2 + (did * 7) % 3, 2 + (did * 11) % 3
                 by, bx = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
                 vals = (length * 11 + 17 * bx + 19 * by) % 256
                 img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(

@@ -1086,6 +1086,76 @@ def test_warc_walker_roundtrips_and_raises():
             parse_warc(blob[:cut])
 
 
+def test_warc_truncation_sweep_and_malformed_http():
+    """operators/warc round-11 hardening (r10 verdict nit #1): EVERY cut
+    point of both layouts either raises the module's named-cause
+    ValueError or parses a correct record prefix (cuts on record/member
+    boundaries are legal EOFs) — the JPEG-walker sweep discipline — and
+    the malformed embedded-HTTP edges fail loudly instead of silently
+    truncating the status line."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.warc import (
+        CRLF,
+        _parse_record,
+        encode_warc,
+        parse_warc,
+    )
+
+    recs = [
+        ("response", "http://ex.com/a", 200, b"<html>hi</html>"),
+        ("metadata", "http://ex.com/a", 0, b"k: v"),
+        ("response", "http://ex.com/b", 503, b"busy"),
+    ]
+    for gz in (True, False):
+        blob = encode_warc(recs, gzip_members=gz)
+        full = parse_warc(blob, gzip_members=gz)
+        assert len(full) == 3
+        for cut in range(1, len(blob)):
+            try:
+                got = parse_warc(blob[:cut], gzip_members=gz)
+            except ValueError:
+                continue
+            assert got == full[: len(got)], f"gz={gz} cut={cut}: wrong prefix"
+
+    def raw_record(body: bytes) -> bytes:
+        head = (
+            b"WARC/1.0" + CRLF
+            + b"WARC-Type: response" + CRLF
+            + b"WARC-Target-URI: http://ex.com/x" + CRLF
+            + f"Content-Length: {len(body)}".encode() + CRLF
+            + CRLF
+        )
+        return head + body + CRLF + CRLF
+
+    # status line with no CRLF anywhere in the body: pre-fix this sliced
+    # body[:-1] (find's sentinel) and fed a truncated token to int()
+    with _pytest.raises(ValueError, match="no CRLF"):
+        _parse_record(raw_record(b"HTTP/1.1 200"))
+    # non-numeric status token: named-cause ValueError, not bare int() noise
+    with _pytest.raises(ValueError, match="non-numeric status"):
+        _parse_record(raw_record(b"HTTP/1.1 OK fine" + CRLF + CRLF))
+    # a bare version token (no status at all) is tolerated as status=None
+    rec = _parse_record(raw_record(b"HTTP/1.1" + CRLF + CRLF + b"x"))
+    assert rec["http_status"] is None and rec["type"] == "response"
+
+
+def test_tar_octal_overflow_raises():
+    """operators/tar round-11 (r10 advice): a size that does not fit the
+    12-byte ustar octal field raises ValueError instead of silently
+    growing the 512-byte header block and shifting every later field."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.tar import _header, _octal
+
+    assert _octal(8**11 - 1, 12) == b"77777777777\x00"
+    with _pytest.raises(ValueError, match="octal field"):
+        _octal(8**11, 12)
+    with _pytest.raises(ValueError, match="octal field"):
+        _header("big.bin", 8**11, b"0", 0)
+    assert len(_header("ok.bin", 8**11 - 1, b"0", 0)) == 512
+
+
 def test_id3_walker_both_grammars_and_mp3_skip():
     """operators/id3: v2.3 (plain sizes) and v2.4 (synchsafe sizes) tags
     parse identically, text frames decode, padding is skipped, and the

@@ -1022,3 +1022,31 @@ def test_top20_plan_shuffle_counts_do_not_grow(spark, sf_dir):
         "plan-signature regressions (shuffle/aggregate count grew past the "
         f"recorded pin — fix the plan or consciously re-record): {grew}"
     )
+
+
+def test_calibration_canaries_frozen():
+    """bench.py's calibration factor is only meaningful if the three canary
+    queries NEVER change: their measured drift must be machine drift, not
+    code. This pins md5(source || oracle) for each — if you need to touch
+    one of these queries, you must also re-base CALIBRATION_REF against a
+    fresh idle-box record and document the re-base in COVERAGE.md."""
+    import hashlib
+    import inspect
+
+    from hive_backend_spark.registry import all_queries
+
+    PINNED = {
+        "q01_priority_dequeue": "7ca74345ef8ae6a11d4221359c2b93f2",
+        "q44_order_priority_check": "22d982169322e659053aade8a85fb944",
+        "q64_exact_dup_groups": "57b44cb152e0967739bac3a6998e0fc4",
+    }
+    specs = all_queries()
+    import bench
+
+    assert set(bench.CALIBRATION_REF) == set(PINNED)
+    for name, want in PINNED.items():
+        s = specs[name]
+        got = hashlib.md5(
+            (inspect.getsource(s.fn) + "||" + (s.oracle or "")).encode()
+        ).hexdigest()
+        assert got == want, f"{name} changed — canary must stay frozen"

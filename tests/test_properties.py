@@ -764,10 +764,15 @@ def test_lsh_over_cap_escalation_recovers_trapped_family(spark):
 
 def _py_two_level_pairs(bands_rows, cap):
     """Independent pure-Python oracle of the two-level candidate algorithm
-    over a raw (fp, band_idx, band_sig) table: level-1 pairs from <=cap
-    buckets with surviving-bucket counts; over-cap fingerprints re-band at
-    fused (2i, 2i+1) keys; <=cap fused buckets emit pairs carrying their
-    exact full-width shared-band count, overriding any level-1 row."""
+    over a raw (fp, band_idx, band_sig) table. No-flood path (no bucket
+    over cap): level-1 pairs with surviving-bucket counts, byte-identical
+    to the uncapped self-join. Flood path (ANY bucket over cap): over-cap
+    fingerprints re-band at fused (2i, 2i+1) keys, <=cap fused buckets
+    emit recovered pairs, and EVERY emitted pair — level-1 and recovered
+    alike — is recounted against the full band table, so n_shared_bands
+    is the exact full-width shared-band count on every row (the uniform
+    semantics fp_candidate_pairs adopted: a level-1 pair that also shares
+    an over-cap bucket must not undercount)."""
     import itertools
     from collections import defaultdict
 
@@ -786,23 +791,24 @@ def _py_two_level_pairs(bands_rows, cap):
                 l1[(a, b)] += 1
         else:
             esc |= members
+    if not esc:
+        return dict(l1)
     fused = defaultdict(set)
     for fp in esc:
         bs = doc_bands[fp]
         for b2 in range(max(bs) // 2 + 1):
             if 2 * b2 in bs and 2 * b2 + 1 in bs:
                 fused[(b2, bs[2 * b2] + bs[2 * b2 + 1])].add(fp)
-    out = dict(l1)
+    pairs = set(l1)
     for (_, _), members in fused.items():
         if 1 < len(members) <= cap:
-            for a, b in itertools.combinations(sorted(members), 2):
-                exact = sum(
-                    1
-                    for bi, s in doc_bands[a].items()
-                    if doc_bands[b].get(bi) == s
-                )
-                out[(a, b)] = exact
-    return out
+            pairs |= set(itertools.combinations(sorted(members), 2))
+    return {
+        (a, b): sum(
+            1 for bi, s in doc_bands[a].items() if doc_bands[b].get(bi) == s
+        )
+        for a, b in pairs
+    }
 
 
 @given(
@@ -835,6 +841,31 @@ def test_fp_candidate_pairs_two_level_matches_python(spark, rows, cap):
     got = {
         (r["fp_a"], r["fp_b"]): r["n_shared_bands"]
         for r in D.fp_candidate_pairs(df, cap).collect()
+    }
+    assert got == expected
+
+
+def test_fp_candidate_pairs_level1_recount_regression(spark):
+    """Regression (r10 advice): a level-1 pair that ALSO shares an over-cap
+    bucket must carry the full-width count once escalation fires. fpA/fpB
+    share a surviving band-0 bucket AND an over-cap band-2 bucket (no
+    fused key exists for any member — bands 1 and 3 are absent), so the
+    pair is emitted only by level 1 but its true shared-band count is 2.
+    Surviving-bucket-only semantics would report 1."""
+    data = [
+        ("fpA", 0, "s0"),
+        ("fpB", 0, "s0"),
+        ("fpA", 2, "t0"),
+        ("fpB", 2, "t0"),
+        ("fpC", 2, "t0"),
+        ("fpD", 2, "t0"),
+    ]
+    expected = _py_two_level_pairs(data, 2)
+    assert expected == {("fpA", "fpB"): 2}
+    df = spark.createDataFrame(data, "fp string, band_idx int, band_sig string")
+    got = {
+        (r["fp_a"], r["fp_b"]): r["n_shared_bands"]
+        for r in D.fp_candidate_pairs(df, 2).collect()
     }
     assert got == expected
 
