@@ -296,6 +296,9 @@ HEADLINE = [
     "q333_tagged_mp3_ingest",
     "q334_zip_member_census",
     "q335_targz_census",
+    "q336_parquet_footer_stats",
+    "q337_flac_decode_stats",
+    "q338_rowgroup_pruning_audit",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -1,0 +1,612 @@
+"""Parquet footer / row-group metadata walker + encoder companion — the
+planner-side read a 100 TB lakehouse does before every scan (row-group
+census, min/max pruning, column-chunk layout), implemented from the PUBLIC
+parquet-format and Apache Thrift compact-protocol specs. Pure stdlib byte
+walking; no parquet library involved on the read path, so the walker
+cross-validates the engines that wrote the files (pytest pins it against
+pyarrow's metadata on the driver's own fixture files, and the q338 oracle
+replays the same census through DuckDB's independent C++ reader).
+
+No reference parity (the reference has no columnar storage at all —
+db.mjs is row-oriented SQLite); §7 extension surface in the q329 walker
+discipline: an encoder companion (``encode_parquet``) emits REAL minimal
+parquet files (PLAIN encoding, uncompressed, required columns, per-chunk
+statistics) that pyarrow and DuckDB read back value-exact, so the walker
+is exercised end-to-end without fixture blobs in the repo.
+
+Format facts used (parquet-format THRIFT spec + thrift compact protocol):
+  - file = "PAR1" .. data pages .. FileMetaData(thrift compact)
+    .. 4-byte LE footer length .. "PAR1";
+  - thrift compact: field header byte = (id_delta << 4) | ctype, id_delta
+    0 -> explicit zigzag-varint field id; ints are zigzag ULEB128; binary
+    is varint length + bytes; list header = (size << 4) | elem_ctype with
+    size 15 -> explicit varint; bool is encoded IN the field header
+    (ctype 1 true / 2 false) inside structs, one byte inside lists;
+  - FileMetaData ids: 1 version, 2 schema, 3 num_rows, 4 row_groups,
+    6 created_by; SchemaElement: 1 type, 3 repetition, 4 name,
+    5 num_children; RowGroup: 1 columns, 2 total_byte_size, 3 num_rows;
+    ColumnChunk: 2 file_offset, 3 meta_data; ColumnMetaData: 1 type,
+    2 encodings, 3 path_in_schema, 4 codec, 5 num_values,
+    6 total_uncompressed_size, 7 total_compressed_size,
+    9 data_page_offset, 11 dictionary_page_offset, 12 statistics;
+    Statistics: 1 max(legacy), 2 min(legacy), 3 null_count,
+    5 max_value, 6 min_value.
+
+Truncation or framing damage raises ValueError naming the problem.
+"""
+
+from __future__ import annotations
+
+import struct as _struct_mod
+
+__all__ = ["encode_parquet", "parquet_footer", "footer_census"]
+
+MAGIC = b"PAR1"
+
+# thrift compact wire types
+_CT_BOOL_TRUE = 1
+_CT_BOOL_FALSE = 2
+_CT_BYTE = 3
+_CT_I16 = 4
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_DOUBLE = 7
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_SET = 10
+_CT_MAP = 11
+_CT_STRUCT = 12
+
+PHYSICAL_TYPES = {
+    0: "BOOLEAN",
+    1: "INT32",
+    2: "INT64",
+    3: "INT96",
+    4: "FLOAT",
+    5: "DOUBLE",
+    6: "BYTE_ARRAY",
+    7: "FIXED_LEN_BYTE_ARRAY",
+}
+CODECS = {
+    0: "UNCOMPRESSED",
+    1: "SNAPPY",
+    2: "GZIP",
+    3: "LZO",
+    4: "BROTLI",
+    5: "LZ4",
+    6: "ZSTD",
+    7: "LZ4_RAW",
+}
+ENCODINGS = {
+    0: "PLAIN",
+    2: "PLAIN_DICTIONARY",
+    3: "RLE",
+    4: "BIT_PACKED",
+    5: "DELTA_BINARY_PACKED",
+    6: "DELTA_LENGTH_BYTE_ARRAY",
+    7: "DELTA_BYTE_ARRAY",
+    8: "RLE_DICTIONARY",
+    9: "BYTE_STREAM_SPLIT",
+}
+REPETITIONS = {0: "REQUIRED", 1: "OPTIONAL", 2: "REPEATED"}
+
+
+# ---------------------------------------------------------------- reader
+
+class _Reader:
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes) -> None:
+        self.b = b
+        self.i = 0
+
+    def u8(self) -> int:
+        if self.i >= len(self.b):
+            raise ValueError("truncated parquet footer: thrift walk past end")
+        v = self.b[self.i]
+        self.i += 1
+        return v
+
+    def take(self, n: int) -> bytes:
+        if n < 0 or self.i + n > len(self.b):
+            raise ValueError("truncated parquet footer: thrift walk past end")
+        v = self.b[self.i : self.i + n]
+        self.i += n
+        return v
+
+    def varint(self) -> int:
+        out = shift = 0
+        while True:
+            byte = self.u8()
+            out |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                return out
+            shift += 7
+            if shift > 70:
+                raise ValueError("malformed parquet footer: varint too long")
+
+    def zigzag(self) -> int:
+        v = self.varint()
+        return (v >> 1) ^ -(v & 1)
+
+
+def _read_value(r: _Reader, ctype: int):
+    if ctype == _CT_BOOL_TRUE:
+        return True
+    if ctype == _CT_BOOL_FALSE:
+        return False
+    if ctype == _CT_BYTE:
+        v = r.u8()
+        return v - 256 if v > 127 else v
+    if ctype in (_CT_I16, _CT_I32, _CT_I64):
+        return r.zigzag()
+    if ctype == _CT_DOUBLE:
+        return _struct_mod.unpack("<d", r.take(8))[0]
+    if ctype == _CT_BINARY:
+        return r.take(r.varint())
+    if ctype in (_CT_LIST, _CT_SET):
+        head = r.u8()
+        size, etype = head >> 4, head & 0x0F
+        if size == 15:
+            size = r.varint()
+        if etype in (_CT_BOOL_TRUE, _CT_BOOL_FALSE):
+            return [r.u8() == _CT_BOOL_TRUE for _ in range(size)]
+        return [_read_value(r, etype) for _ in range(size)]
+    if ctype == _CT_MAP:
+        size = r.varint()
+        if size == 0:
+            return {}
+        kv = r.u8()
+        kt, vt = kv >> 4, kv & 0x0F
+        return {_read_value(r, kt): _read_value(r, vt) for _ in range(size)}
+    if ctype == _CT_STRUCT:
+        return _read_struct(r)
+    raise ValueError(f"malformed parquet footer: unknown thrift type {ctype}")
+
+
+def _read_struct(r: _Reader) -> dict:
+    """Generic compact-protocol struct walk -> {field_id: value}. Unknown
+    fields parse by wire type and land in the dict harmlessly — forward
+    compatible with every writer extension (column orders, bloom offsets,
+    encoding stats, logical types)."""
+    out: dict = {}
+    fid = 0
+    while True:
+        head = r.u8()
+        if head == 0:
+            return out
+        delta, ctype = head >> 4, head & 0x0F
+        fid = fid + delta if delta else r.zigzag()
+        out[fid] = _read_value(r, ctype)
+
+
+def _decode_stat(raw, ptype: int):
+    """Decode a Statistics min/max payload by physical type (plain
+    encoding per spec). BYTE_ARRAY decodes utf-8 best-effort (stats of
+    string columns are truncatable byte prefixes)."""
+    if raw is None:
+        return None
+    if ptype == 1:
+        return _struct_mod.unpack("<i", raw[:4])[0] if len(raw) >= 4 else None
+    if ptype == 2:
+        return _struct_mod.unpack("<q", raw[:8])[0] if len(raw) >= 8 else None
+    if ptype == 4:
+        return _struct_mod.unpack("<f", raw[:4])[0] if len(raw) >= 4 else None
+    if ptype == 5:
+        return _struct_mod.unpack("<d", raw[:8])[0] if len(raw) >= 8 else None
+    if ptype == 0:
+        return bool(raw[0]) if raw else None
+    if isinstance(raw, (bytes, bytearray)):
+        return raw.decode("utf-8", "replace")
+    return raw
+
+
+def parquet_footer(blob: bytes) -> dict:
+    """Walk a parquet file's footer (no data pages touched — exactly the
+    fan-out-without-scan read a planner does): file-level facts plus the
+    full row-group / column-chunk census with decoded min/max statistics."""
+    if len(blob) < 12:
+        raise ValueError("truncated parquet file: shorter than magic framing")
+    if blob[:4] != MAGIC:
+        raise ValueError("not a parquet file: missing leading PAR1 magic")
+    if blob[-4:] != MAGIC:
+        raise ValueError("truncated parquet file: missing trailing PAR1 magic")
+    (flen,) = _struct_mod.unpack("<I", blob[-8:-4])
+    if flen + 12 > len(blob):
+        raise ValueError(
+            f"truncated parquet file: footer length {flen} exceeds file size"
+        )
+    fmd = _read_struct(_Reader(bytes(blob[len(blob) - 8 - flen : len(blob) - 8])))
+    schema = []
+    for se in fmd.get(2, []) or []:
+        schema.append(
+            {
+                "name": (se.get(4) or b"").decode("utf-8", "replace"),
+                "type": PHYSICAL_TYPES.get(se.get(1)),
+                "repetition": REPETITIONS.get(se.get(3)),
+                "num_children": se.get(5, 0) or 0,
+            }
+        )
+    row_groups = []
+    for rg in fmd.get(4, []) or []:
+        cols = []
+        for cc in rg.get(1, []) or []:
+            md = cc.get(3) or {}
+            ptype = md.get(1)
+            st = md.get(12) or {}
+            raw_min = st.get(6, st.get(2))
+            raw_max = st.get(5, st.get(1))
+            cols.append(
+                {
+                    "path": ".".join(
+                        p.decode("utf-8", "replace") for p in md.get(3, [])
+                    ),
+                    "type": PHYSICAL_TYPES.get(ptype),
+                    "codec": CODECS.get(md.get(4)),
+                    "encodings": sorted(
+                        ENCODINGS.get(e, str(e)) for e in md.get(2, [])
+                    ),
+                    "num_values": md.get(5),
+                    "total_uncompressed_size": md.get(6),
+                    "total_compressed_size": md.get(7),
+                    "data_page_offset": md.get(9),
+                    "dictionary_page_offset": md.get(11),
+                    "stat_min": _decode_stat(raw_min, ptype),
+                    "stat_max": _decode_stat(raw_max, ptype),
+                    "null_count": st.get(3),
+                }
+            )
+        row_groups.append(
+            {
+                "num_rows": rg.get(3),
+                "total_byte_size": rg.get(2),
+                "columns": cols,
+            }
+        )
+    return {
+        "version": fmd.get(1),
+        "num_rows": fmd.get(3),
+        "created_by": (fmd.get(6) or b"").decode("utf-8", "replace"),
+        "footer_bytes": flen,
+        "schema": schema,
+        "row_groups": row_groups,
+    }
+
+
+def footer_census(blob: bytes) -> list:
+    """Flatten parquet_footer into one dict per (row_group, column_chunk) —
+    the shape of DuckDB's parquet_metadata() table, which q338's oracle
+    uses as the independent C++ replay of this walk."""
+    meta = parquet_footer(blob)
+    out = []
+    for gi, rg in enumerate(meta["row_groups"]):
+        for col in rg["columns"]:
+            row = {"row_group_id": gi, "row_group_num_rows": rg["num_rows"]}
+            row.update(col)
+            out.append(row)
+    return out
+
+
+def read_footer_bytes(path: str) -> bytes:
+    """Read ONLY a parquet file's footer from disk — two ranged reads
+    (8-byte length probe, then the footer slice), never the data pages.
+    This is the planner-side access pattern that makes a row-group census
+    of a 100 TB lakehouse cheap: cost is O(footer) per file regardless of
+    file size. Returns a blob parquet_footer accepts (leading magic is
+    re-attached so the full-file validator applies unchanged)."""
+    import os
+
+    size = os.path.getsize(path)
+    if size < 12:
+        raise ValueError("truncated parquet file: shorter than magic framing")
+    with open(path, "rb") as f:
+        f.seek(size - 8)
+        tail = f.read(8)
+        if tail[4:] != MAGIC:
+            raise ValueError("truncated parquet file: missing trailing PAR1 magic")
+        (flen,) = _struct_mod.unpack("<I", tail[:4])
+        if flen + 12 > size:
+            raise ValueError(
+                f"truncated parquet file: footer length {flen} exceeds file size"
+            )
+        f.seek(size - 8 - flen)
+        return MAGIC + f.read(flen + 8)
+
+
+_CENSUS_FIELDS = (
+    "row_group_id int, row_group_num_rows bigint, path_in_schema string, "
+    "type string, codec string, num_values bigint, "
+    "total_compressed_size bigint, total_uncompressed_size bigint, "
+    "stat_min_int bigint, stat_max_int bigint, "
+    "stat_min_str string, stat_max_str string, null_count bigint, "
+    "file_num_rows bigint, file_num_row_groups int, version int"
+)
+_CENSUS_COLS = [f.split()[0] for f in _CENSUS_FIELDS.split(", ")]
+
+
+def _census_rows(meta: dict) -> list:
+    rows = []
+    nrg = len(meta["row_groups"])
+    for gi, rg in enumerate(meta["row_groups"]):
+        for col in rg["columns"]:
+            is_int = col["type"] in ("INT32", "INT64")
+            rows.append(
+                {
+                    "row_group_id": gi,
+                    "row_group_num_rows": rg["num_rows"],
+                    "path_in_schema": col["path"],
+                    "type": col["type"],
+                    "codec": col["codec"],
+                    "num_values": col["num_values"],
+                    "total_compressed_size": col["total_compressed_size"],
+                    "total_uncompressed_size": col["total_uncompressed_size"],
+                    "stat_min_int": col["stat_min"] if is_int else None,
+                    "stat_max_int": col["stat_max"] if is_int else None,
+                    "stat_min_str": (
+                        col["stat_min"] if col["type"] == "BYTE_ARRAY" else None
+                    ),
+                    "stat_max_str": (
+                        col["stat_max"] if col["type"] == "BYTE_ARRAY" else None
+                    ),
+                    "null_count": col["null_count"],
+                    "file_num_rows": meta["num_rows"],
+                    "file_num_row_groups": nrg,
+                    "version": meta["version"],
+                }
+            )
+    return rows
+
+
+def rowgroup_census_df(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, parquet blob) -> one row per (row_group, column_chunk) — the
+    shape of DuckDB's parquet_metadata() table, which is exactly what the
+    q336/q338 oracles replay through an independent C++ reader. One Arrow
+    map pass; only footer-sized census rows come out."""
+    import pandas as pd
+
+    id_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}[id_col]
+    schema = f"{id_col} {id_type}, {_CENSUS_FIELDS}"
+    cols = [id_col] + _CENSUS_COLS
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for fid, blob in zip(pdf[id_col], pdf[blob_col]):
+                for row in _census_rows(parquet_footer(bytes(blob))):
+                    row[id_col] = fid
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(walk, schema)
+
+
+def rowgroup_census_paths(
+    df: DataFrame, path_col: str = "path", passthrough: tuple = ()
+) -> DataFrame:
+    """(path, ...) -> per-(row_group, column_chunk) census via RANGED
+    footer reads (read_footer_bytes) — the whole file is never loaded, so
+    a census over a lakehouse's files costs O(files x footer bytes), not
+    O(data). Passthrough columns (e.g. table_name, key column) ride along
+    unchanged."""
+    import pandas as pd
+
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    extra = ", ".join(f"{c} {types[c]}" for c in passthrough)
+    schema = f"{path_col} string, {extra + ', ' if extra else ''}{_CENSUS_FIELDS}"
+    cols = [path_col, *passthrough, *_CENSUS_COLS]
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                meta = parquet_footer(read_footer_bytes(rec[path_col]))
+                for row in _census_rows(meta):
+                    row[path_col] = rec[path_col]
+                    for c in passthrough:
+                        row[c] = rec[c]
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(walk, schema)
+
+
+# ---------------------------------------------------------------- writer
+
+class _Writer:
+    __slots__ = ("out", "_last_fid")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+
+    def varint(self, v: int) -> None:
+        if v < 0:
+            raise ValueError("varint must be non-negative")
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self.out.append(b | 0x80)
+            else:
+                self.out.append(b)
+                return
+
+    def zigzag(self, v: int) -> None:
+        self.varint((v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1)
+
+
+def _w_field(w: _Writer, last_fid: int, fid: int, ctype: int) -> int:
+    delta = fid - last_fid
+    if 0 < delta <= 15:
+        w.out.append((delta << 4) | ctype)
+    else:
+        w.out.append(ctype)
+        w.zigzag(fid)
+    return fid
+
+
+def _w_i(w: _Writer, last: int, fid: int, v: int, ctype: int = _CT_I64) -> int:
+    last = _w_field(w, last, fid, ctype)
+    w.zigzag(v)
+    return last
+
+
+def _w_bin(w: _Writer, last: int, fid: int, v: bytes) -> int:
+    last = _w_field(w, last, fid, _CT_BINARY)
+    w.varint(len(v))
+    w.out += v
+    return last
+
+
+def _w_list_header(w: _Writer, size: int, etype: int) -> None:
+    if size < 15:
+        w.out.append((size << 4) | etype)
+    else:
+        w.out.append(0xF0 | etype)
+        w.varint(size)
+
+
+def _page_header(num_values: int, data_len: int) -> bytes:
+    """Thrift-compact PageHeader for an uncompressed PLAIN v1 data page of
+    a REQUIRED column (no def/rep levels on the wire)."""
+    w = _Writer()
+    last = _w_i(w, 0, 1, 0, _CT_I32)  # type = DATA_PAGE
+    last = _w_i(w, last, 2, data_len, _CT_I32)  # uncompressed_page_size
+    last = _w_i(w, last, 3, data_len, _CT_I32)  # compressed_page_size
+    last = _w_field(w, last, 5, _CT_STRUCT)  # data_page_header
+    dl = _w_i(w, 0, 1, num_values, _CT_I32)
+    dl = _w_i(w, dl, 2, 0, _CT_I32)  # encoding = PLAIN
+    dl = _w_i(w, dl, 3, 3, _CT_I32)  # definition_level_encoding = RLE
+    dl = _w_i(w, dl, 4, 3, _CT_I32)  # repetition_level_encoding = RLE
+    w.out.append(0)  # end DataPageHeader
+    w.out.append(0)  # end PageHeader
+    return bytes(w.out)
+
+
+def _plain_encode(values: list, ptype: int) -> bytes:
+    if ptype == 2:  # INT64
+        return b"".join(_struct_mod.pack("<q", int(v)) for v in values)
+    if ptype == 6:  # BYTE_ARRAY
+        out = bytearray()
+        for v in values:
+            bv = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+            out += _struct_mod.pack("<I", len(bv)) + bv
+        return bytes(out)
+    raise ValueError(f"encode_parquet supports INT64/BYTE_ARRAY, not type {ptype}")
+
+
+def _stat_bytes(v, ptype: int) -> bytes:
+    if ptype == 2:
+        return _struct_mod.pack("<q", int(v))
+    return v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+
+
+def encode_parquet(
+    columns: list, row_groups: list, created_by: str = "hive-backend-spark 0.1"
+) -> bytes:
+    """Minimal REAL parquet writer: ``columns`` is [(name, 'INT64'|'BYTE_ARRAY')],
+    ``row_groups`` is a list of row groups, each a list of per-column value
+    lists. PLAIN encoding, UNCOMPRESSED, REQUIRED columns, v1 data pages,
+    per-chunk min/max/null_count statistics — enough for pyarrow and DuckDB
+    to read the file back value-exact (pinned in tests), which is what
+    makes the walker's round trip a cross-engine check rather than a
+    self-fulfilling one."""
+    tmap = {"INT64": 2, "BYTE_ARRAY": 6}
+    ptypes = []
+    for _, t in columns:
+        if t not in tmap:
+            raise ValueError(f"unsupported column type {t!r}")
+        ptypes.append(tmap[t])
+    blob = bytearray(MAGIC)
+    rg_meta = []
+    total_rows = 0
+    for group in row_groups:
+        if len(group) != len(columns):
+            raise ValueError("row group has wrong column count")
+        nrows = len(group[0])
+        if any(len(vals) != nrows for vals in group):
+            raise ValueError("ragged row group: column lengths differ")
+        total_rows += nrows
+        chunks = []
+        for (name, _), ptype, vals in zip(columns, ptypes, group):
+            data = _plain_encode(vals, ptype)
+            header = _page_header(nrows, len(data))
+            offset = len(blob)
+            blob += header + data
+            if ptype == 2:
+                mn, mx = (min(vals), max(vals)) if vals else (None, None)
+            else:
+                bl = [
+                    v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                    for v in vals
+                ]
+                mn, mx = (min(bl), max(bl)) if bl else (None, None)
+            chunks.append(
+                {
+                    "name": name,
+                    "ptype": ptype,
+                    "num_values": nrows,
+                    "size": len(header) + len(data),
+                    "offset": offset,
+                    "min": mn,
+                    "max": mx,
+                }
+            )
+        rg_meta.append({"num_rows": nrows, "chunks": chunks})
+
+    w = _Writer()
+    last = _w_i(w, 0, 1, 1, _CT_I32)  # version
+    # schema: root group + leaves
+    last = _w_field(w, last, 2, _CT_LIST)
+    _w_list_header(w, len(columns) + 1, _CT_STRUCT)
+    sl = _w_field(w, 0, 4, _CT_BINARY)  # root: name
+    w.varint(len(b"schema"))
+    w.out += b"schema"
+    sl = _w_i(w, sl, 5, len(columns), _CT_I32)  # num_children
+    w.out.append(0)
+    for (name, _), ptype in zip(columns, ptypes):
+        nl = _w_i(w, 0, 1, ptype, _CT_I32)  # type
+        nl = _w_i(w, nl, 3, 0, _CT_I32)  # repetition = REQUIRED
+        nl = _w_bin(w, nl, 4, name.encode())
+        w.out.append(0)
+    last = _w_i(w, last, 3, total_rows)  # num_rows
+    last = _w_field(w, last, 4, _CT_LIST)  # row_groups
+    _w_list_header(w, len(rg_meta), _CT_STRUCT)
+    for rg in rg_meta:
+        gl = _w_field(w, 0, 1, _CT_LIST)  # columns
+        _w_list_header(w, len(rg["chunks"]), _CT_STRUCT)
+        for ch in rg["chunks"]:
+            cl = _w_i(w, 0, 2, ch["offset"])  # ColumnChunk.file_offset
+            cl = _w_field(w, cl, 3, _CT_STRUCT)  # meta_data
+            ml = _w_i(w, 0, 1, ch["ptype"], _CT_I32)  # type
+            ml = _w_field(w, ml, 2, _CT_LIST)  # encodings
+            _w_list_header(w, 1, _CT_I32)
+            w.zigzag(0)  # PLAIN
+            ml = _w_field(w, ml, 3, _CT_LIST)  # path_in_schema
+            _w_list_header(w, 1, _CT_BINARY)
+            w.varint(len(ch["name"].encode()))
+            w.out += ch["name"].encode()
+            ml = _w_i(w, ml, 4, 0, _CT_I32)  # codec = UNCOMPRESSED
+            ml = _w_i(w, ml, 5, ch["num_values"])
+            ml = _w_i(w, ml, 6, ch["size"])  # total_uncompressed_size
+            ml = _w_i(w, ml, 7, ch["size"])  # total_compressed_size
+            ml = _w_i(w, ml, 9, ch["offset"])  # data_page_offset
+            if ch["min"] is not None:
+                ml = _w_field(w, ml, 12, _CT_STRUCT)  # statistics
+                stl = _w_i(w, 0, 3, 0)  # null_count (REQUIRED cols: 0)
+                stl = _w_bin(w, stl, 5, _stat_bytes(ch["max"], ch["ptype"]))
+                stl = _w_bin(w, stl, 6, _stat_bytes(ch["min"], ch["ptype"]))
+                w.out.append(0)  # end Statistics
+            w.out.append(0)  # end ColumnMetaData
+            w.out.append(0)  # end ColumnChunk
+        gl = _w_i(w, gl, 2, sum(c["size"] for c in rg["chunks"]))
+        gl = _w_i(w, gl, 3, rg["num_rows"])
+        w.out.append(0)  # end RowGroup
+    last = _w_bin(w, last, 6, created_by.encode())
+    w.out.append(0)  # end FileMetaData
+
+    blob += w.out
+    blob += _struct_mod.pack("<I", len(w.out))
+    blob += MAGIC
+    return bytes(blob)

@@ -1319,3 +1319,321 @@ def q335_targz_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
     return TAR.tar_census(blobbed).orderBy("doc_id")
+
+
+@register(
+    "q336_parquet_footer_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             1 + doc_id % 3 AS R, 3 + (doc_id * 7) % 4 AS rpg
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, L, R, rpg, g.range AS g, j.range AS j
+      FROM base
+      JOIN range(0, 3) g ON g.range < R
+      JOIN range(0, 6) j ON j.range < rpg
+    )
+    SELECT doc_id,
+           CAST(R AS INT) AS n_row_groups,
+           CAST(R * rpg AS BIGINT) AS n_rows,
+           CAST(2 AS BIGINT) AS n_leaf_cols,
+           CAST(L * 13 AS BIGINT) AS id_min,
+           CAST(L * 13 + (R - 1) * 19 + (rpg - 1) * 7 AS BIGINT) AS id_max,
+           min(chr(97 + CAST((L + g + j) % 5 AS INT))) AS pay_min,
+           max(chr(97 + CAST((L + g + j) % 5 AS INT))) AS pay_max,
+           CAST(0 AS BIGINT) AS null_total,
+           CAST(1 AS INT) AS version
+    FROM cells
+    GROUP BY doc_id, L, R, rpg
+    ORDER BY doc_id
+    """,
+)
+def q336_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET footer walk — the round-11 rung that points the ingestion
+    ladder at the format this pipeline itself lives on: per document a
+    REAL minimal parquet file (operators/parquet_meta.encode_parquet —
+    thrift-compact FileMetaData, v1 data pages, PLAIN encoding, REQUIRED
+    INT64 + BYTE_ARRAY columns, per-chunk min/max/null statistics; 1-3
+    row groups of 3-6 rows keyed to doc_id) is built in the map task and
+    its FOOTER walked back by the stdlib thrift-compact reader
+    (parquet_footer): magic framing, footer length, schema tree, row
+    groups, column chunks, decoded statistics. The census aggregates only
+    footer facts (file num_rows, row-group count, leaf-column count,
+    per-column min/max, null totals, format version), each replayed
+    analytically by the oracle — the q329 discipline. pytest additionally
+    pins the walker against pyarrow's metadata on the driver's own
+    fixture files (SNAPPY, dictionary-encoded, a different writer) and
+    pins that DuckDB/pyarrow read encode_parquet files back value-exact,
+    so the round trip is a cross-engine check, not a self-fulfilling one.
+
+    Why it matters at 100 TB: the row-group census IS the planner-side
+    read a lakehouse does before every scan — min/max pruning, row-group
+    sizing, encoding audits all start from exactly this walk (q338 runs
+    it against the catalog's real files via ranged footer reads).
+
+    Scale posture: one Arrow map pass, nothing shuffled but census rows;
+    small frame repartitioned to cluster parallelism first."""
+    import pandas as pd
+
+    from ..operators import parquet_meta as PM
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        from hive_backend_spark.operators.parquet_meta import encode_parquet
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                n_groups = 1 + did % 3
+                rpg = 3 + (did * 7) % 4
+                groups = []
+                for g in range(n_groups):
+                    ids = [length * 13 + g * 19 + j * 7 for j in range(rpg)]
+                    pays = [
+                        chr(97 + (length + g + j) % 5).encode() for j in range(rpg)
+                    ]
+                    groups.append([ids, pays])
+                blobs.append(
+                    encode_parquet(
+                        [("id", "INT64"), ("payload", "BYTE_ARRAY")], groups
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    census = PM.rowgroup_census_df(blobbed, blob_col="blob", id_col="doc_id")
+    is_id = F.col("path_in_schema") == "id"
+    is_pay = F.col("path_in_schema") == "payload"
+    return (
+        census.groupBy("doc_id")
+        .agg(
+            F.max("file_num_row_groups").alias("n_row_groups"),
+            F.max("file_num_rows").alias("n_rows"),
+            F.countDistinct("path_in_schema").alias("n_leaf_cols"),
+            F.min(F.when(is_id, F.col("stat_min_int"))).alias("id_min"),
+            F.max(F.when(is_id, F.col("stat_max_int"))).alias("id_max"),
+            F.min(F.when(is_pay, F.col("stat_min_str"))).alias("pay_min"),
+            F.max(F.when(is_pay, F.col("stat_max_str"))).alias("pay_max"),
+            F.sum("null_count").alias("null_total"),
+            F.max("version").alias("version"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q338_rowgroup_pruning_audit",
+    oracle="""
+    WITH m AS (
+      SELECT 'events' AS table_name, file_name, row_group_num_rows AS nr,
+             CAST(stats_min_value AS BIGINT) AS smin,
+             CAST(stats_max_value AS BIGINT) AS smax,
+             total_compressed_size AS sz
+      FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
+      WHERE path_in_schema = 'event_id'
+      UNION ALL
+      SELECT 'lineitem', file_name, row_group_num_rows,
+             CAST(stats_min_value AS BIGINT), CAST(stats_max_value AS BIGINT),
+             total_compressed_size
+      FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+      WHERE path_in_schema = 'l_orderkey'
+      UNION ALL
+      SELECT 'orders', file_name, row_group_num_rows,
+             CAST(stats_min_value AS BIGINT), CAST(stats_max_value AS BIGINT),
+             total_compressed_size
+      FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet')
+      WHERE path_in_schema = 'o_orderkey'
+    ),
+    g AS (
+      SELECT table_name, min(smin) AS key_min, max(smax) AS key_max
+      FROM m GROUP BY table_name
+    )
+    SELECT m.table_name,
+           CAST(count(DISTINCT file_name) AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_row_groups,
+           CAST(sum(nr) AS BIGINT) AS n_rows,
+           CAST(sum(sz) AS BIGINT) AS key_bytes_compressed,
+           g.key_min, g.key_max,
+           CAST(sum(CASE WHEN smin > (g.key_min + g.key_max) // 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rgs_prunable_le_mid
+    FROM m JOIN g ON m.table_name = g.table_name
+    GROUP BY m.table_name, g.key_min, g.key_max
+    ORDER BY m.table_name
+    """,
+)
+def q338_rowgroup_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group census + min/max pruning audit over the CATALOG'S REAL
+    parquet layout (TESTDATA.md tables, catalog.py:51) — the planner-side
+    read a 100 TB lakehouse does before every scan, via operators/
+    parquet_meta.rowgroup_census_paths: per file, a RANGED footer read
+    (8-byte length probe + footer slice, data pages never touched) walked
+    by the stdlib thrift-compact reader, then per fact table the
+    row-group sizing facts and the fraction of row groups a mid-domain
+    key predicate (key <= (min+max)/2) could prune from statistics alone.
+    The oracle replays the identical census through DuckDB's independent
+    C++ parquet reader (parquet_metadata()), so every footer field my
+    walker decodes — row counts, compressed sizes, min/max statistics —
+    is value-checked against a second engine on files written by a third
+    (parquet-cpp-arrow). The oracle's paths are fixed at the driver's
+    sf0.01 (oracle SQL is static); the Spark side follows sf_dir, so
+    parity holds exactly at the driver's correctness scale and the sf1
+    sweep must exclude this query with that recorded reason.
+
+    Scale posture: cost is O(files x footer bytes) — file listing is
+    driver-side metadata work (bounded: the catalog's file census, not
+    data), footer walks parallelize per file, and only census rows
+    shuffle (two metadata-sized aggregations + one 3-row broadcast)."""
+    import glob as _glob
+    import os as _os
+
+    from ..operators import parquet_meta as PM
+
+    tables = [
+        ("events", "event_id"),
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_orderkey"),
+    ]
+    rows = []
+    for t, key in tables:
+        p = _os.path.join(sf_dir, f"{t}.parquet")
+        if _os.path.isdir(p):
+            paths = sorted(_glob.glob(_os.path.join(p, "*.parquet")))
+        else:
+            paths = [p]
+        rows += [(t, key, fp) for fp in paths]
+    files = spark.createDataFrame(
+        rows, "table_name string, key string, path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    census = PM.rowgroup_census_paths(files, passthrough=("table_name", "key"))
+    per = census.filter(F.col("path_in_schema") == F.col("key")).select(
+        "table_name",
+        "path",
+        F.col("row_group_num_rows").alias("nr"),
+        F.col("stat_min_int").alias("smin"),
+        F.col("stat_max_int").alias("smax"),
+        F.col("total_compressed_size").alias("sz"),
+    )
+    bounds = per.groupBy("table_name").agg(
+        F.min("smin").alias("key_min"), F.max("smax").alias("key_max")
+    )
+    joined = per.join(F.broadcast(bounds), "table_name")
+    mid = F.expr("(key_min + key_max) DIV 2")
+    return (
+        joined.groupBy("table_name", "key_min", "key_max")
+        .agg(
+            F.countDistinct("path").alias("n_files"),
+            F.count(F.lit(1)).alias("n_row_groups"),
+            F.sum("nr").alias("n_rows"),
+            F.sum("sz").alias("key_bytes_compressed"),
+            F.sum(F.when(F.col("smin") > mid, 1).otherwise(0)).alias(
+                "rgs_prunable_le_mid"
+            ),
+        )
+        .select(
+            "table_name",
+            "n_files",
+            "n_row_groups",
+            "n_rows",
+            "key_bytes_compressed",
+            "key_min",
+            "key_max",
+            "rgs_prunable_le_mid",
+        )
+        .orderBy("table_name")
+    )
+
+
+@register(
+    "q337_flac_decode_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             96 + (doc_id % 5) * 32 AS n
+      FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, n, L, i.range AS i,
+             ((L * 7 + 13 * i.range) % 2048) - 1024 AS s
+      FROM base JOIN range(0, 224) i ON i.range < n
+    )
+    SELECT doc_id,
+           CAST(CEIL(n / 64.0) AS INT) AS n_frames,
+           CAST(n AS BIGINT) AS total_samples,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(16 AS INT) AS bits_per_sample,
+           CAST(sum(s) AS BIGINT) AS sum_samples,
+           CAST(min(s) AS INT) AS min_sample,
+           CAST(max(s) AS INT) AS max_sample,
+           CAST(CEIL(n / 64.0) AS INT) AS crc_ok_frames,
+           TRUE AS md5_ok
+    FROM samples
+    GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+)
+def q337_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode through the full multimodal pipeline — the
+    compressed-audio rung of the codec ladder (r10 verdict task #6), and
+    the first audio DECODE that is feasible end-to-end without a media
+    library: FLAC is lossless, so reconstruction is integer-exact and the
+    oracle replays the decoded-sample aggregates analytically with no
+    rounding caveat. Per document an analytic 16-bit mono signal
+    (s_i = ((7L + 13i) mod 2048) - 1024, 96-224 samples keyed to doc_id)
+    is encoded as a REAL FLAC stream inside the map task
+    (operators/flac.encode_flac — STREAMINFO with true audio MD5, 64-
+    sample frames cycling through VERBATIM and FIXED predictor orders 0-4
+    with order-0 Rice-partitioned residuals, CRC-8 header and CRC-16
+    frame checks) and decoded back by decode_flac: Rice/zigzag residual
+    decoding, fixed-predictor reconstruction, both CRCs VERIFIED, decoded
+    audio re-hashed against the STREAMINFO MD5 (md5_ok is the
+    losslessness receipt). pytest additionally round-trips random
+    signals (mono, stereo, mid/side, LPC path) and sweeps every
+    truncation/mangle point for the ValueError contract.
+
+    Scale posture: one Arrow map pass, blobs never shuffle, only stat
+    rows move; small frame repartitioned to cluster parallelism first
+    (q264/q325 fix)."""
+    import pandas as pd
+
+    from ..operators import flac as FLAC
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        from hive_backend_spark.operators.flac import encode_flac
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                n = 96 + (did % 5) * 32
+                sig = [((length * 7 + 13 * i) % 2048) - 1024 for i in range(n)]
+
+                def plan(f, _did=did):
+                    kind = (_did + f) % 6
+                    return "verbatim" if kind == 5 else ("fixed", kind)
+
+                blobs.append(
+                    encode_flac(
+                        [sig],
+                        8000 + (did % 3) * 4000,
+                        bps=16,
+                        blocksize=64,
+                        plan=plan,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    return FLAC.flac_stats(blobbed).orderBy("doc_id")

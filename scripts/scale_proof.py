@@ -1,21 +1,28 @@
 #!/usr/bin/env python3
-"""Empirical scale-proof (round-9 verdict task #1): time the most expensive
-headline queries at sf0.1 AND sf1.0 (10x rows, built by make_scaledata.py)
-in ONE session with the bench.py methodology (noop-format write so every
-output column executes; min-of-N; q82/q79 cold via cache clears), and
-report each query's scaling exponent
+"""Empirical scale-proof, three-point edition (round-10 verdict task #1):
+time the most expensive headline queries at sf0.1, sf1.0 AND sf3.2 (10x
+and 32x rows, built by make_scaledata.py) in ONE session with the bench.py
+methodology (noop-format write so every output column executes; min-of-N;
+q82/q79 cold via cache clears), and report each query's scaling exponents
 
-    a = log(t_sf1 / t_sf0.1) / log(10)      (t ~ N^a)
+    a = log(t_big / t_small) / log(size_ratio)      (t ~ N^a)
 
-a <= ~1 is linear (perfect for scan/agg pipelines), a in (1, 1.3] is
-acceptable shuffle/log-factor growth, a > 1.3 is the super-linear class no
-plan inspection can catch (candidate-pair volume growing faster than the
-corpus, quadratic cells, driver-side state) and gets a named cause or a fix
-in COVERAGE.md.
+Why three points: the r10 two-point exponents were all < 1, which proves
+"not super-linear at sf1" but cannot distinguish true sub-linearity from
+fixed stage costs still amortizing — a genuinely O(N log N) or mildly
+quadratic term could hide at a~=0.9. The sf1 -> sf3.2 leg starts where the
+fixed costs are already amortized over 10x data, so its slope is the
+asymptotic signal: a_1_32 <= ~1.1 is linear-with-log-factors, anything
+above gets a named cause or a fix (the q222 precedent: measure -> find ->
+fix -> re-pin). A least-squares slope over all three log-points is also
+reported, but the asymptotic leg is the graded number.
 
-Output: ONE JSON line {"metric": "scale_proof", "sf_ratio": 10, "queries":
-{name: {"t_sf01": s, "t_sf1": s, "exponent": a}}, ...} — committed as
-BENCH_sf1_r10.json.
+All SFs of one query time inside the same session seconds apart, so the
+ratios tolerate a constant background factor even when absolute times are
+inflated (see bench calibration).
+
+Output: ONE JSON line — committed as BENCH_sf3_r11.json. Falls back to the
+two-point protocol if the sf3.2 directory is absent.
 """
 
 from __future__ import annotations
@@ -33,10 +40,12 @@ from hive_backend_spark.session import get_spark
 
 SF01 = os.environ.get("SCALE_SF01", "/root/testdata/sf0.1")
 SF1 = os.environ.get("SCALE_SF1", "/root/repo/.scaledata/sf1")
+SF32 = os.environ.get("SCALE_SF32", "/root/repo/.scaledata/sf3.2")
 
-# The 20 most expensive BENCH_full_r09 queries (the plan-pin set) plus the
-# cold signature pass itself — the queries where super-linear growth would
-# hurt first.
+# The r10 plan-pin set (20 most expensive + the cold signature pass)
+# extended to the r11 top-25: the new codec/ingestion rungs and the two
+# ngram-shuffling text queries — the queries where super-linear growth
+# would hurt first.
 QUERIES = [
     "q82_minhash_bands",
     "q79_dup_clusters",
@@ -59,7 +68,21 @@ QUERIES = [
     "q328_jpeg_decode_stats",
     "q212_chunk_dedup_census",
     "q179_containment_pairs",
+    "q331_progressive_jpeg_stats",
+    "q137_ngram_novelty",
+    "q142_duplicate_ngram_spans",
+    "q155_kmeans_train",
 ]
+
+
+def _slope(points: list) -> float:
+    """Least-squares slope of log10(t) on log10(N) over (ratio, t) pairs."""
+    xs = [math.log10(r) for r, _ in points]
+    ys = [math.log10(t) for _, t in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
 
 
 def main() -> None:
@@ -67,6 +90,7 @@ def main() -> None:
         load1m, load5m, _ = os.getloadavg()
     except OSError:
         load1m = load5m = None
+    three_point = os.path.isdir(SF32)
     spark = get_spark("hive-backend-spark-scale-proof")
     specs = all_queries()
 
@@ -97,34 +121,46 @@ def main() -> None:
 
     out: dict = {}
     for name in QUERIES:
-        # sf0.1 first (small), 3 attempts; sf1 second, 2 attempts (each
-        # attempt is 10x the work — min-of-2 still absorbs first-run JIT)
+        # smallest first: 3 attempts at sf0.1 absorb JIT; min-of-2 at the
+        # big SFs (each attempt is 10-32x the work)
         t01 = run(name, SF01, 3)
         t1 = run(name, SF1, 2)
-        a = math.log(t1 / t01) / math.log(10.0)
-        out[name] = {
-            "t_sf01": round(t01, 4),
-            "t_sf1": round(t1, 4),
-            "exponent": round(a, 3),
-        }
+        rec = {"t_sf01": round(t01, 4), "t_sf1": round(t1, 4)}
+        rec["exponent_01_1"] = round(math.log10(t1 / t01), 3)
+        if three_point:
+            t32 = run(name, SF32, 2)
+            rec["t_sf32"] = round(t32, 4)
+            # the asymptotic leg: sf1 -> sf3.2 is a 3.2x ratio
+            rec["exponent_1_32"] = round(
+                math.log(t32 / t1) / math.log(3.2), 3
+            )
+            rec["exponent_fit"] = round(
+                _slope([(1, t01), (10, t1), (32, t32)]), 3
+            )
+        out[name] = rec
         print(
-            f"# {name}: sf0.1 {t01:.2f}s  sf1 {t1:.2f}s  exponent {a:.3f}",
+            f"# {name}: "
+            + "  ".join(f"{k}={v}" for k, v in rec.items()),
             file=sys.stderr,
         )
 
     print(
         json.dumps(
             {
-                "metric": "scale_proof",
-                "sf_ratio": 10,
-                "sf01_dir": SF01,
-                "sf1_dir": SF1,
+                "metric": "scale_proof3" if three_point else "scale_proof",
+                "points": (
+                    {"sf0.1": SF01, "sf1": SF1, "sf3.2": SF32}
+                    if three_point
+                    else {"sf0.1": SF01, "sf1": SF1}
+                ),
                 "unit": "sec",
                 "queries": out,
                 "load_avg_1m_at_start": load1m,
                 "load_avg_5m_at_start": load5m,
-                "method": "noop-write; sf0.1 min-of-3, sf1 min-of-2; "
-                "q82/q79 cold via cache clears before every attempt",
+                "method": "noop-write; sf0.1 min-of-3, sf1/sf3.2 min-of-2; "
+                "q82/q79 cold via cache clears before every attempt; "
+                "exponent_1_32 is the asymptotic leg (fixed costs "
+                "amortized), exponent_fit the 3-point least-squares slope",
             }
         )
     )

@@ -1275,3 +1275,261 @@ def test_tar_walker_interop_checksum_and_raises():
     ]
     with _pytest.raises(ValueError, match="terminator"):
         parse_tar(raw[: len(raw) - 600], gzipped=False)
+
+
+def test_parquet_writer_cross_engine_roundtrip(tmp_path):
+    """operators/parquet_meta round-11: encode_parquet emits REAL parquet —
+    DuckDB and pyarrow (two independent readers) recover the values
+    exactly, and DuckDB's parquet_metadata agrees with the footer my
+    writer wrote (row groups, row counts, statistics). This is what makes
+    the q336 walk a cross-engine check instead of a self-fulfilling one."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from hive_backend_spark.operators.parquet_meta import encode_parquet
+
+    blob = encode_parquet(
+        [("id", "INT64"), ("payload", "BYTE_ARRAY")],
+        [
+            [[5, -3, 12], [b"aa", b"zz", b"m"]],
+            [[100, 200], [b"q", b"rr"]],
+        ],
+    )
+    p = tmp_path / "mini.parquet"
+    p.write_bytes(blob)
+    got = duckdb.connect().execute(
+        f"SELECT id, payload FROM '{p}' ORDER BY id"
+    ).fetchall()
+    assert got == [(-3, b"zz"), (5, b"aa"), (12, b"m"), (100, b"q"), (200, b"rr")]
+    md = duckdb.connect().execute(
+        "SELECT row_group_id, row_group_num_rows, path_in_schema, "
+        "stats_min_value, stats_max_value, stats_null_count "
+        f"FROM parquet_metadata('{p}') ORDER BY row_group_id, path_in_schema"
+    ).fetchall()
+    assert md == [
+        (0, 3, "id", "-3", "12", 0),
+        (0, 3, "payload", "aa", "zz", 0),
+        (1, 2, "id", "100", "200", 0),
+        (1, 2, "payload", "q", "rr", 0),
+    ]
+    t = pq.read_table(str(p))
+    assert t.column("id").to_pylist() == [5, -3, 12, 100, 200]
+    assert pq.ParquetFile(str(p)).metadata.num_row_groups == 2
+
+
+def test_parquet_walker_matches_pyarrow_on_fixture_files():
+    """The stdlib thrift-compact footer walker vs pyarrow's C++ metadata
+    on the driver's own fixture files — a different writer
+    (parquet-cpp-arrow), SNAPPY compression, dictionary encodings, every
+    physical type in the corpus. Ranged read (read_footer_bytes) must
+    decode identically to the full-blob walk."""
+    from hive_backend_spark.operators.parquet_meta import (
+        parquet_footer,
+        read_footer_bytes,
+    )
+
+    import pyarrow.parquet as pq
+
+    for path in (
+        "/root/testdata/sf0.01/lineitem.parquet",
+        "/root/testdata/sf0.01/documents.parquet",
+        "/root/testdata/sf0.01/embeddings.parquet",
+    ):
+        mine = parquet_footer(read_footer_bytes(path))
+        with open(path, "rb") as fh:
+            assert mine == parquet_footer(fh.read())
+        md = pq.ParquetFile(path).metadata
+        assert mine["num_rows"] == md.num_rows
+        assert len(mine["row_groups"]) == md.num_row_groups
+        assert mine["created_by"] == md.created_by
+        for gi in range(md.num_row_groups):
+            rg = md.row_group(gi)
+            assert mine["row_groups"][gi]["num_rows"] == rg.num_rows
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                m = mine["row_groups"][gi]["columns"][ci]
+                assert m["path"] == col.path_in_schema
+                assert m["codec"] == col.compression
+                assert m["total_compressed_size"] == col.total_compressed_size
+                assert m["total_uncompressed_size"] == col.total_uncompressed_size
+                assert m["num_values"] == col.num_values
+                st = col.statistics
+                if st is not None and st.has_min_max and m["type"] in (
+                    "INT32",
+                    "INT64",
+                    "DOUBLE",
+                ):
+                    import datetime as _dt
+
+                    def conv(v):
+                        # pyarrow applies the TIMESTAMP logical type; my
+                        # walker reports the raw INT64 (microseconds) —
+                        # convert for comparison
+                        if isinstance(v, _dt.datetime):
+                            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                            return round((v - epoch).total_seconds() * 1e6)
+                        return v
+
+                    assert m["stat_min"] == conv(st.min), (path, m["path"])
+                    assert m["stat_max"] == conv(st.max), (path, m["path"])
+
+
+def test_parquet_footer_truncation_sweep():
+    """Every cut point of a parquet file either raises the walker's
+    named-cause ValueError or (cuts inside data pages, which the footer
+    walk never reads) parses the full metadata — never an IndexError or a
+    silent wrong decode. Mangled magic and oversized footer lengths raise
+    too."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.parquet_meta import (
+        encode_parquet,
+        parquet_footer,
+    )
+
+    blob = encode_parquet(
+        [("id", "INT64"), ("payload", "BYTE_ARRAY")],
+        [[[1, 2, 3], [b"x", b"yy", b"zzz"]], [[7, 8], [b"a", b"b"]]],
+    )
+    full = parquet_footer(blob)
+    for cut in range(1, len(blob)):
+        with _pytest.raises(ValueError):
+            parquet_footer(blob[:cut])
+    # the footer walk never touches data pages: mangling page bytes leaves
+    # the metadata walk intact (that is the fan-out-without-scan property)
+    mangled = bytearray(blob)
+    mangled[6] ^= 0xFF
+    assert parquet_footer(bytes(mangled)) == full
+    assert parquet_footer(blob) == full
+    with _pytest.raises(ValueError, match="magic"):
+        parquet_footer(b"XXXX" + blob[4:])
+    with _pytest.raises(ValueError, match="magic"):
+        parquet_footer(blob[:-4] + b"XXXX")
+    import struct as _s
+
+    bad_len = blob[:-8] + _s.pack("<I", len(blob)) + blob[-4:]
+    with _pytest.raises(ValueError, match="footer length"):
+        parquet_footer(bad_len)
+
+
+def test_flac_roundtrip_all_subframe_kinds():
+    """operators/flac round-11: encode->decode is integer-exact (the
+    losslessness contract) across CONSTANT, VERBATIM, FIXED orders 0-4,
+    mono, independent stereo, and mid/side decorrelation; STREAMINFO MD5
+    verifies; CRC implementations match the published catalog check
+    values for their parameterizations (CRC-8 poly 0x07 init 0 -> 0xF4
+    over '123456789'; CRC-16/UMTS poly 0x8005 init 0 -> 0xFEE8), pinning
+    the spec constants independently of the round trip."""
+    import random
+
+    from hive_backend_spark.operators.flac import (
+        _crc8,
+        _crc16,
+        decode_flac,
+        encode_flac,
+    )
+
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+    rng = random.Random(11)
+    n = 200
+    sig = [rng.randint(-1024, 1023) for _ in range(n)]
+    got = decode_flac(
+        encode_flac([sig], 8000, bps=16, blocksize=32,
+                    plan=lambda f: "verbatim" if f % 2 else ("fixed", f % 5))
+    )
+    assert got["channels_decoded"][0] == sig
+    assert got["md5_ok"] and got["total_samples"] == n
+    assert {k for fr in got["frames"] for k in fr["subframes"]} >= {
+        "verbatim", "fixed0", "fixed2", "fixed4",
+    }
+
+    right = [rng.randint(-500, 500) for _ in range(n)]
+    g2 = decode_flac(encode_flac([sig, right], 44100, blocksize=64))
+    assert g2["channels_decoded"] == [sig, right] and g2["md5_ok"]
+
+    g3 = decode_flac(
+        encode_flac([sig, right], 48000, blocksize=64, plan=lambda f: ("fixed", 1),
+                    mid_side=True)
+    )
+    assert g3["channels_decoded"] == [sig, right] and g3["md5_ok"]
+    assert all(fr["channel_assignment"] == 10 for fr in g3["frames"])
+
+    const = [42] * 100
+    g4 = decode_flac(encode_flac([const], 8000, blocksize=50,
+                                 plan=lambda f: "constant"))
+    assert g4["channels_decoded"][0] == const and g4["md5_ok"]
+    assert all(fr["subframes"] == ["constant"] for fr in g4["frames"])
+
+
+def test_flac_lpc_subframe_decodes():
+    """The LPC decode path (quantized coefficients + arithmetic shift):
+    a hand-built LPC subframe with coeffs [3, -1] shift 1 must
+    reconstruct the exact same samples a fixed-order-1 predictor (pred =
+    a[i-1], i.e. (2*a[i-1]) >> 1) yields — cross-checking the LPC
+    arithmetic against the already-roundtripped fixed path."""
+    from hive_backend_spark.operators.flac import (
+        _BitReader,
+        _BitWriter,
+        _read_subframe,
+        _write_residuals,
+    )
+
+    samples = [10, 13, 7, -4, 9, 22, -15, 0, 3, 8]
+    bps = 16
+    coefs, shift = [2], 1  # pred = (2*a[i-1]) >> 1 == a[i-1]
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(0b100000 | (len(coefs) - 1), 6)  # LPC order 1
+    w.write(0, 1)
+    w.write(samples[0] & 0xFFFF, bps)  # warmup
+    w.write(4 - 1, 4)  # precision 4
+    w.write(shift & 0x1F, 5)
+    for c in coefs:
+        w.write(c & 0xF, 4)
+    residuals = [
+        samples[i] - ((coefs[0] * samples[i - 1]) >> shift)
+        for i in range(1, len(samples))
+    ]
+    _write_residuals(w, residuals)
+    w.align()
+    got, kind = _read_subframe(_BitReader(w.getvalue()), len(samples), bps)
+    assert kind == "lpc1" and got == samples
+
+
+def test_flac_truncation_and_mangle_sweep():
+    """Every truncation cut either raises the module's ValueError or
+    decodes a legal frame-boundary prefix (flagged by md5_ok=False /
+    short sample count); every single-bit mangle is caught by magic,
+    CRC-8, CRC-16, or the framing walk — never a silent wrong decode
+    that still claims md5_ok."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.flac import decode_flac, encode_flac
+
+    sig = [((i * 37) % 256) - 128 for i in range(100)]
+    blob = encode_flac([sig], 8000, bps=8, blocksize=32)
+    full = decode_flac(blob)
+    assert full["channels_decoded"][0] == sig and full["md5_ok"]
+    for cut in range(1, len(blob)):
+        try:
+            got = decode_flac(blob[:cut])
+        except ValueError:
+            continue
+        # a frame-boundary prefix is a legal stream — but it must decode
+        # a correct PREFIX and fail the MD5 losslessness receipt
+        dec = got["channels_decoded"][0]
+        assert dec == sig[: len(dec)] and not got["md5_ok"], f"cut {cut}"
+    for i in range(len(blob)):
+        m = bytearray(blob)
+        m[i] ^= 0x01
+        try:
+            got = decode_flac(bytes(m))
+        except ValueError:
+            continue
+        assert not (got["md5_ok"] and got["channels_decoded"][0] != sig), (
+            f"byte {i}: silent wrong decode passed the MD5 receipt"
+        )
+    with _pytest.raises(ValueError, match="magic"):
+        decode_flac(b"fLaX" + blob[4:])
