@@ -34,28 +34,49 @@ from hive_backend_spark.session import get_spark
 
 SF1 = os.environ.get("SCALE_SF1", "/root/repo/.scaledata/sf1")
 
-# naive quadratic oracle forms that are fine at the 500-doc driver scale
-# but would grind DuckDB at 50k docs — the SPARK side of each is covered
-# by the exponent table instead (BENCH_sf1_r10.json)
+# Naive quadratic oracle forms that are fine at the 500-doc driver scale
+# but would grind DuckDB at 50k docs. Since round 11 every exclusion here
+# is covered at sf1 by scripts/scale_invariants.py instead (independent
+# pure-Python graph/hash replays + Spark-side cross-query invariants,
+# recorded beside this sweep in CORRECTNESS_sf1_r11.json) — "excluded"
+# means "DuckDB cannot replay it at this scale", not "unverified".
 EXCLUDED = {
-    "q222_prefix_filter_join": "oracle is the naive any-shared-shingle all-pairs form",
-    "q179_containment_pairs": "oracle is the naive all-pairs containment form",
-    "q220_multiprobe_lsh": "oracle replays every probe x corpus pair naively",
-    "q130_triangle_census": "oracle joins the full candidate-pair closure",
-    "q287_clustering_coefficients": "oracle joins the full candidate-pair closure",
-    "q309_degree_assortativity": "oracle joins the full candidate-pair closure",
-    "q227_kcore_decomposition": "oracle peels with recursive CTE over full pair closure",
-    "q79_dup_clusters": "oracle computes connected components via recursive CTE",
-    "q171_decontamination_ladder": "oracle replays 4 dedup rungs naively",
-    "q82_minhash_bands": "oracle replays the 128-seed minhash in SQL — linear "
-    "but with a DuckDB constant measured at ~25 min for 50k docs; verified "
-    "ONCE manually at sf1 (200,000 rows, value match, r10) and excluded "
-    "from the recurring sweep for runtime only",
-    "q212_chunk_dedup_census": "oracle replays the chunk fingerprint pass in SQL",
-    "q67_lsh_candidates": "oracle replays the full band table in SQL",
+    "q222_prefix_filter_join": "oracle is the naive any-shared-shingle "
+    "all-pairs form — sf1 coverage: scale_invariants (sampled Python "
+    "Jaccard replay + q68 recall containment + structural)",
+    "q179_containment_pairs": "oracle is the naive all-pairs containment "
+    "form — sf1 coverage: scale_invariants (sampled Python recompute + "
+    "bounds + flag rule)",
+    "q220_multiprobe_lsh": "oracle replays every probe x corpus pair "
+    "naively — sf1 coverage: scale_invariants (numpy brute-force truth "
+    "per probe)",
+    "q130_triangle_census": "oracle joins the full candidate-pair closure "
+    "— sf1 coverage: scale_invariants (full Python triangle census)",
+    "q287_clustering_coefficients": "oracle joins the full candidate-pair "
+    "closure — sf1 coverage: scale_invariants (full Python per-node lcc)",
+    "q309_degree_assortativity": "oracle joins the full candidate-pair "
+    "closure — sf1 coverage: scale_invariants (full Python moment replay)",
+    "q227_kcore_decomposition": "oracle peels with recursive CTE over full "
+    "pair closure — sf1 coverage: scale_invariants (full Python peel, "
+    "round-by-round census equality)",
+    "q79_dup_clusters": "oracle computes connected components via "
+    "recursive CTE — sf1 coverage: scale_invariants (full Python "
+    "union-find label equality + edge/size/representative invariants)",
+    "q171_decontamination_ladder": "oracle replays 4 dedup rungs naively "
+    "— sf1 coverage: scale_invariants (verdict rule + row-census "
+    "invariants)",
+    "q82_minhash_bands": "oracle replays the 128-seed minhash in SQL — "
+    "linear but with a DuckDB constant measured at ~25 min for 50k docs; "
+    "sf1 coverage: scale_invariants (sampled pure-Python band "
+    "re-derivation + shape + fingerprint-consistency invariants)",
+    "q212_chunk_dedup_census": "oracle replays the chunk fingerprint pass "
+    "in SQL — sf1 coverage: scale_invariants (arithmetic identities)",
+    "q67_lsh_candidates": "oracle replays the full band table in SQL — "
+    "sf1 coverage: scale_invariants (exact equivalence to the naive "
+    "banded self-join rebuilt from q82's output)",
     "q123_pagerank_centrality": "oracle's unrolled pagerank over the pair "
-    "closure OOMs DuckDB at 50k docs (measured r10) — Spark side covered by "
-    "the exponent table",
+    "closure OOMs DuckDB at 50k docs (measured r10) — sf1 coverage: "
+    "scale_invariants (full Python power-iteration replay + rank-sum)",
 }
 
 
