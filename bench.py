@@ -299,6 +299,7 @@ HEADLINE = [
     "q336_parquet_footer_stats",
     "q337_flac_decode_stats",
     "q338_rowgroup_pruning_audit",
+    "q339_avro_container_census",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -1,0 +1,299 @@
+"""Avro Object Container File (OCF) walker + encoder companion — the
+row-oriented sibling of the parquet rung (q336/q338): Kafka pipelines and
+lakehouse ingest layers ship Avro containers, and the block layout is what
+lets a 100 TB topic dump split across workers at sync-marker boundaries.
+Built from the PUBLIC Apache Avro 1.11 spec; pure stdlib (zlib for the
+deflate codec, json for the schema document).
+
+Format facts used (Avro spec, "Object Container Files" + binary encoding):
+  - header: magic ``Obj\\x01``, a file-metadata MAP (avro.schema JSON,
+    avro.codec), a 16-byte sync marker;
+  - maps/arrays encode as blocks: zigzag-varint count (possibly negative:
+    abs(count) then a block byte size), items, terminating 0;
+  - each data block: zigzag-varint record count, zigzag-varint byte size
+    of the (possibly deflate-compressed) serialized records, the bytes,
+    then the 16-byte sync marker — mismatched sync is corruption;
+  - primitive encodings: long/int = zigzag varint; string/bytes = length
+    + bytes; boolean = 1 byte; double = 8-byte little-endian IEEE;
+    null = zero bytes.
+
+Record decode supports flat record schemas over {long, int, string,
+bytes, boolean, double, null} — the triage subset; anything else raises a
+loud NotImplementedError naming the type (the multimodal codec
+discipline). Truncation or framing damage raises ValueError naming the
+problem. No reference parity (the reference ingests only JSON) — §7
+extension surface in the q329 walker discipline.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+__all__ = ["encode_avro", "parse_avro", "avro_census"]
+
+MAGIC = b"Obj\x01"
+_SUPPORTED = {"long", "int", "string", "bytes", "boolean", "double", "null"}
+
+
+def _zz_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _Reader:
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes, i: int = 0) -> None:
+        self.b = b
+        self.i = i
+
+    def take(self, n: int) -> bytes:
+        if n < 0 or self.i + n > len(self.b):
+            raise ValueError("truncated Avro container: read past end")
+        v = self.b[self.i : self.i + n]
+        self.i += n
+        return v
+
+    def zigzag(self) -> int:
+        u = shift = 0
+        while True:
+            byte = self.take(1)[0]
+            u |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("malformed Avro container: varint too long")
+        return (u >> 1) ^ -(u & 1)
+
+    def bytes_(self) -> bytes:
+        n = self.zigzag()
+        if n < 0:
+            raise ValueError("malformed Avro container: negative length")
+        return self.take(n)
+
+
+def _encode_value(v, typ: str) -> bytes:
+    if typ == "long" or typ == "int":
+        return _zz_encode(int(v))
+    if typ == "string":
+        bv = v.encode() if isinstance(v, str) else bytes(v)
+        return _zz_encode(len(bv)) + bv
+    if typ == "bytes":
+        bv = bytes(v)
+        return _zz_encode(len(bv)) + bv
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "null":
+        return b""
+    raise NotImplementedError(f"encode_avro does not support type {typ!r}")
+
+
+def encode_avro(
+    fields: list,
+    records: list,
+    codec: str = "null",
+    block_records: int = 0,
+    sync: bytes = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f",
+) -> bytes:
+    """Build an Avro OCF: ``fields`` is [(name, type)] over the supported
+    primitive types, ``records`` a list of per-field value tuples.
+    ``block_records`` > 0 splits the file into multiple data blocks (the
+    worker-split unit); ``codec`` is 'null' or 'deflate'. The 16-byte
+    sync marker is caller-fixable for deterministic fixtures."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
+    if len(sync) != 16:
+        raise ValueError("Avro sync marker must be 16 bytes")
+    for _, t in fields:
+        if t not in _SUPPORTED:
+            raise NotImplementedError(f"encode_avro does not support type {t!r}")
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": n, "type": t} for n, t in fields],
+    }
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out = bytearray(MAGIC)
+    out += _zz_encode(len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        out += _zz_encode(len(kb)) + kb + _zz_encode(len(v)) + v
+    out += _zz_encode(0)  # end of metadata map
+    out += sync
+
+    n = len(records)
+    step = block_records if block_records > 0 else max(n, 1)
+    for lo in range(0, n, step) if n else []:
+        chunk = records[lo : lo + step]
+        body = bytearray()
+        for rec in chunk:
+            if len(rec) != len(fields):
+                raise ValueError("record arity does not match schema")
+            for v, (_, t) in zip(rec, fields):
+                body += _encode_value(v, t)
+        payload = zlib.compress(bytes(body))[2:-4] if codec == "deflate" else bytes(body)
+        out += _zz_encode(len(chunk))
+        out += _zz_encode(len(payload))
+        out += payload
+        out += sync
+    return bytes(out)
+
+
+def parse_avro(blob: bytes) -> dict:
+    """Walk an Avro OCF: schema facts, per-block census (record count,
+    compressed/serialized sizes, sync verification) and the decoded
+    records for supported flat primitive schemas."""
+    if len(blob) < 4 or blob[:4] != MAGIC:
+        raise ValueError("not an Avro container: missing Obj\\x01 magic")
+    r = _Reader(blob, 4)
+    meta: dict = {}
+    while True:
+        count = r.zigzag()
+        if count == 0:
+            break
+        if count < 0:
+            # negative block count: abs(count) items preceded by byte size
+            r.zigzag()
+            count = -count
+        for _ in range(count):
+            k = r.bytes_().decode("utf-8", "replace")
+            meta[k] = r.bytes_()
+    sync = r.take(16)
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except (KeyError, ValueError):
+        raise ValueError("malformed Avro container: missing/bad avro.schema") from None
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"Avro codec {codec!r} not supported")
+    if schema.get("type") != "record":
+        raise NotImplementedError("only flat record schemas are supported")
+    fields = []
+    for f in schema.get("fields", []):
+        t = f.get("type")
+        if not isinstance(t, str) or t not in _SUPPORTED:
+            raise NotImplementedError(f"Avro field type {t!r} not supported")
+        fields.append((f["name"], t))
+
+    blocks = []
+    records = []
+    while r.i < len(blob):
+        n_rec = r.zigzag()
+        if n_rec < 0:
+            raise ValueError("malformed Avro container: negative block count")
+        payload = r.bytes_()
+        if r.take(16) != sync:
+            raise ValueError("corrupt Avro container: sync marker mismatch")
+        body = (
+            zlib.decompress(payload, -15) if codec == "deflate" else payload
+        )
+        br = _Reader(body)
+        for _ in range(n_rec):
+            rec = {}
+            for name, typ in fields:
+                if typ in ("long", "int"):
+                    rec[name] = br.zigzag()
+                elif typ == "string":
+                    rec[name] = br.bytes_().decode("utf-8", "replace")
+                elif typ == "bytes":
+                    rec[name] = br.bytes_()
+                elif typ == "boolean":
+                    rec[name] = br.take(1) == b"\x01"
+                elif typ == "double":
+                    rec[name] = struct.unpack("<d", br.take(8))[0]
+                else:  # null
+                    rec[name] = None
+            records.append(rec)
+        if br.i != len(body):
+            raise ValueError("malformed Avro block: trailing bytes after records")
+        blocks.append(
+            {
+                "n_records": n_rec,
+                "payload_bytes": len(payload),
+                "serialized_bytes": len(body),
+            }
+        )
+    return {
+        "schema_name": schema.get("name"),
+        "codec": codec,
+        "n_fields": len(fields),
+        "fields": fields,
+        "blocks": blocks,
+        "records": records,
+    }
+
+
+def avro_census(df, blob_col: str = "blob", id_col: str = "doc_id"):
+    """(id, Avro OCF blob) -> per-file ingest facts in one Arrow map pass:
+    block census, record counts, payload octets, and decoded-value
+    aggregates over the first long field — the triage a topic-dump
+    ingest runs before content processing. Blobs never shuffle."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} bigint, n_blocks int, n_records bigint, n_fields int, "
+        "codec string, payload_bytes bigint, serialized_bytes bigint, "
+        "long_sum bigint, str_bytes bigint"
+    )
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                meta = parse_avro(bytes(blob))
+                long_field = next(
+                    (n for n, t in meta["fields"] if t == "long"), None
+                )
+                str_field = next(
+                    (n for n, t in meta["fields"] if t == "string"), None
+                )
+                rows.append(
+                    {
+                        id_col: int(did),
+                        "n_blocks": len(meta["blocks"]),
+                        "n_records": len(meta["records"]),
+                        "n_fields": meta["n_fields"],
+                        "codec": meta["codec"],
+                        "payload_bytes": sum(
+                            b["payload_bytes"] for b in meta["blocks"]
+                        ),
+                        "serialized_bytes": sum(
+                            b["serialized_bytes"] for b in meta["blocks"]
+                        ),
+                        "long_sum": (
+                            sum(r[long_field] for r in meta["records"])
+                            if long_field
+                            else 0
+                        ),
+                        "str_bytes": (
+                            sum(len(r[str_field].encode()) for r in meta["records"])
+                            if str_field
+                            else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_blocks", "n_records", "n_fields", "codec",
+                    "payload_bytes", "serialized_bytes", "long_sum", "str_bytes",
+                ],
+            )
+
+    return df.mapInPandas(walk, schema)

@@ -1637,3 +1637,102 @@ def q337_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
     return FLAC.flac_stats(blobbed).orderBy("doc_id")
+
+
+@register(
+    "q339_avro_container_census",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L, 5 + doc_id % 6 AS k,
+             CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END AS codec
+      FROM documents
+    ),
+    recs AS (
+      SELECT doc_id, k, codec,
+             L * 3 + j.range * 5 - 7 AS idv,
+             1 + (doc_id + j.range) % 4 AS taglen
+      FROM base JOIN range(0, 11) j ON j.range < k
+    ),
+    sized AS (
+      SELECT *, CASE WHEN idv >= 0 THEN 2 * idv ELSE -2 * idv - 1 END AS zz
+      FROM recs
+    )
+    SELECT doc_id,
+           CAST(CEIL(k / 3.0) AS INT) AS n_blocks,
+           CAST(k AS BIGINT) AS n_records,
+           CAST(2 AS INT) AS n_fields,
+           codec,
+           CAST(sum(CASE WHEN zz < 128 THEN 1 WHEN zz < 16384 THEN 2
+                         WHEN zz < 2097152 THEN 3 ELSE 4 END
+                    + 1 + taglen) AS BIGINT) AS serialized_bytes,
+           CAST(sum(idv) AS BIGINT) AS long_sum,
+           CAST(sum(taglen) AS BIGINT) AS str_bytes
+    FROM sized
+    GROUP BY doc_id, k, codec
+    ORDER BY doc_id
+    """,
+)
+def q339_avro_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO Object Container File walk — the row-oriented sibling of the
+    parquet rung (q336/q338): Kafka topic dumps and ingest staging arrive
+    as Avro OCF, and sync-marker block framing is what splits a 100 TB
+    dump across workers. Per document a REAL container
+    (operators/avro.encode_avro — Obj1 magic, metadata map carrying the
+    JSON schema and codec, 3-record data blocks, 16-byte sync markers;
+    codec alternating null/deflate by doc_id, ids crossing zero so the
+    zigzag path is exercised) is built in the map task and walked back by
+    parse_avro: metadata-map block grammar, sync verification per block,
+    raw-deflate decompression, zigzag-varint record decode. The oracle
+    replays every framing quantity analytically — including
+    serialized_bytes, which requires reproducing the VARINT WIDTH of each
+    zigzag-encoded long in SQL — so the whole encode->block->decode chain
+    is value-checked (the q329 discipline; deflate payload bytes are the
+    one non-analytic quantity and stay out of the output). pytest
+    round-trips all six primitive types, both codecs, and sweeps every
+    truncation cut point for the ValueError contract.
+
+    Scale posture: one Arrow map pass, blobs never shuffle, only census
+    rows move; small frame repartitioned to cluster parallelism first."""
+    import pandas as pd
+
+    from ..operators import avro as AV
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        from hive_backend_spark.operators.avro import encode_avro
+
+        for pdf in batches:
+            blobs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                k = 5 + did % 6
+                recs = [
+                    (
+                        length * 3 + j * 5 - 7,
+                        chr(97 + (length + j) % 5) * (1 + (did + j) % 4),
+                    )
+                    for j in range(k)
+                ]
+                blobs.append(
+                    encode_avro(
+                        [("id", "long"), ("tag", "string")],
+                        recs,
+                        codec="deflate" if did % 2 else "null",
+                        block_records=3,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    return (
+        AV.avro_census(blobbed)
+        .select(
+            "doc_id", "n_blocks", "n_records", "n_fields", "codec",
+            "serialized_bytes", "long_sum", "str_bytes",
+        )
+        .orderBy("doc_id")
+    )
