@@ -300,6 +300,7 @@ HEADLINE = [
     "q337_flac_decode_stats",
     "q338_rowgroup_pruning_audit",
     "q339_avro_container_census",
+    "q340_deltalog_snapshot_census",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

@@ -1,0 +1,212 @@
+"""Delta-style transaction-log replay — the lakehouse METADATA operation
+that decides what a 100 TB table even IS before any scan: an append-only
+directory of versioned JSON action files (`_delta_log/<version>.json`,
+each line one action: protocol / metaData / add / remove), whose replay
+(latest-wins by file path, remove tombstones dropping earlier adds)
+yields the live-file snapshot at any version — time travel is replaying a
+prefix. Built from the PUBLIC Delta Lake transaction-log protocol
+(delta.io PROTOCOL.md); pure stdlib JSON + arithmetic.
+
+Scope:
+  - actions: ``protocol`` (min reader/writer versions), ``metaData``
+    (table id, schema string, partition columns), ``add`` (path, size,
+    partitionValues, dataChange, stats JSON with numRecords), ``remove``
+    (path, deletionTimestamp) — the churn subset every log carries;
+  - replay semantics: within one version file actions apply in order;
+    across versions ascending; an ``add`` for a path replaces any prior
+    add of that path (latest wins); a ``remove`` tombstones it; a later
+    re-``add`` resurrects it — the upsert/compaction lifecycle;
+  - snapshot census: live files, live bytes, live rows (from add stats),
+    tombstone count, table version, schema-change count.
+
+The encoder companion builds a log from a scripted action history so the
+replay is exercised end-to-end (the q329 walker discipline); malformed
+framing raises ValueError naming the problem. No reference parity (the
+reference has no table-versioning surface) — §7 extension.
+"""
+
+from __future__ import annotations
+
+import json
+
+__all__ = ["encode_delta_log", "replay_delta_log", "delta_snapshot_census"]
+
+
+def encode_delta_log(history: list) -> dict:
+    """Build a transaction log from a scripted history: ``history`` is a
+    list of versions, each a list of action dicts like
+    {"op": "add", "path": ..., "size": int, "rows": int} /
+    {"op": "remove", "path": ...} / {"op": "metaData", "schema": str}.
+    Returns {version: file_text} — the `_delta_log` directory as a dict
+    (filename would be f"{version:020d}.json")."""
+    out = {}
+    for version, actions in enumerate(history):
+        lines = []
+        if version == 0:
+            lines.append(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}))
+        for a in actions:
+            op = a.get("op")
+            if op == "add":
+                lines.append(
+                    json.dumps(
+                        {
+                            "add": {
+                                "path": a["path"],
+                                "size": int(a.get("size", 0)),
+                                "partitionValues": a.get("partitionValues", {}),
+                                "dataChange": True,
+                                "stats": json.dumps(
+                                    {"numRecords": int(a.get("rows", 0))}
+                                ),
+                            }
+                        }
+                    )
+                )
+            elif op == "remove":
+                lines.append(
+                    json.dumps(
+                        {
+                            "remove": {
+                                "path": a["path"],
+                                "deletionTimestamp": int(a.get("ts", 0)),
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                )
+            elif op == "metaData":
+                lines.append(
+                    json.dumps(
+                        {
+                            "metaData": {
+                                "id": a.get("id", "00000000-0000-0000-0000-000000000000"),
+                                "schemaString": a.get("schema", "{}"),
+                                "partitionColumns": a.get("partitionColumns", []),
+                            }
+                        }
+                    )
+                )
+            else:
+                raise ValueError(f"unknown delta action op {op!r}")
+        out[version] = "\n".join(lines) + "\n"
+    return out
+
+
+def replay_delta_log(log: dict, at_version: int | None = None) -> dict:
+    """Replay {version: file_text} up to ``at_version`` (inclusive;
+    default: all) and return the snapshot: live files
+    {path: {size, rows}}, tombstones, schema-change count, protocol.
+    Versions must be contiguous from 0 — a gap means a lost commit and
+    raises (the corruption a real reader must refuse to read past)."""
+    if not log:
+        raise ValueError("empty delta log: no version files")
+    versions = sorted(log)
+    if versions[0] != 0 or versions != list(range(len(versions))):
+        raise ValueError("delta log version gap: commits must be contiguous from 0")
+    if at_version is not None:
+        versions = [v for v in versions if v <= at_version]
+        if not versions:
+            raise ValueError(f"no log versions at or below {at_version}")
+    live: dict = {}
+    tombstones: set = set()
+    schema_changes = 0
+    protocol = None
+    n_adds = n_removes = 0
+    for v in versions:
+        for ln, line in enumerate(log[v].splitlines()):
+            if not line.strip():
+                continue
+            try:
+                action = json.loads(line)
+            except ValueError:
+                raise ValueError(
+                    f"malformed delta log: version {v} line {ln} is not JSON"
+                ) from None
+            if "protocol" in action:
+                protocol = action["protocol"]
+            elif "metaData" in action:
+                schema_changes += 1
+            elif "add" in action:
+                a = action["add"]
+                if "path" not in a:
+                    raise ValueError(f"malformed delta add at version {v}: no path")
+                stats = a.get("stats")
+                rows = None
+                if stats:
+                    try:
+                        rows = json.loads(stats).get("numRecords")
+                    except ValueError:
+                        raise ValueError(
+                            f"malformed delta add stats at version {v}"
+                        ) from None
+                live[a["path"]] = {"size": a.get("size", 0), "rows": rows or 0}
+                tombstones.discard(a["path"])
+                n_adds += 1
+            elif "remove" in action:
+                r = action["remove"]
+                if "path" not in r:
+                    raise ValueError(f"malformed delta remove at version {v}: no path")
+                live.pop(r["path"], None)
+                tombstones.add(r["path"])
+                n_removes += 1
+            else:
+                raise ValueError(
+                    f"malformed delta log: unknown action keys {sorted(action)} "
+                    f"at version {v}"
+                )
+    return {
+        "version": versions[-1],
+        "protocol": protocol,
+        "live_files": live,
+        "n_live_files": len(live),
+        "live_bytes": sum(f["size"] for f in live.values()),
+        "live_rows": sum(f["rows"] for f in live.values()),
+        "n_tombstones": len(tombstones),
+        "n_adds": n_adds,
+        "n_removes": n_removes,
+        "schema_changes": schema_changes,
+    }
+
+
+def delta_snapshot_census(df, log_col: str = "log_json", id_col: str = "doc_id"):
+    """(id, serialized log) -> snapshot census per table in one Arrow map
+    pass. The log arrives as a JSON object {version: file_text} in a
+    string column (the shape a catalog crawl produces); only census rows
+    come out."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} bigint, version int, n_live_files int, live_bytes bigint, "
+        "live_rows bigint, n_tombstones int, n_adds int, n_removes int, "
+        "schema_changes int"
+    )
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for did, raw in zip(pdf[id_col], pdf[log_col]):
+                log = {int(k): v for k, v in json.loads(raw).items()}
+                snap = replay_delta_log(log)
+                rows.append(
+                    {
+                        id_col: int(did),
+                        "version": snap["version"],
+                        "n_live_files": snap["n_live_files"],
+                        "live_bytes": snap["live_bytes"],
+                        "live_rows": snap["live_rows"],
+                        "n_tombstones": snap["n_tombstones"],
+                        "n_adds": snap["n_adds"],
+                        "n_removes": snap["n_removes"],
+                        "schema_changes": snap["schema_changes"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "version", "n_live_files", "live_bytes",
+                    "live_rows", "n_tombstones", "n_adds", "n_removes",
+                    "schema_changes",
+                ],
+            )
+
+    return df.mapInPandas(walk, schema)

@@ -1736,3 +1736,113 @@ def q339_avro_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q340_deltalog_snapshot_census",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             3 + doc_id % 4 AS V, doc_id % 3 = 0 AS res
+      FROM documents
+    ),
+    files AS (
+      SELECT doc_id, L, V, res, v.range AS v,
+             (v.range % 2 = 0 AND v.range <= V - 3) AS removed
+      FROM base JOIN range(0, 6) v ON v.range < V
+    ),
+    f2 AS (
+      SELECT doc_id, V, res, v, removed,
+             CASE WHEN v = 0 AND res THEN TRUE ELSE NOT removed END AS live,
+             CASE WHEN v = 0 AND res THEN 7
+                  ELSE 10 + (doc_id + v) % 20 END AS rows_,
+             CASE WHEN v = 0 AND res THEN 77
+                  ELSE 100 + (L + 13 * v) % 200 END AS size_
+      FROM files
+    )
+    SELECT doc_id,
+           CAST(V - 1 AS INT) AS version,
+           CAST(sum(CASE WHEN live THEN 1 ELSE 0 END) AS INT) AS n_live_files,
+           CAST(sum(CASE WHEN live THEN size_ ELSE 0 END) AS BIGINT)
+             AS live_bytes,
+           CAST(sum(CASE WHEN live THEN rows_ ELSE 0 END) AS BIGINT)
+             AS live_rows,
+           CAST(sum(CASE WHEN removed AND NOT (v = 0 AND res)
+                         THEN 1 ELSE 0 END) AS INT) AS n_tombstones,
+           CAST(V + CASE WHEN res THEN 1 ELSE 0 END AS INT) AS n_adds,
+           CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS INT) AS n_removes,
+           CAST(1 AS INT) AS schema_changes
+    FROM f2
+    GROUP BY doc_id, V, res
+    ORDER BY doc_id
+    """,
+)
+def q340_deltalog_snapshot_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style TRANSACTION-LOG replay census — the lakehouse metadata
+    operation that decides what a 100 TB table even is before any scan:
+    per document a scripted version history (operators/deltalog
+    .encode_delta_log — 3-6 commits keyed to doc_id: protocol + metaData
+    at v0, one add per commit, removes two commits behind on even
+    versions, and a resurrection re-add of file '0' on every third table
+    — the upsert/compaction lifecycle) is serialized to real
+    `_delta_log`-shaped JSON action files in the map task and replayed
+    back by replay_delta_log: latest-wins adds, remove tombstones,
+    re-add resurrection, contiguous-version enforcement, stats-JSON row
+    counts. The oracle replays the same history analytically (which file
+    indices survive is a closed-form condition on version parity), so the
+    whole encode->replay chain is value-checked; pytest covers time
+    travel (snapshot at an earlier version) and the version-gap
+    ValueError a real reader must refuse to read past.
+
+    Scale posture: one Arrow map pass over log text, nothing shuffled but
+    census rows; the replay is O(actions) with live-set state bounded by
+    the table's file count — exactly the planner-side cost profile of a
+    production log reader (checkpoints would amortize long histories;
+    this exercises the JSON-commit tail every reader still walks)."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..operators import deltalog as DL
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        from hive_backend_spark.operators.deltalog import encode_delta_log
+
+        for pdf in batches:
+            logs = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                n_versions = 3 + did % 4
+                hist = []
+                for v in range(n_versions):
+                    acts = []
+                    if v == 0:
+                        acts.append({"op": "metaData", "schema": "{}"})
+                    acts.append(
+                        {
+                            "op": "add",
+                            "path": str(v),
+                            "size": 100 + (length + 13 * v) % 200,
+                            "rows": 10 + (did + v) % 20,
+                        }
+                    )
+                    if v >= 2 and v % 2 == 0:
+                        acts.append({"op": "remove", "path": str(v - 2)})
+                    if v == n_versions - 1 and did % 3 == 0:
+                        acts.append(
+                            {"op": "add", "path": "0", "size": 77, "rows": 7}
+                        )
+                    hist.append(acts)
+                log = encode_delta_log(hist)
+                logs.append(_json.dumps({str(k): t for k, t in log.items()}))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "log_json": logs}
+            )
+
+    blobbed = base.mapInPandas(gen, "doc_id bigint, log_json string")
+    return DL.delta_snapshot_census(blobbed).orderBy("doc_id")

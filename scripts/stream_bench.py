@@ -45,7 +45,10 @@ from hive_backend_spark.streaming import pipeline as S
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_TRIGGERS = int(os.environ.get("STREAM_BENCH_TRIGGERS", "10"))
-ADMIT_BATCH = int(os.environ.get("STREAM_BENCH_DOCS", "1000"))
+# sf0.1 carries 5000 documents; default batches split the WHOLE corpus so
+# no trigger ever stages an empty file (an early version sliced past the
+# corpus end and timed five no-op triggers as if they were real ones)
+ADMIT_BATCH = int(os.environ.get("STREAM_BENCH_DOCS", "500"))
 CARRY_BATCH_SIZE = 500
 
 
@@ -79,6 +82,11 @@ def bench_admission(spark, root: str) -> dict:
         os.path.join(root, d) for d in ("adm_dec", "adm_idx", "adm_ckpt")
     )
     per_trigger, index_rows = [], []
+    if len(docs) < N_TRIGGERS * ADMIT_BATCH:
+        raise ValueError(
+            f"corpus too small: {len(docs)} docs < "
+            f"{N_TRIGGERS} triggers x {ADMIT_BATCH}"
+        )
     for t in range(N_TRIGGERS):
         rows = docs[t * ADMIT_BATCH : (t + 1) * ADMIT_BATCH]
         _stage_one(

@@ -1640,3 +1640,47 @@ def test_avro_container_roundtrip_and_sweep():
         parse_avro(b"Obj\x02" + blob[4:])
     with _pytest.raises(NotImplementedError, match="float"):
         encode_avro([("x", "float")], [])
+
+
+def test_delta_log_replay_semantics():
+    """operators/deltalog: latest-wins adds, remove tombstones, re-add
+    resurrection, time travel at an earlier version, and the
+    contiguous-version contract (a gap is a lost commit — refuse)."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.deltalog import (
+        encode_delta_log,
+        replay_delta_log,
+    )
+
+    hist = [
+        [{"op": "metaData", "schema": "{}"},
+         {"op": "add", "path": "f0", "size": 100, "rows": 10}],
+        [{"op": "add", "path": "f1", "size": 200, "rows": 20}],
+        [{"op": "remove", "path": "f0"},
+         {"op": "add", "path": "f2", "size": 50, "rows": 5}],
+        [{"op": "add", "path": "f0", "size": 150, "rows": 15}],
+        [{"op": "add", "path": "f1", "size": 250, "rows": 25}],
+    ]
+    log = encode_delta_log(hist)
+    s = replay_delta_log(log)
+    assert s["version"] == 4 and s["n_live_files"] == 3
+    assert s["live_bytes"] == 450 and s["live_rows"] == 45
+    assert s["n_tombstones"] == 0 and s["n_adds"] == 5 and s["n_removes"] == 1
+    assert s["schema_changes"] == 1
+    assert s["protocol"] == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # time travel: the snapshot at v2 still has f0 tombstoned
+    s2 = replay_delta_log(log, at_version=2)
+    assert s2["n_live_files"] == 2 and s2["n_tombstones"] == 1
+    assert s2["live_rows"] == 25
+    # version gap -> refuse
+    gap = {k: v for k, v in log.items() if k != 2}
+    with _pytest.raises(ValueError, match="gap"):
+        replay_delta_log(gap)
+    # malformed JSON line -> named error
+    bad = dict(log)
+    bad[1] = "{not json\n"
+    with _pytest.raises(ValueError, match="not JSON"):
+        replay_delta_log(bad)
+    with _pytest.raises(ValueError, match="unknown action"):
+        replay_delta_log({0: '{"txn": {}}\n'})
