@@ -1747,17 +1747,17 @@ def q339_avro_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     files AS (
-      SELECT doc_id, L, V, res, v.range AS v,
-             (v.range % 2 = 0 AND v.range <= V - 3) AS removed
-      FROM base JOIN range(0, 6) v ON v.range < V
+      SELECT doc_id, L, V, res, g.range AS fidx,
+             (g.range % 2 = 0 AND g.range <= V - 3) AS removed
+      FROM base JOIN range(0, 6) g ON g.range < V
     ),
     f2 AS (
-      SELECT doc_id, V, res, v, removed,
-             CASE WHEN v = 0 AND res THEN TRUE ELSE NOT removed END AS live,
-             CASE WHEN v = 0 AND res THEN 7
-                  ELSE 10 + (doc_id + v) % 20 END AS rows_,
-             CASE WHEN v = 0 AND res THEN 77
-                  ELSE 100 + (L + 13 * v) % 200 END AS size_
+      SELECT doc_id, V, res, fidx, removed,
+             CASE WHEN fidx = 0 AND res THEN TRUE ELSE NOT removed END AS live,
+             CASE WHEN fidx = 0 AND res THEN 7
+                  ELSE 10 + (doc_id + fidx) % 20 END AS rows_,
+             CASE WHEN fidx = 0 AND res THEN 77
+                  ELSE 100 + (L + 13 * fidx) % 200 END AS size_
       FROM files
     )
     SELECT doc_id,
@@ -1767,7 +1767,7 @@ def q339_avro_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS live_bytes,
            CAST(sum(CASE WHEN live THEN rows_ ELSE 0 END) AS BIGINT)
              AS live_rows,
-           CAST(sum(CASE WHEN removed AND NOT (v = 0 AND res)
+           CAST(sum(CASE WHEN removed AND NOT (fidx = 0 AND res)
                          THEN 1 ELSE 0 END) AS INT) AS n_tombstones,
            CAST(V + CASE WHEN res THEN 1 ELSE 0 END AS INT) AS n_adds,
            CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS INT) AS n_removes,
