@@ -50,6 +50,11 @@ DEFAULT_CONFS = {
     "spark.sql.icu.caseMappings.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # localCheckpoint of a wide cached table ships task results through the
+    # driver's result-size accounting; the 1 GiB default aborted a 63-task
+    # checkpoint at the 32x scale point. 4 GiB is comfortable inside the
+    # 8 GiB driver heap and changes nothing else.
+    "spark.driver.maxResultSize": "4g",
 }
 
 

@@ -17,11 +17,17 @@ every dedup query into a flood benchmark instead of a scale benchmark):
     share no shingles with their source (vocabulary grows with the corpus,
     like real crawl growth), length distribution is preserved, n_chars is
     recomputed to stay consistent with the mutated text.
-  - embeddings: a small deterministic nonlinear perturbation
-    (x + 0.01*i*cos(7x)) so replica vectors are near but not equal to
-    their source — cells grow 10x in population (the quadratic-cell risk
-    the exponent table exists to expose) without degenerate cosine==1
-    pairs.
+  - embeddings: replica i applies a deterministic CYCLIC DIMENSION
+    ROTATION (shift 7*i mod 64) plus a small nonlinear perturbation
+    (x + 0.01*cos(7x) on rotated values). Rotation is an isometry, so
+    each replica carries an exact copy of the source similarity
+    structure (norms, within-replica cosines) while CROSS-replica
+    cosines drop to noise — without it, every base vector's replicas
+    form a near-dup clique (cosine ~ 1 > any threshold) and the
+    similarity graph densifies QUADRATICALLY in the replica count: at
+    32x that made q71/q123's edge list a ~500x flood, a
+    corpus-construction artifact, not a scale measurement (the same
+    trap the name perturbation fixes for ER blocking).
   - entity names (p_name, c_name, s_name): every word in replica i gets
     the same 'r<i>' suffix — real catalogs/CRMs at 10x carry new names,
     not each name repeated 10x. Without this, q267/q256's head-noun
@@ -77,9 +83,12 @@ def replica_select(table: str, cols: list, i: int) -> str:
             elif name == "n_chars":
                 e = f"CAST(length(regexp_replace(text, '(\\S+)', '\\1r{i}', 'g')) AS BIGINT)"
         if table == "embeddings" and i > 0 and name == "embedding":
+            shift = (7 * i) % 64
             e = (
-                f"list_transform(embedding, x -> "
-                f"CAST(x + 0.01 * {i} * cos(7 * x) AS FLOAT))"
+                f"list_transform(range(1, len(embedding) + 1), j -> "
+                f"CAST(embedding[((j - 1 + {shift}) % len(embedding)) + 1] "
+                f"+ 0.01 * cos(7 * embedding[((j - 1 + {shift}) % "
+                f"len(embedding)) + 1]) AS FLOAT))"
             )
         exprs.append(f"{e} AS {name}")
     return f"SELECT {', '.join(exprs)} FROM src_{table}"

@@ -122,21 +122,26 @@ def main() -> None:
     out: dict = {}
     for name in QUERIES:
         # smallest first: 3 attempts at sf0.1 absorb JIT; min-of-2 at the
-        # big SFs (each attempt is 10-32x the work)
-        t01 = run(name, SF01, 3)
-        t1 = run(name, SF1, 2)
-        rec = {"t_sf01": round(t01, 4), "t_sf1": round(t1, 4)}
-        rec["exponent_01_1"] = round(math.log10(t1 / t01), 3)
-        if three_point:
-            t32 = run(name, SF32, 2)
-            rec["t_sf32"] = round(t32, 4)
-            # the asymptotic leg: sf1 -> sf3.2 is a 3.2x ratio
-            rec["exponent_1_32"] = round(
-                math.log(t32 / t1) / math.log(3.2), 3
-            )
-            rec["exponent_fit"] = round(
-                _slope([(1, t01), (10, t1), (32, t32)]), 3
-            )
+        # big SFs (each attempt is 10-32x the work). A per-query failure
+        # (the measurement finding a genuine blow-up) is RECORDED, not
+        # allowed to abort the remaining 20+ measurements.
+        try:
+            t01 = run(name, SF01, 3)
+            t1 = run(name, SF1, 2)
+            rec = {"t_sf01": round(t01, 4), "t_sf1": round(t1, 4)}
+            rec["exponent_01_1"] = round(math.log10(t1 / t01), 3)
+            if three_point:
+                t32 = run(name, SF32, 2)
+                rec["t_sf32"] = round(t32, 4)
+                # the asymptotic leg: sf1 -> sf3.2 is a 3.2x ratio
+                rec["exponent_1_32"] = round(
+                    math.log(t32 / t1) / math.log(3.2), 3
+                )
+                rec["exponent_fit"] = round(
+                    _slope([(1, t01), (10, t1), (32, t32)]), 3
+                )
+        except Exception as e:  # noqa: BLE001 — record, keep measuring
+            rec = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
         out[name] = rec
         print(
             f"# {name}: "
