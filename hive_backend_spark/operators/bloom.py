@@ -70,7 +70,17 @@ def _hash_positions(col: Column, m_bits: int, k: int) -> Column:
 
 def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> np.ndarray:
     """One pass over df[col]: returns the filter as a uint64 bitmap array
-    of length m_bits/64. Nulls are skipped (a null key joins nothing)."""
+    of length m_bits/64. Nulls are skipped (a null key joins nothing).
+
+    The per-partition bitmaps fold by NUMPY OR over raw binary buffers in
+    two stages (coalesced Arrow pass, then a <=8-row driver fold of m-bit
+    model state — annotated bounded collect). The previous fold — an
+    interpreted F.aggregate/zip_with over collect_list — evaluated
+    O(partitions x m/64) lambdas in ONE task; since m grows with the key
+    count, the three-point scale measurement caught it super-linear
+    (q190 exponent 1.41 on the sf1->sf3.2 leg, ~15 s of interpreted ORs
+    at m~10^8 bits). Vectorized buffers make the fold cost the data
+    movement alone."""
     words = m_bits // 64
     hashed = df.filter(F.col(col).isNotNull()).select(
         _hash_positions(F.col(col), m_bits, k).alias("pos")
@@ -86,19 +96,25 @@ def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> np.ndarray:
             pos = np.concatenate(pdf["pos"].to_numpy()).astype(np.int64)
             np.bitwise_or.at(bm, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
         if seen:
-            # longs, not uint64: Spark's bigint is signed; view keeps bits
-            yield pd.DataFrame({"w": [bm.view(np.int64).tolist()]})
+            yield pd.DataFrame({"w": [bm.tobytes()]})
 
-    part = hashed.mapInPandas(partials, "w array<bigint>")
-    zero = F.array_repeat(F.lit(0).cast("bigint"), words)
-    folded = part.agg(
-        F.aggregate(
-            F.collect_list("w"),
-            zero,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a.bitwiseOR(b)),
-        ).alias("bm")
-    ).collect()[0]["bm"]  # m-bit model state — the pass's single action
-    return np.array(folded, dtype=np.int64).view(np.uint64)
+    part = hashed.mapInPandas(partials, "w binary")
+
+    def or_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            for w in pdf["w"]:
+                a = np.frombuffer(w, dtype=np.uint64)
+                acc = a.copy() if acc is None else np.bitwise_or(acc, a, out=acc)
+        if acc is not None:
+            yield pd.DataFrame({"w": [acc.tobytes()]})
+
+    rows = part.coalesce(8).mapInPandas(or_fold, "w binary").collect()
+    # <=8 rows of m-bit model state — the pass's single (bounded) action
+    acc = np.zeros(words, dtype=np.uint64)
+    for r in rows:
+        np.bitwise_or(acc, np.frombuffer(r["w"], dtype=np.uint64), out=acc)
+    return acc
 
 
 # bitmap id -> live Broadcast; entries evict (and unpersist executor-side

@@ -256,12 +256,22 @@ def explode_bands(
     ws = re.compile(r"\s+")
 
     def gen(batches):
+        # BOUNDED seed-hash memo: its value is cross-doc shingle repetition
+        # (stopword-heavy grams), but on a growing-vocabulary corpus the
+        # hit rate collapses while the dict grows with every distinct
+        # (seed, shingle) seen by the partition — at the 32x scale point
+        # that was ~5M entries (~500 MB) of dead cache per worker, and the
+        # allocator/GC pressure showed up as a super-linear exponent on
+        # the cold signature pass. Clearing at 1M entries keeps the
+        # hot-gram win and bounds worker memory.
         memo: dict[tuple[int, str], str] = {}
 
         def seed_hash(seed: int, s: str) -> str:
             key = (seed, s)
             h = memo.get(key)
             if h is None:
+                if len(memo) >= 1_000_000:
+                    memo.clear()
                 h = hashlib.md5(f"{seed}|{s}".encode()).hexdigest()
                 memo[key] = h
             return h
