@@ -389,9 +389,6 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
         "partition-bounded: exactly one moment-partial row per partition "
         "(dim + dim^2 doubles each), folded to O(dim^2) model state "
         "(second_moments reduce)",
-    ("operators/bloom.py", 'F.collect_list("w"),'):
-        "partition-bounded: exactly one m-bit bitmap row per partition, "
-        "OR-folded to the final m-bit filter (build_bloom reduce)",
     ("queries/sampling.py", '.agg(F.sort_array(F.collect_list("mx")).alias("cs"))'):
         "tile-bounded: exactly 7 split points from the fixed 512-row "
         "planner sample (q278)",
