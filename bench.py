@@ -301,6 +301,7 @@ HEADLINE = [
     "q338_rowgroup_pruning_audit",
     "q339_avro_container_census",
     "q340_deltalog_snapshot_census",
+    "q341_parquet_real_decode",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for

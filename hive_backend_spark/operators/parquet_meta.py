@@ -354,6 +354,193 @@ def read_values(blob: bytes) -> dict:
     return out
 
 
+def _snappy_decompress(data: bytes, expected: int) -> bytes:
+    """Pure-stdlib snappy raw-format decoder (the parquet page codec):
+    varint uncompressed length, then a tag stream of literals and
+    back-references — LZ77 with byte-granular copies. Built from the
+    public snappy format description; length-checked against the page
+    header."""
+    r = _Reader(data)
+    ulen = r.varint()
+    out = bytearray()
+    while r.i < len(data):
+        tag = r.u8()
+        ttype = tag & 3
+        if ttype == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nbytes = ln - 59
+                ln = int.from_bytes(r.take(nbytes), "little")
+            out += r.take(ln + 1)
+            continue
+        if ttype == 1:  # copy, 1-byte offset tail
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | r.u8()
+        elif ttype == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(r.take(2), "little")
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(r.take(4), "little")
+        if off == 0 or off > len(out):
+            raise ValueError("malformed snappy page: copy offset out of range")
+        # copies may overlap forward (run-length style) — byte loop
+        start = len(out) - off
+        for k in range(ln):
+            out.append(out[start + k])
+    if ulen != len(out) or (expected and expected != len(out)):
+        raise ValueError(
+            f"malformed snappy page: declared {ulen}/{expected} bytes, got {len(out)}"
+        )
+    return bytes(out)
+
+
+def _read_rle_hybrid(r: _Reader, bit_width: int, count: int) -> list:
+    """Parquet's RLE / bit-packed hybrid: varint header, LSB even -> RLE
+    run (value in ceil(w/8) bytes LE), odd -> (header>>1) groups of 8
+    bit-packed values, LSB-first within each byte."""
+    out: list = []
+    vbytes = (bit_width + 7) // 8
+    mask = (1 << bit_width) - 1
+    while len(out) < count:
+        header = r.varint()
+        if header & 1:  # bit-packed groups
+            n = (header >> 1) * 8
+            raw = r.take((n * bit_width + 7) // 8)
+            acc = int.from_bytes(raw, "little")
+            for k in range(n):
+                if len(out) >= count:
+                    break
+                out.append((acc >> (k * bit_width)) & mask)
+        else:  # RLE run
+            run = header >> 1
+            v = int.from_bytes(r.take(vbytes), "little") if vbytes else 0
+            out.extend([v] * min(run, count - len(out)))
+    return out[:count]
+
+
+def _decode_plain_values(data: bytes, ptype: int, n: int) -> list:
+    if ptype == 1:  # INT32
+        return list(_struct_mod.unpack(f"<{n}i", data[: 4 * n]))
+    if ptype == 2:  # INT64
+        return list(_struct_mod.unpack(f"<{n}q", data[: 8 * n]))
+    if ptype == 4:  # FLOAT
+        return list(_struct_mod.unpack(f"<{n}f", data[: 4 * n]))
+    if ptype == 5:  # DOUBLE
+        return list(_struct_mod.unpack(f"<{n}d", data[: 8 * n]))
+    if ptype == 6:  # BYTE_ARRAY
+        out, pos = [], 0
+        for _ in range(n):
+            (ln,) = _struct_mod.unpack("<I", data[pos : pos + 4])
+            pos += 4
+            out.append(data[pos : pos + ln])
+            pos += ln
+        return out
+    if ptype == 0:  # BOOLEAN, bit-packed LSB-first
+        return [bool(data[k >> 3] >> (k & 7) & 1) for k in range(n)]
+    raise NotImplementedError(
+        f"plain decode unsupported for physical type {PHYSICAL_TYPES.get(ptype)}"
+    )
+
+
+_TYPE_IDS = {v: k for k, v in PHYSICAL_TYPES.items()}
+
+
+def read_column(blob: bytes, rg_idx: int, path: str) -> list:
+    """Decode ONE column chunk of a REAL parquet file — dictionary +
+    RLE_DICTIONARY / PLAIN data pages, SNAPPY / GZIP / UNCOMPRESSED
+    codecs, OPTIONAL definition levels (None for nulls) — entirely from
+    the walked footer's offsets and the public format spec. This is the
+    full stdlib read path for the files this engine actually lives on
+    (the driver's fixture parquet decodes value-exact vs DuckDB — pinned
+    by q341 and pytest). v2 data pages and nested schemas refuse loudly."""
+    meta = parquet_footer(blob)
+    rg = meta["row_groups"][rg_idx]
+    col = next(c for c in rg["columns"] if c["path"] == path)
+    leaf = next((s for s in meta["schema"] if s["name"] == path), None)
+    if leaf is None or "." in path or leaf["repetition"] == "REPEATED":
+        raise NotImplementedError(
+            f"read_column supports flat schemas only, not nested path {path!r}"
+        )
+    optional = leaf["repetition"] == "OPTIONAL"
+    ptype = _TYPE_IDS[col["type"]]
+    codec = col["codec"]
+    if codec not in ("UNCOMPRESSED", "SNAPPY", "GZIP"):
+        raise NotImplementedError(f"codec {codec} not supported")
+
+    pos = col["dictionary_page_offset"] or col["data_page_offset"]
+    r = _Reader(blob)
+    r.i = pos
+    dictionary: list | None = None
+    out: list = []
+    while len(out) < col["num_values"]:
+        header = _read_struct(r)
+        comp = r.take(header.get(3, 0))
+        if codec == "SNAPPY":
+            data = _snappy_decompress(comp, header.get(2, 0))
+        elif codec == "GZIP":
+            import zlib
+
+            data = zlib.decompress(comp, 16 + zlib.MAX_WBITS)
+        else:
+            data = comp
+        ptype_page = header.get(1)
+        if ptype_page == 2:  # DICTIONARY_PAGE
+            dph = header.get(7) or {}
+            dictionary = _decode_plain_values(data, ptype, dph.get(1, 0))
+            continue
+        if ptype_page != 0:
+            raise NotImplementedError(
+                f"page type {ptype_page} (v2?) not supported"
+            )
+        dph = header.get(5) or {}
+        n_values = dph.get(1, 0)
+        encoding = dph.get(2)
+        pr = _Reader(data)
+        if optional:
+            (lvl_len,) = _struct_mod.unpack("<I", pr.take(4))
+            lr = _Reader(pr.take(lvl_len))
+            defs = _read_rle_hybrid(lr, 1, n_values)
+        else:
+            defs = [1] * n_values
+        n_set = sum(defs)
+        body = data[pr.i :]
+        if encoding == 0:  # PLAIN
+            vals = _decode_plain_values(body, ptype, n_set)
+        elif encoding in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+            if dictionary is None:
+                raise ValueError("dictionary-encoded page before dictionary")
+            br = _Reader(body)
+            width = br.u8()
+            idx = _read_rle_hybrid(br, width, n_set)
+            vals = [dictionary[i] for i in idx]
+        else:
+            raise NotImplementedError(
+                f"data page encoding {ENCODINGS.get(encoding, encoding)} unsupported"
+            )
+        it = iter(vals)
+        out.extend(next(it) if d else None for d in defs)
+    return out
+
+
+def read_table(blob: bytes) -> dict:
+    """Full-file decode: {column_path: values} across all row groups for
+    every FLAT leaf column (values are raw physical — an INT64 timestamp
+    stays an epoch integer in its stored unit). Nested columns (dotted
+    paths) are skipped — read_column refuses them loudly if asked
+    directly."""
+    meta = parquet_footer(blob)
+    out: dict = {}
+    for gi in range(len(meta["row_groups"])):
+        for col in meta["row_groups"][gi]["columns"]:
+            if "." in col["path"]:
+                continue
+            out.setdefault(col["path"], []).extend(
+                read_column(blob, gi, col["path"])
+            )
+    return out
+
+
 def read_footer_bytes(path: str) -> bytes:
     """Read ONLY a parquet file's footer from disk — two ranged reads
     (8-byte length probe, then the footer slice), never the data pages.

@@ -1846,3 +1846,85 @@ def q340_deltalog_snapshot_census(spark: SparkSession, sf_dir: str) -> DataFrame
 
     blobbed = base.mapInPandas(gen, "doc_id bigint, log_json string")
     return DL.delta_snapshot_census(blobbed).orderBy("doc_id")
+
+
+@register(
+    "q341_parquet_real_decode",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(s_suppkey) AS BIGINT) AS suppkey_sum,
+           min(s_name) AS name_min,
+           max(s_name) AS name_max,
+           CAST(sum(s_nationkey) AS BIGINT) AS nationkey_sum,
+           round(sum(s_acctbal), 4) AS acctbal_sum
+    FROM supplier
+    """,
+)
+def q341_parquet_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL stdlib parquet read of a REAL catalog file — the round-11
+    close of the lakehouse rung: operators/parquet_meta.read_table
+    decodes the supplier table's actual bytes end to end (pure-Python
+    SNAPPY decompression, dictionary pages, RLE/bit-packed-hybrid
+    dictionary indices and OPTIONAL definition levels, PLAIN fallbacks —
+    all driven by the walked footer's offsets, no parquet library), and
+    the decoded columns aggregate against the ORACLE READING THE SAME
+    TABLE through DuckDB's C++ scan. A value match here means my thrift
+    walker, snappy decoder, level decoder and dictionary expansion agree
+    with an independent production reader on production bytes — the
+    strongest cross-engine check in the ladder (pytest additionally pins
+    every fixture table row-exact, 60k-row lineitem included).
+
+    Scale posture: files decode independently in one Arrow map pass
+    (only per-file partial aggregates move); this is a VERIFICATION rung
+    — the engine's actual scans stay on Spark's vectorized reader, which
+    this query now proves my byte-level understanding matches."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as pd
+
+    from ..operators import parquet_meta as PM
+
+    p = _os.path.join(sf_dir, "supplier.parquet")
+    paths = (
+        sorted(_glob.glob(_os.path.join(p, "*.parquet")))
+        if _os.path.isdir(p)
+        else [p]
+    )
+    files = spark.createDataFrame([(x,) for x in paths], "path string").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def decode(batches):
+        from hive_backend_spark.operators.parquet_meta import read_table
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                t = read_table(open(path, "rb").read())
+                names = [v.decode() for v in t["s_name"]]
+                rows.append(
+                    {
+                        "n": len(t["s_suppkey"]),
+                        "sk": sum(t["s_suppkey"]),
+                        "nmin": min(names),
+                        "nmax": max(names),
+                        "nk": sum(t["s_nationkey"]),
+                        "ab": float(sum(t["s_acctbal"])),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["n", "sk", "nmin", "nmax", "nk", "ab"]
+            )
+
+    partials = files.mapInPandas(
+        decode, "n bigint, sk bigint, nmin string, nmax string, nk bigint, ab double"
+    )
+    return partials.agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("sk").alias("suppkey_sum"),
+        F.min("nmin").alias("name_min"),
+        F.max("nmax").alias("name_max"),
+        F.sum("nk").alias("nationkey_sum"),
+        F.round(F.sum("ab"), 4).alias("acctbal_sum"),
+    )
