@@ -289,7 +289,7 @@ def encode_flac(
                 raise ValueError(f"sample {s} exceeds {bps}-bit range")
 
     md5 = hashlib.md5()
-    width = bps // 8
+    width = (bps + 7) // 8  # spec: MD5 uses ceil(bps/8) bytes per sample
     for i in range(n):
         for c in channels:
             md5.update(int(c[i]).to_bytes(width, "little", signed=True))
@@ -312,7 +312,7 @@ def encode_flac(
         lo, hi = f * blocksize, min((f + 1) * blocksize, n)
         bs = hi - lo
         kind = plan(f) if plan else ("fixed", 2)
-        if kind[0] == "f" and kind != "verbatim" and int(kind[1]) >= bs:
+        if kind not in ("constant", "verbatim") and int(kind[1]) >= bs:
             kind = "verbatim"
         w = _BitWriter()
         w.write(_SYNC, 14)
@@ -557,7 +557,7 @@ def decode_flac(blob: bytes) -> dict:
         )
         pos = frame_end + 2
     md5 = hashlib.md5()
-    width = bps // 8
+    width = (bps + 7) // 8  # spec: MD5 uses ceil(bps/8) bytes per sample
     n = len(channels[0]) if channels else 0
     for i in range(n):
         for c in channels:

@@ -227,6 +227,30 @@ def parquet_footer(blob: bytes) -> dict:
                 "num_children": se.get(5, 0) or 0,
             }
         )
+    # Annotate each element with its dotted path and the Dremel level
+    # geometry (max definition / repetition level = count of non-REQUIRED /
+    # REPEATED ancestors incl. self) by replaying the flat depth-first
+    # element list against each node's num_children — the same walk any
+    # parquet reader does to recover the tree (parquet-format
+    # LogicalTypes.md / Dremel record shredding).
+    if schema:
+        stack: list = []  # (remaining_children, path_parts, max_def, max_rep)
+        root = schema[0]
+        stack.append([root["num_children"], [], 0, 0])
+        for el in schema[1:]:
+            while stack and stack[-1][0] == 0:
+                stack.pop()
+            if not stack:
+                raise ValueError("malformed parquet footer: schema tree overflow")
+            stack[-1][0] -= 1
+            _, parts, d, r = stack[-1]
+            d = d + (0 if el["repetition"] == "REQUIRED" else 1)
+            r = r + (1 if el["repetition"] == "REPEATED" else 0)
+            el["path"] = ".".join(parts + [el["name"]])
+            el["max_def"] = d
+            el["max_rep"] = r
+            if el["num_children"]:
+                stack.append([el["num_children"], parts + [el["name"]], d, r])
     row_groups = []
     for rg in fmd.get(4, []) or []:
         cols = []
@@ -420,49 +444,208 @@ def _read_rle_hybrid(r: _Reader, bit_width: int, count: int) -> list:
 
 
 def _decode_plain_values(data: bytes, ptype: int, n: int) -> list:
-    if ptype == 1:  # INT32
-        return list(_struct_mod.unpack(f"<{n}i", data[: 4 * n]))
-    if ptype == 2:  # INT64
-        return list(_struct_mod.unpack(f"<{n}q", data[: 8 * n]))
-    if ptype == 4:  # FLOAT
-        return list(_struct_mod.unpack(f"<{n}f", data[: 4 * n]))
-    if ptype == 5:  # DOUBLE
-        return list(_struct_mod.unpack(f"<{n}d", data[: 8 * n]))
+    """PLAIN decode with the module's truncation contract: every read is
+    bounds-checked first, so a short page raises ValueError naming the
+    problem instead of struct.error (or silently decoding fewer values)."""
+    fixed = {1: ("i", 4), 2: ("q", 8), 4: ("f", 4), 5: ("d", 8)}
+    if ptype in fixed:
+        code, width = fixed[ptype]
+        if len(data) < width * n:
+            raise ValueError(
+                f"malformed parquet page: PLAIN {PHYSICAL_TYPES.get(ptype)} "
+                f"data holds {len(data)} bytes, need {width * n} for {n} values"
+            )
+        return list(_struct_mod.unpack(f"<{n}{code}", data[: width * n]))
     if ptype == 6:  # BYTE_ARRAY
         out, pos = [], 0
         for _ in range(n):
+            if pos + 4 > len(data):
+                raise ValueError(
+                    "malformed parquet page: truncated BYTE_ARRAY length prefix"
+                )
             (ln,) = _struct_mod.unpack("<I", data[pos : pos + 4])
             pos += 4
+            if pos + ln > len(data):
+                raise ValueError(
+                    "malformed parquet page: BYTE_ARRAY value runs past page end"
+                )
             out.append(data[pos : pos + ln])
             pos += ln
         return out
     if ptype == 0:  # BOOLEAN, bit-packed LSB-first
+        if len(data) * 8 < n:
+            raise ValueError(
+                f"malformed parquet page: BOOLEAN data holds {len(data) * 8} "
+                f"bits, need {n}"
+            )
         return [bool(data[k >> 3] >> (k & 7) & 1) for k in range(n)]
     raise NotImplementedError(
         f"plain decode unsupported for physical type {PHYSICAL_TYPES.get(ptype)}"
     )
 
 
+def _decode_delta_binary_packed(r: _Reader) -> list:
+    """DELTA_BINARY_PACKED (parquet-format Encodings.md): header of
+    <block size in values> <miniblocks per block> <total value count>
+    (varints) and the zigzag first value; then per block a zigzag min
+    delta, one bit-width byte per miniblock, and LSB-first bit-packed
+    delta payloads. The last block may ship only the miniblocks it needs
+    — readers stop at the total count. Truncation raises ValueError via
+    the bounds-checked reader."""
+    block_size = r.varint()
+    n_mini = r.varint()
+    total = r.varint()
+    if total == 0:
+        return []
+    first = r.zigzag()
+    if n_mini == 0 or block_size % n_mini or (block_size // n_mini) % 8:
+        raise ValueError(
+            f"malformed delta-binary-packed header: block {block_size} / "
+            f"{n_mini} miniblocks violates the divisibility contract"
+        )
+    per_mini = block_size // n_mini
+    out = [first]
+    prev = first
+    while len(out) < total:
+        min_delta = r.zigzag()
+        widths = r.take(n_mini)
+        for w in widths:
+            if len(out) >= total:
+                break
+            raw = r.take((per_mini * w + 7) // 8)
+            acc = int.from_bytes(raw, "little")
+            mask = (1 << w) - 1
+            for k in range(per_mini):
+                if len(out) >= total:
+                    break
+                prev += min_delta + ((acc >> (k * w)) & mask)
+                out.append(prev)
+    return out
+
+
+def _decode_delta_length_byte_array(r: _Reader) -> list:
+    """DELTA_LENGTH_BYTE_ARRAY: one DELTA_BINARY_PACKED run of lengths,
+    then the concatenated value bytes."""
+    lengths = _decode_delta_binary_packed(r)
+    if any(ln < 0 for ln in lengths):
+        raise ValueError("malformed delta-length byte array: negative length")
+    return [r.take(ln) for ln in lengths]
+
+
+def _decode_delta_byte_array(r: _Reader) -> list:
+    """DELTA_BYTE_ARRAY (incremental / front-coded strings): a
+    DELTA_BINARY_PACKED run of shared-prefix lengths, then a
+    DELTA_LENGTH_BYTE_ARRAY of suffixes; value i = prefix_len[i] bytes of
+    value i-1 + suffix i."""
+    prefixes = _decode_delta_binary_packed(r)
+    suffixes = _decode_delta_length_byte_array(r)
+    if len(prefixes) != len(suffixes):
+        raise ValueError(
+            "malformed delta byte array: prefix/suffix count mismatch"
+        )
+    out: list = []
+    prev = b""
+    for p, suf in zip(prefixes, suffixes):
+        if p < 0 or p > len(prev):
+            raise ValueError(
+                "malformed delta byte array: prefix length exceeds previous value"
+            )
+        prev = prev[:p] + suf
+        out.append(prev)
+    return out
+
+
+def _decode_page_values(body: bytes, encoding: int, ptype: int, n_set: int,
+                        dictionary: list | None) -> list:
+    """One data page's value stream by encoding id — shared between v1
+    and v2 pages."""
+    if encoding == 0:  # PLAIN
+        return _decode_plain_values(body, ptype, n_set)
+    if encoding in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+        if dictionary is None:
+            raise ValueError("dictionary-encoded page before dictionary")
+        br = _Reader(body)
+        width = br.u8()
+        idx = _read_rle_hybrid(br, width, n_set)
+        return [dictionary[i] for i in idx]
+    if encoding == 5:  # DELTA_BINARY_PACKED
+        if ptype not in (1, 2):
+            raise NotImplementedError(
+                "DELTA_BINARY_PACKED only applies to INT32/INT64"
+            )
+        vals = _decode_delta_binary_packed(_Reader(body))
+        if len(vals) != n_set:
+            raise ValueError(
+                f"malformed delta page: header declares {len(vals)} values, "
+                f"page carries {n_set}"
+            )
+        return vals
+    if encoding == 6:  # DELTA_LENGTH_BYTE_ARRAY
+        if ptype != 6:
+            raise NotImplementedError(
+                "DELTA_LENGTH_BYTE_ARRAY only applies to BYTE_ARRAY"
+            )
+        return _decode_delta_length_byte_array(_Reader(body))
+    if encoding == 7:  # DELTA_BYTE_ARRAY
+        if ptype != 6:
+            raise NotImplementedError("DELTA_BYTE_ARRAY only applies to BYTE_ARRAY")
+        vals = _decode_delta_byte_array(_Reader(body))
+        if len(vals) != n_set:
+            raise ValueError(
+                f"malformed delta page: header declares {len(vals)} values, "
+                f"page carries {n_set}"
+            )
+        return vals
+    raise NotImplementedError(
+        f"data page encoding {ENCODINGS.get(encoding, encoding)} unsupported"
+    )
+
+
 _TYPE_IDS = {v: k for k, v in PHYSICAL_TYPES.items()}
+
+
+def _read_levels(pr: _Reader, max_level: int, n: int) -> list:
+    """One v1 level stream: 4-byte length prefix, then RLE/bit-packed
+    hybrid at bit width = bits(max_level). max_level == 0 means the
+    stream is absent and every entry sits at level 0."""
+    if max_level == 0:
+        return [0] * n
+    raw = pr.take(4)
+    if len(raw) < 4:
+        raise ValueError("malformed parquet page: truncated level-stream length")
+    (lvl_len,) = _struct_mod.unpack("<I", raw)
+    lr = _Reader(pr.take(lvl_len))
+    return _read_rle_hybrid(lr, max_level.bit_length(), n)
 
 
 def read_column(blob: bytes, rg_idx: int, path: str) -> list:
     """Decode ONE column chunk of a REAL parquet file — dictionary +
     RLE_DICTIONARY / PLAIN data pages, SNAPPY / GZIP / UNCOMPRESSED
-    codecs, OPTIONAL definition levels (None for nulls) — entirely from
-    the walked footer's offsets and the public format spec. This is the
-    full stdlib read path for the files this engine actually lives on
-    (the driver's fixture parquet decodes value-exact vs DuckDB — pinned
-    by q341 and pytest). v2 data pages and nested schemas refuse loudly."""
+    codecs, definition levels (None for nulls), and — round 12 —
+    REPETITION levels for single-level LIST columns (Dremel record
+    shredding, parquet-format LogicalTypes.md): a leaf under one REPEATED
+    ancestor reassembles into one Python list per record, with NULL
+    records (def below the LIST group's level), EMPTY lists (def exactly
+    at the group's level) and NULL elements (def between the repeated
+    level and the leaf's max) all distinguished exactly as the level
+    algebra dictates. Entirely driven by the walked footer's offsets —
+    no parquet library. v2 data pages and repetition depth > 1 (list of
+    list, map values) refuse loudly."""
     meta = parquet_footer(blob)
     rg = meta["row_groups"][rg_idx]
-    col = next(c for c in rg["columns"] if c["path"] == path)
-    leaf = next((s for s in meta["schema"] if s["name"] == path), None)
-    if leaf is None or "." in path or leaf["repetition"] == "REPEATED":
-        raise NotImplementedError(
-            f"read_column supports flat schemas only, not nested path {path!r}"
+    col = next((c for c in rg["columns"] if c["path"] == path), None)
+    leaf = next((s for s in meta["schema"] if s.get("path") == path), None)
+    if col is None or leaf is None or leaf["num_children"]:
+        raise ValueError(
+            f"no leaf column chunk at path {path!r} (group elements and "
+            f"unknown paths are not readable)"
         )
-    optional = leaf["repetition"] == "OPTIONAL"
+    max_def, max_rep = leaf["max_def"], leaf["max_rep"]
+    if max_rep > 1:
+        raise NotImplementedError(
+            f"repetition depth {max_rep} (list-of-list / repeated map entries) "
+            f"not supported at path {path!r}"
+        )
     ptype = _TYPE_IDS[col["type"]]
     codec = col["codec"]
     if codec not in ("UNCOMPRESSED", "SNAPPY", "GZIP"):
@@ -472,68 +655,116 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
     r = _Reader(blob)
     r.i = pos
     dictionary: list | None = None
-    out: list = []
-    while len(out) < col["num_values"]:
-        header = _read_struct(r)
-        comp = r.take(header.get(3, 0))
+    reps: list = []
+    defs: list = []
+    vals: list = []
+    def _inflate(comp: bytes, expected: int) -> bytes:
         if codec == "SNAPPY":
-            data = _snappy_decompress(comp, header.get(2, 0))
-        elif codec == "GZIP":
+            return _snappy_decompress(comp, expected)
+        if codec == "GZIP":
             import zlib
 
-            data = zlib.decompress(comp, 16 + zlib.MAX_WBITS)
-        else:
-            data = comp
+            return zlib.decompress(comp, 16 + zlib.MAX_WBITS)
+        return comp
+
+    while len(defs) < col["num_values"]:
+        header = _read_struct(r)
+        comp = r.take(header.get(3, 0))
         ptype_page = header.get(1)
         if ptype_page == 2:  # DICTIONARY_PAGE
             dph = header.get(7) or {}
-            dictionary = _decode_plain_values(data, ptype, dph.get(1, 0))
+            dictionary = _decode_plain_values(
+                _inflate(comp, header.get(2, 0)), ptype, dph.get(1, 0)
+            )
             continue
-        if ptype_page != 0:
-            raise NotImplementedError(
-                f"page type {ptype_page} (v2?) not supported"
+        if ptype_page == 0:  # DATA_PAGE v1: whole page compressed,
+            # levels length-prefixed (repetition first, then definition)
+            data = _inflate(comp, header.get(2, 0))
+            dph = header.get(5) or {}
+            n_values = dph.get(1, 0)
+            encoding = dph.get(2)
+            pr = _Reader(data)
+            p_reps = _read_levels(pr, max_rep, n_values)
+            p_defs = _read_levels(pr, max_def, n_values)
+            body = data[pr.i :]
+        elif ptype_page == 3:  # DATA_PAGE_V2: levels NEVER compressed,
+            # raw RLE at header-declared byte lengths, then the data
+            # section (compressed iff is_compressed)
+            dph = header.get(8) or {}
+            n_values = dph.get(1, 0)
+            encoding = dph.get(4)
+            dl_len = dph.get(5, 0)
+            rl_len = dph.get(6, 0)
+            if rl_len + dl_len > len(comp):
+                raise ValueError(
+                    "malformed parquet v2 page: level lengths exceed page size"
+                )
+            p_reps = (
+                _read_rle_hybrid(_Reader(comp[:rl_len]), max_rep.bit_length(), n_values)
+                if max_rep
+                else [0] * n_values
             )
-        dph = header.get(5) or {}
-        n_values = dph.get(1, 0)
-        encoding = dph.get(2)
-        pr = _Reader(data)
-        if optional:
-            (lvl_len,) = _struct_mod.unpack("<I", pr.take(4))
-            lr = _Reader(pr.take(lvl_len))
-            defs = _read_rle_hybrid(lr, 1, n_values)
-        else:
-            defs = [1] * n_values
-        n_set = sum(defs)
-        body = data[pr.i :]
-        if encoding == 0:  # PLAIN
-            vals = _decode_plain_values(body, ptype, n_set)
-        elif encoding in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
-            if dictionary is None:
-                raise ValueError("dictionary-encoded page before dictionary")
-            br = _Reader(body)
-            width = br.u8()
-            idx = _read_rle_hybrid(br, width, n_set)
-            vals = [dictionary[i] for i in idx]
-        else:
-            raise NotImplementedError(
-                f"data page encoding {ENCODINGS.get(encoding, encoding)} unsupported"
+            p_defs = (
+                _read_rle_hybrid(
+                    _Reader(comp[rl_len : rl_len + dl_len]),
+                    max_def.bit_length(),
+                    n_values,
+                )
+                if max_def
+                else [0] * n_values
             )
-        it = iter(vals)
-        out.extend(next(it) if d else None for d in defs)
-    return out
+            body = comp[rl_len + dl_len :]
+            if dph.get(7, True):  # is_compressed (default true)
+                body = _inflate(body, header.get(2, 0) - rl_len - dl_len)
+        else:
+            raise NotImplementedError(f"page type {ptype_page} not supported")
+        n_set = sum(1 for d in p_defs if d == max_def)
+        p_vals = _decode_page_values(body, encoding, ptype, n_set, dictionary)
+        reps.extend(p_reps)
+        defs.extend(p_defs)
+        vals.extend(p_vals)
+
+    it = iter(vals)
+    if max_rep == 0:
+        return [next(it) if d == max_def else None for d in defs]
+
+    # single-level LIST reassembly: find the repeated ancestor's def level
+    rep_group = next(
+        s
+        for s in meta["schema"]
+        if s.get("path")
+        and (path == s["path"] or path.startswith(s["path"] + "."))
+        and s["repetition"] == "REPEATED"
+    )
+    d_list = rep_group["max_def"]  # an entry exists at def >= d_list
+    d_group = d_list - 1  # list present-but-empty at exactly d_group
+    if reps and reps[0] != 0:
+        raise ValueError("malformed parquet page: record split across chunks")
+    rows: list = []
+    for rp, df in zip(reps, defs):
+        if rp == 0:
+            rows.append(None if df < d_group else [])
+        if df >= d_list:
+            if rows[-1] is None:
+                raise ValueError("malformed parquet levels: entry in null record")
+            rows[-1].append(next(it) if df == max_def else None)
+    return rows
 
 
 def read_table(blob: bytes) -> dict:
     """Full-file decode: {column_path: values} across all row groups for
-    every FLAT leaf column (values are raw physical — an INT64 timestamp
-    stays an epoch integer in its stored unit). Nested columns (dotted
-    paths) are skipped — read_column refuses them loudly if asked
-    directly."""
+    every leaf column with repetition depth <= 1 (values are raw physical
+    — an INT64 timestamp stays an epoch integer in its stored unit; a
+    single-level LIST leaf arrives as one Python list per record under
+    its dotted path, e.g. 'embedding.list.element'). Leaves nested deeper
+    (rep depth > 1) are skipped here — read_column refuses them loudly
+    if asked directly."""
     meta = parquet_footer(blob)
+    depth = {s["path"]: s["max_rep"] for s in meta["schema"] if s.get("path")}
     out: dict = {}
     for gi in range(len(meta["row_groups"])):
         for col in meta["row_groups"][gi]["columns"]:
-            if "." in col["path"]:
+            if depth.get(col["path"], 0) > 1:
                 continue
             out.setdefault(col["path"], []).extend(
                 read_column(blob, gi, col["path"])

@@ -41,6 +41,11 @@ SF1 = os.environ.get("SCALE_SF1", "/root/repo/.scaledata/sf1")
 # recorded beside this sweep in CORRECTNESS_sf1_r11.json) — "excluded"
 # means "DuckDB cannot replay it at this scale", not "unverified".
 EXCLUDED = {
+    "q338_rowgroup_pruning_audit": "oracle SQL hardcodes the sf0.01 "
+    "catalog's parquet file paths (DuckDB parquet_metadata() on the "
+    "driver's real fixture files) — running it against another sf_dir "
+    "compares mismatched corpora by construction; the recorded reason "
+    "the query never enters the sf1 sweep",
     "q222_prefix_filter_join": "oracle is the naive any-shared-shingle "
     "all-pairs form — sf1 coverage: scale_invariants (sampled Python "
     "Jaccard replay + q68 recall containment + structural)",

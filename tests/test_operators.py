@@ -467,6 +467,79 @@ def test_ivf_cell_blocking_bounded(spark):
     )
 
 
+def test_ivf_hot_cell_split_bounds_blocks():
+    """round-12 (closing r11's one `weak`): the two-level quantizer must
+    bound the BLOCKING key's population at scale. At sf0.1 every coarse
+    cell holds ~200 vectors (> _SPLIT_CAP=128), so the split must engage
+    (b >= 1 everywhere), every subcell must nest inside its coarse cell,
+    the split must be near-balanced (Walsh-sign bits over mean-centered
+    integer projections), and no subcell may exceed ~2x the cap. At
+    sf0.001 (cells far under cap) the split must be DORMANT: subcell ==
+    cell << _SPLIT_MAXB, so the driver-gate semantics are unchanged."""
+    from hive_backend_spark.queries.similarity import (
+        _SPLIT_CAP,
+        _SPLIT_MAXB,
+        _ivf_assign,
+        _ivf_split_stats,
+        _split_bits,
+    )
+    from hive_backend_spark.session import get_spark
+
+    spark = get_spark()
+    # integer-loop b: exact boundaries
+    assert [_split_bits(c) for c in (1, 128, 129, 256, 257, 512, 10**9)] == [
+        0, 0, 1, 1, 2, 2, _SPLIT_MAXB,
+    ]
+
+    # dormant at sf0.001
+    small = _ivf_assign(spark, SF_DIR).select("cell", "subcell").collect()
+    assert all(r["subcell"] == r["cell"] << _SPLIT_MAXB for r in small)
+
+    # engaged at sf0.1
+    sf = "/root/testdata/sf0.1"
+    stats = _ivf_split_stats(spark, sf)
+    assert all(b >= 1 for _, b, _s in stats.values()), stats
+    rows = _ivf_assign(spark, sf).groupBy("cell", "subcell").count().collect()
+    by_cell = {}
+    for r in rows:
+        assert r["subcell"] >> _SPLIT_MAXB == r["cell"], "subcell escapes its cell"
+        by_cell.setdefault(r["cell"], []).append(r["count"])
+    for cell, sizes in by_cell.items():
+        cnt, b, _sums = stats[cell]
+        assert len(sizes) <= 1 << b
+        assert sum(sizes) == cnt
+        # near-balanced: no subcell holds more than ~2x the cap
+        assert max(sizes) <= 2 * _SPLIT_CAP, (
+            f"cell {cell} split unbalanced: {sorted(sizes)}"
+        )
+
+
+def test_ivf_split_engaged_oracle_parity():
+    """Cross-engine pin for the split branch: the driver's correctness
+    gate runs at sf0.01 where every cell is under cap (split dormant), so
+    this test replays the exact driver comparison for q71 at sf0.1 —
+    where EVERY cell splits (b=1) — proving the oracle's integer Walsh
+    bits reproduce _ivf_assign's subcells bit-for-bit on real data."""
+    import duckdb
+
+    from hive_backend_spark.registry import all_queries
+    from hive_backend_spark.session import get_spark
+    from tests.conftest import normalize_rows
+
+    sf = "/root/testdata/sf0.1"
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in ("embeddings",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    spec = all_queries()["q71_near_dup_pairs"]
+    sdf = spec.fn(spark, sf)
+    got = normalize_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    con.execute(spec.oracle)
+    want = normalize_rows([d[0] for d in con.description], con.fetchall())
+    assert len(got) > 0, "vacuous: no near-dup pairs at sf0.1"
+    assert got == want
+
+
 # --- kmeans_train (operators/clustering) -----------------------------------
 
 
@@ -1535,6 +1608,133 @@ def test_flac_truncation_and_mangle_sweep():
         decode_flac(b"fLaX" + blob[4:])
 
 
+def test_flac_short_last_frame_verbatim_fallback():
+    """round-12 ADVICE fix: the default plan's fixed order-2 predictor
+    must fall back to VERBATIM when the last frame is shorter than the
+    order. Before the fix, `kind[0] == "f"` never matched the tuple form
+    ('fixed', k) — encode_flac raised ValueError for any n with
+    n % blocksize in {1, 2} (reproduced at 65 samples / blocksize 64)."""
+    from hive_backend_spark.operators.flac import decode_flac, encode_flac
+
+    for tail in (1, 2):
+        n = 64 + tail
+        sig = [((i * 53) % 200) - 100 for i in range(n)]
+        got = decode_flac(encode_flac([sig], 8000, bps=8, blocksize=64))
+        assert got["channels_decoded"][0] == sig and got["md5_ok"], f"tail {tail}"
+        # the short frame must have been demoted to VERBATIM
+        assert got["frames"][-1]["subframes"] == ["verbatim"]
+    # explicit ('fixed', 4) plan demotes too (order 4 >= bs 2)
+    sig = [5, -3] * 33
+    got = decode_flac(
+        encode_flac([sig], 8000, bps=8, blocksize=64, plan=lambda f: ("fixed", 4))
+    )
+    assert got["channels_decoded"][0] == sig and got["md5_ok"]
+
+
+def test_flac_12_and_20_bit_md5_width():
+    """round-12 ADVICE fix: FLAC's audio MD5 uses ceil(bps/8) bytes per
+    sample (RFC 9639), not bps//8 — the old width crashed int.to_bytes
+    with OverflowError for any 12-bit sample outside +-127. Round-trips
+    12- and 20-bit signals spanning their full range and checks the
+    losslessness receipt holds."""
+    from hive_backend_spark.operators.flac import decode_flac, encode_flac
+
+    sig12 = [((i * 997) % 4096) - 2048 for i in range(90)]
+    got = decode_flac(encode_flac([sig12], 8000, bps=12, blocksize=32))
+    assert got["channels_decoded"][0] == sig12
+    assert got["bits_per_sample"] == 12 and got["md5_ok"]
+
+    sig20 = [((i * 257_111) % (1 << 20)) - (1 << 19) for i in range(70)]
+    got = decode_flac(encode_flac([sig20], 8000, bps=20, blocksize=32))
+    assert got["channels_decoded"][0] == sig20
+    assert got["bits_per_sample"] == 20 and got["md5_ok"]
+
+
+def test_parquet_plain_decode_truncation_contract():
+    """round-12 ADVICE fix: _decode_plain_values (dictionary pages +
+    PLAIN data pages) upholds the module's truncation contract — a short
+    page raises ValueError naming the problem, never struct.error and
+    never a silent short decode."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.parquet_meta import _decode_plain_values
+
+    # fixed-width: INT32/INT64/FLOAT/DOUBLE short buffers
+    for ptype, width in ((1, 4), (2, 8), (4, 4), (5, 8)):
+        good = b"\x00" * (width * 3)
+        assert len(_decode_plain_values(good, ptype, 3)) == 3
+        with _pytest.raises(ValueError, match="malformed parquet page"):
+            _decode_plain_values(good[:-1], ptype, 3)
+    # BYTE_ARRAY: truncated length prefix, then value past page end
+    ba = _struct.pack("<I", 3) + b"abc" + _struct.pack("<I", 2) + b"xy"
+    assert _decode_plain_values(ba, 6, 2) == [b"abc", b"xy"]
+    with _pytest.raises(ValueError, match="length prefix"):
+        _decode_plain_values(ba[:2], 6, 2)
+    with _pytest.raises(ValueError, match="runs past page end"):
+        _decode_plain_values(ba[:5], 6, 2)
+    with _pytest.raises(ValueError, match="runs past page end"):
+        _decode_plain_values(ba[:-1], 6, 2)
+    # BOOLEAN: fewer bits than values
+    with _pytest.raises(ValueError, match="BOOLEAN"):
+        _decode_plain_values(b"\xff", 0, 9)
+
+
+def test_parquet_nested_list_read_column(tmp_path):
+    """round-12: repetition levels + single-level LIST reassembly.
+    An INDEPENDENT writer (pyarrow, v1 data pages) produces a list column
+    exercising every Dremel state — null record, empty list, null
+    element, value — plus multi-row-group framing; read_column must
+    reassemble rows exactly, and still refuse depth-2 nesting loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.parquet_meta import read_column, read_table
+
+    rows = [
+        [1.5, None, -2.25],
+        None,          # null record
+        [],            # empty list
+        [0.0],
+        None,
+        [7.125, 8.5],
+        [],
+        [float(i) for i in range(10)],
+    ]
+    ids = list(range(len(rows)))
+    table = pa.table(
+        {"rid": pa.array(ids, pa.int64()), "vals": pa.array(rows, pa.list_(pa.float64()))}
+    )
+    p = tmp_path / "nested.parquet"
+    pq.write_table(table, p, data_page_version="1.0", row_group_size=3)
+    blob = p.read_bytes()
+    got_rows: list = []
+    got_ids: list = []
+    from hive_backend_spark.operators.parquet_meta import parquet_footer
+
+    meta = parquet_footer(blob)
+    assert len(meta["row_groups"]) == 3  # multi-group framing exercised
+    for gi in range(len(meta["row_groups"])):
+        got_ids.extend(read_column(blob, gi, "rid"))
+        got_rows.extend(read_column(blob, gi, "vals.list.element"))
+    assert got_ids == ids
+    assert got_rows == rows
+    # read_table carries the list leaf under its dotted path
+    t = read_table(blob)
+    assert t["vals.list.element"] == rows
+
+    # depth-2 refusal: list<list<int>>
+    deep = pa.table(
+        {"x": pa.array([[[1, 2], [3]], [[4]]], pa.list_(pa.list_(pa.int64())))}
+    )
+    p2 = tmp_path / "deep.parquet"
+    pq.write_table(deep, p2, data_page_version="1.0")
+    with _pytest.raises(NotImplementedError, match="repetition depth"):
+        read_column(p2.read_bytes(), 0, "x.list.element.list.element")
+
+
 def test_parquet_read_values_closes_the_loop():
     """read_values decodes encode_parquet's PLAIN pages back value-exact,
     driven purely by the footer's offsets — proving the walked
@@ -1615,7 +1815,7 @@ def test_avro_container_roundtrip_and_sweep():
         (i * 7 - 3, f"row{i}", i % 2 == 0, i * 0.5, bytes([i % 256]), None)
         for i in range(25)
     ]
-    for codec in ("null", "deflate"):
+    for codec in ("null", "deflate", "snappy"):
         got = parse_avro(encode_avro(fields, recs, codec=codec, block_records=10))
         assert got["codec"] == codec and got["n_fields"] == 6
         assert [b["n_records"] for b in got["blocks"]] == [10, 10, 5]
@@ -1638,6 +1838,24 @@ def test_avro_container_roundtrip_and_sweep():
         parse_avro(bytes(bad))
     with _pytest.raises(ValueError, match="magic"):
         parse_avro(b"Obj\x02" + blob[4:])
+
+    # round-12 snappy rung: the CRC-32 suffix must catch payload damage
+    # (flip a byte inside the first snappy block's literal body), and the
+    # emitter's framing must satisfy an independent decoder via the
+    # truncation sweep run again under the snappy codec
+    sblob = encode_avro(fields, recs, codec="snappy", block_records=10)
+    sfull = parse_avro(sblob)
+    assert [b["n_records"] for b in sfull["blocks"]] == [10, 10, 5]
+    for cut in range(1, len(sblob)):
+        try:
+            g = parse_avro(sblob[:cut])
+        except ValueError:
+            continue
+        assert g["records"] == sfull["records"][: len(g["records"])], cut
+    corrupt = bytearray(sblob)
+    corrupt[len(sblob) // 2] ^= 0x01
+    with _pytest.raises(ValueError):
+        parse_avro(bytes(corrupt))
     with _pytest.raises(NotImplementedError, match="float"):
         encode_avro([("x", "float")], [])
 
@@ -1686,6 +1904,112 @@ def test_delta_log_replay_semantics():
         replay_delta_log({0: '{"txn": {}}\n'})
 
 
+def test_delta_checkpoint_composes_with_tail():
+    """round-12: checkpoint compaction + tail replay is state-identical
+    to walking every commit — the parquet rung (stdlib read_column over
+    pyarrow-written struct columns) composing with the log rung. Pins
+    the full-state equality, time travel THROUGH the checkpoint, and the
+    tail-gap refusal."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.deltalog import (
+        encode_delta_checkpoint,
+        encode_delta_log,
+        replay_delta_checkpoint,
+        replay_delta_log,
+    )
+
+    hist = []
+    V = 15
+    for v in range(V):
+        acts = []
+        if v == 0:
+            acts.append({"op": "metaData", "schema": "{}"})
+        acts.append({"op": "add", "path": str(v), "size": 100 + 13 * v, "rows": 10 + v})
+        if v >= 2 and v % 2 == 0:
+            acts.append({"op": "remove", "path": str(v - 2)})
+        if v == V - 1:
+            acts.append({"op": "add", "path": "0", "size": 77, "rows": 7})
+        hist.append(acts)
+    log = encode_delta_log(hist)
+    full = replay_delta_log(log)
+    cp = encode_delta_checkpoint(replay_delta_log(log, at_version=10))
+    tail = {v: t for v, t in log.items() if v > 10}
+    got = replay_delta_checkpoint(cp, 10, tail)
+    for k in ("version", "n_live_files", "live_bytes", "live_rows",
+              "n_tombstones", "tombstones", "live_files", "protocol"):
+        assert got[k] == full[k], k
+    # time travel through the checkpoint
+    for at in (11, 12, 13):
+        g = replay_delta_checkpoint(cp, 10, tail, at_version=at)
+        w = replay_delta_log(log, at_version=at)
+        assert g["live_files"] == w["live_files"] and g["version"] == w["version"]
+    # empty tail: the checkpoint alone IS version 10
+    g10 = replay_delta_checkpoint(cp, 10, {})
+    w10 = replay_delta_log(log, at_version=10)
+    assert g10["live_files"] == w10["live_files"] and g10["version"] == 10
+    # gap refusal
+    with _pytest.raises(ValueError, match="version gap"):
+        replay_delta_checkpoint(cp, 10, {12: log[12]})
+
+
+def test_parquet_v2_delta_decode_vs_pyarrow(tmp_path):
+    """round-12: DataPageV2 + DELTA_BINARY_PACKED / DELTA_BYTE_ARRAY /
+    DELTA_LENGTH_BYTE_ARRAY, written by the independent writer (pyarrow)
+    with nulls, a list column, snappy data sections and multi-row-group
+    framing — read_table must be value-exact; a truncated file raises the
+    module's ValueError, never a silent short decode."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.parquet_meta import read_table
+
+    ids = [(i * i * 31) % 100000 - 50000 if i % 7 else None for i in range(3000)]
+    strs = [f"doc_{i % 13:04d}_" + "x" * (i % 9) if i % 11 else None for i in range(3000)]
+    vals = [[float(j) for j in range(i % 5)] if i % 6 else None for i in range(3000)]
+    t = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "s": pa.array(strs, pa.string()),
+            "v": pa.array(vals, pa.list_(pa.float64())),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, data_page_version="2.0", use_dictionary=False,
+        column_encoding={
+            "id": "DELTA_BINARY_PACKED",
+            "s": "DELTA_BYTE_ARRAY",
+            "v.list.element": "PLAIN",
+        },
+        compression="snappy", row_group_size=1100,
+    )
+    blob = buf.getvalue()
+    got = read_table(blob)
+    assert got["id"] == ids
+    assert [x.decode() if x is not None else None for x in got["s"]] == strs
+    assert got["v.list.element"] == vals
+
+    buf2 = io.BytesIO()
+    pq.write_table(
+        pa.table({"s": pa.array(strs, pa.string())}), buf2,
+        data_page_version="2.0", use_dictionary=False,
+        column_encoding={"s": "DELTA_LENGTH_BYTE_ARRAY"}, compression="none",
+    )
+    g2 = read_table(buf2.getvalue())
+    assert [x.decode() if x is not None else None for x in g2["s"]] == strs
+
+    # truncation: cut inside the data pages (footer kept intact would be
+    # nonsense — cut the file mid-body and re-append framing is not a
+    # valid parquet; instead corrupt a delta page's length declaration by
+    # truncating the whole file, which the footer walk itself refuses)
+    with _pytest.raises(ValueError):
+        read_table(blob[: len(blob) // 2])
+
+
 def test_parquet_full_read_matches_duckdb_on_fixture_tables():
     """operators/parquet_meta round-11: the FULL stdlib read path (snappy
     decompression, dictionary pages, RLE/bit-packed hybrid indices and
@@ -1717,10 +2041,17 @@ def test_parquet_full_read_matches_duckdb_on_fixture_tables():
         rows = [tuple(norm(x) for x in r) for r in zip(*[mine[c] for c in cols])]
         assert rows == [tuple(norm(x) for x in r) for r in duck], t
 
+    # round 12: the nested LIST column now decodes row-exact too
     emb = open("/root/testdata/sf0.01/embeddings.parquet", "rb").read()
-    assert set(read_table(emb)) == {"vec_id", "label"}  # nested list skipped
-    with _pytest.raises(NotImplementedError, match="nested"):
-        read_column(emb, 0, "embedding.list.element")
+    t_emb = read_table(emb)
+    assert set(t_emb) == {"vec_id", "label", "embedding.list.element"}
+    duck_emb = duckdb.sql(
+        f"SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet'"
+    ).fetchall()
+    assert t_emb["embedding.list.element"] == [r[0] for r in duck_emb]
+    # a bogus path refuses loudly
+    with _pytest.raises(ValueError, match="no leaf column chunk"):
+        read_column(emb, 0, "embedding")
 
 
 def test_snappy_decoder_roundtrip():
