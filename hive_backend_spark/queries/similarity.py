@@ -193,14 +193,78 @@ def q70_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- IVF-cell blocking (shared by q71/q116/q123) ---------------------------
-# The blocking key for pair-scoring is DERIVED FROM THE DATA: each vector is
-# assigned to its nearest IVF centroid (the q73 coarse quantizer, built by a
-# distributed aggregation), so block sizes are governed by the quantizer's
-# cell structure rather than by any fixture column. The centroid matrix is
-# k x dim — KB-scale model state, collected once per (session, corpus) and
-# shipped into the assignment UDF exactly like q127's PQ codebook.
+# int8 scalar quantization (q88 semantics) — shared by the hyperplane LSH
+# (q101/q220), the PQ encode (q127), and the IVF hot-cell split below.
+# Defined here because the IVF oracle SQL embeds it at module-load time.
+_Q101_QUANT = """
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS INT) - 128) AS q8
+    FROM (SELECT vec_id, embedding,
+                 list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS mn,
+                 list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS mx
+          FROM embeddings)
+"""
+
+
+# --- IVF-cell blocking (shared by q71/q116/q123/q206/q244) ------------------
+# The blocking key for pair-scoring is DERIVED FROM THE DATA, in two levels:
+#
+#   1. COARSE: each vector is assigned to its nearest IVF centroid (the q73
+#      coarse quantizer, built by a distributed aggregation).
+#   2. HOT-CELL SPLIT (round 12, closing the one measured super-linear plan
+#      — r11's q123 asymptotic exponent 1.48): any cell whose population
+#      exceeds _SPLIT_CAP is sub-split by b = ceil(log2(pop/cap)) Walsh-sign
+#      bits (capped at _SPLIT_MAXB), so within-block all-pairs work is
+#      O(N * cap) — linear in corpus size — no matter how the coarse cell
+#      populations grow. This is the same over-cap escalation discipline the
+#      MinHash-LSH band path uses for hot buckets (operators/dedup.py).
+#
+# The split decision is INTEGER-EXACT cross-engine: bit i of a vector is
+#   cnt(cell) * <q8(v), w_i>  >=  sum_{u in cell} <q8(u), w_i>
+# i.e. "is this vector's Walsh projection above the cell mean", evaluated
+# with the integer cross-multiply so no engine ever divides. q8 is the q88
+# int8 quantization (floor(x+0.5) — exact in numpy, DuckDB and Spark), and
+# w_i are fixed +-1 Walsh hyperplanes (w_i[d] = +1 iff popcount(d & (i+1))
+# is even) — orthogonal directions, so bits are near-independent and the
+# split is near-balanced on noise-around-centroid cell contents. Splitting
+# trades the cross-subcell pairs away — the standard IVF recall trade —
+# and the DuckDB oracles replay the exact same two-level assignment.
+#
+# The centroid matrix is k x dim and the per-cell split stats are k x
+# (1 + _SPLIT_MAXB) integers — KB-scale model state, collected once per
+# (session, corpus) and shipped into the assignment UDF exactly like
+# q127's PQ codebook.
+_SPLIT_CAP = 128
+_SPLIT_MAXB = 16
 _CENTROIDS_CACHE: dict[tuple[str, str], tuple] = {}
+_SPLIT_CACHE: dict[tuple, dict] = {}
+
+
+def _walsh_planes(dim: int = 64, maxb: int = _SPLIT_MAXB):
+    """(dim x maxb) +-1 matrix: column i is the Walsh function of mask
+    i+1 over the dimension index — w_i[d] = +1 iff popcount(d & (i+1))
+    is even. Deterministic, orthogonal, identical in the oracle SQL."""
+    import numpy as np
+
+    d = np.arange(dim)[:, None]
+    masks = np.arange(1, maxb + 1)[None, :]
+    pc = np.zeros((dim, maxb), dtype=np.int64)
+    anded = d & masks
+    while anded.any():
+        pc += anded & 1
+        anded >>= 1
+    return np.where(pc % 2 == 0, 1, -1).astype(np.int64)
+
+
+def _split_bits(cnt: int, cap: int = _SPLIT_CAP, maxb: int = _SPLIT_MAXB) -> int:
+    """Smallest b with cnt <= cap << b, capped at maxb — the integer-loop
+    form of ceil(log2(cnt/cap)), mirrored by the CASE ladder in
+    _IVF_B_CASE so both engines hit identical boundaries."""
+    b = 0
+    while b < maxb and cnt > (cap << b):
+        b += 1
+    return b
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> tuple:
@@ -256,10 +320,10 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> t
     return out
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> DataFrame:
-    """(vec_id, label, cell, v): every vector routed to its nearest centroid
-    by cosine (ties -> smallest centroid id). One vectorized mapInPandas
-    pass — a BLAS (n x dim) @ (dim x k) matmul per Arrow batch; no shuffle.
+def _coarse_cells(m, cents, cnorms, labels):
+    """Nearest-centroid assignment for a (n x dim) batch: one BLAS matmul.
+    argmax returns the FIRST maximum; centroid rows are sorted by id, so
+    ties break to the smallest id like the oracle's row_number ordering.
     Cross-engine note: the argmax compares double cosines whose last ulp
     can differ between numpy and the oracle's sequential fold, but cell
     margins are O(cluster separation) — a flip needs two centroids
@@ -267,33 +331,115 @@ def _ivf_assign(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> Data
     centroid distances."""
     import numpy as np
 
+    sims = (m @ cents.T) / (np.linalg.norm(m, axis=1)[:, None] * cnorms[None, :])
+    return labels[np.argmax(sims, axis=1)]
+
+
+def _ivf_split_stats(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> dict:
+    """cell -> (cnt, b, sums[_SPLIT_MAXB]) for the hot-cell split: one
+    map-side-combined pass over the corpus (per-batch pandas groupby emits
+    k partial rows, Spark sums them), then a bounded collect of k rows —
+    the same KB-scale model-state collect as the centroid matrix. b is the
+    split width _split_bits(cnt); sums[i] is the cell's total Walsh-i
+    projection of the q8 codes (the integer mean-threshold numerator)."""
+    import numpy as np
+
+    from ..operators.dedup import spread
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _SPLIT_CACHE if k[0] != app_id]:
+        del _SPLIT_CACHE[k]
+    key = (app_id, sf_dir, refine_iters)
+    out = _SPLIT_CACHE.get(key)
+    if out is None:
+        labels, cents = _ivf_centroids(spark, sf_dir, refine_iters)
+        cnorms = np.linalg.norm(cents, axis=1)
+        planes = _walsh_planes()
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                cell = _coarse_cells(m, cents, cnorms, labels)
+                dots = _pq_q8(m) @ planes  # (n, maxb) integer — exact
+                g = pd.DataFrame({"cell": cell, "cnt": 1})
+                for i in range(_SPLIT_MAXB):
+                    g[f"s{i}"] = dots[:, i]
+                yield g.groupby("cell", as_index=False).sum()
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cols = ", ".join(f"s{i} bigint" for i in range(_SPLIT_MAXB))
+        stats = (
+            spread(emb.select("vec_id", "embedding"))
+            .mapInPandas(partials, schema=f"cell int, cnt bigint, {cols}")
+            .groupBy("cell")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(_SPLIT_MAXB)],
+            )
+            .collect()  # bounded: k quantizer cells (KB-scale model state)
+        )
+        out = {
+            r["cell"]: (
+                int(r["cnt"]),
+                _split_bits(int(r["cnt"])),
+                np.array([int(r[f"s{i}"]) for i in range(_SPLIT_MAXB)], dtype=np.int64),
+            )
+            for r in stats
+        }
+        _SPLIT_CACHE[key] = out
+    return out
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> DataFrame:
+    """(vec_id, label, cell, subcell, v): every vector routed to its
+    nearest centroid by cosine (ties -> smallest centroid id), then to a
+    hot-cell-split subcell (see the section comment above: over-cap cells
+    split by population-scaled Walsh-sign bits, integer-exact). One
+    vectorized mapInPandas pass — a BLAS (n x dim) @ (dim x k) matmul plus
+    an integer (n x dim) @ (dim x maxb) matmul per Arrow batch; no
+    shuffle. ``subcell`` is the scale-safe blocking key (block population
+    ~<= _SPLIT_CAP regardless of corpus size); ``cell`` remains the coarse
+    id every subcell nests inside."""
+    import numpy as np
+
     from ..operators.dedup import spread
 
     labels, cents = _ivf_centroids(spark, sf_dir, refine_iters)
+    stats = _ivf_split_stats(spark, sf_dir, refine_iters)
     cnorms = np.linalg.norm(cents, axis=1)
+    planes = _walsh_planes()
+    shifts = 1 << np.arange(_SPLIT_MAXB, dtype=np.int64)
 
     def assign(batches):
         import pandas as pd
 
         for pdf in batches:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            sims = (m @ cents.T) / (np.linalg.norm(m, axis=1)[:, None] * cnorms[None, :])
-            # argmax returns the FIRST maximum; rows are sorted by centroid
-            # id, so ties break to the smallest id like the oracle's
-            # row_number ordering
-            cell = labels[np.argmax(sims, axis=1)]
+            cell = _coarse_cells(m, cents, cnorms, labels)
+            dots = _pq_q8(m) @ planes  # (n, maxb) integer — exact
+            cnt = np.array([stats[c][0] for c in cell], dtype=np.int64)
+            b = np.array([stats[c][1] for c in cell], dtype=np.int64)
+            sums = np.stack([stats[c][2] for c in cell])  # (n, maxb)
+            bits = (cnt[:, None] * dots >= sums) & (
+                np.arange(_SPLIT_MAXB)[None, :] < b[:, None]
+            )
+            code = (bits * shifts[None, :]).sum(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "label": pdf["label"],
                     "cell": cell,
+                    "subcell": cell.astype(np.int64) * (1 << _SPLIT_MAXB) + code,
                     "v": list(m),
                 }
             )
 
     emb = load_table(spark, sf_dir, "embeddings")
     return spread(emb.select("vec_id", "label", "embedding")).mapInPandas(
-        assign, schema="vec_id bigint, label int, cell int, v array<double>"
+        assign,
+        schema="vec_id bigint, label int, cell int, subcell bigint, v array<double>",
     )
 
 
@@ -320,6 +466,56 @@ _IVF_ASSIGN_SQL = f"""
   ) WHERE rn = 1
 """
 
+# --- hot-cell split, oracle side (mirrors _ivf_assign exactly) --------------
+# b(cell): the _split_bits integer loop unrolled as a CASE ladder — both
+# engines hit identical population boundaries with no float log2.
+_IVF_B_CASE = (
+    "CASE "
+    + " ".join(f"WHEN cnt <= {_SPLIT_CAP << b} THEN {b}" for b in range(_SPLIT_MAXB))
+    + f" ELSE {_SPLIT_MAXB} END"
+)
+
+# Walsh projection i of every vector's q8 codes: w_i[d] = +1 iff
+# popcount(d & (i+1)) is even (0-based dimension index d-1) — pure integer.
+_IVF_DOTS_SQL = f"""
+  SELECT a.vec_id, a.cell, ii.i,
+         CAST(list_aggregate(list_transform(range(1, 65),
+           d -> q.q8[d] * (CASE WHEN bit_count(CAST((d - 1) AS BIGINT) & (ii.i + 1)) % 2 = 0
+                           THEN 1 ELSE -1 END)), 'sum') AS BIGINT) AS dot
+  FROM ({_IVF_ASSIGN_SQL}) a
+  JOIN ({_Q101_QUANT}) q ON q.vec_id = a.vec_id,
+       (SELECT unnest(range(0, {_SPLIT_MAXB})) AS i) ii
+"""
+
+_IVF_CELLB_SQL = f"""
+  SELECT cell, cnt, {_IVF_B_CASE} AS b
+  FROM (SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({_IVF_ASSIGN_SQL}) GROUP BY cell)
+"""
+
+_IVF_SUMS_SQL = f"""
+  SELECT cell, i, CAST(sum(dot) AS BIGINT) AS s
+  FROM ({_IVF_DOTS_SQL}) GROUP BY cell, i
+"""
+
+# bit i set iff cnt * dot_i >= sum_i (integer cross-multiply mean
+# threshold); only bits below the cell's split width b contribute.
+_IVF_SUB_SQL = f"""
+  SELECT a.vec_id, a.label, a.v, a.cell,
+         CAST(a.cell AS BIGINT) * {1 << _SPLIT_MAXB} + coalesce(c.code, 0) AS subcell
+  FROM ({_IVF_ASSIGN_SQL}) a
+  LEFT JOIN (
+    SELECT d.vec_id,
+           CAST(sum(CASE WHEN cb.cnt * d.dot >= sd.s
+                         THEN (CAST(1 AS BIGINT) << d.i) ELSE 0 END) AS BIGINT) AS code
+    FROM ({_IVF_DOTS_SQL}) d
+    JOIN ({_IVF_CELLB_SQL}) cb ON cb.cell = d.cell
+    JOIN ({_IVF_SUMS_SQL}) sd ON sd.cell = d.cell AND sd.i = d.i
+    WHERE d.i < cb.b
+    GROUP BY d.vec_id
+  ) c ON c.vec_id = a.vec_id
+"""
+
 
 @register(
     "q71_near_dup_pairs",
@@ -328,8 +524,8 @@ _IVF_ASSIGN_SQL = f"""
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
-    FROM ({_IVF_ASSIGN_SQL}) a JOIN ({_IVF_ASSIGN_SQL}) b
-      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    FROM ({_IVF_SUB_SQL}) a JOIN ({_IVF_SUB_SQL}) b
+      ON a.subcell = b.subcell AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
           / (sqrt(list_dot_product(a.v, a.v))
              * sqrt(list_dot_product(b.v, b.v))) > 0.35
@@ -337,25 +533,23 @@ _IVF_ASSIGN_SQL = f"""
 )
 def q71_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection, blocked by DERIVED IVF cells:
-    vectors shuffle once on their nearest-centroid assignment (_ivf_assign,
-    the q73 coarse quantizer — no fixture column involved), then each
-    cell's all-pairs matrix is scored with a single vectorized matmul
-    (applyInPandas + numpy). A join-per-pair formulation evaluates the
-    64-dim dot product through interpreted higher-order functions ~200k
-    times and is minutes slower. Block sizes are bounded by the quantizer's
-    cell structure (tested in test_operators.py); at 100 TB an oversized
-    cell is handled by raising k or splitting hot cells — the standard IVF
-    rebalance — not by changing this plan shape.
+    vectors shuffle once on their two-level assignment (_ivf_assign —
+    nearest-centroid coarse cell, then the population-scaled hot-cell
+    split; no fixture column involved), then each block's all-pairs
+    matrix is scored with a single vectorized matmul (applyInPandas +
+    numpy). A join-per-pair formulation evaluates the 64-dim dot product
+    through interpreted higher-order functions ~200k times and is minutes
+    slower.
 
-    Measured asymptotics (BENCH_sf3_r11.json): the fixture's label-mean
-    quantizer fixes the CELL COUNT at the label codomain, so cell
-    populations grow with the corpus and this stage's exact within-cell
-    all-pairs is O(N^2 / k) BY CONTRACT — the one measured super-linear
-    row in the three-point fit (q123's sf1->sf3.2 leg exponent 1.48,
-    where each cell holds 32x the vectors). That is the documented IVF
-    trade, not a plan defect: production growth raises k so cell size
-    stays bounded (kmeans_train / refine_iters are the trained-codebook
-    path), restoring linearity without touching this operator."""
+    Scale contract (round 12, closing r11's one measured super-linear
+    plan): blocking on ``subcell`` bounds block population at
+    ~_SPLIT_CAP vectors REGARDLESS of corpus size — an over-cap coarse
+    cell splits into 2^ceil(log2(pop/cap)) Walsh-sign subcells, so this
+    stage's all-pairs work is O(N * cap) and one pandas group's
+    similarity matrix is O(cap^2) memory, where r11's fixed-k quantizer
+    measured asymptotic exponent 1.48 and O(cell^2) memory. The split
+    trades away cross-subcell pairs — the standard IVF recall trade,
+    replayed exactly (integer-exact bits) by the DuckDB oracle."""
     import numpy as np
     import pandas as pd
 
@@ -378,7 +572,7 @@ def q71_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(
+    return assigned.groupBy("subcell").applyInPandas(
         block_pairs, schema="vec_a bigint, vec_b bigint, cell int, cosine_sim double"
     )
 
@@ -636,17 +830,6 @@ _Q101_BUCKET_SQL = " || ".join(
     for j in range(_N_PLANES)
 )
 
-_Q101_QUANT = """
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-           list_transform(CAST(embedding AS DOUBLE[]),
-             x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS INT) - 128) AS q8
-    FROM (SELECT vec_id, embedding,
-                 list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS mn,
-                 list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS mx
-          FROM embeddings)
-"""
-
-
 def _hyperplane_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, bucket): every embedding with its 8-bit hyperplane-sign
     signature — the shared bucketing pass behind q101 (pair generation) and
@@ -758,8 +941,8 @@ def q101_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE
     cand AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM ({_IVF_ASSIGN_SQL}) a JOIN ({_IVF_ASSIGN_SQL}) b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      FROM ({_IVF_SUB_SQL}) a JOIN ({_IVF_SUB_SQL}) b
+        ON a.subcell = b.subcell AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
                * sqrt(list_dot_product(b.v, b.v))) > 0.35
@@ -819,8 +1002,8 @@ _PR_DAMP = 0.85
 
 _PR_PAIR_SQL = f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM ({_IVF_ASSIGN_SQL}) a JOIN ({_IVF_ASSIGN_SQL}) b
-      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    FROM ({_IVF_SUB_SQL}) a JOIN ({_IVF_SUB_SQL}) b
+      ON a.subcell = b.subcell AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
           / (sqrt(list_dot_product(a.v, a.v))
              * sqrt(list_dot_product(b.v, b.v))) > 0.35
@@ -1803,8 +1986,8 @@ _SWEEP_THRESHOLDS = (0.30, 0.35, 0.40, 0.45)
              list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v))
                 * sqrt(list_dot_product(b.v, b.v))) AS cs
-      FROM ({_IVF_ASSIGN_SQL}) a JOIN ({_IVF_ASSIGN_SQL}) b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      FROM ({_IVF_SUB_SQL}) a JOIN ({_IVF_SUB_SQL}) b
+        ON a.subcell = b.subcell AND a.vec_id < b.vec_id
     ),
     thr AS (SELECT CAST(unnest([{', '.join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS DOUBLE) AS threshold),
     hit AS (SELECT threshold, va, vb, cs FROM thr JOIN pairs ON cs > threshold)
@@ -1858,7 +2041,7 @@ def q206_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    pairs = assigned.groupBy("cell").applyInPandas(
+    pairs = assigned.groupBy("subcell").applyInPandas(
         block_pairs, schema="va bigint, vb bigint, cs double"
     )
     thr = F.explode(
@@ -2290,8 +2473,8 @@ _LP_EDGE_T = 0.2  # cosine threshold for graph edges (~5 neighbors/node)
 
 _LP_EDGES_SQL = f"""
   SELECT x.vec_id AS src, x.label AS true_label, y.vec_id AS dst
-  FROM ({_IVF_ASSIGN_SQL}) x JOIN ({_IVF_ASSIGN_SQL}) y
-    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+  FROM ({_IVF_SUB_SQL}) x JOIN ({_IVF_SUB_SQL}) y
+    ON x.subcell = y.subcell AND x.vec_id <> y.vec_id
   WHERE list_dot_product(x.v, y.v)
         / (sqrt(list_dot_product(x.v, x.v))
            * sqrt(list_dot_product(y.v, y.v))) > {_LP_EDGE_T}
@@ -2405,7 +2588,7 @@ def q244_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline): both propagation rounds join it, and without the pin
     # each round would re-run the IVF assignment + per-cell matmul.
     edges = (
-        assigned.groupBy("cell")
+        assigned.groupBy("subcell")
         .applyInPandas(
             block_edges, schema="src bigint, true_label int, dst bigint"
         )

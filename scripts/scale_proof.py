@@ -119,8 +119,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # optional subset for iterating on one fix (comma-separated names)
+    subset = os.environ.get("SCALE_QUERIES")
+    names = [q for q in QUERIES if q in set(subset.split(","))] if subset else QUERIES
+
     out: dict = {}
-    for name in QUERIES:
+    for name in names:
         # smallest first: 3 attempts at sf0.1 absorb JIT; min-of-2 at the
         # big SFs (each attempt is 10-32x the work). A per-query failure
         # (the measurement finding a genuine blow-up) is RECORDED, not

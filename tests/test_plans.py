@@ -1039,6 +1039,11 @@ def test_calibration_canaries_frozen():
         "q01_priority_dequeue": "7ca74345ef8ae6a11d4221359c2b93f2",
         "q44_order_priority_check": "22d982169322e659053aade8a85fb944",
         "q64_exact_dup_groups": "57b44cb152e0967739bac3a6998e0fc4",
+        # round-12 additions (r11 verdict task #3): two multi-second
+        # canaries so the drift factor isn't estimated from sub-second
+        # queries alone; CALIBRATION_REF re-based to BENCH_full_r11.json
+        "q79_dup_clusters": "b12ff71db9d0cfd294d30c6010ee10ee",
+        "q171_decontamination_ladder": "ab3c48187c85276db5b6002844498829",
     }
     specs = all_queries()
     import bench
