@@ -302,6 +302,9 @@ HEADLINE = [
     "q339_avro_container_census",
     "q340_deltalog_snapshot_census",
     "q341_parquet_real_decode",
+    "q342_parquet_nested_read",
+    "q343_parquet_v2_delta_decode",
+    "q345_delta_checkpoint_compose",
 ]
 
 # Queries that deliberately reuse the band table q82 materializes, and (for
@@ -344,12 +347,20 @@ SHARES_BAND_CACHE = [
 # without forensics. The reference is the r9 full-bench record — the most
 # recent idle-box run (load_1m 0.61) before the drift was first observed;
 # it must NEVER be re-based, or the factor loses its meaning.
+# Round-12 re-base (r11 verdict task #3): five canaries instead of three,
+# two of them multi-second (q79 cold, q171) so the drift factor is no
+# longer estimated from sub-second queries alone, plus a dispersion
+# statistic beside the median. All five sources are md5-frozen by
+# tests/test_plans.py::test_calibration_canaries_frozen; reference times
+# re-based to the r11 idle-box record (previous base: BENCH_full_r09).
 CALIBRATION_REF = {
-    "q01_priority_dequeue": 0.2389,
-    "q44_order_priority_check": 0.3436,
-    "q64_exact_dup_groups": 0.1867,
+    "q01_priority_dequeue": 0.858,
+    "q44_order_priority_check": 0.8505,
+    "q64_exact_dup_groups": 0.2624,
+    "q79_dup_clusters": 4.31,
+    "q171_decontamination_ladder": 3.9908,
 }
-CALIBRATION_REF_SOURCE = "BENCH_full_r09.json (idle box, load_1m 0.61, sf0.1)"
+CALIBRATION_REF_SOURCE = "BENCH_full_r11.json (idle box, load_1m 0.16, sf0.1)"
 
 
 # Harness versioning so cross-round per-query deltas are interpretable:
@@ -451,8 +462,15 @@ def main() -> None:
     if sf == "0.1" and all(q in timings for q in CALIBRATION_REF):
         ratios = sorted(timings[q] / ref for q, ref in CALIBRATION_REF.items())
         factor = round(ratios[len(ratios) // 2], 4)
+        # dispersion: the canaries' ratio spread bounds how much trust a
+        # single-query normalized comparison deserves (aggregate
+        # comparisons average it out). IQR-style: report min/max and the
+        # relative spread (max/min) beside the median.
         calibration = {
             "factor": factor,
+            "ratio_min": round(ratios[0], 4),
+            "ratio_max": round(ratios[-1], 4),
+            "ratio_spread": round(ratios[-1] / ratios[0], 4),
             "per_query": {
                 q: {"now": timings[q], "ref": ref, "ratio": round(timings[q] / ref, 4)}
                 for q, ref in CALIBRATION_REF.items()

@@ -50,6 +50,34 @@ def _zz_encode(n: int) -> bytes:
             return bytes(out)
 
 
+def _snappy_literal(data: bytes) -> bytes:
+    """Minimal spec-legal raw-snappy emitter: varint uncompressed length,
+    then all-literal tokens (no back-references) — decodable by any
+    snappy reader including parquet_meta._snappy_decompress, which pytest
+    round-trips against."""
+    out = bytearray()
+    u = len(data)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        out.append(b | 0x80 if u else b)
+        if not u:
+            break
+    i = 0
+    while i < len(data):
+        chunk = data[i : i + 65536]
+        n = len(chunk)
+        if n <= 60:
+            out.append((n - 1) << 2)
+        else:
+            lb = (n - 1).to_bytes(1 if n - 1 < 256 else 2, "little")
+            out.append((59 + len(lb)) << 2)
+            out += lb
+        out += chunk
+        i += n
+    return bytes(out)
+
+
 class _Reader:
     __slots__ = ("b", "i")
 
@@ -111,9 +139,12 @@ def encode_avro(
     """Build an Avro OCF: ``fields`` is [(name, type)] over the supported
     primitive types, ``records`` a list of per-field value tuples.
     ``block_records`` > 0 splits the file into multiple data blocks (the
-    worker-split unit); ``codec`` is 'null' or 'deflate'. The 16-byte
-    sync marker is caller-fixable for deterministic fixtures."""
-    if codec not in ("null", "deflate"):
+    worker-split unit); ``codec`` is 'null', 'deflate' or 'snappy'
+    (snappy per the Avro spec: raw-snappy block + 4-byte big-endian
+    CRC-32 of the UNCOMPRESSED data; emitted all-literal, which any
+    spec-complete snappy reader accepts). The 16-byte sync marker is
+    caller-fixable for deterministic fixtures."""
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
     if len(sync) != 16:
         raise ValueError("Avro sync marker must be 16 bytes")
@@ -147,7 +178,14 @@ def encode_avro(
                 raise ValueError("record arity does not match schema")
             for v, (_, t) in zip(rec, fields):
                 body += _encode_value(v, t)
-        payload = zlib.compress(bytes(body))[2:-4] if codec == "deflate" else bytes(body)
+        if codec == "deflate":
+            payload = zlib.compress(bytes(body))[2:-4]
+        elif codec == "snappy":
+            payload = _snappy_literal(bytes(body)) + struct.pack(
+                ">I", zlib.crc32(bytes(body))
+            )
+        else:
+            payload = bytes(body)
         out += _zz_encode(len(chunk))
         out += _zz_encode(len(payload))
         out += payload
@@ -180,7 +218,7 @@ def parse_avro(blob: bytes) -> dict:
     except (KeyError, ValueError):
         raise ValueError("malformed Avro container: missing/bad avro.schema") from None
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"Avro codec {codec!r} not supported")
     if schema.get("type") != "record":
         raise NotImplementedError("only flat record schemas are supported")
@@ -200,9 +238,19 @@ def parse_avro(blob: bytes) -> dict:
         payload = r.bytes_()
         if r.take(16) != sync:
             raise ValueError("corrupt Avro container: sync marker mismatch")
-        body = (
-            zlib.decompress(payload, -15) if codec == "deflate" else payload
-        )
+        if codec == "deflate":
+            body = zlib.decompress(payload, -15)
+        elif codec == "snappy":
+            if len(payload) < 4:
+                raise ValueError("malformed Avro snappy block: shorter than CRC")
+            from .parquet_meta import _snappy_decompress
+
+            body = _snappy_decompress(payload[:-4], 0)
+            (want_crc,) = struct.unpack(">I", payload[-4:])
+            if zlib.crc32(body) != want_crc:
+                raise ValueError("corrupt Avro snappy block: CRC-32 mismatch")
+        else:
+            body = payload
         br = _Reader(body)
         for _ in range(n_rec):
             rec = {}

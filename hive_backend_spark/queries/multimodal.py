@@ -1644,7 +1644,8 @@ def q337_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT doc_id, octet_length(encode(text)) AS L, 5 + doc_id % 6 AS k,
-             CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END AS codec
+             CASE doc_id % 3 WHEN 1 THEN 'deflate' WHEN 2 THEN 'snappy'
+                  ELSE 'null' END AS codec
       FROM documents
     ),
     recs AS (
@@ -1679,8 +1680,9 @@ def q339_avro_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     dump across workers. Per document a REAL container
     (operators/avro.encode_avro — Obj1 magic, metadata map carrying the
     JSON schema and codec, 3-record data blocks, 16-byte sync markers;
-    codec alternating null/deflate by doc_id, ids crossing zero so the
-    zigzag path is exercised) is built in the map task and walked back by
+    codec rotating null/deflate/snappy by doc_id — snappy carrying the
+    spec's CRC-32-suffixed raw-snappy block (round 12) — ids crossing
+    zero so the zigzag path is exercised) is built in the map task and walked back by
     parse_avro: metadata-map block grammar, sync verification per block,
     raw-deflate decompression, zigzag-varint record decode. The oracle
     replays every framing quantity analytically — including
@@ -1721,7 +1723,7 @@ def q339_avro_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_avro(
                         [("id", "long"), ("tag", "string")],
                         recs,
-                        codec="deflate" if did % 2 else "null",
+                        codec=("null", "deflate", "snappy")[did % 3],
                         block_records=3,
                     )
                 )
@@ -1928,3 +1930,362 @@ def q341_parquet_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nk").alias("nationkey_sum"),
         F.round(F.sum("ab"), 4).alias("acctbal_sum"),
     )
+
+
+@register(
+    "q342_parquet_nested_read",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(len(embedding)) AS BIGINT) AS n_elems,
+           CAST(sum(CAST(vec_id AS BIGINT)) AS BIGINT) AS vec_id_sum,
+           round(sum(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')), 4)
+             AS elem_sum,
+           round(min(list_aggregate(CAST(embedding AS DOUBLE[]), 'min')), 6)
+             AS elem_min,
+           round(max(list_aggregate(CAST(embedding AS DOUBLE[]), 'max')), 6)
+             AS elem_max
+    FROM embeddings
+    """,
+)
+def q342_parquet_nested_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED stdlib parquet read of a REAL catalog file — the round-12
+    rung the r11 verdict named next (repetition levels + LIST
+    reassembly): operators/parquet_meta.read_column decodes the
+    embeddings table's actual 3-level LIST column (optional LIST group ->
+    repeated ``list`` -> optional FLOAT element; max_def 3, max_rep 1)
+    via Dremel record shredding in reverse — repetition levels delimit
+    records, definition levels distinguish null row / empty list / null
+    element / value — and the reassembled per-row lists aggregate against
+    the ORACLE READING THE SAME TABLE through DuckDB's C++ scan. A value
+    match means my level decoder agrees with an independent production
+    reader on production bytes for the one schema shape q341's flat path
+    refused (pytest additionally round-trips null-list / empty-list /
+    null-element files written by an independent writer).
+
+    Scale posture: identical to q341 — files decode independently in one
+    Arrow map pass, only per-file partial aggregates move; a
+    VERIFICATION rung (the engine's actual scans stay on Spark's
+    vectorized reader)."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as pd
+
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    paths = (
+        sorted(_glob.glob(_os.path.join(p, "*.parquet")))
+        if _os.path.isdir(p)
+        else [p]
+    )
+    files = spark.createDataFrame([(x,) for x in paths], "path string").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def decode(batches):
+        from hive_backend_spark.operators.parquet_meta import parquet_footer, read_column
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                blob = open(path, "rb").read()
+                nrg = len(parquet_footer(blob)["row_groups"])
+                vids, lists = [], []
+                for gi in range(nrg):
+                    vids.extend(read_column(blob, gi, "vec_id"))
+                    lists.extend(read_column(blob, gi, "embedding.list.element"))
+                elems = [float(x) for lst in lists for x in lst]
+                rows.append(
+                    {
+                        "n": len(lists),
+                        "ne": sum(len(lst) for lst in lists),
+                        "vs": sum(vids),
+                        "es": sum(elems),
+                        "emin": min(elems),
+                        "emax": max(elems),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["n", "ne", "vs", "es", "emin", "emax"]
+            )
+
+    partials = files.mapInPandas(
+        decode, "n bigint, ne bigint, vs bigint, es double, emin double, emax double"
+    )
+    return partials.agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("ne").alias("n_elems"),
+        F.sum("vs").alias("vec_id_sum"),
+        F.round(F.sum("es"), 4).alias("elem_sum"),
+        F.round(F.min("emin"), 6).alias("elem_min"),
+        F.round(F.max("emax"), 6).alias("elem_max"),
+    )
+
+
+@register(
+    "q345_delta_checkpoint_compose",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             13 + doc_id % 4 AS V, doc_id % 3 = 0 AS res
+      FROM documents
+    ),
+    files AS (
+      SELECT doc_id, L, V, res, g.range AS fidx,
+             (g.range % 2 = 0 AND g.range <= V - 3) AS removed
+      FROM base JOIN range(0, 17) g ON g.range < V
+    ),
+    f2 AS (
+      SELECT doc_id, V, res, fidx, removed,
+             CASE WHEN fidx = 0 AND res THEN TRUE ELSE NOT removed END AS live,
+             CASE WHEN fidx = 0 AND res THEN 7
+                  ELSE 10 + (doc_id + fidx) % 20 END AS rows_,
+             CASE WHEN fidx = 0 AND res THEN 77
+                  ELSE 100 + (L + 13 * fidx) % 200 END AS size_
+      FROM files
+    )
+    SELECT doc_id,
+           CAST(V - 1 AS INT) AS version,
+           CAST(10 AS INT) AS cp_version,
+           CAST(V - 11 AS INT) AS n_tail_commits,
+           CAST(sum(CASE WHEN live THEN 1 ELSE 0 END) AS INT) AS n_live_files,
+           CAST(sum(CASE WHEN live THEN size_ ELSE 0 END) AS BIGINT)
+             AS live_bytes,
+           CAST(sum(CASE WHEN live THEN rows_ ELSE 0 END) AS BIGINT)
+             AS live_rows,
+           CAST(sum(CASE WHEN removed AND NOT (fidx = 0 AND res)
+                         THEN 1 ELSE 0 END) AS INT) AS n_tombstones
+    FROM f2
+    GROUP BY doc_id, V, res
+    ORDER BY doc_id
+    """,
+)
+def q345_delta_checkpoint_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHECKPOINT + tail replay — the round-12 close of the
+    lakehouse ladder, proving its two rungs COMPOSE: per document a
+    13-16-version scripted history (q340's upsert/compaction lifecycle,
+    extended past the protocol's checkpoint cadence of 10) is compacted
+    at version 10 into a checkpoint PARQUET file with the real struct-
+    column shape (operators/deltalog.encode_delta_checkpoint, written by
+    pyarrow — an independent writer), and the snapshot is reconstructed
+    by replay_delta_checkpoint: my stdlib parquet reader
+    (operators/parquet_meta.read_column) decodes the checkpoint's
+    definition-level struct members, then only the JSON commit tail
+    (versions 11+) is walked — exactly how a production reader avoids
+    replaying a million-commit history. The oracle replays the FULL
+    history analytically, so a value match proves checkpoint-compaction
+    + tail-replay is state-identical to walking every commit; pytest
+    additionally pins time travel through the checkpoint and the
+    tail-gap refusal.
+
+    Scale posture: one Arrow map pass, nothing shuffles but census rows;
+    at 100 TB the checkpoint IS the scalability mechanism this query
+    verifies (O(live files) read replaces O(history))."""
+    import json as _json
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    CP = 10
+
+    def gen(batches):
+        from hive_backend_spark.operators.deltalog import (
+            encode_delta_checkpoint,
+            encode_delta_log,
+            replay_delta_log,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, length in zip(pdf["doc_id"], pdf["L"]):
+                did, length = int(did), int(length)
+                n_versions = 13 + did % 4
+                hist = []
+                for v in range(n_versions):
+                    acts = []
+                    if v == 0:
+                        acts.append({"op": "metaData", "schema": "{}"})
+                    acts.append(
+                        {
+                            "op": "add",
+                            "path": str(v),
+                            "size": 100 + (length + 13 * v) % 200,
+                            "rows": 10 + (did + v) % 20,
+                        }
+                    )
+                    if v >= 2 and v % 2 == 0:
+                        acts.append({"op": "remove", "path": str(v - 2)})
+                    if v == n_versions - 1 and did % 3 == 0:
+                        acts.append(
+                            {"op": "add", "path": "0", "size": 77, "rows": 7}
+                        )
+                    hist.append(acts)
+                log = encode_delta_log(hist)
+                cp_blob = encode_delta_checkpoint(
+                    replay_delta_log(log, at_version=CP)
+                )
+                tail = {str(v): t for v, t in log.items() if v > CP}
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "checkpoint": cp_blob,
+                        "tail_json": _json.dumps(tail),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "checkpoint", "tail_json"])
+
+    blobbed = base.mapInPandas(
+        gen, "doc_id bigint, checkpoint binary, tail_json string"
+    )
+
+    def census(batches):
+        from hive_backend_spark.operators.deltalog import replay_delta_checkpoint
+
+        for pdf in batches:
+            rows = []
+            for did, cp, tj in zip(pdf["doc_id"], pdf["checkpoint"], pdf["tail_json"]):
+                tail = {int(k): v for k, v in _json.loads(tj).items()}
+                snap = replay_delta_checkpoint(bytes(cp), CP, tail)
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "version": snap["version"],
+                        "cp_version": CP,
+                        "n_tail_commits": len(tail),
+                        "n_live_files": snap["n_live_files"],
+                        "live_bytes": snap["live_bytes"],
+                        "live_rows": snap["live_rows"],
+                        "n_tombstones": snap["n_tombstones"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "version", "cp_version", "n_tail_commits",
+                    "n_live_files", "live_bytes", "live_rows", "n_tombstones",
+                ],
+            )
+
+    return blobbed.mapInPandas(
+        census,
+        "doc_id bigint, version int, cp_version int, n_tail_commits int, "
+        "n_live_files int, live_bytes bigint, live_rows bigint, n_tombstones int",
+    ).orderBy("doc_id")
+
+
+@register(
+    "q343_parquet_v2_delta_decode",
+    oracle="""
+    WITH base AS (SELECT doc_id, 40 + doc_id % 25 AS n FROM documents),
+    recs AS (
+      SELECT doc_id, n,
+             (doc_id * 31 + j.range * j.range) % 1000 - 500 AS idv,
+             1 + CASE WHEN doc_id % 13 < 10 THEN 1 ELSE 2 END
+               + 1 + j.range % 9 AS slen
+      FROM base JOIN range(0, 65) j ON j.range < n
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_values,
+           'DELTA_BINARY_PACKED' AS enc_id,
+           'DELTA_BYTE_ARRAY' AS enc_s,
+           CAST(sum(idv) AS BIGINT) AS int_sum,
+           CAST(min(idv) AS BIGINT) AS int_min,
+           CAST(max(idv) AS BIGINT) AS int_max,
+           CAST(sum(slen) AS BIGINT) AS str_bytes
+    FROM recs
+    GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+)
+def q343_parquet_v2_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataPageV2 + DELTA_BINARY_PACKED / DELTA_BYTE_ARRAY decode — the
+    two encodings modern parquet writers actually emit beyond
+    PLAIN/dictionary (r11 verdict task #5): per document a REAL v2 file
+    is written by PYARROW (an independent writer: uncompressed level
+    sections at header-declared lengths, snappy data sections,
+    front-coded strings, zigzag block/miniblock delta ints) and decoded
+    back by operators/parquet_meta.read_column, pure stdlib. The footer's
+    per-chunk encoding list is emitted and value-checked against the
+    expected constants, so a silent fallback to v1/PLAIN cannot pass; the
+    analytic oracle replays every aggregate of the decoded values. pytest
+    additionally pins nulls, lists and multi-row-group framing under v2
+    against pyarrow, plus the truncation contract.
+
+    Scale posture: one Arrow map pass, blobs never shuffle — a
+    VERIFICATION rung in the q341 discipline."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hive_backend_spark.operators.parquet_meta import (
+            parquet_footer,
+            read_table,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 40 + did % 25
+                ids = [(did * 31 + j * j) % 1000 - 500 for j in range(n)]
+                strs = [f"d{did % 13}_" + "x" * (j % 9) for j in range(n)]
+                t = pa.table(
+                    {"id": pa.array(ids, pa.int64()), "s": pa.array(strs, pa.string())}
+                )
+                buf = _io.BytesIO()
+                pq.write_table(
+                    t,
+                    buf,
+                    data_page_version="2.0",
+                    use_dictionary=False,
+                    column_encoding={
+                        "id": "DELTA_BINARY_PACKED",
+                        "s": "DELTA_BYTE_ARRAY",
+                    },
+                    compression="snappy",
+                )
+                blob = buf.getvalue()
+                meta = parquet_footer(blob)
+                enc = {
+                    c["path"]: [
+                        e for e in c["encodings"] if e.startswith("DELTA")
+                    ][0]
+                    for c in meta["row_groups"][0]["columns"]
+                }
+                got = read_table(blob)
+                sbytes = sum(len(x) for x in got["s"])
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_values": len(got["id"]),
+                        "enc_id": enc["id"],
+                        "enc_s": enc["s"],
+                        "int_sum": sum(got["id"]),
+                        "int_min": min(got["id"]),
+                        "int_max": max(got["id"]),
+                        "str_bytes": sbytes,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_values", "enc_id", "enc_s",
+                    "int_sum", "int_min", "int_max", "str_bytes",
+                ],
+            )
+
+    return base.mapInPandas(
+        gen,
+        "doc_id bigint, n_values int, enc_id string, enc_s string, "
+        "int_sum bigint, int_min bigint, int_max bigint, str_bytes bigint",
+    ).orderBy("doc_id")
