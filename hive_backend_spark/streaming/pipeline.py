@@ -639,14 +639,26 @@ class VersionedStateTable:
         """The table as of a batch boundary: per partition, its latest
         state_version (< before_batch if given), unioned. Empty-schema
         DataFrame when no state exists yet."""
+        # basePath keeps Hive partition discovery alive for the leaf read,
+        # so the part column — stored in the DIR name by the round-12
+        # single-job writer, in the data files by older versions — lands in
+        # the declared schema either way. Discovery surfaces BOTH path
+        # components (part key + state_version); ones the declared schema
+        # doesn't carry are read as strings and dropped.
+        names = [f.name for f in self.schema.fields]
+        read_schema = StructType(list(self.schema.fields))
+        for pc in (self.part_key, "state_version"):
+            if pc not in names:
+                read_schema = read_schema.add(StructField(pc, StringType()))
         parts = []
         for tok, vers in self.versions().items():
             use = [v for v in vers if before_batch is None or v < before_batch]
             if use:
                 parts.append(
-                    self.spark.read.schema(self.schema).parquet(
-                        self._part_dir(tok, use[-1])
-                    )
+                    self.spark.read.schema(read_schema)
+                    .option("basePath", self.root)
+                    .parquet(self._part_dir(tok, use[-1]))
+                    .select(*names)
                 )
         if not parts:
             return self.spark.createDataFrame([], self.schema)
@@ -658,11 +670,37 @@ class VersionedStateTable:
     def overwrite_parts(self, df: DataFrame, part_col, touched, batch_id: int) -> None:
         """Write batch_id's version of each touched partition (and only
         those). `touched` is bounded by construction at every call site
-        (priority codomain, 16 hex term buckets)."""
+        (priority codomain, 16 hex term buckets).
+
+        Round 12: ONE dynamic-partition write job replaces the former
+        loop of one write job per touched partition — the loop was the
+        dominant fixed cost of every stateful trigger (up to 17 jobs,
+        each re-evaluating the merged frame). partitionBy lays out
+        exactly the `{part}=tok/state_version=N` directories the per-part
+        writer produced; repartition by the part column gives one output
+        file per bucket (the r11 writer's many-files-per-dir inflated
+        later triggers' list+open cost)."""
+        (
+            df.filter(part_col.isin(*sorted(touched)))
+            .withColumn(self.part_key, part_col)
+            .withColumn("state_version", F.lit(batch_id))
+            .repartition(F.col(self.part_key))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.part_key, "state_version")
+            .parquet(self.root)
+        )
+        # dynamic partitionBy writes nothing for a touched partition whose
+        # new state is EMPTY — but that empty state must still supersede
+        # the previous version (a drained bucket that kept its old rows
+        # would re-serve them; caught by the restart-idempotence test).
+        # An empty version dir reads back as an empty frame under the
+        # declared schema, exactly like the per-part writer's empty write.
+        fs, Path = _state_fs(self.spark, self.root)
         for part in sorted(touched):
-            df.filter(part_col == part).write.mode("overwrite").parquet(
-                self._part_dir(part, batch_id)
-            )
+            d = Path(self._part_dir(part, batch_id))
+            if not fs.exists(d):
+                fs.mkdirs(d)
 
     def prune(self, batch_id: int) -> None:
         """Per partition: a replay of batch N needs only the newest
@@ -1034,6 +1072,17 @@ def run_near_dup_admission(
     from ..operators import dedup as D
 
     def sink(docs: DataFrame, batch_id: int) -> None:
+        # Round-12 action-count collapse (r11 verdict task #4): the r11
+        # sink referenced the lazily-built band frame from FOUR separate
+        # actions, re-running the signature mapInPandas pass each time
+        # (~25-30 s per 500-doc trigger, all fixed cost). Now the batch's
+        # band rows — O(docs x 17), linear by construction — are collected
+        # ONCE; every batch-local structure (touched buckets, per-doc band
+        # keys, fingerprints, the new index rows) derives from that local
+        # list, and the persisted index is probed by ONE combined job
+        # (exact-fp semi-join union band semi-join). Per trigger: 1 band
+        # collect + 1 probe + 2 writes, down from ~8 jobs / 4 signature
+        # passes. Measured: BENCH_stream_r12.json.
         sess = docs.sparkSession
         state = VersionedStateTable(
             sess, index_dir, NEARDUP_STATE_SCHEMA, "sbucket"
@@ -1044,49 +1093,59 @@ def run_near_dup_admission(
             .join(base.select("doc_id", "fp"), "doc_id")
             .withColumn("sbucket", _sbucket_col())
         )
-        touched = {
-            r["sbucket"] for r in bands.select("sbucket").distinct().collect()
-        }  # <= 17 hex-prefix buckets — bounded by construction
+        # ONE action materializes the signature pass; everything
+        # batch-local below is pure driver-side bookkeeping over it.
+        # Driver state stays linear in the batch: each doc contributes its
+        # fp plus a fixed band count — NOT the C(K,2) self-join edges a
+        # template-flood micro-batch would explode (the r10 fix, kept).
+        band_rows = bands.select(
+            "doc_id", "fp", "band_idx", "band_sig", "sbucket"
+        ).collect()
+        touched = {r["sbucket"] for r in band_rows}
         if not touched:
             state.prune(batch_id)
             return
+        fps: dict = {}
+        doc_bands: dict = {}
+        for r in band_rows:
+            fps[r["doc_id"]] = r["fp"]
+            if r["band_sig"] is not None:
+                doc_bands.setdefault(r["doc_id"], []).append(
+                    (r["band_idx"], r["band_sig"])
+                )
         prior = state.read_latest(before_batch=batch_id).filter(
             F.col("sbucket").isin(*touched)
         )
-        # index probes: exact fingerprint membership and band collisions
-        exact_idx = {
-            r["doc_id"]
-            for r in base.join(
-                prior.select("fp").distinct(), "fp", "left_semi"
-            ).select("doc_id").collect()
-        }
-        nn = bands.filter(F.col("band_sig").isNotNull())
-        near_idx = {
-            r["doc_id"]
-            for r in nn.join(
-                prior.filter(F.col("band_sig").isNotNull()),
-                ["band_idx", "band_sig"],
-                "left_semi",
-            ).select("doc_id").distinct().collect()
-        }
-        # Within-batch blocking WITHOUT the band self-join: a template-flood
-        # micro-batch (K near-identical docs) would turn the e_near/e_exact
-        # pair joins into C(K,2) collected edges — quadratic driver state
-        # and an O(N*E) decision walk. Instead collect each doc's OWN keys
-        # (fp + its fixed-count band digests: O(K x bands), linear in the
-        # batch) and replay the one-at-a-time rule with admitted-key sets:
-        # "an earlier ADMITTED doc shares my fp/band" is exactly "my
-        # fp/band key is already in the admitted set" — same semantics the
-        # sequential-parity test replays, flood-proof driver footprint.
-        doc_bands: dict = {}
-        for r in nn.select("doc_id", "band_idx", "band_sig").collect():
-            doc_bands.setdefault(r["doc_id"], []).append(
-                (r["band_idx"], r["band_sig"])
+        # ONE combined probe of the persisted index: exact fingerprint
+        # membership and band collisions, unioned into a single job (the
+        # index side scans twice inside it but the query launches once).
+        batch_keys = sess.createDataFrame(
+            [(d, f) for d, f in fps.items()], "doc_id bigint, fp string"
+        )
+        batch_bands = sess.createDataFrame(
+            [(d, bi, bs) for d, keys in doc_bands.items() for bi, bs in keys],
+            "doc_id bigint, band_idx int, band_sig string",
+        )
+        hits = (
+            batch_keys.join(prior.select("fp").distinct(), "fp", "left_semi")
+            .select("doc_id", F.lit("exact").alias("kind"))
+            .unionByName(
+                batch_bands.join(
+                    prior.filter(F.col("band_sig").isNotNull()),
+                    ["band_idx", "band_sig"],
+                    "left_semi",
+                )
+                .select("doc_id", F.lit("near").alias("kind"))
+                .distinct()
             )
-        fps = {
-            r["doc_id"]: r["fp"] for r in base.select("doc_id", "fp").collect()
-        }
-        # the sequential walk: doc_id order IS arrival order within a batch
+            .collect()
+        )
+        exact_idx = {r["doc_id"] for r in hits if r["kind"] == "exact"}
+        near_idx = {r["doc_id"] for r in hits if r["kind"] == "near"}
+        # the sequential walk: doc_id order IS arrival order within a
+        # batch; "an earlier ADMITTED doc shares my fp/band" is exactly
+        # "my fp/band key is already in the admitted set" — the same
+        # semantics the sequential-parity test replays
         admitted_fps: set = set()
         admitted_buckets: set = set()
         rows = []
@@ -1111,9 +1170,14 @@ def run_near_dup_admission(
             .partitionBy("batch_id")
             .parquet(decisions_dir)
         )
-        adm_ids = decisions.filter(F.col("admitted")).select("doc_id")
-        new_rows = bands.join(adm_ids, "doc_id", "left_semi").select(
-            "fp", "band_idx", "band_sig", "sbucket"
+        admitted_ids = {did for did, _, adm, _ in rows if adm}
+        new_rows = sess.createDataFrame(
+            [
+                (r["fp"], r["band_idx"], r["band_sig"], r["sbucket"])
+                for r in band_rows
+                if r["doc_id"] in admitted_ids
+            ],
+            NEARDUP_STATE_SCHEMA,
         )
         merged = prior.unionByName(new_rows)
         state.overwrite_parts(merged, F.col("sbucket"), touched, batch_id)
