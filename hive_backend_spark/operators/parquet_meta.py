@@ -596,6 +596,24 @@ def _decode_page_values(body: bytes, encoding: int, ptype: int, n_set: int,
                 f"page carries {n_set}"
             )
         return vals
+    if encoding == 9:  # BYTE_STREAM_SPLIT
+        widths = {1: 4, 2: 8, 4: 4, 5: 8}
+        if ptype not in widths:
+            raise NotImplementedError(
+                "BYTE_STREAM_SPLIT only applies to INT32/INT64/FLOAT/DOUBLE here"
+            )
+        w = widths[ptype]
+        if len(body) != w * n_set:
+            raise ValueError(
+                f"malformed byte-stream-split page: {len(body)} bytes for "
+                f"{n_set} x {w}-byte values"
+            )
+        # stream b holds byte b of every value; re-interleave then decode
+        # as PLAIN (one pass, bytes(...) join per value)
+        interleaved = bytes(
+            body[b * n_set + i] for i in range(n_set) for b in range(w)
+        )
+        return _decode_plain_values(interleaved, ptype, n_set)
     raise NotImplementedError(
         f"data page encoding {ENCODINGS.get(encoding, encoding)} unsupported"
     )
@@ -628,9 +646,13 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
     records (def below the LIST group's level), EMPTY lists (def exactly
     at the group's level) and NULL elements (def between the repeated
     level and the leaf's max) all distinguished exactly as the level
-    algebra dictates. Entirely driven by the walked footer's offsets —
-    no parquet library. v2 data pages and repetition depth > 1 (list of
-    list, map values) refuse loudly."""
+    algebra dictates. Round 12 also adds DataPageV2 (uncompressed level
+    sections at header-declared lengths) and the DELTA_BINARY_PACKED /
+    DELTA_BYTE_ARRAY / DELTA_LENGTH_BYTE_ARRAY / BYTE_STREAM_SPLIT value
+    encodings — everything pyarrow emits for flat and single-list
+    schemas, pinned value-exact against it in pytest. Entirely driven by
+    the walked footer's offsets — no parquet library. Repetition depth
+    > 1 (list of list, map values) refuses loudly."""
     meta = parquet_footer(blob)
     rg = meta["row_groups"][rg_idx]
     col = next((c for c in rg["columns"] if c["path"] == path), None)

@@ -41,6 +41,15 @@ from hive_backend_spark.session import get_spark
 SF01 = os.environ.get("SCALE_SF01", "/root/testdata/sf0.1")
 SF1 = os.environ.get("SCALE_SF1", "/root/repo/.scaledata/sf1")
 SF32 = os.environ.get("SCALE_SF32", "/root/repo/.scaledata/sf3.2")
+# row ratio of the big point vs SF1 — override when pointing SCALE_SF32 at
+# a longer lever (e.g. 6.4 for .scaledata/sf6.4, round-12 verdict task #6)
+SF32_RATIO = float(os.environ.get("SCALE_SF32_RATIO", "3.2"))
+# optional FOURTH point (round 12): a longer lever measured in the SAME
+# session as the other three — cross-run exponent legs proved untrustworthy
+# (box-load drift between runs moved q222's 1->6.4 leg from 0.97 to 1.15
+# while the big-point-to-big-point leg read 0.67)
+SF64 = os.environ.get("SCALE_SF64", "")
+SF64_RATIO = float(os.environ.get("SCALE_SF64_RATIO", "6.4"))
 
 # The r10 plan-pin set (20 most expensive + the cold signature pass)
 # extended to the r11 top-25: the new codec/ingestion rungs and the two
@@ -139,11 +148,24 @@ def main() -> None:
                 rec["t_sf32"] = round(t32, 4)
                 # the asymptotic leg: sf1 -> sf3.2 is a 3.2x ratio
                 rec["exponent_1_32"] = round(
-                    math.log(t32 / t1) / math.log(3.2), 3
+                    math.log(t32 / t1) / math.log(SF32_RATIO), 3
                 )
                 rec["exponent_fit"] = round(
-                    _slope([(1, t01), (10, t1), (32, t32)]), 3
+                    _slope([(1, t01), (10, t1), (10 * SF32_RATIO, t32)]), 3
                 )
+                if SF64 and os.path.isdir(SF64):
+                    t64 = run(name, SF64, 2)
+                    rec["t_sf64"] = round(t64, 4)
+                    rec["exponent_32_64"] = round(
+                        math.log(t64 / t32) / math.log(SF64_RATIO / SF32_RATIO), 3
+                    )
+                    rec["exponent_1_64"] = round(
+                        math.log(t64 / t1) / math.log(SF64_RATIO), 3
+                    )
+                    rec["exponent_fit"] = round(
+                        _slope([(1, t01), (10, t1), (10 * SF32_RATIO, t32),
+                                (10 * SF64_RATIO, t64)]), 3
+                    )
         except Exception as e:  # noqa: BLE001 — record, keep measuring
             rec = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
         out[name] = rec
@@ -158,7 +180,16 @@ def main() -> None:
             {
                 "metric": "scale_proof3" if three_point else "scale_proof",
                 "points": (
-                    {"sf0.1": SF01, "sf1": SF1, "sf3.2": SF32}
+                    {
+                        "sf0.1": SF01,
+                        "sf1": SF1,
+                        f"sf{10 * SF32_RATIO / 10:g}": SF32,
+                        **(
+                            {f"sf{10 * SF64_RATIO / 10:g}": SF64}
+                            if SF64 and os.path.isdir(SF64)
+                            else {}
+                        ),
+                    }
                     if three_point
                     else {"sf0.1": SF01, "sf1": SF1}
                 ),

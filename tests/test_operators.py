@@ -2009,6 +2009,34 @@ def test_parquet_v2_delta_decode_vs_pyarrow(tmp_path):
     with _pytest.raises(ValueError):
         read_table(blob[: len(blob) // 2])
 
+    # BYTE_STREAM_SPLIT (encoding 9): floats/doubles/ints under both page
+    # versions, nulls included — re-interleaved streams must be bit-exact
+    import struct as _struct
+
+    fl = [float(i) * 0.5 - 7 if i % 9 else None for i in range(2000)]
+    db = [i * 1.25e6 if i % 4 else None for i in range(2000)]
+    ii2 = [(i * 37) % 100000 - 50000 for i in range(2000)]
+    t3 = pa.table(
+        {
+            "f": pa.array(fl, pa.float32()),
+            "d": pa.array(db, pa.float64()),
+            "i": pa.array(ii2, pa.int64()),
+        }
+    )
+    want_f = [
+        _struct.unpack("<f", _struct.pack("<f", x))[0] if x is not None else None
+        for x in fl
+    ]
+    for ver in ("1.0", "2.0"):
+        b3 = io.BytesIO()
+        pq.write_table(
+            t3, b3, data_page_version=ver, use_dictionary=False,
+            column_encoding={c: "BYTE_STREAM_SPLIT" for c in ("f", "d", "i")},
+            compression="snappy", row_group_size=700,
+        )
+        g3 = read_table(b3.getvalue())
+        assert g3["f"] == want_f and g3["d"] == db and g3["i"] == ii2, ver
+
 
 def test_parquet_full_read_matches_duckdb_on_fixture_tables():
     """operators/parquet_meta round-11: the FULL stdlib read path (snappy
