@@ -9,13 +9,30 @@ by an exact join that now touches only the prefiltered survivors. The
 candidate-then-verify discipline (q163's sketch shape): the sketch routes,
 the exact pass decides, so results are bit-identical to the plain join.
 
-Build is one Arrow pass: keys are hashed JVM-side (xxhash64 with k seeds —
-vectorized, engine-deterministic), partitions OR their local bitmaps, and
-the per-partition bitmaps (m/64-long arrays, partition-bounded rows) fold
-elementwise to the final bitmap — the kmeans/second_moments reduce shape.
-The bitmap is bounded model state (m bits by construction, ceiling-checked
-against MAX_M_BITS), so holding it driver-side is the centroid/codebook
-pattern, not a corpus-sized collect; the probe pass receives it as a
+Layout (round 12): SPLIT-BLOCK bloom — the cache-local variant parquet's
+own bloom filters use (parquet-format BloomFilter.md; Putze et al.,
+"Cache-, Hash- and Space-Efficient Bloom Filters"). One xxhash64 picks a
+256-bit block; the key's 8 bits all live inside that block, one per
+32-bit lane, at positions derived from a second 32-bit hash times the
+spec's 8 odd SALT constants (>> 27 keeps the top 5 bits — a lane-local
+position). Every build/probe therefore touches exactly ONE cache line
+regardless of filter size. The classic scattered-k-bit layout went
+super-linear in WALL TIME the moment the bitmap outgrew the CPU cache
+(measured on the 6.4x same-session lever: q190's sf3.2->sf6.4 leg read
+a=1.38 while every stage's row counts scaled linearly — the bitmap
+crossed ~1 MB between those points and each of the k probes became a
+cache miss). Blocked probes cost one potential miss per KEY, not per
+bit, at any scale — the same reason parquet chose this layout. The price
+is ~25% more bits per key at equal FPR (sized in optimal_params, audited
+by q190's 3x-margin oracle and the pytest FPR property).
+
+Build is one Arrow pass: block index + lane hash computed JVM-side
+(xxhash64 — vectorized, engine-deterministic), partitions OR their local
+bitmaps, and the per-partition bitmaps fold elementwise to the final
+bitmap — the kmeans/second_moments reduce shape. The bitmap is bounded
+model state (m bits by construction, ceiling-checked against
+MAX_M_BITS), so holding it driver-side is the centroid/codebook pattern,
+not a corpus-sized collect; the probe pass receives it as a
 torrent-broadcast variable — fetched once per executor, never serialized
 into task closures.
 """
@@ -41,36 +58,64 @@ from pyspark.sql import functions as F
 MAX_M_BITS = 1 << 33
 
 
+# The 8 odd salt constants from the parquet-format bloom spec: lane i's
+# bit position is the top 5 bits of (h32 * SALT[i]) mod 2^32.
+_SBBF_SALT = np.array(
+    [0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+     0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31],
+    dtype=np.uint32,
+)
+_LANES = 8
+_BLOCK_BITS = 256
+
+
 def optimal_params(n_keys: int, fpr: float) -> tuple[int, int]:
-    """Textbook sizing: m = -n ln(p) / ln(2)^2 bits, k = (m/n) ln 2 hashes
-    (rounded, clamped to >= 1; m rounded up to a multiple of 64). Raises
-    once the bitmap would exceed the documented driver/executor ceiling
-    (MAX_M_BITS) — the caller should shard the key space instead."""
+    """Split-block sizing (parquet-format BloomFilter.md):
+    m = -8n / ln(1 - fpr^(1/8)) bits for the 8-lane block layout, plus
+    25% headroom for block-load Poisson variance (the spec formula holds
+    at the MEAN block load; convexity pushes realized FPR above it), m
+    rounded up to whole 256-bit blocks. Returns (m_bits, 8) — the lane
+    count is fixed by the layout. Raises once the bitmap would exceed
+    the documented driver/executor ceiling (MAX_M_BITS) — the caller
+    should shard the key space instead."""
     n_keys = max(n_keys, 1)
-    m = int(math.ceil(-n_keys * math.log(fpr) / (math.log(2) ** 2)))
-    m = ((m + 63) // 64) * 64
+    m = -_LANES * n_keys / math.log(1.0 - fpr ** (1.0 / _LANES))
+    m = int(math.ceil(m * 1.25))
+    m = ((m + _BLOCK_BITS - 1) // _BLOCK_BITS) * _BLOCK_BITS
     if m > MAX_M_BITS:
         raise ValueError(
             f"bloom filter of {m} bits exceeds MAX_M_BITS={MAX_M_BITS} "
             f"(~{MAX_M_BITS >> 33} GiB); shard the key space into "
             f"{math.ceil(m / MAX_M_BITS)} filters instead"
         )
-    k = max(1, round(m / n_keys * math.log(2)))
-    return m, k
+    return m, _LANES
 
 
-def _hash_positions(col: Column, m_bits: int, k: int) -> Column:
-    """k bit positions per value: xxhash64(value, seed=i) mod m — computed
-    JVM-side (vectorized, no Python in the hash path) and identical for
-    build and probe by construction. pmod keeps positions nonnegative."""
+def _hash_cols(col: Column, n_blocks: int) -> Column:
+    """[block index, 32-bit lane hash] per value — computed JVM-side
+    (xxhash64, vectorized, no Python in the hash path) and identical for
+    build and probe by construction."""
     return F.array(
-        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+        F.pmod(F.xxhash64(col, F.lit(0)), F.lit(n_blocks)),
+        F.pmod(F.xxhash64(col, F.lit(1)), F.lit(1 << 32)),
     )
 
 
+def _lane_words_and_bits(pos: "np.ndarray") -> tuple:
+    """(n, 2) [block, h32] -> per-lane word indices (n, 8) into the
+    uint32 bitmap and bit positions (n, 8). Pure uint32 arithmetic —
+    wraparound multiply is the spec's behavior."""
+    blk = pos[:, 0].astype(np.int64)
+    h = pos[:, 1].astype(np.uint32)
+    bitpos = ((h[:, None] * _SBBF_SALT[None, :]) >> np.uint32(27)).astype(np.uint32)
+    words = blk[:, None] * _LANES + np.arange(_LANES, dtype=np.int64)[None, :]
+    return words, bitpos
+
+
 def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> np.ndarray:
-    """One pass over df[col]: returns the filter as a uint64 bitmap array
-    of length m_bits/64. Nulls are skipped (a null key joins nothing).
+    """One pass over df[col]: returns the filter as a uint32 bitmap array
+    of length m_bits/32 (8 lane words per 256-bit block). Nulls are
+    skipped (a null key joins nothing).
 
     The per-partition bitmaps fold by NUMPY OR over raw binary buffers in
     two stages (coalesced Arrow pass, then a <=8-row driver fold of m-bit
@@ -81,20 +126,24 @@ def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> np.ndarray:
     (q190 exponent 1.41 on the sf1->sf3.2 leg, ~15 s of interpreted ORs
     at m~10^8 bits). Vectorized buffers make the fold cost the data
     movement alone."""
-    words = m_bits // 64
+    n_blocks = max(1, m_bits // _BLOCK_BITS)
+    words = n_blocks * _LANES
     hashed = df.filter(F.col(col).isNotNull()).select(
-        _hash_positions(F.col(col), m_bits, k).alias("pos")
+        _hash_cols(F.col(col), n_blocks).alias("pos")
     )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bm = np.zeros(words, dtype=np.uint64)
+        bm = np.zeros(words, dtype=np.uint32)
         seen = False
         for pdf in batches:
             if not len(pdf):
                 continue
             seen = True
-            pos = np.concatenate(pdf["pos"].to_numpy()).astype(np.int64)
-            np.bitwise_or.at(bm, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+            pos = np.stack(pdf["pos"].to_numpy())  # (n, 2): block, h32
+            widx, bitpos = _lane_words_and_bits(pos)
+            np.bitwise_or.at(
+                bm, widx.ravel(), np.uint32(1) << bitpos.ravel()
+            )
         if seen:
             yield pd.DataFrame({"w": [bm.tobytes()]})
 
@@ -104,16 +153,16 @@ def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> np.ndarray:
         acc = None
         for pdf in batches:
             for w in pdf["w"]:
-                a = np.frombuffer(w, dtype=np.uint64)
+                a = np.frombuffer(w, dtype=np.uint32)
                 acc = a.copy() if acc is None else np.bitwise_or(acc, a, out=acc)
         if acc is not None:
             yield pd.DataFrame({"w": [acc.tobytes()]})
 
     rows = part.coalesce(8).mapInPandas(or_fold, "w binary").collect()
     # <=8 rows of m-bit model state — the pass's single (bounded) action
-    acc = np.zeros(words, dtype=np.uint64)
+    acc = np.zeros(words, dtype=np.uint32)
     for r in rows:
-        np.bitwise_or(acc, np.frombuffer(r["w"], dtype=np.uint64), out=acc)
+        np.bitwise_or(acc, np.frombuffer(r["w"], dtype=np.uint32), out=acc)
     return acc
 
 
@@ -169,6 +218,8 @@ def probe_bloom(
     weakref finalizer unpersists it when the caller drops the array."""
     bc = _bitmap_broadcast(df.sparkSession.sparkContext, bitmap)
 
+    n_blocks = max(1, m_bits // _BLOCK_BITS)
+
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         words = bc.value
         for pdf in batches:
@@ -179,14 +230,15 @@ def probe_bloom(
                     **{out_col: pd.Series([], dtype=bool)}
                 )
                 continue
-            pos = np.stack(pdf["__pos"].to_numpy()).astype(np.int64)  # (n, k)
-            bits = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+            pos = np.stack(pdf["__pos"].to_numpy())  # (n, 2): block, h32
+            widx, bitpos = _lane_words_and_bits(pos)
+            bits = (words[widx] >> bitpos) & np.uint32(1)
             out = pdf.drop(columns=["__pos"]).assign(
                 **{out_col: bits.all(axis=1)}
             )
             yield out
 
-    with_pos = df.withColumn("__pos", _hash_positions(F.col(col), m_bits, k))
+    with_pos = df.withColumn("__pos", _hash_cols(F.col(col), n_blocks))
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} boolean"

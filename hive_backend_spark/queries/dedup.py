@@ -2276,7 +2276,16 @@ def q222_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = post.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
     wd = Window.partitionBy("fp").orderBy("tdf", "token")
-    ranked = post.join(df_, "token").withColumn("rk", F.row_number().over(wd))
+    # shuffle_hash, NOT broadcast: the token-DF table grows with the
+    # corpus VOCABULARY (1.7M tokens at sf6.4, TBs at 100 TB) — its size
+    # estimate sits under the 64 MB broadcast threshold while its
+    # HashedRelation does not fit the driver (measured: 'Not enough
+    # memory to build and broadcast' killed the sf6.4 point; the 6.4x
+    # same-session lever exists to catch exactly this cliff). Hashed
+    # relocation by token is bounded per partition at any corpus size.
+    ranked = post.join(df_.hint("shuffle_hash"), "token").withColumn(
+        "rk", F.row_number().over(wd)
+    )
     prefix_len = F.col("s") - F.ceil(F.lit(_PFX_TAU) * F.col("s")) + 1
     probes = ranked.filter(F.col("rk") <= prefix_len).select("token", "fp")
     full = post.select("token", F.col("fp").alias("fp_o"))

@@ -977,7 +977,12 @@ TOP20_PLAN_SIGNATURES = [
     # hints (4 exchanges replace what small-SF Catalyst solved by
     # broadcast), killing the SMJ sort-with-array-payloads cliff measured
     # at sf1 (85 s -> 10 s, exponent 1.40 -> ~0.5; BENCH_sf1_r10.json)
-    ("q222_prefix_filter_join", 10, 8),
+    # re-recorded r12: 10 -> 11 — the token-DF join now carries a
+    # SHUFFLE_HASH hint (one exchange replaces a broadcast whose
+    # HashedRelation outgrew the driver at the sf6.4 scale point: the
+    # vocabulary table grows with the corpus, so broadcasting it is the
+    # plan that dies at 100 TB)
+    ("q222_prefix_filter_join", 11, 8),
     ("q309_degree_assortativity", 15, 18),
     ("q190_bloom_fpr_audit", 4, 6),
     ("q171_decontamination_ladder", 18, 14),
