@@ -23,8 +23,8 @@ Format facts used (parquet-format THRIFT spec + thrift compact protocol):
     size 15 -> explicit varint; bool is encoded IN the field header
     (ctype 1 true / 2 false) inside structs, one byte inside lists;
   - FileMetaData ids: 1 version, 2 schema, 3 num_rows, 4 row_groups,
-    6 created_by; SchemaElement: 1 type, 3 repetition, 4 name,
-    5 num_children; RowGroup: 1 columns, 2 total_byte_size, 3 num_rows;
+    6 created_by; SchemaElement: 1 type, 2 type_length (FLBA width),
+    3 repetition, 4 name, 5 num_children; RowGroup: 1 columns, 2 total_byte_size, 3 num_rows;
     ColumnChunk: 2 file_offset, 3 meta_data; ColumnMetaData: 1 type,
     2 encodings, 3 path_in_schema, 4 codec, 5 num_values,
     6 total_uncompressed_size, 7 total_compressed_size,
@@ -223,6 +223,7 @@ def parquet_footer(blob: bytes) -> dict:
             {
                 "name": (se.get(4) or b"").decode("utf-8", "replace"),
                 "type": PHYSICAL_TYPES.get(se.get(1)),
+                "type_length": se.get(2),  # FIXED_LEN_BYTE_ARRAY width
                 "repetition": REPETITIONS.get(se.get(3)),
                 "num_children": se.get(5, 0) or 0,
             }
@@ -443,10 +444,14 @@ def _read_rle_hybrid(r: _Reader, bit_width: int, count: int) -> list:
     return out[:count]
 
 
-def _decode_plain_values(data: bytes, ptype: int, n: int) -> list:
+def _decode_plain_values(data: bytes, ptype: int, n: int,
+                         flba_len: int | None = None) -> list:
     """PLAIN decode with the module's truncation contract: every read is
     bounds-checked first, so a short page raises ValueError naming the
-    problem instead of struct.error (or silently decoding fewer values)."""
+    problem instead of struct.error (or silently decoding fewer values).
+    FIXED_LEN_BYTE_ARRAY (decimals, UUIDs) decodes to raw bytes at the
+    schema-declared width — logical interpretation (e.g. big-endian
+    two's-complement decimal unscaled value) is the caller's."""
     fixed = {1: ("i", 4), 2: ("q", 8), 4: ("f", 4), 5: ("d", 8)}
     if ptype in fixed:
         code, width = fixed[ptype]
@@ -479,6 +484,18 @@ def _decode_plain_values(data: bytes, ptype: int, n: int) -> list:
                 f"bits, need {n}"
             )
         return [bool(data[k >> 3] >> (k & 7) & 1) for k in range(n)]
+    if ptype == 7:  # FIXED_LEN_BYTE_ARRAY
+        if not flba_len:
+            raise ValueError(
+                "malformed parquet footer: FIXED_LEN_BYTE_ARRAY leaf "
+                "without a type_length"
+            )
+        if len(data) < flba_len * n:
+            raise ValueError(
+                f"malformed parquet page: FIXED_LEN_BYTE_ARRAY data holds "
+                f"{len(data)} bytes, need {flba_len * n} for {n} values"
+            )
+        return [data[i * flba_len : (i + 1) * flba_len] for i in range(n)]
     raise NotImplementedError(
         f"plain decode unsupported for physical type {PHYSICAL_TYPES.get(ptype)}"
     )
@@ -556,11 +573,12 @@ def _decode_delta_byte_array(r: _Reader) -> list:
 
 
 def _decode_page_values(body: bytes, encoding: int, ptype: int, n_set: int,
-                        dictionary: list | None) -> list:
+                        dictionary: list | None,
+                        flba_len: int | None = None) -> list:
     """One data page's value stream by encoding id — shared between v1
     and v2 pages."""
     if encoding == 0:  # PLAIN
-        return _decode_plain_values(body, ptype, n_set)
+        return _decode_plain_values(body, ptype, n_set, flba_len)
     if encoding in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
         if dictionary is None:
             raise ValueError("dictionary-encoded page before dictionary")
@@ -669,6 +687,7 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
             f"not supported at path {path!r}"
         )
     ptype = _TYPE_IDS[col["type"]]
+    flba_len = leaf.get("type_length")
     codec = col["codec"]
     if codec not in ("UNCOMPRESSED", "SNAPPY", "GZIP"):
         raise NotImplementedError(f"codec {codec} not supported")
@@ -696,7 +715,7 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
         if ptype_page == 2:  # DICTIONARY_PAGE
             dph = header.get(7) or {}
             dictionary = _decode_plain_values(
-                _inflate(comp, header.get(2, 0)), ptype, dph.get(1, 0)
+                _inflate(comp, header.get(2, 0)), ptype, dph.get(1, 0), flba_len
             )
             continue
         if ptype_page == 0:  # DATA_PAGE v1: whole page compressed,
@@ -741,7 +760,9 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
         else:
             raise NotImplementedError(f"page type {ptype_page} not supported")
         n_set = sum(1 for d in p_defs if d == max_def)
-        p_vals = _decode_page_values(body, encoding, ptype, n_set, dictionary)
+        p_vals = _decode_page_values(
+            body, encoding, ptype, n_set, dictionary, flba_len
+        )
         reps.extend(p_reps)
         defs.extend(p_defs)
         vals.extend(p_vals)

@@ -2038,6 +2038,48 @@ def test_parquet_v2_delta_decode_vs_pyarrow(tmp_path):
         assert g3["f"] == want_f and g3["d"] == db and g3["i"] == ii2, ver
 
 
+def test_parquet_fixed_len_byte_array_decode():
+    """round-12: FIXED_LEN_BYTE_ARRAY (decimals, UUIDs — the one physical
+    type the reader still refused) decodes to raw bytes at the
+    schema-declared type_length under PLAIN and dictionary encodings;
+    decimal128 unscaled big-endian two's complement reinterprets exactly
+    against the values pyarrow wrote. Truncated pages keep the ValueError
+    contract."""
+    import decimal
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.parquet_meta import (
+        _decode_plain_values,
+        read_table,
+    )
+
+    decs = [
+        decimal.Decimal(f"{i * 7 - 300}.{i % 100:02d}") if i % 5 else None
+        for i in range(500)
+    ]
+    uu = [bytes([i % 256]) * 16 if i % 3 else None for i in range(500)]
+    t = pa.table(
+        {"d": pa.array(decs, pa.decimal128(12, 2)), "u": pa.array(uu, pa.binary(16))}
+    )
+    for use_dict in (False, True):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, use_dictionary=use_dict, compression="snappy")
+        g = read_table(buf.getvalue())
+        got_d = [
+            decimal.Decimal(int.from_bytes(x, "big", signed=True)).scaleb(-2)
+            if x is not None
+            else None
+            for x in g["d"]
+        ]
+        assert got_d == decs and g["u"] == uu, f"use_dictionary={use_dict}"
+    with _pytest.raises(ValueError, match="FIXED_LEN_BYTE_ARRAY"):
+        _decode_plain_values(b"\x00" * 31, 7, 2, flba_len=16)
+
+
 def test_parquet_full_read_matches_duckdb_on_fixture_tables():
     """operators/parquet_meta round-11: the FULL stdlib read path (snappy
     decompression, dictionary pages, RLE/bit-packed hybrid indices and
