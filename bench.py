@@ -353,13 +353,33 @@ SHARES_BAND_CACHE = [
 # statistic beside the median. All five sources are md5-frozen by
 # tests/test_plans.py::test_calibration_canaries_frozen; reference times
 # re-based to the r11 idle-box record (previous base: BENCH_full_r09).
+# Round-13 restructure (r12 verdict task #5 + nit #2): the three
+# sub-second canaries (q01/q44/q64) persistently disagree 2-3x with the
+# multi-second ones — their reference times are dominated by fixed
+# overheads (job scheduling, first-attempt JIT) that don't scale with
+# box speed, so they are kept as SMOKE canaries (reported, trend-checked)
+# but EXCLUDED from the factor computation. The factor now comes from
+# the multi-second set (q79 cold, q171, q331 — decode-bound, the most
+# machine-proportional row in the suite), whose r13 spread is ~1.35x.
+# q292 joins the smoke set after its r12 drift forensics: its first
+# execution pays ~1.8 s of one-time codegen/JIT (measured 2.76 s attempt
+# 1 vs 0.9-1.0 s steady state over 10 consecutive runs), so cross-round
+# comparisons of its single number were measuring WHERE in the run the
+# JIT cost happened to fall, not the query.
 CALIBRATION_REF = {
     "q01_priority_dequeue": 0.858,
     "q44_order_priority_check": 0.8505,
     "q64_exact_dup_groups": 0.2624,
     "q79_dup_clusters": 4.31,
     "q171_decontamination_ladder": 3.9908,
+    "q292_mahalanobis_outliers": 0.8675,
+    "q331_progressive_jpeg_stats": 4.6205,
 }
+FACTOR_CANARIES = (
+    "q79_dup_clusters",
+    "q171_decontamination_ladder",
+    "q331_progressive_jpeg_stats",
+)
 CALIBRATION_REF_SOURCE = "BENCH_full_r11.json (idle box, load_1m 0.16, sf0.1)"
 
 
@@ -430,15 +450,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         reset = COLD_RESET.get(name)
-        best = float("inf")
+        samples: list[float] = []
         for attempt in range(3):
             # Cold-reset queries always get all 3 attempts: their first
             # attempt pays one-time JIT compilation of the iterative plan's
             # generated code (measured 5-6 s first attempt vs 1.5-1.9 s
             # steady-state cold-cache at sf0.1 for q79), which is JVM
             # bring-up, not query cost. Warm-path queries keep min-of-2
-            # unless an outlier suggests external contention.
-            if attempt == 2 and best <= 3.0 and reset is None:
+            # unless (a) the best looks like external contention (> 3 s) or
+            # (b) the two samples DISAGREE > 1.5x — the r12 q292 forensics:
+            # a first attempt can pay 1.5-2 s of one-time codegen/JIT
+            # (measured 2.76 s attempt 1 vs 0.9-1.0 s steady state), and
+            # min-of-2 then reports half-JIT, half-query. A third sample
+            # lands in steady state and the min discards the compile cost.
+            if (
+                attempt == 2
+                and reset is None
+                and min(samples) <= 3.0
+                and max(samples) / max(min(samples), 1e-9) <= 1.5
+            ):
                 break
             if reset is not None:
                 reset()
@@ -448,8 +478,8 @@ def main() -> None:
             # Catalyst prune unused deterministic projections, skipping the
             # very expressions map-only queries exist to measure.
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
         n = specs[name].fn(spark, sf_dir).count()  # untimed, stderr diagnostics
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -460,19 +490,25 @@ def main() -> None:
     calibration = None
     queries_normalized = None
     if sf == "0.1" and all(q in timings for q in CALIBRATION_REF):
-        ratios = sorted(timings[q] / ref for q, ref in CALIBRATION_REF.items())
+        # factor from the MULTI-SECOND canaries only (sub-second smoke
+        # canaries are overhead-dominated and persistently disagree 2-3x);
+        # the spread statistic covers the factor-contributing set, which
+        # is what bounds trust in a normalized single-query comparison.
+        ratios = sorted(timings[q] / CALIBRATION_REF[q] for q in FACTOR_CANARIES)
         factor = round(ratios[len(ratios) // 2], 4)
-        # dispersion: the canaries' ratio spread bounds how much trust a
-        # single-query normalized comparison deserves (aggregate
-        # comparisons average it out). IQR-style: report min/max and the
-        # relative spread (max/min) beside the median.
         calibration = {
             "factor": factor,
+            "factor_canaries": list(FACTOR_CANARIES),
             "ratio_min": round(ratios[0], 4),
             "ratio_max": round(ratios[-1], 4),
             "ratio_spread": round(ratios[-1] / ratios[0], 4),
             "per_query": {
-                q: {"now": timings[q], "ref": ref, "ratio": round(timings[q] / ref, 4)}
+                q: {
+                    "now": timings[q],
+                    "ref": ref,
+                    "ratio": round(timings[q] / ref, 4),
+                    "in_factor": q in FACTOR_CANARIES,
+                }
                 for q, ref in CALIBRATION_REF.items()
             },
             "reference": CALIBRATION_REF_SOURCE,

@@ -91,6 +91,23 @@ def optimal_params(n_keys: int, fpr: float) -> tuple[int, int]:
     return m, _LANES
 
 
+def _check_params(m_bits: int, k: int) -> None:
+    """Contract guard shared by build_bloom/probe_bloom: the split-block
+    layout only supports whole 256-bit blocks (a silent max(1, m//256)
+    remap would hand back a filter of a DIFFERENT size than requested)
+    and exactly 8 hash lanes (the salt table's length)."""
+    if m_bits <= 0 or m_bits % _BLOCK_BITS != 0:
+        raise ValueError(
+            f"m_bits={m_bits} is not a positive multiple of "
+            f"{_BLOCK_BITS}; size the filter with optimal_params()"
+        )
+    if k != _LANES:
+        raise ValueError(
+            f"split-block bloom filters have exactly {_LANES} lanes; "
+            f"got k={k}"
+        )
+
+
 def _hash_cols(col: Column, n_blocks: int) -> Column:
     """[block index, 32-bit lane hash] per value — computed JVM-side
     (xxhash64, vectorized, no Python in the hash path) and identical for
@@ -125,8 +142,14 @@ def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> np.ndarray:
     count, the three-point scale measurement caught it super-linear
     (q190 exponent 1.41 on the sf1->sf3.2 leg, ~15 s of interpreted ORs
     at m~10^8 bits). Vectorized buffers make the fold cost the data
-    movement alone."""
-    n_blocks = max(1, m_bits // _BLOCK_BITS)
+    movement alone.
+
+    m_bits must be a whole number of 256-bit blocks (optimal_params
+    guarantees this); k is accepted for signature parity with classic
+    Bloom APIs but the split-block layout fixes it at 8 lanes — a
+    mismatched k would silently change nothing, so it is validated."""
+    _check_params(m_bits, k)
+    n_blocks = m_bits // _BLOCK_BITS
     words = n_blocks * _LANES
     hashed = df.filter(F.col(col).isNotNull()).select(
         _hash_cols(F.col(col), n_blocks).alias("pos")
@@ -216,9 +239,10 @@ def probe_bloom(
     call would accumulate block-manager memory for the session's
     lifetime), and the broadcast's lifetime is tied to the bitmap's — a
     weakref finalizer unpersists it when the caller drops the array."""
+    _check_params(m_bits, k)
     bc = _bitmap_broadcast(df.sparkSession.sparkContext, bitmap)
 
-    n_blocks = max(1, m_bits // _BLOCK_BITS)
+    n_blocks = m_bits // _BLOCK_BITS
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         words = bc.value

@@ -94,11 +94,13 @@ def encode_delta_log(history: list) -> dict:
 
 def _apply_version_text(live: dict, tombstones: set, text: str, v: int) -> tuple:
     """Apply one version file's action lines to (live, tombstones) in
-    place; returns (n_adds, n_removes, schema_changes, protocol_or_None)
-    for this version. Shared by the full-JSON replay and the
-    checkpoint-tail replay so both paths enforce identical grammar."""
+    place; returns (n_adds, n_removes, schema_changes, protocol_or_None,
+    metadata_or_None) for this version. Shared by the full-JSON replay
+    and the checkpoint-tail replay so both paths enforce identical
+    grammar."""
     schema_changes = 0
     protocol = None
+    metadata = None
     n_adds = n_removes = 0
     for ln, line in enumerate(text.splitlines()):
         if not line.strip():
@@ -113,6 +115,12 @@ def _apply_version_text(live: dict, tombstones: set, text: str, v: int) -> tuple
             protocol = action["protocol"]
         elif "metaData" in action:
             schema_changes += 1
+            m = action["metaData"]
+            metadata = {
+                "id": m.get("id", ""),
+                "schemaString": m.get("schemaString", m.get("schema", "{}")),
+                "partitionColumns": list(m.get("partitionColumns", [])),
+            }
         elif "add" in action:
             a = action["add"]
             if "path" not in a:
@@ -141,7 +149,7 @@ def _apply_version_text(live: dict, tombstones: set, text: str, v: int) -> tuple
                 f"malformed delta log: unknown action keys {sorted(action)} "
                 f"at version {v}"
             )
-    return n_adds, n_removes, schema_changes, protocol
+    return n_adds, n_removes, schema_changes, protocol, metadata
 
 
 def replay_delta_log(log: dict, at_version: int | None = None) -> dict:
@@ -163,17 +171,21 @@ def replay_delta_log(log: dict, at_version: int | None = None) -> dict:
     tombstones: set = set()
     schema_changes = 0
     protocol = None
+    metadata = None
     n_adds = n_removes = 0
     for v in versions:
-        a, r, sc, proto = _apply_version_text(live, tombstones, log[v], v)
+        a, r, sc, proto, meta = _apply_version_text(live, tombstones, log[v], v)
         n_adds += a
         n_removes += r
         schema_changes += sc
         if proto is not None:
             protocol = proto
+        if meta is not None:
+            metadata = meta
     return {
         "version": versions[-1],
         "protocol": protocol,
+        "metaData": metadata,
         "live_files": live,
         "n_live_files": len(live),
         "live_bytes": sum(f["size"] for f in live.values()),
@@ -189,11 +201,15 @@ def replay_delta_log(log: dict, at_version: int | None = None) -> dict:
 def encode_delta_checkpoint(snapshot: dict) -> bytes:
     """Compact a snapshot into a checkpoint PARQUET file with the real
     Delta checkpoint shape (delta.io PROTOCOL.md "Checkpoints"): one row
-    per action, STRUCT columns ``protocol`` / ``add`` / ``remove``, all
-    null except the row's own action — live adds carry stats JSON, remove
-    rows are the unexpired tombstones. Written with pyarrow (v1 data
-    pages) — an INDEPENDENT writer, so replay_delta_checkpoint's stdlib
-    read of it is cross-implementation evidence, not a self-loop."""
+    per action, STRUCT columns ``protocol`` / ``metaData`` / ``add`` /
+    ``remove``, all null except the row's own action — live adds carry
+    stats JSON, remove rows are the unexpired tombstones, and exactly ONE
+    metaData row carries the table id / schema string / partition columns
+    (PROTOCOL.md requires one per checkpoint; a snapshot that never saw a
+    metaData action gets a minimal placeholder so the requirement still
+    holds). Written with pyarrow (v1 data pages) — an INDEPENDENT writer,
+    so replay_delta_checkpoint's stdlib read of it is
+    cross-implementation evidence, not a self-loop."""
     import io
 
     import pyarrow as pa
@@ -202,36 +218,63 @@ def encode_delta_checkpoint(snapshot: dict) -> bytes:
     adds: list = []
     removes: list = []
     protocols: list = []
+    metadatas: list = []
+
+    def _row(protocol=None, metadata=None, add=None, remove=None):
+        protocols.append(protocol)
+        metadatas.append(metadata)
+        adds.append(add)
+        removes.append(remove)
+
     proto = snapshot.get("protocol") or {"minReaderVersion": 1, "minWriterVersion": 2}
-    protocols.append(
-        {
+    _row(
+        protocol={
             "minReaderVersion": int(proto.get("minReaderVersion", 1)),
             "minWriterVersion": int(proto.get("minWriterVersion", 2)),
         }
     )
-    adds.append(None)
-    removes.append(None)
+    meta = snapshot.get("metaData") or {
+        "id": "00000000-0000-0000-0000-000000000000",
+        "schemaString": "{}",
+        "partitionColumns": [],
+    }
+    _row(
+        metadata={
+            "id": str(meta.get("id", "")),
+            "schemaString": str(meta.get("schemaString", "{}")),
+            "partitionColumns": json.dumps(
+                list(meta.get("partitionColumns", []))
+            ),
+        }
+    )
     for path in sorted(snapshot["live_files"]):
         f = snapshot["live_files"][path]
-        adds.append(
-            {
+        _row(
+            add={
                 "path": path,
                 "size": int(f["size"]),
                 "stats": json.dumps({"numRecords": int(f["rows"])}),
             }
         )
-        removes.append(None)
-        protocols.append(None)
     for path in snapshot.get("tombstones", []):
-        adds.append(None)
-        removes.append({"path": path, "deletionTimestamp": 0})
-        protocols.append(None)
+        _row(remove={"path": path, "deletionTimestamp": 0})
     table = pa.table(
         {
             "protocol": pa.array(
                 protocols,
                 pa.struct(
                     [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            # partitionColumns travels as a JSON string, not a LIST column:
+            # the stdlib reader's struct decode is depth-1 (struct of
+            # primitives); a list-inside-struct would be the depth-2 shape
+            # it refuses. JSON keeps the payload lossless within that.
+            "metaData": pa.array(
+                metadatas,
+                pa.struct(
+                    [("id", pa.string()), ("schemaString", pa.string()),
+                     ("partitionColumns", pa.string())]
                 ),
             ),
             "add": pa.array(
@@ -268,6 +311,7 @@ def replay_delta_checkpoint(
     live: dict = {}
     tombstones: set = set()
     protocol = None
+    metadata = None
     n_rows = len(t.get("add.path", []))
     for i in range(n_rows):
         if t["add.path"][i] is not None:
@@ -286,6 +330,14 @@ def replay_delta_checkpoint(
                 "minReaderVersion": t["protocol.minReaderVersion"][i],
                 "minWriterVersion": t["protocol.minWriterVersion"][i],
             }
+        elif t.get("metaData.id") is not None and t["metaData.id"][i] is not None:
+            metadata = {
+                "id": bytes(t["metaData.id"][i]).decode(),
+                "schemaString": bytes(t["metaData.schemaString"][i]).decode(),
+                "partitionColumns": json.loads(
+                    bytes(t["metaData.partitionColumns"][i]).decode()
+                ),
+            }
     versions = sorted(tail)
     if at_version is not None:
         versions = [v for v in versions if v <= at_version]
@@ -297,15 +349,18 @@ def replay_delta_checkpoint(
     schema_changes = 0
     n_adds = n_removes = 0
     for v in versions:
-        a, r, sc, proto = _apply_version_text(live, tombstones, tail[v], v)
+        a, r, sc, proto, meta = _apply_version_text(live, tombstones, tail[v], v)
         n_adds += a
         n_removes += r
         schema_changes += sc
         if proto is not None:
             protocol = proto
+        if meta is not None:
+            metadata = meta
     return {
         "version": versions[-1] if versions else cp_version,
         "protocol": protocol,
+        "metaData": metadata,
         "live_files": live,
         "n_live_files": len(live),
         "live_bytes": sum(f["size"] for f in live.values()),

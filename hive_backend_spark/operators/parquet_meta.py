@@ -420,6 +420,56 @@ def _snappy_decompress(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _lz4_raw_decompress(data: bytes, expected: int) -> bytes:
+    """Pure-stdlib LZ4 raw-block decoder (parquet's LZ4_RAW page codec —
+    the block format alone, no frame header; lz4.org block-format spec):
+    a sequence stream of [token: literal-length nibble | match-length
+    nibble] [extended literal length] [literals] [2-byte LE offset]
+    [extended match length], where nibble 15 extends by 255-valued bytes
+    until a byte < 255, match length is nibble + 4 (minmatch), and the
+    final sequence carries literals only. Copies may overlap forward
+    (run-length style). Length-checked against the page header; malformed
+    offsets/overruns raise ValueError naming the problem. The LEGACY
+    parquet LZ4 codec (Hadoop framing: 4-byte big-endian block headers
+    around these same blocks) stays a loud refusal — ambiguity is why the
+    format added LZ4_RAW."""
+    r = _Reader(data)
+    out = bytearray()
+    while r.i < len(data):
+        token = r.u8()
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = r.u8()
+                lit += b
+                if b != 255:
+                    break
+        out += r.take(lit)
+        if r.i >= len(data):
+            break  # last sequence: literals only, no match part
+        off = int.from_bytes(r.take(2), "little")
+        if off == 0 or off > len(out):
+            raise ValueError("malformed lz4 page: match offset out of range")
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = r.u8()
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - off
+        if off >= mlen:
+            out += out[start : start + mlen]
+        else:
+            for k in range(mlen):
+                out.append(out[start + k])
+    if expected and expected != len(out):
+        raise ValueError(
+            f"malformed lz4 page: declared {expected} bytes, got {len(out)}"
+        )
+    return bytes(out)
+
+
 def _read_rle_hybrid(r: _Reader, bit_width: int, count: int) -> list:
     """Parquet's RLE / bit-packed hybrid: varint header, LSB even -> RLE
     run (value in ceil(w/8) bytes LE), odd -> (header>>1) groups of 8
@@ -603,7 +653,13 @@ def _decode_page_values(body: bytes, encoding: int, ptype: int, n_set: int,
             raise NotImplementedError(
                 "DELTA_LENGTH_BYTE_ARRAY only applies to BYTE_ARRAY"
             )
-        return _decode_delta_length_byte_array(_Reader(body))
+        vals = _decode_delta_length_byte_array(_Reader(body))
+        if len(vals) != n_set:
+            raise ValueError(
+                f"malformed delta page: header declares {len(vals)} values, "
+                f"page carries {n_set}"
+            )
+        return vals
     if encoding == 7:  # DELTA_BYTE_ARRAY
         if ptype != 6:
             raise NotImplementedError("DELTA_BYTE_ARRAY only applies to BYTE_ARRAY")
@@ -689,7 +745,7 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
     ptype = _TYPE_IDS[col["type"]]
     flba_len = leaf.get("type_length")
     codec = col["codec"]
-    if codec not in ("UNCOMPRESSED", "SNAPPY", "GZIP"):
+    if codec not in ("UNCOMPRESSED", "SNAPPY", "GZIP", "LZ4_RAW"):
         raise NotImplementedError(f"codec {codec} not supported")
 
     pos = col["dictionary_page_offset"] or col["data_page_offset"]
@@ -706,6 +762,8 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
             import zlib
 
             return zlib.decompress(comp, 16 + zlib.MAX_WBITS)
+        if codec == "LZ4_RAW":
+            return _lz4_raw_decompress(comp, expected)
         return comp
 
     while len(defs) < col["num_values"]:

@@ -2289,3 +2289,110 @@ def q343_parquet_v2_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_values int, enc_id string, enc_s string, "
         "int_sum bigint, int_min bigint, int_max bigint, str_bytes bigint",
     ).orderBy("doc_id")
+
+
+@register(
+    "q346_parquet_lz4_decode",
+    oracle="""
+    WITH base AS (SELECT doc_id, 50 + doc_id % 30 AS n FROM documents),
+    recs AS (
+      SELECT doc_id, n,
+             (doc_id * 17 + j.range * j.range) % 2000 - 1000 AS idv,
+             4 * (1 + j.range % 4) AS slen
+      FROM base JOIN range(0, 80) j ON j.range < n
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_values,
+           'LZ4_RAW' AS codec,
+           CAST(sum(idv) AS BIGINT) AS int_sum,
+           CAST(min(idv) AS BIGINT) AS int_min,
+           CAST(max(idv) AS BIGINT) AS int_max,
+           CAST(sum(slen) AS BIGINT) AS str_bytes
+    FROM recs
+    GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+)
+def q346_parquet_lz4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4_RAW page decompression (r12 verdict task #2 — the widest
+    unsupported surface in the ingestion ladder, since modern lakehouse
+    writers default to lz4/zstd): per document a REAL lz4-compressed file
+    is written by PYARROW (an independent writer; pyarrow's parquet
+    "lz4" IS the LZ4_RAW codec, id 7) and decoded back by
+    operators/parquet_meta.read_column through the stdlib
+    _lz4_raw_decompress — token nibbles, extended lengths, overlapping
+    match copies, the lz4.org block grammar. The footer's per-chunk codec
+    string is emitted and value-checked against 'LZ4_RAW', so a silent
+    fallback to an uncompressed write cannot pass; the repetitive token
+    strings force real back-reference matches, not literal-only blocks.
+    pytest pins nulls/lists/multi-row-group framing and the truncation
+    contract; zstd/brotli remain loud refusals (zstd needs a stdlib
+    binding this container lacks).
+
+    Scale posture: one Arrow map pass, blobs never shuffle — a
+    VERIFICATION rung in the q341 discipline."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hive_backend_spark.operators.parquet_meta import (
+            parquet_footer,
+            read_table,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 30
+                ids = [(did * 17 + j * j) % 2000 - 1000 for j in range(n)]
+                strs = [f"tok{(did + j) % 7}" * (1 + j % 4) for j in range(n)]
+                t = pa.table(
+                    {"id": pa.array(ids, pa.int64()), "s": pa.array(strs, pa.string())}
+                )
+                buf = _io.BytesIO()
+                pq.write_table(t, buf, compression="lz4")
+                blob = buf.getvalue()
+                meta = parquet_footer(blob)
+                codecs = {
+                    c["codec"] for c in meta["row_groups"][0]["columns"]
+                }
+                if codecs != {"LZ4_RAW"}:
+                    raise ValueError(
+                        f"expected LZ4_RAW chunks, writer produced {codecs}"
+                    )
+                got = read_table(blob)
+                svals = [x.decode() for x in got["s"]]
+                if svals != strs:
+                    raise ValueError("lz4 string round-trip mismatch")
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_values": len(got["id"]),
+                        "codec": "LZ4_RAW",
+                        "int_sum": sum(got["id"]),
+                        "int_min": min(got["id"]),
+                        "int_max": max(got["id"]),
+                        "str_bytes": sum(len(x) for x in got["s"]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_values", "codec",
+                    "int_sum", "int_min", "int_max", "str_bytes",
+                ],
+            )
+
+    return base.mapInPandas(
+        gen,
+        "doc_id bigint, n_values int, codec string, "
+        "int_sum bigint, int_min bigint, int_max bigint, str_bytes bigint",
+    ).orderBy("doc_id")

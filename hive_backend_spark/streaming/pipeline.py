@@ -694,13 +694,19 @@ class VersionedStateTable:
         # new state is EMPTY — but that empty state must still supersede
         # the previous version (a drained bucket that kept its old rows
         # would re-serve them; caught by the restart-idempotence test).
-        # An empty version dir reads back as an empty frame under the
+        # The sentinel is a zero-byte `_EMPTY` OBJECT inside the version
+        # dir, not a bare mkdirs: on S3A an empty-directory marker is not
+        # durable once sibling objects churn (the prefix can vanish and
+        # the drained bucket would re-serve its stale prior version), while
+        # a real object persists. Spark's file listing skips `_`-prefixed
+        # names, so the dir still reads back as an empty frame under the
         # declared schema, exactly like the per-part writer's empty write.
         fs, Path = _state_fs(self.spark, self.root)
         for part in sorted(touched):
             d = Path(self._part_dir(part, batch_id))
             if not fs.exists(d):
                 fs.mkdirs(d)
+                fs.create(Path(d, "_EMPTY"), True).close()
 
     def prune(self, batch_id: int) -> None:
         """Per partition: a replay of batch N needs only the newest

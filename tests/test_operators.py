@@ -1924,7 +1924,14 @@ def test_delta_checkpoint_composes_with_tail():
     for v in range(V):
         acts = []
         if v == 0:
-            acts.append({"op": "metaData", "schema": "{}"})
+            acts.append(
+                {
+                    "op": "metaData",
+                    "id": "tbl-1",
+                    "schema": '{"type":"struct","fields":[]}',
+                    "partitionColumns": ["dt"],
+                }
+            )
         acts.append({"op": "add", "path": str(v), "size": 100 + 13 * v, "rows": 10 + v})
         if v >= 2 and v % 2 == 0:
             acts.append({"op": "remove", "path": str(v - 2)})
@@ -1937,8 +1944,17 @@ def test_delta_checkpoint_composes_with_tail():
     tail = {v: t for v, t in log.items() if v > 10}
     got = replay_delta_checkpoint(cp, 10, tail)
     for k in ("version", "n_live_files", "live_bytes", "live_rows",
-              "n_tombstones", "tombstones", "live_files", "protocol"):
+              "n_tombstones", "tombstones", "live_files", "protocol",
+              "metaData"):
         assert got[k] == full[k], k
+    # PROTOCOL.md requires exactly one metaData per checkpoint: the
+    # table's schema/id/partitioning must survive the compaction itself,
+    # not just happen to be re-stated in the tail
+    assert got["metaData"] == {
+        "id": "tbl-1",
+        "schemaString": '{"type":"struct","fields":[]}',
+        "partitionColumns": ["dt"],
+    }
     # time travel through the checkpoint
     for at in (11, 12, 13):
         g = replay_delta_checkpoint(cp, 10, tail, at_version=at)
@@ -2138,3 +2154,113 @@ def test_snappy_decoder_roundtrip():
     assert _snappy_decompress(blob, 7) == b"abcabca"
     with _pytest.raises(ValueError, match="offset"):
         _snappy_decompress(bytes([4]) + bytes([0]) + b"a" + bytes([1, 9]), 4)
+
+
+def test_bloom_param_contract_must_raise():
+    """build_bloom/probe_bloom sizes are a hard contract: m_bits that is
+    not a whole number of 256-bit blocks used to be silently remapped
+    (m_bits=100 yielded a 256-bit filter), and k was ignored outright —
+    both now raise instead of lying about the filter's shape."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_backend_spark.operators import bloom as B
+
+    with _pytest.raises(ValueError, match="multiple"):
+        B._check_params(100, 8)
+    with _pytest.raises(ValueError, match="multiple"):
+        B._check_params(0, 8)
+    with _pytest.raises(ValueError, match="lanes"):
+        B._check_params(512, 7)
+    B._check_params(512, 8)  # valid: whole blocks, 8 lanes
+    m, k = B.optimal_params(1000, 0.01)
+    assert m % 256 == 0 and k == 8  # sizing helper satisfies the contract
+
+
+def test_parquet_delta_length_count_mismatch_raises():
+    """DELTA_LENGTH_BYTE_ARRAY pages whose embedded length-run count
+    disagrees with the page header's non-null count must hit the module's
+    ValueError truncation contract (as DELTA_BINARY_PACKED and
+    DELTA_BYTE_ARRAY already do), not surface as a stray StopIteration or
+    a silent short decode during row reassembly."""
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.parquet_meta import _decode_page_values
+
+    # hand-assembled page body per Encodings.md: one DELTA_BINARY_PACKED
+    # run of lengths [2, 2] (block 128 / 4 miniblocks / total 2 / first
+    # zigzag(2); one block: min_delta 0, four width-0 miniblocks), then
+    # the concatenated value bytes
+    body = (
+        b"\x80\x01"      # block_size = 128
+        b"\x04"          # miniblocks per block = 4
+        b"\x02"          # total value count = 2
+        b"\x04"          # first value = zigzag(2)
+        b"\x00"          # block min delta = zigzag(0)
+        b"\x00\x00\x00\x00"  # 4 miniblock widths, all 0 bits
+        b"abcd"          # two 2-byte values
+    )
+
+    # correct count decodes; a header claiming one more value raises
+    assert _decode_page_values(body, 6, 6, 2, None) == [b"ab", b"cd"]
+    with _pytest.raises(ValueError, match="delta page"):
+        _decode_page_values(body, 6, 6, 3, None)
+
+
+def test_parquet_lz4_raw_decode_vs_pyarrow():
+    """round-13: LZ4_RAW page decompression — pyarrow-written lz4 files
+    (codec id 7, raw blocks, no Hadoop framing) read back value-exact
+    with nulls, a list column and multi-row-group framing, under both
+    page versions; malformed blocks hit the ValueError contract."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.parquet_meta import (
+        _lz4_raw_decompress,
+        parquet_footer,
+        read_table,
+    )
+
+    ids = [(i * i * 31) % 100000 - 50000 if i % 7 else None for i in range(3000)]
+    strs = [f"doc_{i % 13:04d}_" + "x" * (i % 9) if i % 11 else None for i in range(3000)]
+    vals = [[float(j) for j in range(i % 5)] if i % 6 else None for i in range(3000)]
+    t = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "s": pa.array(strs, pa.string()),
+            "v": pa.array(vals, pa.list_(pa.float64())),
+        }
+    )
+    for ver in ("1.0", "2.0"):
+        buf = io.BytesIO()
+        pq.write_table(
+            t, buf, compression="lz4", data_page_version=ver,
+            row_group_size=1100,
+        )
+        blob = buf.getvalue()
+        assert {
+            c["codec"]
+            for c in parquet_footer(blob)["row_groups"][0]["columns"]
+        } == {"LZ4_RAW"}
+        got = read_table(blob)
+        assert got["id"] == ids, ver
+        assert [x.decode() if x is not None else None for x in got["s"]] == strs
+        assert got["v.list.element"] == vals
+
+    # block grammar directly: literals + overlapping match (RLE style)
+    # "abcabcabcabcab": 3 literals then a 11-byte copy at offset 3
+    blk = bytes([0x37]) + b"abc" + (3).to_bytes(2, "little")
+    assert _lz4_raw_decompress(blk, 14) == b"abcabcabcabcab"
+    # extended literal length: 15 in the nibble, +0 extension byte
+    blk2 = bytes([0xF0, 0x00]) + b"x" * 15
+    assert _lz4_raw_decompress(blk2, 15) == b"x" * 15
+    with _pytest.raises(ValueError, match="offset"):
+        _lz4_raw_decompress(bytes([0x14]) + b"a" + (5).to_bytes(2, "little"), 0)
+    with _pytest.raises(ValueError, match="declared"):
+        _lz4_raw_decompress(bytes([0x20]) + b"ab", 99)
+    # truncated mid-sequence: bounds-checked reader raises, never hangs
+    with _pytest.raises(ValueError):
+        _lz4_raw_decompress(bytes([0x47]) + b"abcd" + b"\x03", 0)

@@ -1049,11 +1049,22 @@ def test_calibration_canaries_frozen():
         # queries alone; CALIBRATION_REF re-based to BENCH_full_r11.json
         "q79_dup_clusters": "b12ff71db9d0cfd294d30c6010ee10ee",
         "q171_decontamination_ladder": "ab3c48187c85276db5b6002844498829",
+        # round-13 additions (r12 verdict tasks #1/#5): q331 joins the
+        # FACTOR set (multi-second, decode-bound, machine-proportional);
+        # q292 joins as a SMOKE canary after its drift was traced to
+        # first-attempt codegen/JIT cost, so its number is tracked but
+        # never feeds the factor.
+        "q292_mahalanobis_outliers": "d6a06caed34125f65c9b96515455ae4e",
+        "q331_progressive_jpeg_stats": "c2b07f3c0874d6a074b2b4870307351b",
     }
     specs = all_queries()
     import bench
 
     assert set(bench.CALIBRATION_REF) == set(PINNED)
+    assert set(bench.FACTOR_CANARIES) <= set(PINNED)
+    # the factor must come from multi-second canaries only (sub-second
+    # refs are overhead-dominated — the r12 dispersion nit)
+    assert all(bench.CALIBRATION_REF[q] > 3.0 for q in bench.FACTOR_CANARIES)
     for name, want in PINNED.items():
         s = specs[name]
         got = hashlib.md5(

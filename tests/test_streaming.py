@@ -1731,3 +1731,44 @@ def test_near_dup_admission_template_flood_stays_bounded(spark, tmp_path):
         D.explode_bands(doc0, "doc_id").filter(F.col("band_sig").isNotNull()).count()
     )
     assert S.read_neardup_index(spark, idx_dir).count() == want_n
+
+
+def test_versioned_state_drained_bucket_writes_sentinel_object(spark, tmp_path):
+    """A touched partition whose NEW state is empty must supersede its
+    prior version with a version dir that is durable on object stores:
+    dynamic partitionBy writes nothing for an empty partition, and a bare
+    mkdirs leaves only an empty-directory marker — which S3A does not
+    keep durable once sibling objects churn, silently resurrecting the
+    stale prior version. The sink therefore drops a zero-byte `_EMPTY`
+    OBJECT into the dir; Spark's `_`-prefix listing rule keeps the read
+    an empty frame."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hive_backend_spark.streaming.pipeline import VersionedStateTable
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("band", LongType())]
+    )
+    tbl = VersionedStateTable(spark, str(tmp_path / "state"), schema, "band")
+
+    df0 = spark.createDataFrame([(1, 0), (2, 0), (3, 1)], schema)
+    tbl.overwrite_parts(df0, F.col("band"), {0, 1}, batch_id=0)
+    assert {r["id"] for r in tbl.read_latest().collect()} == {1, 2, 3}
+
+    # batch 1 drains band 0 (no surviving rows) while band 1 keeps one
+    df1 = spark.createDataFrame([(3, 1)], schema)
+    tbl.overwrite_parts(df1, F.col("band"), {0, 1}, batch_id=1)
+
+    drained = tmp_path / "state" / "band=0" / "state_version=1"
+    assert drained.is_dir()
+    assert (drained / "_EMPTY").is_file(), (
+        "drained bucket must carry an explicit sentinel OBJECT, not a "
+        "bare directory entry"
+    )
+    got = tbl.read_latest().collect()
+    assert [(r["id"], r["band"]) for r in got] == [(3, 1)]
+    # and the sentinel version participates in pruning like any other
+    tbl.prune(batch_id=2)
+    assert sorted(p.name for p in (tmp_path / "state" / "band=0").iterdir()) == [
+        "state_version=1"
+    ]
