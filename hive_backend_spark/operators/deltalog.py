@@ -29,7 +29,14 @@ from __future__ import annotations
 
 import json
 
-__all__ = ["encode_delta_log", "replay_delta_log", "delta_snapshot_census"]
+__all__ = [
+    "encode_delta_log",
+    "replay_delta_log",
+    "delta_snapshot_census",
+    "encode_delta_checkpoint",
+    "replay_delta_checkpoint",
+    "prune_live_files",
+]
 
 
 def encode_delta_log(history: list) -> dict:
@@ -47,6 +54,13 @@ def encode_delta_log(history: list) -> dict:
         for a in actions:
             op = a.get("op")
             if op == "add":
+                stats = {"numRecords": int(a.get("rows", 0))}
+                # per-column min/max stats (PROTOCOL.md Per-file Statistics)
+                # — the planner-side file-skipping input
+                if a.get("min") is not None:
+                    stats["minValues"] = dict(a["min"])
+                if a.get("max") is not None:
+                    stats["maxValues"] = dict(a["max"])
                 lines.append(
                     json.dumps(
                         {
@@ -55,9 +69,7 @@ def encode_delta_log(history: list) -> dict:
                                 "size": int(a.get("size", 0)),
                                 "partitionValues": a.get("partitionValues", {}),
                                 "dataChange": True,
-                                "stats": json.dumps(
-                                    {"numRecords": int(a.get("rows", 0))}
-                                ),
+                                "stats": json.dumps(stats),
                             }
                         }
                     )
@@ -127,14 +139,23 @@ def _apply_version_text(live: dict, tombstones: set, text: str, v: int) -> tuple
                 raise ValueError(f"malformed delta add at version {v}: no path")
             stats = a.get("stats")
             rows = None
+            mins = maxs = None
             if stats:
                 try:
-                    rows = json.loads(stats).get("numRecords")
+                    parsed = json.loads(stats)
                 except ValueError:
                     raise ValueError(
                         f"malformed delta add stats at version {v}"
                     ) from None
-            live[a["path"]] = {"size": a.get("size", 0), "rows": rows or 0}
+                rows = parsed.get("numRecords")
+                mins = parsed.get("minValues")
+                maxs = parsed.get("maxValues")
+            entry = {"size": a.get("size", 0), "rows": rows or 0}
+            if mins is not None:
+                entry["min"] = mins
+            if maxs is not None:
+                entry["max"] = maxs
+            live[a["path"]] = entry
             tombstones.discard(a["path"])
             n_adds += 1
         elif "remove" in action:
@@ -249,11 +270,16 @@ def encode_delta_checkpoint(snapshot: dict) -> bytes:
     )
     for path in sorted(snapshot["live_files"]):
         f = snapshot["live_files"][path]
+        stats = {"numRecords": int(f["rows"])}
+        if "min" in f:
+            stats["minValues"] = f["min"]
+        if "max" in f:
+            stats["maxValues"] = f["max"]
         _row(
             add={
                 "path": path,
                 "size": int(f["size"]),
-                "stats": json.dumps({"numRecords": int(f["rows"])}),
+                "stats": json.dumps(stats),
             }
         )
     for path in snapshot.get("tombstones", []):
@@ -316,13 +342,15 @@ def replay_delta_checkpoint(
     for i in range(n_rows):
         if t["add.path"][i] is not None:
             stats = t["add.stats"][i]
-            rows = 0
+            entry = {"size": t["add.size"][i], "rows": 0}
             if stats is not None:
-                rows = json.loads(bytes(stats).decode()).get("numRecords", 0)
-            live[bytes(t["add.path"][i]).decode()] = {
-                "size": t["add.size"][i],
-                "rows": rows,
-            }
+                parsed = json.loads(bytes(stats).decode())
+                entry["rows"] = parsed.get("numRecords", 0)
+                if parsed.get("minValues") is not None:
+                    entry["min"] = parsed["minValues"]
+                if parsed.get("maxValues") is not None:
+                    entry["max"] = parsed["maxValues"]
+            live[bytes(t["add.path"][i]).decode()] = entry
         elif t["remove.path"][i] is not None:
             tombstones.add(bytes(t["remove.path"][i]).decode())
         elif t["protocol.minReaderVersion"][i] is not None:
@@ -369,6 +397,48 @@ def replay_delta_checkpoint(
         "tombstones": sorted(tombstones),
         "n_adds_after_checkpoint": n_adds,
         "n_removes_after_checkpoint": n_removes,
+    }
+
+
+def prune_live_files(
+    snapshot: dict, column: str, lo=None, hi=None
+) -> dict:
+    """Stats-based FILE SKIPPING over a snapshot's live files — the
+    100 TB read path's step one: decide which of a million files a range
+    predicate ``lo <= column <= hi`` can possibly touch WITHOUT opening
+    any of them, from the add-action min/max statistics alone
+    (delta.io PROTOCOL.md Per-file Statistics; the same data-skipping
+    contract Delta/Iceberg planners implement). Semantics are
+    conservative by construction — pruning must NEVER drop a file that
+    could hold a matching row:
+
+      - skip iff the file's recorded range cannot intersect [lo, hi]
+        (max < lo or min > hi); one-sided predicates pass None for the
+        open bound;
+      - a file with NO stats for the column is always KEPT (stats are an
+        optimization, never a license to skip blind);
+      - returns {"kept": sorted paths, "skipped": sorted paths,
+        "n_live": N} so callers can audit effectiveness.
+
+    The caller then scans only ``kept`` — correctness is auditable by
+    scanning everything and comparing (q348 does exactly that)."""
+    kept: list = []
+    skipped: list = []
+    for path in sorted(snapshot["live_files"]):
+        f = snapshot["live_files"][path]
+        fmin = (f.get("min") or {}).get(column)
+        fmax = (f.get("max") or {}).get(column)
+        if fmin is None or fmax is None:
+            kept.append(path)  # no stats -> must scan
+            continue
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            skipped.append(path)
+        else:
+            kept.append(path)
+    return {
+        "kept": kept,
+        "skipped": skipped,
+        "n_live": len(snapshot["live_files"]),
     }
 
 

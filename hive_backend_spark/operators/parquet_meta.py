@@ -713,20 +713,23 @@ def _read_levels(pr: _Reader, max_level: int, n: int) -> list:
 def read_column(blob: bytes, rg_idx: int, path: str) -> list:
     """Decode ONE column chunk of a REAL parquet file — dictionary +
     RLE_DICTIONARY / PLAIN data pages, SNAPPY / GZIP / UNCOMPRESSED
-    codecs, definition levels (None for nulls), and — round 12 —
-    REPETITION levels for single-level LIST columns (Dremel record
-    shredding, parquet-format LogicalTypes.md): a leaf under one REPEATED
-    ancestor reassembles into one Python list per record, with NULL
-    records (def below the LIST group's level), EMPTY lists (def exactly
-    at the group's level) and NULL elements (def between the repeated
-    level and the leaf's max) all distinguished exactly as the level
-    algebra dictates. Round 12 also adds DataPageV2 (uncompressed level
-    sections at header-declared lengths) and the DELTA_BINARY_PACKED /
-    DELTA_BYTE_ARRAY / DELTA_LENGTH_BYTE_ARRAY / BYTE_STREAM_SPLIT value
-    encodings — everything pyarrow emits for flat and single-list
-    schemas, pinned value-exact against it in pytest. Entirely driven by
-    the walked footer's offsets — no parquet library. Repetition depth
-    > 1 (list of list, map values) refuses loudly."""
+    codecs, definition levels (None for nulls), and REPETITION levels via
+    GENERAL Dremel record assembly (Dremel paper §4.2 / parquet-format
+    LogicalTypes.md; round 12 built the single-level case, round 13
+    generalizes to ANY repetition depth): a leaf under R repeated
+    ancestors reassembles into R-deep nested Python lists per record,
+    with NULL at every ancestor level (def below that level's
+    present-but-empty point), EMPTY lists (def exactly at a repeated
+    group's parent-present level) and NULL elements (def between the
+    last repeated level and the leaf's max) all distinguished exactly as
+    the level algebra dictates — struct-of-list, list-of-struct, MAP,
+    list-of-list, and deeper compositions. Round 12 also added
+    DataPageV2 (uncompressed level sections at header-declared lengths)
+    and the DELTA_BINARY_PACKED / DELTA_BYTE_ARRAY /
+    DELTA_LENGTH_BYTE_ARRAY / BYTE_STREAM_SPLIT value encodings —
+    everything pyarrow emits, pinned value-exact against it in pytest.
+    Entirely driven by the walked footer's offsets — no parquet
+    library."""
     meta = parquet_footer(blob)
     rg = meta["row_groups"][rg_idx]
     col = next((c for c in rg["columns"] if c["path"] == path), None)
@@ -737,11 +740,6 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
             f"unknown paths are not readable)"
         )
     max_def, max_rep = leaf["max_def"], leaf["max_rep"]
-    if max_rep > 1:
-        raise NotImplementedError(
-            f"repetition depth {max_rep} (list-of-list / repeated map entries) "
-            f"not supported at path {path!r}"
-        )
     ptype = _TYPE_IDS[col["type"]]
     flba_len = leaf.get("type_length")
     codec = col["codec"]
@@ -829,44 +827,74 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
     if max_rep == 0:
         return [next(it) if d == max_def else None for d in defs]
 
-    # single-level LIST reassembly: find the repeated ancestor's def level
-    rep_group = next(
+    # General Dremel record assembly: the chain of REPEATED ancestors in
+    # root-to-leaf order gives dls[k] = def level at which an entry
+    # EXISTS at repetition level k+1; dls[k]-1 means that list is present
+    # but EMPTY; anything lower means the list (or an optional ancestor
+    # between two repeated levels) is null — which a per-leaf projection
+    # correctly collapses to None, the standard Dremel column semantics.
+    rep_groups = [
         s
         for s in meta["schema"]
         if s.get("path")
         and (path == s["path"] or path.startswith(s["path"] + "."))
         and s["repetition"] == "REPEATED"
-    )
-    d_list = rep_group["max_def"]  # an entry exists at def >= d_list
-    d_group = d_list - 1  # list present-but-empty at exactly d_group
+    ]
+    dls = [g["max_def"] for g in rep_groups]  # ascending: root-to-leaf walk
+    depth = len(dls)
+    if depth != max_rep:
+        raise ValueError(
+            f"malformed parquet schema: {depth} repeated ancestors for leaf "
+            f"max_rep {max_rep} at path {path!r}"
+        )
     if reps and reps[0] != 0:
         raise ValueError("malformed parquet page: record split across chunks")
     rows: list = []
+    # open_lists[k] = the list currently accepting entries at repetition
+    # level k (None when that level's list is null/empty/closed)
+    open_lists: list = [None] * (depth + 1)
+
+    def build(k: int, d: int):
+        """Entry content under repetition level k (0 = record level),
+        opening deeper lists as the def level licenses."""
+        if k == depth:
+            return next(it) if d == max_def else None
+        if d < dls[k] - 1:
+            for j in range(k + 1, depth + 1):
+                open_lists[j] = None
+            return None
+        if d == dls[k] - 1:  # present but empty: no entries may follow
+            for j in range(k + 1, depth + 1):
+                open_lists[j] = None
+            return []
+        lst: list = [None]
+        open_lists[k + 1] = lst
+        lst[0] = build(k + 1, d)
+        return lst
+
     for rp, df in zip(reps, defs):
         if rp == 0:
-            rows.append(None if df < d_group else [])
-        if df >= d_list:
-            if rows[-1] is None:
-                raise ValueError("malformed parquet levels: entry in null record")
-            rows[-1].append(next(it) if df == max_def else None)
+            rows.append(build(0, df))
+        else:
+            tgt = open_lists[rp]
+            if tgt is None:
+                raise ValueError(
+                    "malformed parquet levels: entry in null/empty ancestor"
+                )
+            tgt.append(build(rp, df))
     return rows
 
 
 def read_table(blob: bytes) -> dict:
     """Full-file decode: {column_path: values} across all row groups for
-    every leaf column with repetition depth <= 1 (values are raw physical
-    — an INT64 timestamp stays an epoch integer in its stored unit; a
-    single-level LIST leaf arrives as one Python list per record under
-    its dotted path, e.g. 'embedding.list.element'). Leaves nested deeper
-    (rep depth > 1) are skipped here — read_column refuses them loudly
-    if asked directly."""
+    EVERY leaf column (values are raw physical — an INT64 timestamp stays
+    an epoch integer in its stored unit; a leaf under R repeated
+    ancestors arrives as R-deep nested Python lists per record under its
+    dotted path, e.g. 'embedding.list.element')."""
     meta = parquet_footer(blob)
-    depth = {s["path"]: s["max_rep"] for s in meta["schema"] if s.get("path")}
     out: dict = {}
     for gi in range(len(meta["row_groups"])):
         for col in meta["row_groups"][gi]["columns"]:
-            if depth.get(col["path"], 0) > 1:
-                continue
             out.setdefault(col["path"], []).extend(
                 read_column(blob, gi, col["path"])
             )

@@ -2396,3 +2396,306 @@ def q346_parquet_lz4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_values int, codec string, "
         "int_sum bigint, int_min bigint, int_max bigint, str_bytes bigint",
     ).orderBy("doc_id")
+
+
+@register(
+    "q347_parquet_deep_nested_read",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 3 + doc_id % 5 AS n, doc_id % 11 = 0 AS is_null
+      FROM documents
+    ),
+    entries AS (
+      SELECT b.doc_id, j.range AS j,
+             (b.doc_id + j.range) % 9 = 0 AS a_null,
+             (b.doc_id + 7 * j.range) % 50 AS a,
+             (b.doc_id + j.range) % 7 = 0 AS v_null,
+             j.range % 4 AS vlen
+      FROM base b JOIN range(0, 8) j ON j.range < b.n
+      WHERE NOT b.is_null
+    ),
+    elems AS (
+      SELECT e.doc_id, (e.doc_id * 3 + e.j * 5 + k.range) % 100 AS v
+      FROM entries e JOIN range(0, 3) k ON k.range < e.vlen
+      WHERE NOT e.v_null
+    ),
+    agg_e AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_entries,
+             CAST(sum(CASE WHEN a_null THEN 0 ELSE a END) AS BIGINT) AS a_sum,
+             CAST(sum(CASE WHEN a_null THEN 1 ELSE 0 END) AS BIGINT) AS n_a_null,
+             CAST(sum(CASE WHEN v_null THEN 0 ELSE vlen END) AS BIGINT) AS v_elems
+      FROM entries GROUP BY doc_id
+    ),
+    agg_v AS (
+      SELECT doc_id, CAST(sum(v) AS BIGINT) AS v_sum FROM elems GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(e.n_entries, 0) AS BIGINT) AS n_entries,
+           CAST(COALESCE(e.a_sum, 0) AS BIGINT) AS a_sum,
+           CAST(COALESCE(e.n_a_null, 0) AS BIGINT) AS n_a_null,
+           CAST(COALESCE(e.v_elems, 0) AS BIGINT) AS v_elems,
+           CAST(COALESCE(v.v_sum, 0) AS BIGINT) AS v_sum
+    FROM base b
+    LEFT JOIN agg_e e ON b.doc_id = e.doc_id
+    LEFT JOIN agg_v v ON b.doc_id = v.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q347_parquet_deep_nested_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 NESTED parquet read (r12 verdict task #3): per document a
+    REAL list<struct<a: int, v: list<int>>> file — an optional struct
+    BETWEEN two repeated levels, the shape that forces the GENERAL Dremel
+    assembly (the `v` leaf carries max_rep 2) — is written by PYARROW and
+    decoded back by operators/parquet_meta.read_column. The worker
+    compares the reassembled nested lists ELEMENT-EXACTLY against the
+    structure it wrote (null outer lists, null struct fields, null inner
+    lists, empty inner lists all distinguished) and raises on any
+    mismatch, so the analytic oracle's aggregate match sits on top of a
+    full row-exactness check, not beside it; the footer's max_rep for the
+    inner leaf is value-pinned so a silently flattened write cannot pass.
+    pytest additionally pins depth-3 lists, maps and struct-of-list
+    against pyarrow.
+
+    Scale posture: one Arrow map pass, blobs never shuffle — a
+    VERIFICATION rung in the q341 discipline."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hive_backend_spark.operators.parquet_meta import (
+            parquet_footer,
+            read_table,
+        )
+
+        typ = pa.list_(
+            pa.struct([("a", pa.int64()), ("v", pa.list_(pa.int64()))])
+        )
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 5
+                if did % 11 == 0:
+                    val = None
+                else:
+                    val = [
+                        {
+                            "a": None if (did + j) % 9 == 0 else (did + 7 * j) % 50,
+                            "v": (
+                                None
+                                if (did + j) % 7 == 0
+                                else [(did * 3 + j * 5 + k) % 100 for k in range(j % 4)]
+                            ),
+                        }
+                        for j in range(n)
+                    ]
+                t = pa.table({"s": pa.array([val], typ)})
+                buf = _io.BytesIO()
+                pq.write_table(t, buf)
+                blob = buf.getvalue()
+                leaf = next(
+                    s
+                    for s in parquet_footer(blob)["schema"]
+                    if s.get("path") == "s.list.element.v.list.element"
+                )
+                if leaf["max_rep"] != 2:
+                    raise ValueError(
+                        f"expected a depth-2 leaf, writer produced "
+                        f"max_rep {leaf['max_rep']}"
+                    )
+                got = read_table(blob)
+                a_col = got["s.list.element.a"][0]
+                v_col = got["s.list.element.v.list.element"][0]
+                want_a = None if val is None else [e["a"] for e in val]
+                want_v = None if val is None else [e["v"] for e in val]
+                if a_col != want_a or v_col != want_v:
+                    raise ValueError(
+                        f"depth-2 reassembly mismatch for doc {did}: "
+                        f"{a_col!r}/{v_col!r} vs {want_a!r}/{want_v!r}"
+                    )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_entries": 0 if a_col is None else len(a_col),
+                        "a_sum": sum(a for a in (a_col or []) if a is not None),
+                        "n_a_null": sum(1 for a in (a_col or []) if a is None),
+                        "v_elems": sum(
+                            len(v) for v in (v_col or []) if v is not None
+                        ),
+                        "v_sum": sum(
+                            x for v in (v_col or []) if v is not None for x in v
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_entries", "a_sum", "n_a_null",
+                    "v_elems", "v_sum",
+                ],
+            )
+
+    return base.mapInPandas(
+        gen,
+        "doc_id bigint, n_entries bigint, a_sum bigint, n_a_null bigint, "
+        "v_elems bigint, v_sum bigint",
+    ).orderBy("doc_id")
+
+
+@register(
+    "q348_delta_stats_pruning",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 4 + doc_id % 4 AS nf,
+             100 + doc_id % 30 AS lo, 350 + doc_id % 60 AS hi
+      FROM documents
+    ),
+    files AS (
+      SELECT b.doc_id, b.lo, b.hi,
+             i.range * 100 + b.doc_id % 50 AS fmin,
+             i.range * 100 + b.doc_id % 50
+               + 10 + (b.doc_id + i.range) % 10 - 1 AS fmax
+      FROM base b JOIN range(1, 8) i ON i.range < b.nf
+    ),
+    j AS (
+      SELECT doc_id,
+             CASE WHEN fmin > hi OR fmax < lo THEN 0 ELSE 1 END AS kept,
+             GREATEST(fmin, lo) AS a, LEAST(fmax, hi) AS bnd
+      FROM files
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(kept) AS BIGINT) AS n_skipped,
+           CAST(sum(CASE WHEN bnd >= a THEN bnd - a + 1 ELSE 0 END)
+                AS BIGINT) AS matched_rows,
+           CAST(sum(CASE WHEN bnd >= a
+                    THEN (bnd * (bnd + 1) - (a - 1) * a) // 2
+                    ELSE 0 END) AS BIGINT) AS matched_sum
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q348_delta_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta stats-based FILE PRUNING audited against real scans (r12
+    verdict task #4 — the 100 TB read path's step one: decide which of a
+    million files a predicate touches without opening any). Per document
+    a scripted table is built whose add-actions carry REAL per-column
+    min/max statistics measured from REAL pyarrow-written parquet files;
+    version 1 removes a file so the replay's live set, not the raw add
+    list, is what gets pruned. operators/deltalog.prune_live_files then
+    plans a range predicate from stats alone, and the worker AUDITS the
+    plan three ways before emitting a row: (a) scanning only the kept
+    files yields byte-identical matches to scanning every live file,
+    (b) no skipped file contains a matching row when actually opened
+    (conservativeness is not vacuous), (c) the removed file is in
+    neither set. Any violation raises — the analytic oracle's aggregate
+    match sits on top of a physical audit.
+
+    Scale posture: stats live in the log (bytes per file), so planning is
+    O(live files) metadata work with ZERO data-page reads — at 100 TB the
+    skipped fraction is the read cost you never pay. One Arrow map pass,
+    blobs never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hive_backend_spark.operators.deltalog import (
+            encode_delta_log,
+            prune_live_files,
+            replay_delta_log,
+        )
+        from hive_backend_spark.operators.parquet_meta import read_table
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 4 + did % 4
+                lo, hi = 100 + did % 30, 350 + did % 60
+                blobs, adds = {}, []
+                for i in range(nf):
+                    fmin = i * 100 + did % 50
+                    n = 10 + (did + i) % 10
+                    vals = list(range(fmin, fmin + n))
+                    buf = _io.BytesIO()
+                    pq.write_table(
+                        pa.table({"x": pa.array(vals, pa.int64())}), buf
+                    )
+                    path = f"part-{i}.parquet"
+                    blobs[path] = buf.getvalue()
+                    adds.append(
+                        {
+                            "op": "add",
+                            "path": path,
+                            "size": len(blobs[path]),
+                            "rows": n,
+                            "min": {"x": min(vals)},
+                            "max": {"x": max(vals)},
+                        }
+                    )
+                log = encode_delta_log(
+                    [adds, [{"op": "remove", "path": "part-0.parquet"}]]
+                )
+                snap = replay_delta_log(log)
+                plan = prune_live_files(snap, "x", lo, hi)
+
+                def scan(paths):
+                    cnt = tot = 0
+                    for p in paths:
+                        for x in read_table(blobs[p])["x"]:
+                            if lo <= x <= hi:
+                                cnt += 1
+                                tot += x
+                    return cnt, tot
+
+                kept_cnt, kept_sum = scan(plan["kept"])
+                full_cnt, full_sum = scan(sorted(snap["live_files"]))
+                if (kept_cnt, kept_sum) != (full_cnt, full_sum):
+                    raise ValueError(
+                        f"pruned scan diverges from full scan for doc {did}: "
+                        f"{(kept_cnt, kept_sum)} vs {(full_cnt, full_sum)}"
+                    )
+                if any(scan([p])[0] for p in plan["skipped"]):
+                    raise ValueError(
+                        f"skipped file holds matching rows for doc {did}"
+                    )
+                if "part-0.parquet" in plan["kept"] + plan["skipped"]:
+                    raise ValueError("removed file leaked into the plan")
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_live": plan["n_live"],
+                        "n_kept": len(plan["kept"]),
+                        "n_skipped": len(plan["skipped"]),
+                        "matched_rows": kept_cnt,
+                        "matched_sum": kept_sum,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_live", "n_kept", "n_skipped",
+                    "matched_rows", "matched_sum",
+                ],
+            )
+
+    return base.mapInPandas(
+        gen,
+        "doc_id bigint, n_live bigint, n_kept bigint, n_skipped bigint, "
+        "matched_rows bigint, matched_sum bigint",
+    ).orderBy("doc_id")

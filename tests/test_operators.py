@@ -1725,14 +1725,73 @@ def test_parquet_nested_list_read_column(tmp_path):
     t = read_table(blob)
     assert t["vals.list.element"] == rows
 
-    # depth-2 refusal: list<list<int>>
+    # round 13: depth-2 is no longer a refusal — general Dremel assembly
     deep = pa.table(
         {"x": pa.array([[[1, 2], [3]], [[4]]], pa.list_(pa.list_(pa.int64())))}
     )
     p2 = tmp_path / "deep.parquet"
     pq.write_table(deep, p2, data_page_version="1.0")
-    with _pytest.raises(NotImplementedError, match="repetition depth"):
-        read_column(p2.read_bytes(), 0, "x.list.element.list.element")
+    assert read_column(p2.read_bytes(), 0, "x.list.element.list.element") == [
+        [[1, 2], [3]],
+        [[4]],
+    ]
+
+
+def test_parquet_general_dremel_assembly_vs_pyarrow():
+    """round-13: GENERAL record assembly (any repetition depth) — every
+    depth-2+ composition pyarrow can write reads back row-exact: list of
+    list (with null/empty at both levels and null elements), depth-3
+    lists, list<struct<scalar, list>> (an optional struct BETWEEN two
+    repeated levels), map<string, list>, struct-of-list, and the same
+    under DataPageV2 + LZ4_RAW + multi-row-group framing."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_backend_spark.operators.parquet_meta import read_table
+
+    def rt(table, **kw):
+        b = io.BytesIO()
+        pq.write_table(table, b, **kw)
+        return read_table(b.getvalue())
+
+    ll = [[[1, 2], [3]], None, [[]], [[4, None]], [], [None, [5]], [[], [6, 7], None]]
+    for kw in (
+        dict(row_group_size=3),
+        dict(data_page_version="2.0", use_dictionary=False, compression="lz4"),
+    ):
+        g = rt(pa.table({"ll": pa.array(ll, pa.list_(pa.list_(pa.int64())))}), **kw)
+        assert g["ll.list.element.list.element"] == ll, kw
+
+    l3 = [[[[1], [2, 3]], [[4]]], None, [[[]]], [[None]], [[[None, 5]]], []]
+    g = rt(pa.table({"x": pa.array(l3, pa.list_(pa.list_(pa.list_(pa.int64()))))}))
+    assert g["x.list.element.list.element.list.element"] == l3
+
+    losl = [
+        [{"a": 1, "v": [1, 2]}, {"a": 2, "v": None}],
+        None,
+        [{"a": None, "v": []}],
+        [],
+    ]
+    typ = pa.list_(pa.struct([("a", pa.int64()), ("v", pa.list_(pa.int64()))]))
+    g = rt(pa.table({"s": pa.array(losl, typ)}))
+    assert g["s.list.element.a"] == [[1, 2], None, [None], []]
+    assert g["s.list.element.v.list.element"] == [[[1, 2], None], None, [[]], []]
+
+    mp = [[("k", [1, 2]), ("e", [])], None, [("n", None)], []]
+    g = rt(pa.table({"m": pa.array(mp, pa.map_(pa.string(), pa.list_(pa.int64())))}))
+    assert g["m.key_value.key"] == [[b"k", b"e"], None, [b"n"], []]
+    assert g["m.key_value.value.list.element"] == [[[1, 2], []], None, [None], []]
+
+    sol = [{"a": [1, 2], "c": 5}, None, {"a": None, "c": 6}, {"a": [], "c": None}]
+    g = rt(
+        pa.table(
+            {"s": pa.array(sol, pa.struct([("a", pa.list_(pa.int64())), ("c", pa.int64())]))}
+        )
+    )
+    assert g["s.a.list.element"] == [[1, 2], None, None, []]
+    assert g["s.c"] == [5, None, 6, None]
 
 
 def test_parquet_read_values_closes_the_loop():
@@ -2264,3 +2323,42 @@ def test_parquet_lz4_raw_decode_vs_pyarrow():
     # truncated mid-sequence: bounds-checked reader raises, never hangs
     with _pytest.raises(ValueError):
         _lz4_raw_decompress(bytes([0x47]) + b"abcd" + b"\x03", 0)
+
+
+def test_delta_stats_pruning_semantics():
+    """prune_live_files must be conservative: skip only on provable
+    non-overlap, keep files without stats, honor one-sided bounds, and
+    stats must survive the checkpoint round trip."""
+    from hive_backend_spark.operators.deltalog import (
+        encode_delta_checkpoint,
+        encode_delta_log,
+        prune_live_files,
+        replay_delta_checkpoint,
+        replay_delta_log,
+    )
+
+    log = encode_delta_log(
+        [
+            [
+                {"op": "add", "path": "a", "rows": 5, "min": {"x": 0}, "max": {"x": 9}},
+                {"op": "add", "path": "b", "rows": 5, "min": {"x": 10}, "max": {"x": 19}},
+                {"op": "add", "path": "c", "rows": 5},  # no stats
+                {"op": "add", "path": "d", "rows": 5, "min": {"y": 0}, "max": {"y": 9}},
+            ]
+        ]
+    )
+    snap = replay_delta_log(log)
+    p = prune_live_files(snap, "x", 12, 15)
+    assert p["kept"] == ["b", "c", "d"] and p["skipped"] == ["a"]
+    # boundary overlap keeps (max == lo)
+    assert prune_live_files(snap, "x", 9, 100)["skipped"] == []
+    # one-sided bounds
+    assert prune_live_files(snap, "x", lo=10)["skipped"] == ["a"]
+    assert prune_live_files(snap, "x", hi=9)["skipped"] == ["b"]
+    assert prune_live_files(snap, "x")["skipped"] == []
+    # stats survive the checkpoint parquet round trip
+    got = replay_delta_checkpoint(encode_delta_checkpoint(snap), 0, {})
+    assert got["live_files"]["a"]["min"] == {"x": 0}
+    assert got["live_files"]["a"]["max"] == {"x": 9}
+    p2 = prune_live_files(got, "x", 12, 15)
+    assert p2["kept"] == p["kept"] and p2["skipped"] == p["skipped"]
