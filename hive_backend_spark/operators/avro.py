@@ -18,15 +18,24 @@ Format facts used (Avro spec, "Object Container Files" + binary encoding):
     null = zero bytes.
 
 Record decode supports flat record schemas over {long, int, string,
-bytes, boolean, double, null} — the triage subset; anything else raises a
-loud NotImplementedError naming the type (the multimodal codec
-discipline). Truncation or framing damage raises ValueError naming the
-problem. No reference parity (the reference ingests only JSON) — §7
-extension surface in the q329 walker discipline.
+bytes, boolean, double, null} plus — round 13 — the LOGICAL TYPES a
+lakehouse actually ships (Avro spec "Logical Types"): ``decimal`` over
+bytes (minimal big-endian two's-complement unscaled) or fixed
+(sign-extended to the declared size, raw bytes with NO length prefix),
+``date`` over int (epoch days), ``timestamp-millis`` / ``timestamp-micros``
+over long — each decoded to the proper Python object (decimal.Decimal,
+datetime.date, naive-UTC datetime.datetime). Anything else (nested
+records, unions, enums, uuid/time logical types) raises a loud
+NotImplementedError naming the type (the multimodal codec discipline).
+Truncation or framing damage raises ValueError naming the problem. No
+reference parity (the reference ingests only JSON) — §7 extension
+surface in the q329 walker discipline.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
 import struct
 import zlib
@@ -35,6 +44,50 @@ __all__ = ["encode_avro", "parse_avro", "avro_census"]
 
 MAGIC = b"Obj\x01"
 _SUPPORTED = {"long", "int", "string", "bytes", "boolean", "double", "null"}
+_EPOCH = _dt.datetime(1970, 1, 1)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _logical_info(t) -> tuple:
+    """Validate a schema field type and normalize it to
+    (base_type, logical_or_None). ``t`` is a plain primitive string or a
+    dict {"type": base, "logicalType": ..., ...}; supported logical
+    combos are exactly the spec's decimal(bytes|fixed) / date(int) /
+    timestamp-millis|micros(long). Everything else refuses loudly."""
+    if isinstance(t, str):
+        if t not in _SUPPORTED:
+            raise NotImplementedError(f"Avro field type {t!r} not supported")
+        return t, None
+    if not isinstance(t, dict):
+        raise NotImplementedError(
+            f"Avro field type {t!r} not supported (unions/arrays refuse)"
+        )
+    base = t.get("type")
+    lt = t.get("logicalType")
+    if base == "record" or lt is None:
+        raise NotImplementedError(
+            f"Avro field type {base!r} without a supported logicalType "
+            f"(nested records refuse)"
+        )
+    if lt == "decimal" and base in ("bytes", "fixed"):
+        scale = int(t.get("scale", 0))
+        if scale < 0 or int(t.get("precision", 1)) <= 0:
+            raise ValueError("malformed Avro decimal: bad precision/scale")
+        size = None
+        if base == "fixed":
+            size = int(t.get("size", 0))
+            if size <= 0:
+                raise ValueError("malformed Avro fixed: size must be positive")
+        return base, {"kind": "decimal", "scale": scale, "size": size}
+    if lt == "date" and base == "int":
+        return base, {"kind": "date"}
+    if lt == "timestamp-millis" and base == "long":
+        return base, {"kind": "timestamp-millis"}
+    if lt == "timestamp-micros" and base == "long":
+        return base, {"kind": "timestamp-micros"}
+    raise NotImplementedError(
+        f"Avro logical type {lt!r} over {base!r} not supported"
+    )
 
 
 def _zz_encode(n: int) -> bytes:
@@ -111,7 +164,30 @@ class _Reader:
         return self.take(n)
 
 
-def _encode_value(v, typ: str) -> bytes:
+def _encode_value(v, typ, logical=None) -> bytes:
+    if logical is not None:
+        kind = logical["kind"]
+        if kind == "decimal":
+            if isinstance(v, _decimal.Decimal):
+                unscaled = int(v.scaleb(logical["scale"]).to_integral_exact())
+            else:
+                unscaled = int(v)  # already-unscaled int accepted
+            if logical["size"] is not None:  # fixed: raw, sign-extended
+                return unscaled.to_bytes(logical["size"], "big", signed=True)
+            n = max(1, (unscaled.bit_length() + 8) // 8)  # minimal tc width
+            bv = unscaled.to_bytes(n, "big", signed=True)
+            return _zz_encode(len(bv)) + bv
+        if kind == "date":
+            days = (v - _EPOCH_DATE).days if isinstance(v, _dt.date) else int(v)
+            return _zz_encode(days)
+        if kind == "timestamp-millis":
+            if isinstance(v, _dt.datetime):
+                v = (v - _EPOCH) // _dt.timedelta(milliseconds=1)
+            return _zz_encode(int(v))
+        if kind == "timestamp-micros":
+            if isinstance(v, _dt.datetime):
+                v = (v - _EPOCH) // _dt.timedelta(microseconds=1)
+            return _zz_encode(int(v))
     if typ == "long" or typ == "int":
         return _zz_encode(int(v))
     if typ == "string":
@@ -148,9 +224,7 @@ def encode_avro(
         raise ValueError(f"unsupported Avro codec {codec!r}")
     if len(sync) != 16:
         raise ValueError("Avro sync marker must be 16 bytes")
-    for _, t in fields:
-        if t not in _SUPPORTED:
-            raise NotImplementedError(f"encode_avro does not support type {t!r}")
+    logicals = [_logical_info(t)[1] for _, t in fields]
     schema = {
         "type": "record",
         "name": "row",
@@ -176,8 +250,9 @@ def encode_avro(
         for rec in chunk:
             if len(rec) != len(fields):
                 raise ValueError("record arity does not match schema")
-            for v, (_, t) in zip(rec, fields):
-                body += _encode_value(v, t)
+            for v, (_, t), lg in zip(rec, fields, logicals):
+                base = t if isinstance(t, str) else t.get("type")
+                body += _encode_value(v, base, lg)
         if codec == "deflate":
             payload = zlib.compress(bytes(body))[2:-4]
         elif codec == "snappy":
@@ -225,9 +300,8 @@ def parse_avro(blob: bytes) -> dict:
     fields = []
     for f in schema.get("fields", []):
         t = f.get("type")
-        if not isinstance(t, str) or t not in _SUPPORTED:
-            raise NotImplementedError(f"Avro field type {t!r} not supported")
-        fields.append((f["name"], t))
+        base, logical = _logical_info(t)
+        fields.append((f["name"], base, logical))
 
     blocks = []
     records = []
@@ -254,19 +328,33 @@ def parse_avro(blob: bytes) -> dict:
         br = _Reader(body)
         for _ in range(n_rec):
             rec = {}
-            for name, typ in fields:
-                if typ in ("long", "int"):
-                    rec[name] = br.zigzag()
+            for name, typ, logical in fields:
+                if typ == "fixed":  # raw bytes, size from schema, no prefix
+                    v = br.take(logical["size"])
+                elif typ in ("long", "int"):
+                    v = br.zigzag()
                 elif typ == "string":
-                    rec[name] = br.bytes_().decode("utf-8", "replace")
+                    v = br.bytes_().decode("utf-8", "replace")
                 elif typ == "bytes":
-                    rec[name] = br.bytes_()
+                    v = br.bytes_()
                 elif typ == "boolean":
-                    rec[name] = br.take(1) == b"\x01"
+                    v = br.take(1) == b"\x01"
                 elif typ == "double":
-                    rec[name] = struct.unpack("<d", br.take(8))[0]
+                    v = struct.unpack("<d", br.take(8))[0]
                 else:  # null
-                    rec[name] = None
+                    v = None
+                if logical is not None:
+                    kind = logical["kind"]
+                    if kind == "decimal":
+                        unscaled = int.from_bytes(bytes(v), "big", signed=True)
+                        v = _decimal.Decimal(unscaled).scaleb(-logical["scale"])
+                    elif kind == "date":
+                        v = _EPOCH_DATE + _dt.timedelta(days=v)
+                    elif kind == "timestamp-millis":
+                        v = _EPOCH + _dt.timedelta(milliseconds=v)
+                    elif kind == "timestamp-micros":
+                        v = _EPOCH + _dt.timedelta(microseconds=v)
+                rec[name] = v
             records.append(rec)
         if br.i != len(body):
             raise ValueError("malformed Avro block: trailing bytes after records")
@@ -306,10 +394,11 @@ def avro_census(df, blob_col: str = "blob", id_col: str = "doc_id"):
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
                 meta = parse_avro(bytes(blob))
                 long_field = next(
-                    (n for n, t in meta["fields"] if t == "long"), None
+                    (n for n, t, lg in meta["fields"]
+                     if t == "long" and lg is None), None
                 )
                 str_field = next(
-                    (n for n, t in meta["fields"] if t == "string"), None
+                    (n for n, t, lg in meta["fields"] if t == "string"), None
                 )
                 rows.append(
                     {

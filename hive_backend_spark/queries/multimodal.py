@@ -2699,3 +2699,137 @@ def q348_delta_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_live bigint, n_kept bigint, n_skipped bigint, "
         "matched_rows bigint, matched_sum bigint",
     ).orderBy("doc_id")
+
+
+@register(
+    "q349_avro_logical_types",
+    oracle="""
+    WITH recs AS (
+      SELECT doc_id, r.range AS r,
+             (doc_id * 7 + r.range * 13) % 20001 - 10000 AS pu,
+             (doc_id * 11 + r.range * 17) % 2000001 - 1000000 AS fu,
+             (doc_id * 3 + r.range * 31) % 40000 - 5000 AS dd,
+             (doc_id * 13 + r.range * 977) % 2199023255552
+               - 1099511627776 AS tm,
+             (doc_id * 17 + r.range * 31337) % 35184372088832
+               - 17592186044416 AS tu
+      FROM documents JOIN range(0, 30) r ON r.range < 20 + doc_id % 10
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(pu) AS BIGINT) AS price_sum_cents,
+           CAST(min(fu) AS BIGINT) AS fee_min_milli,
+           CAST(DATE '1970-01-01' + CAST(min(dd) AS INT) AS VARCHAR)
+             AS d_min_iso,
+           CAST(isodow(DATE '1970-01-01' + CAST(max(dd) AS INT)) AS INT)
+             AS d_max_dow,
+           strftime(make_timestamp(max(tm) * 1000), '%Y-%m-%d %H:%M:%S.%f')
+             AS ts_ms_max,
+           strftime(make_timestamp(min(tu)), '%Y-%m-%d %H:%M:%S.%f')
+             AS ts_us_min
+    FROM recs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q349_avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro LOGICAL TYPES (r12 verdict task #6): per document an OCF
+    carrying decimal-over-bytes (minimal two's complement, negatives
+    included), decimal-over-fixed (sign-extended 5-byte), date,
+    timestamp-millis and timestamp-micros columns round-trips through
+    operators/avro — encoded FROM Python Decimal/date/datetime objects,
+    decoded BACK to them — under the codec rotation (null / deflate /
+    snappy). The emitted aggregates include calendar-derived values (ISO
+    date strings, ISO day-of-week, 6-digit-microsecond timestamp
+    renderings spanning pre-1970 epochs) computed by Python's own
+    datetime arithmetic, which the oracle recomputes with DuckDB's
+    independent date/timestamp implementation — a wrong epoch base, a
+    millis/micros unit slip, or a two's-complement sign error cannot
+    agree with both. Nested Avro records remain a recorded refusal.
+
+    Scale posture: one Arrow map pass, blobs never shuffle — a
+    VERIFICATION rung in the q329 walker discipline."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+
+    FIELDS = [
+        ("id", "long"),
+        ("price", {"type": "bytes", "logicalType": "decimal",
+                   "precision": 10, "scale": 2}),
+        ("fee", {"type": "fixed", "name": "fee5", "size": 5,
+                 "logicalType": "decimal", "precision": 12, "scale": 3}),
+        ("d", {"type": "int", "logicalType": "date"}),
+        ("tms", {"type": "long", "logicalType": "timestamp-millis"}),
+        ("tus", {"type": "long", "logicalType": "timestamp-micros"}),
+    ]
+
+    def gen(batches):
+        import datetime as _dt
+        import decimal as _decimal
+
+        from hive_backend_spark.operators.avro import encode_avro, parse_avro
+
+        D = _decimal.Decimal
+        epoch = _dt.datetime(1970, 1, 1)
+        epoch_d = _dt.date(1970, 1, 1)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 20 + did % 10
+                recs = []
+                for r in range(n):
+                    pu = (did * 7 + r * 13) % 20001 - 10000
+                    fu = (did * 11 + r * 17) % 2000001 - 1000000
+                    dd = (did * 3 + r * 31) % 40000 - 5000
+                    tm = (did * 13 + r * 977) % (1 << 41) - (1 << 40)
+                    tu = (did * 17 + r * 31337) % (1 << 45) - (1 << 44)
+                    recs.append(
+                        (
+                            did * 100 + r,
+                            D(pu).scaleb(-2),
+                            D(fu).scaleb(-3),
+                            epoch_d + _dt.timedelta(days=dd),
+                            epoch + _dt.timedelta(milliseconds=tm),
+                            epoch + _dt.timedelta(microseconds=tu),
+                        )
+                    )
+                codec = ("null", "deflate", "snappy")[did % 3]
+                got = parse_avro(
+                    encode_avro(FIELDS, recs, codec=codec, block_records=7)
+                )
+                prices = [g["price"] for g in got["records"]]
+                fees = [g["fee"] for g in got["records"]]
+                dates = [g["d"] for g in got["records"]]
+                tmss = [g["tms"] for g in got["records"]]
+                tuss = [g["tus"] for g in got["records"]]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_records": len(got["records"]),
+                        "price_sum_cents": int(
+                            sum(prices).scaleb(2).to_integral_exact()
+                        ),
+                        "fee_min_milli": int(
+                            min(fees).scaleb(3).to_integral_exact()
+                        ),
+                        "d_min_iso": min(dates).isoformat(),
+                        "d_max_dow": max(dates).isoweekday(),
+                        "ts_ms_max": max(tmss).strftime("%Y-%m-%d %H:%M:%S.%f"),
+                        "ts_us_min": min(tuss).strftime("%Y-%m-%d %H:%M:%S.%f"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "price_sum_cents", "fee_min_milli",
+                    "d_min_iso", "d_max_dow", "ts_ms_max", "ts_us_min",
+                ],
+            )
+
+    return base.mapInPandas(
+        gen,
+        "doc_id bigint, n_records bigint, price_sum_cents bigint, "
+        "fee_min_milli bigint, d_min_iso string, d_max_dow int, "
+        "ts_ms_max string, ts_us_min string",
+    ).orderBy("doc_id")

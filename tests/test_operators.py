@@ -2362,3 +2362,61 @@ def test_delta_stats_pruning_semantics():
     assert got["live_files"]["a"]["max"] == {"x": 9}
     p2 = prune_live_files(got, "x", 12, 15)
     assert p2["kept"] == p["kept"] and p2["skipped"] == p["skipped"]
+
+
+def test_avro_logical_types_round_trip_and_refusals():
+    """round-13: Avro logical types — decimal over bytes (minimal
+    two's complement) and fixed (sign-extended, NO length prefix), date,
+    timestamp-millis/micros decode to proper Python objects across all
+    three codecs; unsupported logical types and nested records keep the
+    loud refusal; truncated fixed payloads hit the ValueError contract."""
+    import datetime
+    import decimal
+
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.avro import encode_avro, parse_avro
+
+    D = decimal.Decimal
+    fields = [
+        ("id", "long"),
+        ("price", {"type": "bytes", "logicalType": "decimal",
+                   "precision": 10, "scale": 2}),
+        ("fee", {"type": "fixed", "name": "fee5", "size": 5,
+                 "logicalType": "decimal", "precision": 12, "scale": 3}),
+        ("d", {"type": "int", "logicalType": "date"}),
+        ("tms", {"type": "long", "logicalType": "timestamp-millis"}),
+        ("tus", {"type": "long", "logicalType": "timestamp-micros"}),
+    ]
+    recs = [
+        (1, D("123.45"), D("-999.999"), datetime.date(2001, 2, 3),
+         datetime.datetime(1999, 12, 31, 23, 59, 59, 123000),
+         datetime.datetime(1969, 6, 1, 1, 2, 3, 456789)),
+        (2, D("-0.07"), D("0.001"), datetime.date(1956, 1, 1),
+         datetime.datetime(1935, 5, 5, 5, 5, 5, 5000),
+         datetime.datetime(1970, 7, 4, 12, 0, 0, 1)),
+        (3, D("0.00"), D("1048575.999"), datetime.date(2079, 6, 6),
+         datetime.datetime(1970, 1, 1), datetime.datetime(1970, 1, 1)),
+    ]
+    for codec in ("null", "deflate", "snappy"):
+        got = parse_avro(encode_avro(fields, recs, codec=codec, block_records=2))
+        for want, g in zip(recs, got["records"]):
+            assert (g["id"], g["price"], g["fee"], g["d"], g["tms"],
+                    g["tus"]) == want, codec
+        # the fee leaf is exactly 5 raw bytes per record — sign-extended
+        assert got["fields"][2][1] == "fixed"
+
+    for bad in (
+        {"type": "long", "logicalType": "time-micros"},
+        {"type": "string", "logicalType": "uuid"},
+        {"type": "record", "name": "x", "fields": []},
+        {"type": "int", "logicalType": "timestamp-millis"},
+    ):
+        with _pytest.raises(NotImplementedError):
+            encode_avro([("x", bad)], [])
+    with _pytest.raises(ValueError, match="size"):
+        encode_avro([("x", {"type": "fixed", "name": "f", "size": 0,
+                            "logicalType": "decimal", "scale": 1})], [])
+    blob = encode_avro(fields, recs)
+    with _pytest.raises(ValueError):
+        parse_avro(blob[:-20])
