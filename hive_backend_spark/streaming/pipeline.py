@@ -637,35 +637,38 @@ class VersionedStateTable:
 
     def read_latest(self, before_batch: int | None = None) -> DataFrame:
         """The table as of a batch boundary: per partition, its latest
-        state_version (< before_batch if given), unioned. Empty-schema
-        DataFrame when no state exists yet."""
+        state_version (< before_batch if given), as ONE multi-path scan.
+        Empty-schema DataFrame when no state exists yet."""
         # basePath keeps Hive partition discovery alive for the leaf read,
         # so the part column — stored in the DIR name by the round-12
         # single-job writer, in the data files by older versions — lands in
         # the declared schema either way. Discovery surfaces BOTH path
         # components (part key + state_version); ones the declared schema
         # doesn't carry are read as strings and dropped.
+        # Round 13: every selected leaf dir goes into a SINGLE
+        # spark.read.parquet(*paths) relation instead of a per-bucket
+        # union — the union's 17 scan nodes each paid their own listing
+        # and planning, which the admission-sink profile showed was the
+        # dominant probe cost (the relation is evaluated twice per
+        # trigger: probe + merged state write).
         names = [f.name for f in self.schema.fields]
         read_schema = StructType(list(self.schema.fields))
         for pc in (self.part_key, "state_version"):
             if pc not in names:
                 read_schema = read_schema.add(StructField(pc, StringType()))
-        parts = []
+        paths = []
         for tok, vers in self.versions().items():
             use = [v for v in vers if before_batch is None or v < before_batch]
             if use:
-                parts.append(
-                    self.spark.read.schema(read_schema)
-                    .option("basePath", self.root)
-                    .parquet(self._part_dir(tok, use[-1]))
-                    .select(*names)
-                )
-        if not parts:
+                paths.append(self._part_dir(tok, use[-1]))
+        if not paths:
             return self.spark.createDataFrame([], self.schema)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return (
+            self.spark.read.schema(read_schema)
+            .option("basePath", self.root)
+            .parquet(*sorted(paths))
+            .select(*names)
+        )
 
     def overwrite_parts(self, df: DataFrame, part_col, touched, batch_id: int) -> None:
         """Write batch_id's version of each touched partition (and only
@@ -1122,32 +1125,38 @@ def run_near_dup_admission(
         prior = state.read_latest(before_batch=batch_id).filter(
             F.col("sbucket").isin(*touched)
         )
-        # ONE combined probe of the persisted index: exact fingerprint
-        # membership and band collisions, unioned into a single job (the
-        # index side scans twice inside it but the query launches once).
-        batch_keys = sess.createDataFrame(
-            [(d, f) for d, f in fps.items()], "doc_id bigint, fp string"
+        # ONE combined probe of the persisted index through a COMPOSITE
+        # key ('f:'+fp for exact membership, 'b:'+idx+':'+sig for band
+        # collisions): the index side derives BOTH key kinds from each
+        # state row with one explode, so the whole probe is a single
+        # semi-join over a single state scan (round 13 — the r12 shape
+        # unioned two semi-joins and scanned the state twice).
+        probe = sess.createDataFrame(
+            [(d, "f:" + f) for d, f in fps.items()]
+            + [
+                (d, f"b:{bi}:{bs}")
+                for d, keys in doc_bands.items()
+                for bi, bs in keys
+            ],
+            "doc_id bigint, k string",
         )
-        batch_bands = sess.createDataFrame(
-            [(d, bi, bs) for d, keys in doc_bands.items() for bi, bs in keys],
-            "doc_id bigint, band_idx int, band_sig string",
-        )
-        hits = (
-            batch_keys.join(prior.select("fp").distinct(), "fp", "left_semi")
-            .select("doc_id", F.lit("exact").alias("kind"))
-            .unionByName(
-                batch_bands.join(
-                    prior.filter(F.col("band_sig").isNotNull()),
-                    ["band_idx", "band_sig"],
-                    "left_semi",
+        index_keys = prior.select(
+            F.explode(
+                F.array(
+                    F.concat(F.lit("f:"), "fp"),
+                    F.when(
+                        F.col("band_sig").isNotNull(),
+                        F.concat(
+                            F.lit("b:"), F.col("band_idx").cast("string"),
+                            F.lit(":"), "band_sig",
+                        ),
+                    ),
                 )
-                .select("doc_id", F.lit("near").alias("kind"))
-                .distinct()
-            )
-            .collect()
-        )
-        exact_idx = {r["doc_id"] for r in hits if r["kind"] == "exact"}
-        near_idx = {r["doc_id"] for r in hits if r["kind"] == "near"}
+            ).alias("k")
+        ).filter(F.col("k").isNotNull())
+        hits = probe.join(index_keys, "k", "left_semi").collect()
+        exact_idx = {r["doc_id"] for r in hits if r["k"].startswith("f:")}
+        near_idx = {r["doc_id"] for r in hits if r["k"].startswith("b:")}
         # the sequential walk: doc_id order IS arrival order within a
         # batch; "an earlier ADMITTED doc shares my fp/band" is exactly
         # "my fp/band key is already in the admitted set" — the same
@@ -1177,16 +1186,23 @@ def run_near_dup_admission(
             .parquet(decisions_dir)
         )
         admitted_ids = {did for did, _, adm, _ in rows if adm}
-        new_rows = sess.createDataFrame(
-            [
-                (r["fp"], r["band_idx"], r["band_sig"], r["sbucket"])
-                for r in band_rows
-                if r["doc_id"] in admitted_ids
-            ],
-            NEARDUP_STATE_SCHEMA,
-        )
-        merged = prior.unionByName(new_rows)
-        state.overwrite_parts(merged, F.col("sbucket"), touched, batch_id)
+        new_index_rows = [
+            (r["fp"], r["band_idx"], r["band_sig"], r["sbucket"])
+            for r in band_rows
+            if r["doc_id"] in admitted_ids
+        ]
+        # Only buckets that GAINED admitted rows are rewritten (round 13):
+        # a bucket touched solely by held documents is content-identical
+        # to its prior version, so rewriting it was pure write
+        # amplification — and on replay the same deterministic decisions
+        # yield the same unchanged set, keeping restart idempotence.
+        touched_write = {r[3] for r in new_index_rows}
+        if touched_write:
+            new_rows = sess.createDataFrame(new_index_rows, NEARDUP_STATE_SCHEMA)
+            merged = prior.unionByName(new_rows)
+            state.overwrite_parts(
+                merged, F.col("sbucket"), touched_write, batch_id
+            )
         state.prune(batch_id)
 
     q = (

@@ -81,6 +81,9 @@ QUERIES = [
     "q137_ngram_novelty",
     "q142_duplicate_ngram_spans",
     "q155_kmeans_train",
+    # round-13 additions (r12 verdict task #8): the three heaviest bench
+    # rows previously measured only to sf3.2 get the 6.4x lever too
+    "q345_delta_checkpoint_compose",
 ]
 
 
