@@ -50,10 +50,14 @@ _EPOCH_DATE = _dt.date(1970, 1, 1)
 
 def _logical_info(t) -> tuple:
     """Validate a schema field type and normalize it to
-    (base_type, logical_or_None). ``t`` is a plain primitive string or a
-    dict {"type": base, "logicalType": ..., ...}; supported logical
-    combos are exactly the spec's decimal(bytes|fixed) / date(int) /
-    timestamp-millis|micros(long). Everything else refuses loudly."""
+    (base_type, annotation_or_None). ``t`` is a plain primitive string or
+    a dict {"type": base, ...}; supported dicts are the spec's logical
+    combos — decimal(bytes|fixed) / date(int) / timestamp-millis|micros
+    (long) — and (round 13) NESTED RECORDS, normalized recursively to
+    {"kind": "record", "fields": [(name, base, annotation), ...]} (Avro
+    encodes a nested record as its fields in order, no framing, so decode
+    is pure recursion). Unions, arrays, maps, enums and other logical
+    types refuse loudly."""
     if isinstance(t, str):
         if t not in _SUPPORTED:
             raise NotImplementedError(f"Avro field type {t!r} not supported")
@@ -64,10 +68,15 @@ def _logical_info(t) -> tuple:
         )
     base = t.get("type")
     lt = t.get("logicalType")
-    if base == "record" or lt is None:
+    if base == "record":
+        subs = [
+            (f["name"], *_logical_info(f.get("type")))
+            for f in t.get("fields", [])
+        ]
+        return "record", {"kind": "record", "fields": subs}
+    if lt is None:
         raise NotImplementedError(
-            f"Avro field type {base!r} without a supported logicalType "
-            f"(nested records refuse)"
+            f"Avro field type {base!r} without a supported logicalType"
         )
     if lt == "decimal" and base in ("bytes", "fixed"):
         scale = int(t.get("scale", 0))
@@ -167,6 +176,12 @@ class _Reader:
 def _encode_value(v, typ, logical=None) -> bytes:
     if logical is not None:
         kind = logical["kind"]
+        if kind == "record":  # nested record: fields in order, no framing
+            out = bytearray()
+            for i, (name, sub_base, sub_lg) in enumerate(logical["fields"]):
+                sv = v[name] if isinstance(v, dict) else v[i]
+                out += _encode_value(sv, sub_base, sub_lg)
+            return bytes(out)
         if kind == "decimal":
             if isinstance(v, _decimal.Decimal):
                 unscaled = int(v.scaleb(logical["scale"]).to_integral_exact())
@@ -220,7 +235,7 @@ def encode_avro(
     CRC-32 of the UNCOMPRESSED data; emitted all-literal, which any
     spec-complete snappy reader accepts). The 16-byte sync marker is
     caller-fixable for deterministic fixtures."""
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
     if len(sync) != 16:
         raise ValueError("Avro sync marker must be 16 bytes")
@@ -259,6 +274,10 @@ def encode_avro(
             payload = _snappy_literal(bytes(body)) + struct.pack(
                 ">I", zlib.crc32(bytes(body))
             )
+        elif codec == "zstandard":
+            from .zstd import zstd_compress_stored
+
+            payload = zstd_compress_stored(bytes(body))
         else:
             payload = bytes(body)
         out += _zz_encode(len(chunk))
@@ -268,10 +287,47 @@ def encode_avro(
     return bytes(out)
 
 
+def _decode_field(br: "_Reader", typ, logical) -> object:
+    """Decode one field value from the record stream — recursive for
+    nested records (whose fields are encoded in order with no framing)."""
+    if logical is not None and logical["kind"] == "record":
+        return {
+            name: _decode_field(br, sub_t, sub_lg)
+            for name, sub_t, sub_lg in logical["fields"]
+        }
+    if typ == "fixed":  # raw bytes, size from schema, no prefix
+        v = br.take(logical["size"])
+    elif typ in ("long", "int"):
+        v = br.zigzag()
+    elif typ == "string":
+        v = br.bytes_().decode("utf-8", "replace")
+    elif typ == "bytes":
+        v = br.bytes_()
+    elif typ == "boolean":
+        v = br.take(1) == b"\x01"
+    elif typ == "double":
+        v = struct.unpack("<d", br.take(8))[0]
+    else:  # null
+        v = None
+    if logical is not None:
+        kind = logical["kind"]
+        if kind == "decimal":
+            unscaled = int.from_bytes(bytes(v), "big", signed=True)
+            v = _decimal.Decimal(unscaled).scaleb(-logical["scale"])
+        elif kind == "date":
+            v = _EPOCH_DATE + _dt.timedelta(days=v)
+        elif kind == "timestamp-millis":
+            v = _EPOCH + _dt.timedelta(milliseconds=v)
+        elif kind == "timestamp-micros":
+            v = _EPOCH + _dt.timedelta(microseconds=v)
+    return v
+
+
 def parse_avro(blob: bytes) -> dict:
     """Walk an Avro OCF: schema facts, per-block census (record count,
     compressed/serialized sizes, sync verification) and the decoded
-    records for supported flat primitive schemas."""
+    records — flat primitives, logical types, and nested records (as
+    nested Python dicts)."""
     if len(blob) < 4 or blob[:4] != MAGIC:
         raise ValueError("not an Avro container: missing Obj\\x01 magic")
     r = _Reader(blob, 4)
@@ -293,7 +349,7 @@ def parse_avro(blob: bytes) -> dict:
     except (KeyError, ValueError):
         raise ValueError("malformed Avro container: missing/bad avro.schema") from None
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise NotImplementedError(f"Avro codec {codec!r} not supported")
     if schema.get("type") != "record":
         raise NotImplementedError("only flat record schemas are supported")
@@ -314,6 +370,10 @@ def parse_avro(blob: bytes) -> dict:
             raise ValueError("corrupt Avro container: sync marker mismatch")
         if codec == "deflate":
             body = zlib.decompress(payload, -15)
+        elif codec == "zstandard":
+            from .zstd import zstd_decompress
+
+            body = zstd_decompress(payload)
         elif codec == "snappy":
             if len(payload) < 4:
                 raise ValueError("malformed Avro snappy block: shorter than CRC")
@@ -327,35 +387,9 @@ def parse_avro(blob: bytes) -> dict:
             body = payload
         br = _Reader(body)
         for _ in range(n_rec):
-            rec = {}
-            for name, typ, logical in fields:
-                if typ == "fixed":  # raw bytes, size from schema, no prefix
-                    v = br.take(logical["size"])
-                elif typ in ("long", "int"):
-                    v = br.zigzag()
-                elif typ == "string":
-                    v = br.bytes_().decode("utf-8", "replace")
-                elif typ == "bytes":
-                    v = br.bytes_()
-                elif typ == "boolean":
-                    v = br.take(1) == b"\x01"
-                elif typ == "double":
-                    v = struct.unpack("<d", br.take(8))[0]
-                else:  # null
-                    v = None
-                if logical is not None:
-                    kind = logical["kind"]
-                    if kind == "decimal":
-                        unscaled = int.from_bytes(bytes(v), "big", signed=True)
-                        v = _decimal.Decimal(unscaled).scaleb(-logical["scale"])
-                    elif kind == "date":
-                        v = _EPOCH_DATE + _dt.timedelta(days=v)
-                    elif kind == "timestamp-millis":
-                        v = _EPOCH + _dt.timedelta(milliseconds=v)
-                    elif kind == "timestamp-micros":
-                        v = _EPOCH + _dt.timedelta(microseconds=v)
-                rec[name] = v
-            records.append(rec)
+            records.append(
+                {name: _decode_field(br, typ, lg) for name, typ, lg in fields}
+            )
         if br.i != len(body):
             raise ValueError("malformed Avro block: trailing bytes after records")
         blocks.append(

@@ -743,7 +743,7 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
     ptype = _TYPE_IDS[col["type"]]
     flba_len = leaf.get("type_length")
     codec = col["codec"]
-    if codec not in ("UNCOMPRESSED", "SNAPPY", "GZIP", "LZ4_RAW"):
+    if codec not in ("UNCOMPRESSED", "SNAPPY", "GZIP", "LZ4_RAW", "ZSTD"):
         raise NotImplementedError(f"codec {codec} not supported")
 
     pos = col["dictionary_page_offset"] or col["data_page_offset"]
@@ -762,6 +762,10 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
             return zlib.decompress(comp, 16 + zlib.MAX_WBITS)
         if codec == "LZ4_RAW":
             return _lz4_raw_decompress(comp, expected)
+        if codec == "ZSTD":
+            from .zstd import zstd_decompress
+
+            return zstd_decompress(comp, expected)
         return comp
 
     while len(defs) < col["num_values"]:

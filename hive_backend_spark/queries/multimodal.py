@@ -2743,7 +2743,7 @@ def q349_avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     datetime arithmetic, which the oracle recomputes with DuckDB's
     independent date/timestamp implementation — a wrong epoch base, a
     millis/micros unit slip, or a two's-complement sign error cannot
-    agree with both. Nested Avro records remain a recorded refusal.
+    agree with both. (Nested records decode too since round 13 — q350.)
 
     Scale posture: one Arrow map pass, blobs never shuffle — a
     VERIFICATION rung in the q329 walker discipline."""
@@ -2832,4 +2832,237 @@ def q349_avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_records bigint, price_sum_cents bigint, "
         "fee_min_milli bigint, d_min_iso string, d_max_dow int, "
         "ts_ms_max string, ts_us_min string",
+    ).orderBy("doc_id")
+
+
+@register(
+    "q350_avro_nested_records",
+    oracle="""
+    WITH recs AS (
+      SELECT doc_id, r.range AS r,
+             (doc_id + r.range * 7) % 100000 AS uid,
+             'u' || CAST((doc_id + r.range) % 97 AS VARCHAR) AS name,
+             (doc_id * 17 + r.range * 31337) % 17592186044416 AS tu,
+             CAST((doc_id * 3 + r.range * 11) % 18000 AS DOUBLE) / 100.0
+               - 90.0 AS lat,
+             CAST((doc_id * 5 + r.range * 13) % 36000 AS DOUBLE) / 100.0
+               - 180.0 AS lon
+      FROM documents JOIN range(0, 25) r ON r.range < 15 + doc_id % 10
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(uid) AS BIGINT) AS uid_sum,
+           CAST(count(DISTINCT name) AS BIGINT) AS name_distinct,
+           strftime(make_timestamp(max(tu)), '%Y-%m-%d %H:%M:%S.%f')
+             AS joined_max,
+           round(min(lat), 6) AS lat_min,
+           round(max(lon), 6) AS lon_max
+    FROM recs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q350_avro_nested_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro NESTED RECORDS (the last recorded refusal in the Avro walker,
+    r12 "What's missing" #5): per document an OCF whose rows carry a
+    depth-2 record tree (user{uid, name, joined: timestamp-micros,
+    geo{lat, lon}}) round-trips through operators/avro — a nested record
+    encodes as its fields in order with NO framing, so the decoder is
+    pure recursion, and logical types convert inside the nesting. The
+    worker compares every decoded record dict against the structure it
+    encoded (raising on mismatch) before emitting aggregates; the
+    analytic oracle recomputes them, with the nested timestamp rendered
+    through DuckDB's independent calendar. Unions/arrays/maps still
+    refuse loudly.
+
+    Scale posture: one Arrow map pass, blobs never shuffle — a
+    VERIFICATION rung in the q329 walker discipline."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+
+    GEO = {"type": "record", "name": "geo", "fields": [
+        {"name": "lat", "type": "double"}, {"name": "lon", "type": "double"}]}
+    USER = {"type": "record", "name": "user", "fields": [
+        {"name": "uid", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "joined",
+         "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "geo", "type": GEO}]}
+    FIELDS = [("id", "long"), ("user", USER)]
+
+    def gen(batches):
+        import datetime as _dt
+
+        from hive_backend_spark.operators.avro import encode_avro, parse_avro
+
+        epoch = _dt.datetime(1970, 1, 1)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 15 + did % 10
+                recs = []
+                for r in range(n):
+                    recs.append(
+                        (
+                            did * 1000 + r,
+                            {
+                                "uid": (did + r * 7) % 100000,
+                                "name": f"u{(did + r) % 97}",
+                                "joined": epoch + _dt.timedelta(
+                                    microseconds=(did * 17 + r * 31337)
+                                    % (1 << 44)
+                                ),
+                                "geo": {
+                                    "lat": ((did * 3 + r * 11) % 18000)
+                                    / 100.0 - 90.0,
+                                    "lon": ((did * 5 + r * 13) % 36000)
+                                    / 100.0 - 180.0,
+                                },
+                            },
+                        )
+                    )
+                codec = ("null", "deflate", "snappy", "zstandard")[did % 4]
+                got = parse_avro(
+                    encode_avro(FIELDS, recs, codec=codec, block_records=6)
+                )
+                for want, g in zip(recs, got["records"]):
+                    if (g["id"], g["user"]) != want:
+                        raise ValueError(
+                            f"nested record mismatch for doc {did}: "
+                            f"{g!r} vs {want!r}"
+                        )
+                users = [g["user"] for g in got["records"]]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_records": len(users),
+                        "uid_sum": sum(u["uid"] for u in users),
+                        "name_distinct": len({u["name"] for u in users}),
+                        "joined_max": max(
+                            u["joined"] for u in users
+                        ).strftime("%Y-%m-%d %H:%M:%S.%f"),
+                        "lat_min": round(
+                            min(u["geo"]["lat"] for u in users), 6
+                        ),
+                        "lon_max": round(
+                            max(u["geo"]["lon"] for u in users), 6
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "uid_sum", "name_distinct",
+                    "joined_max", "lat_min", "lon_max",
+                ],
+            )
+
+    return base.mapInPandas(
+        gen,
+        "doc_id bigint, n_records bigint, uid_sum bigint, "
+        "name_distinct bigint, joined_max string, lat_min double, "
+        "lon_max double",
+    ).orderBy("doc_id")
+
+
+@register(
+    "q351_parquet_zstd_decode",
+    oracle="""
+    WITH base AS (SELECT doc_id, 60 + doc_id % 40 AS n FROM documents),
+    recs AS (
+      SELECT doc_id, n,
+             (doc_id * 23 + j.range * j.range) % 4000 - 2000 AS idv,
+             4 * (1 + j.range % 5) AS slen
+      FROM base JOIN range(0, 100) j ON j.range < n
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_values,
+           'ZSTD' AS codec,
+           CAST(sum(idv) AS BIGINT) AS int_sum,
+           CAST(min(idv) AS BIGINT) AS int_min,
+           CAST(max(idv) AS BIGINT) AS int_max,
+           CAST(sum(slen) AS BIGINT) AS str_bytes
+    FROM recs
+    GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+)
+def q351_parquet_zstd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZSTD page decompression — the codec modern lakehouse writers
+    default to and the r12 verdict's #1 missing surface ("zstd
+    realistically needs Python 3.14's compression.zstd or stays a
+    refusal" — operators/zstd.py implements the RFC 8878 frame grammar
+    directly instead: FSE, Huffman literals, sequence execution, XXH64).
+    Per document a REAL zstd-compressed parquet file is written by
+    PYARROW (libzstd inside — the independent encoder) and decoded back
+    by operators/parquet_meta.read_column through the stdlib decoder. The
+    footer codec string is value-pinned so an uncompressed fallback
+    cannot pass; the repetitive token strings force entropy-coded blocks
+    with real match sequences.
+
+    Scale posture: one Arrow map pass, blobs never shuffle — a
+    VERIFICATION rung in the q341 discipline."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hive_backend_spark.operators.parquet_meta import (
+            parquet_footer,
+            read_table,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 60 + did % 40
+                ids = [(did * 23 + j * j) % 4000 - 2000 for j in range(n)]
+                strs = [f"tok{(did + j) % 9}" * (1 + j % 5) for j in range(n)]
+                t = pa.table(
+                    {"id": pa.array(ids, pa.int64()), "s": pa.array(strs, pa.string())}
+                )
+                buf = _io.BytesIO()
+                pq.write_table(t, buf, compression="zstd")
+                blob = buf.getvalue()
+                codecs = {
+                    c["codec"] for c in parquet_footer(blob)["row_groups"][0]["columns"]
+                }
+                if codecs != {"ZSTD"}:
+                    raise ValueError(
+                        f"expected ZSTD chunks, writer produced {codecs}"
+                    )
+                got = read_table(blob)
+                if [x.decode() for x in got["s"]] != strs:
+                    raise ValueError("zstd string round-trip mismatch")
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_values": len(got["id"]),
+                        "codec": "ZSTD",
+                        "int_sum": sum(got["id"]),
+                        "int_min": min(got["id"]),
+                        "int_max": max(got["id"]),
+                        "str_bytes": sum(len(x) for x in got["s"]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_values", "codec",
+                    "int_sum", "int_min", "int_max", "str_bytes",
+                ],
+            )
+
+    return base.mapInPandas(
+        gen,
+        "doc_id bigint, n_values int, codec string, "
+        "int_sum bigint, int_min bigint, int_max bigint, str_bytes bigint",
     ).orderBy("doc_id")
