@@ -24,9 +24,13 @@ bytes (minimal big-endian two's-complement unscaled) or fixed
 (sign-extended to the declared size, raw bytes with NO length prefix),
 ``date`` over int (epoch days), ``timestamp-millis`` / ``timestamp-micros``
 over long — each decoded to the proper Python object (decimal.Decimal,
-datetime.date, naive-UTC datetime.datetime). Anything else (nested
-records, unions, enums, uuid/time logical types) raises a loud
-NotImplementedError naming the type (the multimodal codec discipline).
+datetime.date, naive-UTC datetime.datetime); NESTED RECORDS (recursive
+field walk — a subrecord encodes as its fields in order, no framing);
+and NULLABLE UNIONS ["null", T] / [T, "null"] (zigzag branch index then
+the branch value — the ubiquitous optional-field shape). Anything else
+(wide unions, arrays, maps, enums, uuid/time logical types) raises a
+loud NotImplementedError naming the type (the multimodal codec
+discipline).
 Truncation or framing damage raises ValueError naming the problem. No
 reference parity (the reference ingests only JSON) — §7 extension
 surface in the q329 walker discipline.
@@ -62,6 +66,25 @@ def _logical_info(t) -> tuple:
         if t not in _SUPPORTED:
             raise NotImplementedError(f"Avro field type {t!r} not supported")
         return t, None
+    if isinstance(t, list):
+        # round 13: NULLABLE UNIONS — the ubiquitous optional-field shape
+        # ["null", T] / [T, "null"]. A union value encodes as the zigzag
+        # branch index then the branch's value (null = no bytes). Wider
+        # unions (genuine sum types) still refuse.
+        if len(t) != 2 or "null" not in t:
+            raise NotImplementedError(
+                f"Avro union {t!r} not supported (only 2-branch nullable)"
+            )
+        inner = t[0] if t[1] == "null" else t[1]
+        if inner == "null":
+            raise NotImplementedError("Avro union of two nulls not supported")
+        base, logical = _logical_info(inner)
+        return base, {
+            "kind": "nullable",
+            "null_index": t.index("null"),
+            "base": base,
+            "inner": logical,
+        }
     if not isinstance(t, dict):
         raise NotImplementedError(
             f"Avro field type {t!r} not supported (unions/arrays refuse)"
@@ -176,6 +199,12 @@ class _Reader:
 def _encode_value(v, typ, logical=None) -> bytes:
     if logical is not None:
         kind = logical["kind"]
+        if kind == "nullable":  # union: zigzag branch index, then value
+            if v is None:
+                return _zz_encode(logical["null_index"])
+            return _zz_encode(1 - logical["null_index"]) + _encode_value(
+                v, logical["base"], logical["inner"]
+            )
         if kind == "record":  # nested record: fields in order, no framing
             out = bytearray()
             for i, (name, sub_base, sub_lg) in enumerate(logical["fields"]):
@@ -239,7 +268,9 @@ def encode_avro(
         raise ValueError(f"unsupported Avro codec {codec!r}")
     if len(sync) != 16:
         raise ValueError("Avro sync marker must be 16 bytes")
-    logicals = [_logical_info(t)[1] for _, t in fields]
+    norm = [_logical_info(t) for _, t in fields]
+    bases = [b for b, _ in norm]
+    logicals = [lg for _, lg in norm]
     schema = {
         "type": "record",
         "name": "row",
@@ -265,8 +296,7 @@ def encode_avro(
         for rec in chunk:
             if len(rec) != len(fields):
                 raise ValueError("record arity does not match schema")
-            for v, (_, t), lg in zip(rec, fields, logicals):
-                base = t if isinstance(t, str) else t.get("type")
+            for v, base, lg in zip(rec, bases, logicals):
                 body += _encode_value(v, base, lg)
         if codec == "deflate":
             payload = zlib.compress(bytes(body))[2:-4]
@@ -289,7 +319,17 @@ def encode_avro(
 
 def _decode_field(br: "_Reader", typ, logical) -> object:
     """Decode one field value from the record stream — recursive for
-    nested records (whose fields are encoded in order with no framing)."""
+    nested records (whose fields are encoded in order with no framing)
+    and nullable unions (zigzag branch index, then the branch value)."""
+    if logical is not None and logical["kind"] == "nullable":
+        branch = br.zigzag()
+        if branch not in (0, 1):
+            raise ValueError(
+                f"malformed Avro union: branch index {branch} out of range"
+            )
+        if branch == logical["null_index"]:
+            return None
+        return _decode_field(br, logical["base"], logical["inner"])
     if logical is not None and logical["kind"] == "record":
         return {
             name: _decode_field(br, sub_t, sub_lg)

@@ -279,6 +279,14 @@ def parquet_footer(blob: bytes) -> dict:
                     "stat_min": _decode_stat(raw_min, ptype),
                     "stat_max": _decode_stat(raw_max, ptype),
                     "null_count": st.get(3),
+                    # page-index locators (PageIndex.md): the ColumnIndex /
+                    # OffsetIndex structs live OUTSIDE the footer, between
+                    # the last data page and the footer — these fields say
+                    # where (round 13, read by read_page_index)
+                    "offset_index_offset": cc.get(4),
+                    "offset_index_length": cc.get(5),
+                    "column_index_offset": cc.get(6),
+                    "column_index_length": cc.get(7),
                 }
             )
         row_groups.append(
@@ -902,6 +910,166 @@ def read_table(blob: bytes) -> dict:
             out.setdefault(col["path"], []).extend(
                 read_column(blob, gi, col["path"])
             )
+    return out
+
+
+def read_page_index(blob: bytes, rg_idx: int, path: str) -> dict:
+    """Decode one column chunk's PAGE INDEX (parquet-format PageIndex.md
+    — the planner structure one level below q338's row-group stats):
+    ColumnIndex (per-page null flag, decoded min/max, null counts,
+    boundary order) and OffsetIndex (per-page file offset, compressed
+    size, first row index), read from the footer's locator fields via two
+    ranged slices that never touch data pages. Raises ValueError when the
+    chunk carries no index (the caller must fall back to scanning)."""
+    meta = parquet_footer(blob)
+    col = next(
+        (c for c in meta["row_groups"][rg_idx]["columns"] if c["path"] == path),
+        None,
+    )
+    if col is None:
+        raise ValueError(f"no column chunk at path {path!r}")
+    if col["column_index_offset"] is None or col["offset_index_offset"] is None:
+        raise ValueError(f"column chunk {path!r} carries no page index")
+    ptype = _TYPE_IDS[col["type"]]
+    r = _Reader(blob)
+    r.i = col["column_index_offset"]
+    ci = _read_struct(r)
+    if r.i > col["column_index_offset"] + col["column_index_length"]:
+        raise ValueError("malformed page index: ColumnIndex overruns its length")
+    r.i = col["offset_index_offset"]
+    oi = _read_struct(r)
+    if r.i > col["offset_index_offset"] + col["offset_index_length"]:
+        raise ValueError("malformed page index: OffsetIndex overruns its length")
+    locations = [
+        {
+            "offset": pl.get(1),
+            "compressed_page_size": pl.get(2),
+            "first_row_index": pl.get(3),
+        }
+        for pl in oi.get(1, []) or []
+    ]
+    null_pages = [bool(b) for b in ci.get(1, []) or []]
+    mins = [
+        None if null_pages[i] else _decode_stat(v, ptype)
+        for i, v in enumerate(ci.get(2, []) or [])
+    ]
+    maxs = [
+        None if null_pages[i] else _decode_stat(v, ptype)
+        for i, v in enumerate(ci.get(3, []) or [])
+    ]
+    if not (len(locations) == len(null_pages) == len(mins) == len(maxs)):
+        raise ValueError(
+            "malformed page index: ColumnIndex/OffsetIndex page counts differ"
+        )
+    return {
+        "n_pages": len(locations),
+        "null_pages": null_pages,
+        "min_values": mins,
+        "max_values": maxs,
+        "boundary_order": ci.get(4),
+        "null_counts": list(ci.get(5, []) or []),
+        "page_locations": locations,
+    }
+
+
+def read_column_pages(blob: bytes, rg_idx: int, path: str,
+                      page_indices: list) -> dict:
+    """Decode ONLY the selected data pages of a flat column chunk —
+    the execution half of page-index pruning: the OffsetIndex says where
+    each page starts, so a reader seeks straight to the survivors and
+    never inflates a skipped page. The dictionary page (when present) is
+    decoded once up front. Returns {page_index: [values...]} with None
+    for nulls. Repeated columns refuse (a record may split across pages,
+    which per-page decode cannot reassemble)."""
+    meta = parquet_footer(blob)
+    col = next(
+        (c for c in meta["row_groups"][rg_idx]["columns"] if c["path"] == path),
+        None,
+    )
+    leaf = next((s for s in meta["schema"] if s.get("path") == path), None)
+    if col is None or leaf is None:
+        raise ValueError(f"no leaf column chunk at path {path!r}")
+    if leaf["max_rep"]:
+        raise NotImplementedError(
+            "page-selective decode of repeated columns not supported "
+            "(records may split across pages)"
+        )
+    idx = read_page_index(blob, rg_idx, path)
+    ptype = _TYPE_IDS[col["type"]]
+    flba_len = leaf.get("type_length")
+    max_def = leaf["max_def"]
+    codec = col["codec"]
+
+    def _inflate(comp: bytes, expected: int) -> bytes:
+        if codec == "SNAPPY":
+            return _snappy_decompress(comp, expected)
+        if codec == "GZIP":
+            import zlib
+
+            return zlib.decompress(comp, 16 + zlib.MAX_WBITS)
+        if codec == "LZ4_RAW":
+            return _lz4_raw_decompress(comp, expected)
+        if codec == "ZSTD":
+            from .zstd import zstd_decompress
+
+            return zstd_decompress(comp, expected)
+        if codec == "UNCOMPRESSED":
+            return comp
+        raise NotImplementedError(f"codec {codec} not supported")
+
+    dictionary = None
+    if col["dictionary_page_offset"] is not None:
+        r = _Reader(blob)
+        r.i = col["dictionary_page_offset"]
+        header = _read_struct(r)
+        comp = r.take(header.get(3, 0))
+        if header.get(1) == 2:
+            dph = header.get(7) or {}
+            dictionary = _decode_plain_values(
+                _inflate(comp, header.get(2, 0)), ptype, dph.get(1, 0), flba_len
+            )
+    out: dict = {}
+    for pi in page_indices:
+        if not 0 <= pi < idx["n_pages"]:
+            raise ValueError(f"page index {pi} out of range")
+        loc = idx["page_locations"][pi]
+        r = _Reader(blob)
+        r.i = loc["offset"]
+        header = _read_struct(r)
+        comp = r.take(header.get(3, 0))
+        if r.i > loc["offset"] + loc["compressed_page_size"]:
+            raise ValueError("malformed page: exceeds its OffsetIndex size")
+        ptype_page = header.get(1)
+        if ptype_page == 0:
+            data = _inflate(comp, header.get(2, 0))
+            dph = header.get(5) or {}
+            n_values = dph.get(1, 0)
+            encoding = dph.get(2)
+            pr = _Reader(data)
+            p_defs = _read_levels(pr, max_def, n_values)
+            body = data[pr.i :]
+        elif ptype_page == 3:
+            dph = header.get(8) or {}
+            n_values = dph.get(1, 0)
+            encoding = dph.get(4)
+            dl_len = dph.get(5, 0)
+            p_defs = (
+                _read_rle_hybrid(
+                    _Reader(comp[:dl_len]), max_def.bit_length(), n_values
+                )
+                if max_def
+                else [0] * n_values
+            )
+            body = comp[dl_len:]
+            if dph.get(7, True):
+                body = _inflate(body, header.get(2, 0) - dl_len)
+        else:
+            raise ValueError(f"page {pi} is not a data page")
+        n_set = sum(1 for d in p_defs if d == max_def)
+        vals = _decode_page_values(body, encoding, ptype, n_set, dictionary,
+                                   flba_len)
+        it = iter(vals)
+        out[pi] = [next(it) if d == max_def else None for d in p_defs]
     return out
 
 

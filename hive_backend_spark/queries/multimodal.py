@@ -3066,3 +3066,126 @@ def q351_parquet_zstd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_values int, codec string, "
         "int_sum bigint, int_min bigint, int_max bigint, str_bytes bigint",
     ).orderBy("doc_id")
+
+
+@register(
+    "q352_page_index_pruning",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 3000 + (doc_id % 5) * 1000 AS n, doc_id % 7 AS c
+      FROM documents
+    ),
+    recs AS (
+      SELECT b.doc_id, 2 * j.range + b.c AS v,
+             b.n / 4 + b.doc_id % 50 AS lo,
+             b.n / 2 + b.doc_id % 100 AS hi
+      FROM base b JOIN range(0, 8000) j ON j.range < b.n
+    )
+    SELECT doc_id,
+           CAST(count(CASE WHEN v BETWEEN lo AND hi THEN 1 END) AS BIGINT)
+             AS matched_rows,
+           CAST(sum(CASE WHEN v BETWEEN lo AND hi THEN v ELSE 0 END)
+                AS BIGINT) AS matched_sum,
+           TRUE AS pruning_effective,
+           TRUE AS audit_pass
+    FROM recs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q352_page_index_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet PAGE-INDEX pruning (parquet-format PageIndex.md — the
+    planner layer one level below q338's row-group stats and one above
+    q348's Delta file stats): per document a REAL multi-page file is
+    written by PYARROW with `write_page_index=True`; the stdlib reader
+    decodes the ColumnIndex/OffsetIndex from the footer's locator fields
+    (two ranged slices, zero data-page reads), prunes pages whose min/max
+    cannot intersect a range predicate, and decodes ONLY the surviving
+    pages by seeking straight to their OffsetIndex offsets. The worker
+    AUDITS the plan physically before emitting: (a) the pruned decode's
+    matches equal the full-column decode's, (b) no skipped page contains
+    a matching value when actually opened, (c) pruning skipped at least
+    one page (the sorted layout plus a mid-range predicate guarantees
+    effectiveness, so the oracle can pin it as a constant). Any violation
+    raises.
+
+    Scale posture: the page index is O(pages) footer-adjacent metadata —
+    at 100 TB the skipped pages are I/O never issued; one Arrow map pass,
+    blobs never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hive_backend_spark.operators.parquet_meta import (
+            read_column,
+            read_column_pages,
+            read_page_index,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3000 + (did % 5) * 1000
+                c = did % 7
+                vals = [2 * j + c for j in range(n)]
+                lo, hi = n // 4 + did % 50, n // 2 + did % 100
+                buf = _io.BytesIO()
+                pq.write_table(
+                    pa.table({"x": pa.array(vals, pa.int64())}), buf,
+                    write_page_index=True, data_page_size=2048,
+                    use_dictionary=False,
+                )
+                blob = buf.getvalue()
+                idx = read_page_index(blob, 0, "x")
+                if idx["n_pages"] < 2:
+                    raise ValueError(f"doc {did}: writer produced one page")
+                kept = [
+                    i
+                    for i in range(idx["n_pages"])
+                    if not idx["null_pages"][i]
+                    and idx["min_values"][i] <= hi
+                    and idx["max_values"][i] >= lo
+                ]
+                skipped = [
+                    i for i in range(idx["n_pages"]) if i not in set(kept)
+                ]
+                pages = read_column_pages(blob, 0, "x", kept)
+                got = [v for i in kept for v in pages[i] if lo <= v <= hi]
+                full = [v for v in read_column(blob, 0, "x") if lo <= v <= hi]
+                if got != full:
+                    raise ValueError(f"doc {did}: pruned decode diverges")
+                leak = read_column_pages(blob, 0, "x", skipped)
+                if any(
+                    lo <= v <= hi for i in skipped for v in leak[i]
+                ):
+                    raise ValueError(f"doc {did}: skipped page holds a match")
+                if not skipped:
+                    raise ValueError(f"doc {did}: pruning skipped nothing")
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "matched_rows": len(got),
+                        "matched_sum": sum(got),
+                        "pruning_effective": True,
+                        "audit_pass": True,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "matched_rows", "matched_sum",
+                    "pruning_effective", "audit_pass",
+                ],
+            )
+
+    return base.mapInPandas(
+        gen,
+        "doc_id bigint, matched_rows bigint, matched_sum bigint, "
+        "pruning_effective boolean, audit_pass boolean",
+    ).orderBy("doc_id")

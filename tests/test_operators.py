@@ -2409,7 +2409,7 @@ def test_avro_logical_types_round_trip_and_refusals():
     for bad in (
         {"type": "long", "logicalType": "time-micros"},
         {"type": "string", "logicalType": "uuid"},
-        ["null", "long"],  # unions refuse
+        ["null", "long", "string"],  # wide unions refuse
         {"type": "int", "logicalType": "timestamp-millis"},
     ):
         with _pytest.raises(NotImplementedError):
@@ -2455,7 +2455,7 @@ def test_avro_nested_records_round_trip():
         for want, g in zip(recs, got["records"]):
             assert (g["id"], g["user"], g["score"]) == want, codec
     with _pytest.raises(NotImplementedError):
-        encode_avro([("x", ["null", "long"])], [])
+        encode_avro([("x", ["null", "long", "string"])], [])  # 3-branch
     with _pytest.raises(NotImplementedError):
         encode_avro([("x", {"type": "array", "items": "long"})], [])
 
@@ -2583,3 +2583,99 @@ def test_zstd_stored_emitter_cross_accepted_and_avro_codec():
     got = parse_avro(blob)
     assert [(r["id"], r["s"]) for r in got["records"]] == recs
     assert got["codec"] == "zstandard" and len(got["blocks"]) == 5
+
+
+def test_avro_nullable_unions_round_trip():
+    """round-13: 2-branch nullable unions in BOTH branch orders, with
+    logical-typed and nested-record inner branches, across all four
+    codecs; wide unions keep the refusal; an out-of-range branch index
+    hits the ValueError contract."""
+    import datetime
+
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.avro import encode_avro, parse_avro
+
+    fields = [
+        ("id", "long"),
+        ("opt_s", ["null", "string"]),
+        ("opt_l", ["long", "null"]),
+        ("opt_ts", ["null", {"type": "long", "logicalType": "timestamp-micros"}]),
+        ("opt_rec", ["null", {"type": "record", "name": "g", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "double"]}]}]),
+    ]
+    recs = [
+        (1, "hi", 7, datetime.datetime(2001, 2, 3, 4, 5, 6),
+         {"a": 1, "b": 2.5}),
+        (2, None, None, None, None),
+        (3, "x", -9, None, {"a": 5, "b": None}),
+    ]
+    for codec in ("null", "deflate", "snappy", "zstandard"):
+        got = parse_avro(encode_avro(fields, recs, codec=codec, block_records=2))
+        for want, g in zip(recs, got["records"]):
+            vals = tuple(g[n] for n in ("id", "opt_s", "opt_l", "opt_ts", "opt_rec"))
+            assert vals == want, codec
+    with _pytest.raises(NotImplementedError, match="union"):
+        encode_avro([("x", ["null", "long", "string"])], [])
+    with _pytest.raises(NotImplementedError):
+        encode_avro([("x", ["null", "null"])], [])
+    # corrupt branch index: encode a valid file, then bump a union byte
+    blob = bytearray(encode_avro([("o", ["null", "long"])], [(None,)]))
+    # last data block: count=1, size=1, payload=one zigzag byte, sync(16)
+    blob[-17] = 0x08  # zigzag(4) — branch 4 of a 2-branch union
+    with _pytest.raises(ValueError, match="branch"):
+        parse_avro(bytes(blob))
+
+
+def test_parquet_page_index_and_selective_decode():
+    """round-13: ColumnIndex/OffsetIndex decode + page-selective reads —
+    pyarrow-written page indexes (plain and dictionary encodings, v1/v2
+    pages, zstd/snappy codecs) read back with per-page min/max/null
+    counts; decoding every page individually re-joins to the full column
+    exactly and single pages align with first_row_index; files without an
+    index and repeated columns hit the refusal contracts."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from hive_backend_spark.operators.parquet_meta import (
+        read_column,
+        read_column_pages,
+        read_page_index,
+    )
+
+    vals = [i if i % 13 else None for i in range(10000)]
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    for kw in (
+        dict(use_dictionary=False),
+        dict(use_dictionary=True),
+        dict(use_dictionary=False, compression="zstd"),
+        dict(use_dictionary=False, data_page_version="2.0", compression="snappy"),
+    ):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, write_page_index=True, data_page_size=4096, **kw)
+        blob = buf.getvalue()
+        idx = read_page_index(blob, 0, "x")
+        assert idx["n_pages"] >= 2, kw
+        assert idx["min_values"][0] == 1 and idx["max_values"][-1] == 9999
+        assert sum(idx["null_counts"]) == sum(1 for v in vals if v is None)
+        pages = read_column_pages(blob, 0, "x", list(range(idx["n_pages"])))
+        joined = [v for pi in range(idx["n_pages"]) for v in pages[pi]]
+        assert joined == read_column(blob, 0, "x") == vals, kw
+        fri = idx["page_locations"][1]["first_row_index"]
+        assert vals[fri : fri + len(pages[1])] == pages[1]
+
+    # no index written -> loud refusal to pretend
+    buf = io.BytesIO()
+    pq.write_table(t, buf, write_page_index=False)
+    with _pytest.raises(ValueError, match="no page index"):
+        read_page_index(buf.getvalue(), 0, "x")
+    # repeated columns refuse page-selective decode
+    lt = pa.table({"l": pa.array([[1, 2], [3]] * 500, pa.list_(pa.int64()))})
+    buf = io.BytesIO()
+    pq.write_table(lt, buf, write_page_index=True, data_page_size=2048)
+    with _pytest.raises(NotImplementedError, match="repeated"):
+        read_column_pages(buf.getvalue(), 0, "l.list.element", [0])
