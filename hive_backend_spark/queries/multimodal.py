@@ -3189,3 +3189,107 @@ def q352_page_index_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, matched_rows bigint, matched_sum bigint, "
         "pruning_effective boolean, audit_pass boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "q353_orc_tail_census",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 200 + doc_id % 100 AS n,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'NONE' WHEN 1 THEN 'ZLIB' WHEN 2 THEN 'SNAPPY'
+               WHEN 3 THEN 'ZSTD' ELSE 'LZ4' END AS comp
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_rows,
+           comp AS compression,
+           CAST(doc_id * 11 - 300 AS BIGINT) AS x_min,
+           CAST(doc_id * 11 + (n - 1) * 7 - 300 AS BIGINT) AS x_max,
+           CAST(n * (doc_id * 11 - 300) + 7 * n * (n - 1) // 2 AS BIGINT)
+             AS x_sum,
+           'k00' AS s_min,
+           'k12' AS s_max
+    FROM base ORDER BY doc_id
+    """,
+)
+def q353_orc_tail_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC tail census (operators/orc — the third columnar container in
+    the ingestion ladder beside parquet and Avro): per document a REAL
+    ORC file is written by PYARROW (libORC inside, the independent
+    writer) under a rotating compression kind (NONE / ZLIB / SNAPPY /
+    ZSTD / LZ4 — the last three decoded by THIS repo's stdlib snappy,
+    RFC 8878 zstd and lz4 block decoders inside ORC's 3-byte-header
+    chunked framing), and the stdlib tail walker decodes postscript,
+    stripe directory, type tree and FILE-LEVEL COLUMN STATISTICS — the
+    planning metadata a 100 TB Hive/Trino table scan prunes with before
+    opening any stripe. The emitted values come FROM the decoded
+    statistics (zigzag int min/max/sum, string min/max), so a mis-walked
+    field cannot agree with the analytic oracle; the walker additionally
+    enforces stripe-rows == file-rows internally and the compression
+    string is value-pinned against the rotation.
+
+    Scale posture: tail-only ranged reads, O(tail) per file regardless
+    of file size; one Arrow map pass, blobs never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import io as _io
+
+        import pyarrow as pa
+        from pyarrow import orc as _orc
+
+        from hive_backend_spark.operators.orc import parse_orc_tail
+
+        COMPS = ("uncompressed", "zlib", "snappy", "zstd", "lz4")
+        NAMES = ("NONE", "ZLIB", "SNAPPY", "ZSTD", "LZ4")
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + did % 100
+                xs = [did * 11 + j * 7 - 300 for j in range(n)]
+                ss = [f"k{(did + j) % 13:02d}" for j in range(n)]
+                t = pa.table(
+                    {"x": pa.array(xs, pa.int64()), "s": pa.array(ss, pa.string())}
+                )
+                buf = _io.BytesIO()
+                _orc.write_table(t, buf, compression=COMPS[did % 5])
+                got = parse_orc_tail(buf.getvalue())
+                if got["compression"] != NAMES[did % 5]:
+                    raise ValueError(
+                        f"doc {did}: postscript says {got['compression']}, "
+                        f"wrote {NAMES[did % 5]}"
+                    )
+                if got["types"][0]["field_names"] != ["x", "s"]:
+                    raise ValueError(f"doc {did}: type tree mis-walked")
+                xstat = got["column_stats"][1]
+                sstat = got["column_stats"][2]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_rows": got["n_rows"],
+                        "compression": got["compression"],
+                        "x_min": xstat["min"],
+                        "x_max": xstat["max"],
+                        "x_sum": xstat["sum"],
+                        "s_min": sstat["min"],
+                        "s_max": sstat["max"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_rows", "compression",
+                    "x_min", "x_max", "x_sum", "s_min", "s_max",
+                ],
+            )
+
+    return base.mapInPandas(
+        gen,
+        "doc_id bigint, n_rows bigint, compression string, x_min bigint, "
+        "x_max bigint, x_sum bigint, s_min string, s_max string",
+    ).orderBy("doc_id")

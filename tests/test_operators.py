@@ -2679,3 +2679,58 @@ def test_parquet_page_index_and_selective_decode():
     pq.write_table(lt, buf, write_page_index=True, data_page_size=2048)
     with _pytest.raises(NotImplementedError, match="repeated"):
         read_column_pages(buf.getvalue(), 0, "l.list.element", [0])
+
+
+def test_orc_tail_walker_vs_pyarrow():
+    """round-13: ORC tail walk — postscript, chunked-stream footer
+    decompression under all five kinds (zlib raw-deflate, raw snappy,
+    RFC 8878 zstd and lz4 raw blocks inside ORC's 3-byte chunk headers),
+    stripe directory summing to the file row count, type tree, and typed
+    file statistics (zigzag ints, strings, doubles) — against
+    pyarrow-written files; truncation/magic damage raises."""
+    import io
+
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyarrow import orc
+
+    from hive_backend_spark.operators.orc import parse_orc_tail
+
+    vals = [i * 3 - 500 for i in range(10000)]
+    strs = [f"name{i % 23:03d}" for i in range(10000)]
+    dbls = [i * 0.25 - 10.0 for i in range(10000)]
+    t = pa.table(
+        {
+            "x": pa.array(vals, pa.int64()),
+            "s": pa.array(strs, pa.string()),
+            "d": pa.array(dbls, pa.float64()),
+        }
+    )
+    for comp in ("uncompressed", "zlib", "snappy", "zstd", "lz4"):
+        buf = io.BytesIO()
+        orc.write_table(t, buf, compression=comp, stripe_size=16 * 1024)
+        got = parse_orc_tail(buf.getvalue())
+        assert got["n_rows"] == 10000 and got["n_stripes"] >= 1, comp
+        assert sum(s["n_rows"] for s in got["stripes"]) == 10000
+        assert got["types"][0]["kind"] == "struct"
+        assert got["types"][0]["field_names"] == ["x", "s", "d"]
+        xs = got["column_stats"][1]
+        assert (xs["kind"], xs["min"], xs["max"], xs["sum"]) == (
+            "int", -500, 29497, sum(vals)), comp
+        ss = got["column_stats"][2]
+        assert (ss["kind"], ss["min"], ss["max"]) == ("string", "name000", "name022")
+        ds = got["column_stats"][3]
+        assert ds["kind"] == "double" and ds["min"] == -10.0
+
+    blob = buf.getvalue()
+    with _pytest.raises(ValueError):
+        parse_orc_tail(blob[: len(blob) // 2])  # footer/postscript gone
+    bad = bytearray(blob)
+    bad[-2] ^= 0xFF  # corrupt postscript near the magic
+    with _pytest.raises((ValueError, NotImplementedError)):
+        parse_orc_tail(bytes(bad))
+    with _pytest.raises(ValueError):
+        parse_orc_tail(b"\x00\x01\x02\x03\x04\x05\x06\x03")
+    with _pytest.raises(ValueError, match="magic"):
+        # structurally-valid postscript protobuf but no ORC magic field
+        parse_orc_tail(b"\x08\x00\x10\x00" + bytes([4]))
