@@ -627,6 +627,84 @@ def _real_decode(blob: bytes) -> dict:
     )
 
 
+def generate_and_audio_features(
+    base: DataFrame, make_blob, id_col: str = "doc_id", arg_col: str = "L"
+) -> DataFrame:
+    """Fused fixture pipeline for the audio path: per (id, L) row build a
+    WAV blob with ``make_blob(id, L)`` (which may itself run extra codec
+    passes, e.g. decimate + re-encode) and compute the ``audio_features``
+    row INSIDE the same Arrow map task — one python stage instead of one
+    per codec pass, blobs never crossing the JVM<->Python boundary. The
+    stat arithmetic below is the ``audio_features`` code verbatim (int64,
+    per-channel zcr), so values are bit-identical to the unfused form."""
+    schema = (
+        f"{id_col} bigint, n_frames int, sample_rate int, "
+        "zcr bigint, dc_sum bigint, energy bigint"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {id_col: [], "n_frames": [], "sample_rate": [],
+                   "zcr": [], "dc_sum": [], "energy": []}
+            for did, arg in zip(pdf[id_col], pdf[arg_col]):
+                samples, rate, channels = _wav_samples(
+                    make_blob(int(did), int(arg))
+                )
+                s = samples.astype(np.int64)
+                ch = s.reshape(-1, channels)
+                out[id_col].append(did)
+                out["n_frames"].append(len(samples) // channels)
+                out["sample_rate"].append(rate)
+                out["zcr"].append(int(np.sum(ch[:-1, :] * ch[1:, :] < 0)))
+                out["dc_sum"].append(int(s.sum()))
+                out["energy"].append(int((s * s).sum()))
+            yield pd.DataFrame(out)
+
+    return base.select(id_col, arg_col).mapInPandas(gen, schema)
+
+
+def generate_and_decode(
+    base: DataFrame, make_blob, id_col: str = "doc_id", arg_col: str = "L"
+) -> DataFrame:
+    """Fused fixture pipeline: per (id, L) row build a blob with
+    ``make_blob(id, L)`` and decode it via ``_real_decode`` inside the SAME
+    Arrow map task — the generate and decode halves of the codec-path
+    queries in ONE python stage, so the blob bytes never cross the
+    JVM<->Python boundary at all (the two-stage form shipped every blob
+    out of the generator pass and back into the decoder pass; guide §4.1's
+    boundary-crossing cost applied twice for no reason). Emits the exact
+    ``decode_media(stub=False)`` row shape, so downstream projections are
+    unchanged and the decode arithmetic is the same ``_real_decode``."""
+    schema = (
+        f"{id_col} bigint, width int, height int, channels int, "
+        "features array<double>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, fs = [], [], [], [], []
+            for did, arg in zip(pdf[id_col], pdf[arg_col]):
+                r = _real_decode(make_blob(int(did), int(arg)))
+                ids.append(did)
+                ws.append(r["width"])
+                hs.append(r["height"])
+                cs.append(r["channels"])
+                fs.append(r["features"])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": ws,
+                    "height": hs,
+                    "channels": cs,
+                    "features": fs,
+                }
+            )
+
+    return base.select(id_col, arg_col).mapInPandas(gen, schema)
+
+
 def decode_media(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob", stub: bool = True
 ) -> DataFrame:

@@ -718,7 +718,7 @@ def _read_levels(pr: _Reader, max_level: int, n: int) -> list:
     return _read_rle_hybrid(lr, max_level.bit_length(), n)
 
 
-def read_column(blob: bytes, rg_idx: int, path: str) -> list:
+def read_column(blob: bytes, rg_idx: int, path: str, meta: dict | None = None) -> list:
     """Decode ONE column chunk of a REAL parquet file — dictionary +
     RLE_DICTIONARY / PLAIN data pages, SNAPPY / GZIP / UNCOMPRESSED
     codecs, definition levels (None for nulls), and REPETITION levels via
@@ -737,8 +737,11 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
     DELTA_LENGTH_BYTE_ARRAY / BYTE_STREAM_SPLIT value encodings —
     everything pyarrow emits, pinned value-exact against it in pytest.
     Entirely driven by the walked footer's offsets — no parquet
-    library."""
-    meta = parquet_footer(blob)
+    library. ``meta`` lets a caller reading many columns of one file parse
+    the footer once and share it (it is pure derived state of ``blob``);
+    omitted, the footer is walked here."""
+    if meta is None:
+        meta = parquet_footer(blob)
     rg = meta["row_groups"][rg_idx]
     col = next((c for c in rg["columns"] if c["path"] == path), None)
     leaf = next((s for s in meta["schema"] if s.get("path") == path), None)
@@ -897,31 +900,36 @@ def read_column(blob: bytes, rg_idx: int, path: str) -> list:
     return rows
 
 
-def read_table(blob: bytes) -> dict:
+def read_table(blob: bytes, meta: dict | None = None) -> dict:
     """Full-file decode: {column_path: values} across all row groups for
     EVERY leaf column (values are raw physical — an INT64 timestamp stays
     an epoch integer in its stored unit; a leaf under R repeated
     ancestors arrives as R-deep nested Python lists per record under its
-    dotted path, e.g. 'embedding.list.element')."""
-    meta = parquet_footer(blob)
+    dotted path, e.g. 'embedding.list.element'). ``meta`` shares an
+    already-parsed footer (pure derived state of ``blob``), as in
+    ``read_column``."""
+    if meta is None:
+        meta = parquet_footer(blob)
     out: dict = {}
     for gi in range(len(meta["row_groups"])):
         for col in meta["row_groups"][gi]["columns"]:
             out.setdefault(col["path"], []).extend(
-                read_column(blob, gi, col["path"])
+                read_column(blob, gi, col["path"], meta=meta)
             )
     return out
 
 
-def read_page_index(blob: bytes, rg_idx: int, path: str) -> dict:
+def read_page_index(blob: bytes, rg_idx: int, path: str, meta: dict | None = None) -> dict:
     """Decode one column chunk's PAGE INDEX (parquet-format PageIndex.md
     — the planner structure one level below q338's row-group stats):
     ColumnIndex (per-page null flag, decoded min/max, null counts,
     boundary order) and OffsetIndex (per-page file offset, compressed
     size, first row index), read from the footer's locator fields via two
     ranged slices that never touch data pages. Raises ValueError when the
-    chunk carries no index (the caller must fall back to scanning)."""
-    meta = parquet_footer(blob)
+    chunk carries no index (the caller must fall back to scanning).
+    ``meta`` shares an already-parsed footer, as in ``read_column``."""
+    if meta is None:
+        meta = parquet_footer(blob)
     col = next(
         (c for c in meta["row_groups"][rg_idx]["columns"] if c["path"] == path),
         None,
@@ -973,15 +981,17 @@ def read_page_index(blob: bytes, rg_idx: int, path: str) -> dict:
 
 
 def read_column_pages(blob: bytes, rg_idx: int, path: str,
-                      page_indices: list) -> dict:
+                      page_indices: list, meta: dict | None = None) -> dict:
     """Decode ONLY the selected data pages of a flat column chunk —
     the execution half of page-index pruning: the OffsetIndex says where
     each page starts, so a reader seeks straight to the survivors and
     never inflates a skipped page. The dictionary page (when present) is
     decoded once up front. Returns {page_index: [values...]} with None
     for nulls. Repeated columns refuse (a record may split across pages,
-    which per-page decode cannot reassemble)."""
-    meta = parquet_footer(blob)
+    which per-page decode cannot reassemble). ``meta`` shares an
+    already-parsed footer, as in ``read_column``."""
+    if meta is None:
+        meta = parquet_footer(blob)
     col = next(
         (c for c in meta["row_groups"][rg_idx]["columns"] if c["path"] == path),
         None,
@@ -994,7 +1004,7 @@ def read_column_pages(blob: bytes, rg_idx: int, path: str,
             "page-selective decode of repeated columns not supported "
             "(records may split across pages)"
         )
-    idx = read_page_index(blob, rg_idx, path)
+    idx = read_page_index(blob, rg_idx, path, meta=meta)
     ptype = _TYPE_IDS[col["type"]]
     flba_len = leaf.get("type_length")
     max_def = leaf["max_def"]

@@ -186,27 +186,21 @@ def q264_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
     ).repartition(spark.sparkContext.defaultParallelism)
 
-    def gen(batches):
+    def make(did, length):
         import numpy as np
 
         from hive_backend_spark.operators.multimodal import encode_png
 
-        for pdf in batches:
-            blobs = []
-            for did, length in zip(pdf["doc_id"], pdf["L"]):
-                did, length = int(did), int(length)
-                w, h = 4 + did % 5, 4 + (did * 3) % 5
-                y, x, c = np.meshgrid(
-                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
-                )
-                arr = ((length * 7 + 3 * x + 5 * y + 11 * c) % 256).astype(
-                    np.uint8
-                )
-                blobs.append(encode_png(arr, filters=[yy % 5 for yy in range(h)]))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+        w, h = 4 + did % 5, 4 + (did * 3) % 5
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        arr = ((length * 7 + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+        return encode_png(arr, filters=[yy % 5 for yy in range(h)])
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
-    decoded = MM.decode_media(blobbed, stub=False)
+    # encode + decode fused into ONE Arrow map pass (generate_and_decode):
+    # blobs never cross the JVM<->Python boundary; same _real_decode math.
+    decoded = MM.generate_and_decode(base, make)
     return decoded.select(
         "doc_id",
         "width",
@@ -265,24 +259,18 @@ def q270_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
     ).repartition(spark.sparkContext.defaultParallelism)
 
-    def gen(batches):
+    def make(did, length):
         import numpy as np
 
         from hive_backend_spark.operators.multimodal import encode_wav
 
-        for pdf in batches:
-            blobs = []
-            for did, length in zip(pdf["doc_id"], pdf["L"]):
-                did, length = int(did), int(length)
-                n = 512 + (did % 7) * 64
-                s = ((np.arange(n) * 7 + length * 13) % 65536 - 32768).astype(
-                    "<i2"
-                )
-                blobs.append(encode_wav(s, 8000, 1))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+        n = 512 + (did % 7) * 64
+        s = ((np.arange(n) * 7 + length * 13) % 65536 - 32768).astype("<i2")
+        return encode_wav(s, 8000, 1)
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
-    decoded = MM.decode_media(blobbed, stub=False)
+    # encode + decode fused into ONE Arrow map pass (generate_and_decode):
+    # blobs never cross the JVM<->Python boundary; same _real_decode math.
+    decoded = MM.generate_and_decode(base, make)
     return decoded.select(
         "doc_id",
         F.col("width").alias("n_frames"),
@@ -358,10 +346,22 @@ def q272_resize_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(batches):
         import numpy as np
 
-        from hive_backend_spark.operators.multimodal import encode_png
+        from hive_backend_spark.operators.multimodal import (
+            _nn_resize,
+            _png_pixels,
+            _real_decode,
+            encode_png,
+        )
 
+        # The same three codec passes (encode -> resize_media's
+        # decode+gather+re-encode -> decode) in ONE Arrow map stage: the
+        # unfused form shipped every blob across the JVM<->Python boundary
+        # twice, checkpointed, and re-joined the dims branch — all of it
+        # batch-local per document. _nn_resize/_real_decode are the very
+        # functions resize_media/decode_media dispatch to, so every pixel
+        # and mean is bit-identical to the operator composition.
         for pdf in batches:
-            blobs = []
+            rows = []
             for did, length in zip(pdf["doc_id"], pdf["L"]):
                 did, length = int(did), int(length)
                 w, h = 12 + 2 * (did % 4), 12 + 2 * ((did * 3) % 4)
@@ -371,39 +371,46 @@ def q272_resize_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = ((length * 7 + 3 * x + 5 * y + 11 * c) % 256).astype(
                     np.uint8
                 )
-                blobs.append(encode_png(arr, filters=[yy % 5 for yy in range(h)]))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+                blob = encode_png(arr, filters=[yy % 5 for yy in range(h)])
+                px = _png_pixels(blob)
+                ih, iw = px.shape[:2]
+                scale = min(1.0, 8 / max(iw, ih))
+                tw, th = max(1, round(iw * scale)), max(1, round(ih * scale))
+                rblob = encode_png(_nn_resize(px, tw, th))
+                r = _real_decode(rblob)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": iw,
+                        "height": ih,
+                        "target_width": tw,
+                        "target_height": th,
+                        "features": r["features"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "target_width",
+                    "target_height", "features",
+                ],
+            )
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
-    # checkpointed before the fan-out: the decoded-stats branch and the
-    # dims branch would otherwise each re-run the whole codec chain
-    resized = MM.resize_media(blobbed, max_side=8).localCheckpoint(eager=False)
-    decoded = MM.decode_media(
-        resized.select("doc_id", F.col("resized_blob").alias("blob")), stub=False
+    fused = base.mapInPandas(
+        gen,
+        "doc_id bigint, width int, height int, target_width int, "
+        "target_height int, features array<double>",
     )
-    dims = resized.select(
-        "doc_id", "width", "height", "target_width", "target_height"
-    )
-    return (
-        decoded.select(
-            "doc_id",
-            F.round(F.element_at("features", 1), 6).alias("mean_r"),
-            F.round(F.element_at("features", 2), 6).alias("mean_g"),
-            F.round(F.element_at("features", 3), 6).alias("mean_b"),
-        )
-        .join(dims, "doc_id")
-        .select(
-            "doc_id",
-            "width",
-            "height",
-            "target_width",
-            "target_height",
-            "mean_r",
-            "mean_g",
-            "mean_b",
-        )
-        .orderBy("doc_id")
-    )
+    return fused.select(
+        "doc_id",
+        "width",
+        "height",
+        "target_width",
+        "target_height",
+        F.round(F.element_at("features", 1), 6).alias("mean_r"),
+        F.round(F.element_at("features", 2), 6).alias("mean_g"),
+        F.round(F.element_at("features", 3), 6).alias("mean_b"),
+    ).orderBy("doc_id")
 
 
 @register(
@@ -456,25 +463,19 @@ def q280_audio_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
     ).repartition(spark.sparkContext.defaultParallelism)
 
-    def gen(batches):
+    def make(did, length):
         import numpy as np
 
         from hive_backend_spark.operators.multimodal import encode_wav
 
-        for pdf in batches:
-            blobs = []
-            for did, length in zip(pdf["doc_id"], pdf["L"]):
-                did, length = int(did), int(length)
-                n = 512 + (did % 7) * 64
-                s = ((np.arange(n) * 7 + length * 13) % 65536 - 32768).astype(
-                    "<i2"
-                )
-                blobs.append(encode_wav(s, 8000, 1))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+        n = 512 + (did % 7) * 64
+        s = ((np.arange(n) * 7 + length * 13) % 65536 - 32768).astype("<i2")
+        return encode_wav(s, 8000, 1)
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    # encode + feature pass fused into ONE Arrow map stage; same int64
+    # audio_features arithmetic, blobs never cross the python boundary.
     return (
-        MM.audio_features(blobbed)
+        MM.generate_and_audio_features(base, make)
         .select("doc_id", "n_frames", "sample_rate", "zcr", "dc_sum", "energy")
         .orderBy("doc_id")
     )
@@ -528,26 +529,26 @@ def q295_audio_decimate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
     ).repartition(spark.sparkContext.defaultParallelism)
 
-    def gen(batches):
+    def make(did, length):
         import numpy as np
 
-        from hive_backend_spark.operators.multimodal import encode_wav
+        from hive_backend_spark.operators.multimodal import (
+            _wav_samples,
+            encode_wav,
+        )
 
-        for pdf in batches:
-            blobs = []
-            for did, length in zip(pdf["doc_id"], pdf["L"]):
-                did, length = int(did), int(length)
-                n = 512 + (did % 7) * 64
-                s = ((np.arange(n) * 7 + length * 13) % 65536 - 32768).astype(
-                    "<i2"
-                )
-                blobs.append(encode_wav(s, 8000, 1))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+        n = 512 + (did % 7) * 64
+        s = ((np.arange(n) * 7 + length * 13) % 65536 - 32768).astype("<i2")
+        blob = encode_wav(s, 8000, 1)
+        # the decimate_audio pass, per blob: REAL decode -> s[::2] ->
+        # re-encode at half rate — the same three codec passes, now inside
+        # ONE Arrow map stage instead of three chained mapInPandas stages
+        # (blobs crossed the JVM<->Python boundary twice for no reason).
+        samples, rate, _ = _wav_samples(blob)
+        return encode_wav(samples[::2], rate // 2, 1)
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
-    halved = MM.decimate_audio(blobbed, factor=2)
     return (
-        MM.audio_features(halved)
+        MM.generate_and_audio_features(base, make)
         .select("doc_id", "n_frames", "sample_rate", "zcr", "dc_sum", "energy")
         .orderBy("doc_id")
     )
@@ -604,7 +605,7 @@ def q325_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
     ).repartition(spark.sparkContext.defaultParallelism)
 
-    def gen(batches):
+    def make(did, length):
         import numpy as np
 
         from hive_backend_spark.operators.multimodal import encode_gif
@@ -617,18 +618,14 @@ def q325_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             axis=1,
         ).astype(np.uint8)
-        for pdf in batches:
-            blobs = []
-            for did, length in zip(pdf["doc_id"], pdf["L"]):
-                did, length = int(did), int(length)
-                w, h = 5 + did % 6, 5 + (did * 7) % 6
-                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-                idx = (length * 7 + 3 * x + 5 * y) % 64
-                blobs.append(encode_gif(idx, pal))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+        w, h = 5 + did % 6, 5 + (did * 7) % 6
+        y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        idx = (length * 7 + 3 * x + 5 * y) % 64
+        return encode_gif(idx, pal)
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
-    decoded = MM.decode_media(blobbed, stub=False)
+    # encode + decode fused into ONE Arrow map pass (generate_and_decode):
+    # blobs never cross the JVM<->Python boundary; same _real_decode math.
+    decoded = MM.generate_and_decode(base, make)
     return decoded.select(
         "doc_id",
         "width",
@@ -690,26 +687,20 @@ def q328_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("L")
     ).repartition(spark.sparkContext.defaultParallelism)
 
-    def gen(batches):
+    def make(did, length):
         import numpy as np
 
         from hive_backend_spark.operators.jpeg import encode_jpeg
 
-        for pdf in batches:
-            blobs = []
-            for did, length in zip(pdf["doc_id"], pdf["L"]):
-                did, length = int(did), int(length)
-                bw, bh = 2 + did % 3, 2 + (did * 5) % 3
-                by, bx = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
-                vals = (length * 7 + 11 * bx + 13 * by) % 256
-                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
-                    np.uint8
-                )
-                blobs.append(encode_jpeg(img))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+        bw, bh = 2 + did % 3, 2 + (did * 5) % 3
+        by, bx = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+        vals = (length * 7 + 11 * bx + 13 * by) % 256
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+        return encode_jpeg(img)
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
-    decoded = MM.decode_media(blobbed, stub=False)
+    # encode + decode fused into ONE Arrow map pass (generate_and_decode):
+    # blobs never cross the JVM<->Python boundary; same _real_decode math.
+    decoded = MM.generate_and_decode(base, make)
     return decoded.select(
         "doc_id",
         "width",
@@ -786,10 +777,16 @@ def q329_mp4_structure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     HANDLERS = ["vide", "soun", "text"]
 
     def gen(batches):
-        from hive_backend_spark.operators.mp4 import encode_mp4_skeleton
+        from hive_backend_spark.operators.mp4 import (
+            encode_mp4_skeleton,
+            mp4_structure,
+        )
 
+        # encode + structure walk fused in ONE Arrow map stage (the blobs
+        # previously crossed the JVM<->Python boundary between the build
+        # pass and the mp4_structure_stats pass); same mp4_structure walk.
         for pdf in batches:
-            blobs = []
+            rows = []
             for did, length in zip(pdf["doc_id"], pdf["L"]):
                 did, length = int(did), int(length)
                 tracks = [
@@ -801,20 +798,43 @@ def q329_mp4_structure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     for i in range(1 + did % 3)
                 ]
-                blobs.append(
-                    encode_mp4_skeleton(
-                        timescale=600 * (1 + did % 4),
-                        duration=length * 7 + did % 50,
-                        tracks=tracks,
-                        mdat_len=16 + length % 240,
-                        version=did % 2,
+                blob = encode_mp4_skeleton(
+                    timescale=600 * (1 + did % 4),
+                    duration=length * 7 + did % 50,
+                    tracks=tracks,
+                    mdat_len=16 + length % 240,
+                    version=did % 2,
+                )
+                m = mp4_structure(blob)
+                rows.append(
+                    (
+                        did,
+                        m["major_brand"],
+                        m["timescale"],
+                        m["duration"],
+                        m["duration_s"],
+                        m["n_tracks"],
+                        ",".join(
+                            sorted(t.get("codec", "?") for t in m["tracks"])
+                        ),
+                        m["mdat_bytes"],
                     )
                 )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "major_brand", "timescale", "duration",
+                    "duration_s", "n_tracks", "codecs", "mdat_bytes",
+                ],
+            )
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
     return (
-        MP4.mp4_structure_stats(blobbed)
+        base.mapInPandas(
+            gen,
+            "doc_id bigint, major_brand string, timescale bigint, "
+            "duration bigint, duration_s double, n_tracks int, codecs string, "
+            "mdat_bytes bigint",
+        )
         .withColumn("duration_s", F.round("duration_s", 6))
         .orderBy("doc_id")
     )
@@ -1988,11 +2008,13 @@ def q342_parquet_nested_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for path in pdf["path"]:
                 blob = open(path, "rb").read()
-                nrg = len(parquet_footer(blob)["row_groups"])
+                meta = parquet_footer(blob)
                 vids, lists = [], []
-                for gi in range(nrg):
-                    vids.extend(read_column(blob, gi, "vec_id"))
-                    lists.extend(read_column(blob, gi, "embedding.list.element"))
+                for gi in range(len(meta["row_groups"])):
+                    vids.extend(read_column(blob, gi, "vec_id", meta=meta))
+                    lists.extend(
+                        read_column(blob, gi, "embedding.list.element", meta=meta)
+                    )
                 elems = [float(x) for lst in lists for x in lst]
                 rows.append(
                     {
@@ -2095,9 +2117,16 @@ def q345_delta_checkpoint_compose(spark: SparkSession, sf_dir: str) -> DataFrame
         from hive_backend_spark.operators.deltalog import (
             encode_delta_checkpoint,
             encode_delta_log,
+            replay_delta_checkpoint,
             replay_delta_log,
         )
 
+        # Build-history, checkpoint-encode AND checkpoint-replay fused in
+        # ONE Arrow map stage (the unfused form shipped every checkpoint
+        # parquet blob out of the build pass and back into the census pass
+        # — two JVM<->Python crossings of pure per-document intermediate
+        # state). The JSON round-trip of the tail is kept verbatim so the
+        # replay consumes exactly what a persisted tail would serve.
         for pdf in batches:
             rows = []
             for did, length in zip(pdf["doc_id"], pdf["L"]):
@@ -2127,31 +2156,14 @@ def q345_delta_checkpoint_compose(spark: SparkSession, sf_dir: str) -> DataFrame
                 cp_blob = encode_delta_checkpoint(
                     replay_delta_log(log, at_version=CP)
                 )
-                tail = {str(v): t for v, t in log.items() if v > CP}
+                tail_json = _json.dumps(
+                    {str(v): t for v, t in log.items() if v > CP}
+                )
+                tail = {int(k): v for k, v in _json.loads(tail_json).items()}
+                snap = replay_delta_checkpoint(bytes(cp_blob), CP, tail)
                 rows.append(
                     {
                         "doc_id": did,
-                        "checkpoint": cp_blob,
-                        "tail_json": _json.dumps(tail),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["doc_id", "checkpoint", "tail_json"])
-
-    blobbed = base.mapInPandas(
-        gen, "doc_id bigint, checkpoint binary, tail_json string"
-    )
-
-    def census(batches):
-        from hive_backend_spark.operators.deltalog import replay_delta_checkpoint
-
-        for pdf in batches:
-            rows = []
-            for did, cp, tj in zip(pdf["doc_id"], pdf["checkpoint"], pdf["tail_json"]):
-                tail = {int(k): v for k, v in _json.loads(tj).items()}
-                snap = replay_delta_checkpoint(bytes(cp), CP, tail)
-                rows.append(
-                    {
-                        "doc_id": int(did),
                         "version": snap["version"],
                         "cp_version": CP,
                         "n_tail_commits": len(tail),
@@ -2169,8 +2181,8 @@ def q345_delta_checkpoint_compose(spark: SparkSession, sf_dir: str) -> DataFrame
                 ],
             )
 
-    return blobbed.mapInPandas(
-        census,
+    return base.mapInPandas(
+        gen,
         "doc_id bigint, version int, cp_version int, n_tail_commits int, "
         "n_live_files int, live_bytes bigint, live_rows bigint, n_tombstones int",
     ).orderBy("doc_id")
@@ -2262,7 +2274,7 @@ def q343_parquet_v2_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ][0]
                     for c in meta["row_groups"][0]["columns"]
                 }
-                got = read_table(blob)
+                got = read_table(blob, meta=meta)
                 sbytes = sum(len(x) for x in got["s"])
                 rows.append(
                     {
@@ -2368,7 +2380,7 @@ def q346_parquet_lz4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     raise ValueError(
                         f"expected LZ4_RAW chunks, writer produced {codecs}"
                     )
-                got = read_table(blob)
+                got = read_table(blob, meta=meta)
                 svals = [x.decode() for x in got["s"]]
                 if svals != strs:
                     raise ValueError("lz4 string round-trip mismatch")
@@ -2501,9 +2513,10 @@ def q347_parquet_deep_nested_read(spark: SparkSession, sf_dir: str) -> DataFrame
                 buf = _io.BytesIO()
                 pq.write_table(t, buf)
                 blob = buf.getvalue()
+                meta = parquet_footer(blob)
                 leaf = next(
                     s
-                    for s in parquet_footer(blob)["schema"]
+                    for s in meta["schema"]
                     if s.get("path") == "s.list.element.v.list.element"
                 )
                 if leaf["max_rep"] != 2:
@@ -2511,7 +2524,7 @@ def q347_parquet_deep_nested_read(spark: SparkSession, sf_dir: str) -> DataFrame
                         f"expected a depth-2 leaf, writer produced "
                         f"max_rep {leaf['max_rep']}"
                     )
-                got = read_table(blob)
+                got = read_table(blob, meta=meta)
                 a_col = got["s.list.element.a"][0]
                 v_col = got["s.list.element.v.list.element"][0]
                 want_a = None if val is None else [e["a"] for e in val]
@@ -3032,14 +3045,15 @@ def q351_parquet_zstd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 buf = _io.BytesIO()
                 pq.write_table(t, buf, compression="zstd")
                 blob = buf.getvalue()
+                meta = parquet_footer(blob)
                 codecs = {
-                    c["codec"] for c in parquet_footer(blob)["row_groups"][0]["columns"]
+                    c["codec"] for c in meta["row_groups"][0]["columns"]
                 }
                 if codecs != {"ZSTD"}:
                     raise ValueError(
                         f"expected ZSTD chunks, writer produced {codecs}"
                     )
-                got = read_table(blob)
+                got = read_table(blob, meta=meta)
                 if [x.decode() for x in got["s"]] != strs:
                     raise ValueError("zstd string round-trip mismatch")
                 rows.append(
@@ -3122,6 +3136,7 @@ def q352_page_index_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow.parquet as pq
 
         from hive_backend_spark.operators.parquet_meta import (
+            parquet_footer,
             read_column,
             read_column_pages,
             read_page_index,
@@ -3142,7 +3157,8 @@ def q352_page_index_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                     use_dictionary=False,
                 )
                 blob = buf.getvalue()
-                idx = read_page_index(blob, 0, "x")
+                meta = parquet_footer(blob)
+                idx = read_page_index(blob, 0, "x", meta=meta)
                 if idx["n_pages"] < 2:
                     raise ValueError(f"doc {did}: writer produced one page")
                 kept = [
@@ -3155,12 +3171,16 @@ def q352_page_index_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 skipped = [
                     i for i in range(idx["n_pages"]) if i not in set(kept)
                 ]
-                pages = read_column_pages(blob, 0, "x", kept)
+                pages = read_column_pages(blob, 0, "x", kept, meta=meta)
                 got = [v for i in kept for v in pages[i] if lo <= v <= hi]
-                full = [v for v in read_column(blob, 0, "x") if lo <= v <= hi]
+                full = [
+                    v
+                    for v in read_column(blob, 0, "x", meta=meta)
+                    if lo <= v <= hi
+                ]
                 if got != full:
                     raise ValueError(f"doc {did}: pruned decode diverges")
-                leak = read_column_pages(blob, 0, "x", skipped)
+                leak = read_column_pages(blob, 0, "x", skipped, meta=meta)
                 if any(
                     lo <= v <= hi for i in skipped for v in leak[i]
                 ):
