@@ -449,18 +449,17 @@ def parse_avro(blob: bytes) -> dict:
     }
 
 
-def avro_census(df, blob_col: str = "blob", id_col: str = "doc_id"):
-    """(id, Avro OCF blob) -> per-file ingest facts in one Arrow map pass:
-    block census, record counts, payload octets, and decoded-value
-    aggregates over the first long field — the triage a topic-dump
-    ingest runs before content processing. Blobs never shuffle."""
-    import pandas as pd
+AVRO_CENSUS_SCHEMA = (
+    "doc_id bigint, n_blocks int, n_records bigint, n_fields int, "
+    "codec string, payload_bytes bigint, serialized_bytes bigint, "
+    "long_sum bigint, str_bytes bigint"
+)
 
-    schema = (
-        f"{id_col} bigint, n_blocks int, n_records bigint, n_fields int, "
-        "codec string, payload_bytes bigint, serialized_bytes bigint, "
-        "long_sum bigint, str_bytes bigint"
-    )
+
+def avro_census_gen(blob_col: str = "blob", id_col: str = "doc_id"):
+    """The ``avro_census`` walk as a pandas-iterator function, for fusing
+    with an upstream generator inside ONE mapInPandas stage."""
+    import pandas as pd
 
     def walk(batches):
         for pdf in batches:
@@ -507,4 +506,17 @@ def avro_census(df, blob_col: str = "blob", id_col: str = "doc_id"):
                 ],
             )
 
-    return df.mapInPandas(walk, schema)
+    return walk
+
+
+def avro_census(df, blob_col: str = "blob", id_col: str = "doc_id"):
+    """(id, Avro OCF blob) -> per-file ingest facts in one Arrow map pass:
+    block census, record counts, payload octets, and decoded-value
+    aggregates over the first long field — the triage a topic-dump
+    ingest runs before content processing. Blobs never shuffle."""
+    schema = (
+        f"{id_col} bigint, n_blocks int, n_records bigint, n_fields int, "
+        "codec string, payload_bytes bigint, serialized_bytes bigint, "
+        "long_sum bigint, str_bytes bigint"
+    )
+    return df.mapInPandas(avro_census_gen(blob_col, id_col), schema)

@@ -442,18 +442,17 @@ def prune_live_files(
     }
 
 
-def delta_snapshot_census(df, log_col: str = "log_json", id_col: str = "doc_id"):
-    """(id, serialized log) -> snapshot census per table in one Arrow map
-    pass. The log arrives as a JSON object {version: file_text} in a
-    string column (the shape a catalog crawl produces); only census rows
-    come out."""
-    import pandas as pd
+DELTA_CENSUS_SCHEMA = (
+    "doc_id bigint, version int, n_live_files int, live_bytes bigint, "
+    "live_rows bigint, n_tombstones int, n_adds int, n_removes int, "
+    "schema_changes int"
+)
 
-    schema = (
-        f"{id_col} bigint, version int, n_live_files int, live_bytes bigint, "
-        "live_rows bigint, n_tombstones int, n_adds int, n_removes int, "
-        "schema_changes int"
-    )
+
+def delta_snapshot_census_gen(log_col: str = "log_json", id_col: str = "doc_id"):
+    """The ``delta_snapshot_census`` walk as a pandas-iterator function,
+    for fusing with an upstream generator inside ONE mapInPandas stage."""
+    import pandas as pd
 
     def walk(batches):
         for pdf in batches:
@@ -483,4 +482,17 @@ def delta_snapshot_census(df, log_col: str = "log_json", id_col: str = "doc_id")
                 ],
             )
 
-    return df.mapInPandas(walk, schema)
+    return walk
+
+
+def delta_snapshot_census(df, log_col: str = "log_json", id_col: str = "doc_id"):
+    """(id, serialized log) -> snapshot census per table in one Arrow map
+    pass. The log arrives as a JSON object {version: file_text} in a
+    string column (the shape a catalog crawl produces); only census rows
+    come out."""
+    schema = (
+        f"{id_col} bigint, version int, n_live_files int, live_bytes bigint, "
+        "live_rows bigint, n_tombstones int, n_adds int, n_removes int, "
+        "schema_changes int"
+    )
+    return df.mapInPandas(delta_snapshot_census_gen(log_col, id_col), schema)

@@ -572,19 +572,10 @@ def decode_flac(blob: bytes) -> dict:
 
 # ------------------------------------------------------------- operator
 
-def flac_stats(df, blob_col: str = "blob", id_col: str = "doc_id"):
-    """(id, FLAC blob) -> integer-exact decode facts in one Arrow map
-    pass: frame census, STREAMINFO fields, decoded-sample aggregates and
-    the MD5 losslessness receipt. Blobs never shuffle; only stat rows
-    move — the q328 multimodal discipline."""
+def flac_stats_gen(blob_col: str = "blob", id_col: str = "doc_id"):
+    """The ``flac_stats`` decode pass as a pandas-iterator function, for
+    fusing with an upstream generator inside ONE mapInPandas stage."""
     import pandas as pd
-
-    schema = (
-        f"{id_col} bigint, n_frames int, total_samples bigint, "
-        "sample_rate int, channels int, bits_per_sample int, "
-        "sum_samples bigint, min_sample int, max_sample int, "
-        "crc_ok_frames int, md5_ok boolean"
-    )
 
     def walk(batches):
         for pdf in batches:
@@ -618,4 +609,26 @@ def flac_stats(df, blob_col: str = "blob", id_col: str = "doc_id"):
                 ],
             )
 
-    return df.mapInPandas(walk, schema)
+    return walk
+
+
+FLAC_STATS_SCHEMA = (
+    "doc_id bigint, n_frames int, total_samples bigint, "
+    "sample_rate int, channels int, bits_per_sample int, "
+    "sum_samples bigint, min_sample int, max_sample int, "
+    "crc_ok_frames int, md5_ok boolean"
+)
+
+
+def flac_stats(df, blob_col: str = "blob", id_col: str = "doc_id"):
+    """(id, FLAC blob) -> integer-exact decode facts in one Arrow map
+    pass: frame census, STREAMINFO fields, decoded-sample aggregates and
+    the MD5 losslessness receipt. Blobs never shuffle; only stat rows
+    move — the q328 multimodal discipline."""
+    schema = (
+        f"{id_col} bigint, n_frames int, total_samples bigint, "
+        "sample_rate int, channels int, bits_per_sample int, "
+        "sum_samples bigint, min_sample int, max_sample int, "
+        "crc_ok_frames int, md5_ok boolean"
+    )
+    return df.mapInPandas(flac_stats_gen(blob_col, id_col), schema)

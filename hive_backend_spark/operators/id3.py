@@ -92,11 +92,17 @@ def parse_id3v2(blob: bytes) -> dict:
     return {"version": version, "tag_bytes": total, "frames": frames}
 
 
-def mp3_with_id3_stats(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
-    """(id, tagged mp3 blob) -> tag facts + frame-walk facts in one Arrow
-    map pass: the real-world MP3 ingest shape — skip the ID3v2 tag (both
-    size grammars), surface title/album text, then hand the remainder to
-    the operators/mp3 frame walker."""
+ID3_STATS_SCHEMA = (
+    "doc_id bigint, id3_version int, tag_bytes int, n_tag_frames int, "
+    "title string, album string, n_frames int, sample_rate int, "
+    "is_cbr boolean, duration_s double"
+)
+
+
+def mp3_with_id3_stats_gen(blob_col: str = "blob", id_col: str = "doc_id"):
+    """The ``mp3_with_id3_stats`` parse pass as a pandas-iterator
+    function, for fusing with an upstream generator inside ONE
+    mapInPandas stage."""
     import pandas as pd
 
     from .mp3 import mp3_structure
@@ -131,8 +137,16 @@ def mp3_with_id3_stats(df: DataFrame, blob_col: str = "blob", id_col: str = "doc
                 ],
             )
 
+    return parse
+
+
+def mp3_with_id3_stats(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """(id, tagged mp3 blob) -> tag facts + frame-walk facts in one Arrow
+    map pass: the real-world MP3 ingest shape — skip the ID3v2 tag (both
+    size grammars), surface title/album text, then hand the remainder to
+    the operators/mp3 frame walker."""
     return df.mapInPandas(
-        parse,
+        mp3_with_id3_stats_gen(blob_col, id_col),
         f"{id_col} bigint, id3_version int, tag_bytes int, n_tag_frames int, "
         "title string, album string, n_frames int, sample_rate int, "
         "is_cbr boolean, duration_s double",

@@ -114,12 +114,16 @@ def mp3_structure(blob: bytes) -> dict:
     }
 
 
-def mp3_frame_stats(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
-    """(id, blob) -> frame-walk facts in one Arrow map pass, nothing
-    shuffled. ``vbr_drift_s`` (naive minus exact duration) is the triage
-    column: ~0 for CBR, systematically wrong for VBR — the reason players
-    need Xing headers and the reason a pipeline must NOT trust
-    header-extrapolated durations."""
+MP3_STATS_SCHEMA = (
+    "doc_id bigint, n_frames int, sample_rate int, is_cbr boolean, "
+    "bitrate_first_kbps int, bitrate_avg_kbps double, duration_s double, "
+    "vbr_drift_s double, total_bytes bigint"
+)
+
+
+def mp3_frame_stats_gen(blob_col: str = "blob", id_col: str = "doc_id"):
+    """The ``mp3_frame_stats`` parse pass as a pandas-iterator function,
+    for fusing with an upstream generator inside ONE mapInPandas stage."""
     import pandas as pd
 
     def parse(batches):
@@ -152,8 +156,17 @@ def mp3_frame_stats(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id
                 ],
             )
 
+    return parse
+
+
+def mp3_frame_stats(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """(id, blob) -> frame-walk facts in one Arrow map pass, nothing
+    shuffled. ``vbr_drift_s`` (naive minus exact duration) is the triage
+    column: ~0 for CBR, systematically wrong for VBR — the reason players
+    need Xing headers and the reason a pipeline must NOT trust
+    header-extrapolated durations."""
     return df.mapInPandas(
-        parse,
+        mp3_frame_stats_gen(blob_col, id_col),
         f"{id_col} bigint, n_frames int, sample_rate int, is_cbr boolean, "
         "bitrate_first_kbps int, bitrate_avg_kbps double, duration_s double, "
         "vbr_drift_s double, total_bytes bigint",

@@ -1164,6 +1164,15 @@ def rowgroup_census_df(
 
     id_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}[id_col]
     schema = f"{id_col} {id_type}, {_CENSUS_FIELDS}"
+    return df.mapInPandas(rowgroup_census_gen(blob_col, id_col), schema)
+
+
+def rowgroup_census_gen(blob_col: str = "blob", id_col: str = "doc_id"):
+    """The ``rowgroup_census_df`` walk as a pandas-iterator function, for
+    fusing with an upstream generator inside ONE mapInPandas stage (the
+    caller supplies the schema: ``f"{id_col} <type>, {_CENSUS_FIELDS}"``)."""
+    import pandas as pd
+
     cols = [id_col] + _CENSUS_COLS
 
     def walk(batches):
@@ -1175,7 +1184,7 @@ def rowgroup_census_df(
                     rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(walk, schema)
+    return walk
 
 
 def rowgroup_census_paths(

@@ -126,9 +126,15 @@ def parse_tar(blob: bytes, gzipped: bool = True) -> list:
     raise ValueError("truncated tar: no terminator blocks")
 
 
-def tar_census(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
-    """(id, tar.gz blob) -> sequential-walk census in one Arrow map pass:
-    entry/dir counts, octet totals, and the header-checksum audit."""
+TAR_CENSUS_SCHEMA = (
+    "doc_id bigint, n_entries int, n_dirs int, total_bytes bigint, "
+    "n_checksum_ok int, max_mtime bigint"
+)
+
+
+def tar_census_gen(blob_col: str = "blob", id_col: str = "doc_id"):
+    """The ``tar_census`` parse pass as a pandas-iterator function, for
+    fusing with an upstream generator inside ONE mapInPandas stage."""
     import pandas as pd
 
     def parse(batches):
@@ -154,8 +160,14 @@ def tar_census(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") ->
                 ],
             )
 
+    return parse
+
+
+def tar_census(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """(id, tar.gz blob) -> sequential-walk census in one Arrow map pass:
+    entry/dir counts, octet totals, and the header-checksum audit."""
     return df.mapInPandas(
-        parse,
+        tar_census_gen(blob_col, id_col),
         f"{id_col} bigint, n_entries int, n_dirs int, total_bytes bigint, "
         "n_checksum_ok int, max_mtime bigint",
     )

@@ -164,12 +164,15 @@ def parse_warc(blob: bytes, gzip_members: bool = True) -> list:
     return out
 
 
-def warc_ingest_stats(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
-    """(id, warc blob) -> per-file ingest facts in one Arrow map pass:
-    member/record census by type, response status histogram fields, and
-    total payload octets — the triage a crawl-ingest pipeline runs before
-    any content processing, parallelized by file exactly as Common Crawl
-    segments are."""
+WARC_STATS_SCHEMA = (
+    "doc_id bigint, n_records int, n_responses int, n_requests int, "
+    "n_http_200 int, payload_bytes bigint, content_bytes bigint"
+)
+
+
+def warc_ingest_stats_gen(blob_col: str = "blob", id_col: str = "doc_id"):
+    """The ``warc_ingest_stats`` parse pass as a pandas-iterator function,
+    for fusing with an upstream generator inside ONE mapInPandas stage."""
     import pandas as pd
 
     def parse(batches):
@@ -197,8 +200,17 @@ def warc_ingest_stats(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_
                 ],
             )
 
+    return parse
+
+
+def warc_ingest_stats(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """(id, warc blob) -> per-file ingest facts in one Arrow map pass:
+    member/record census by type, response status histogram fields, and
+    total payload octets — the triage a crawl-ingest pipeline runs before
+    any content processing, parallelized by file exactly as Common Crawl
+    segments are."""
     return df.mapInPandas(
-        parse,
+        warc_ingest_stats_gen(blob_col, id_col),
         f"{id_col} bigint, n_records int, n_responses int, n_requests int, "
         "n_http_200 int, payload_bytes bigint, content_bytes bigint",
     )

@@ -115,11 +115,17 @@ def parse_zip(blob: bytes, verify: bool = True) -> list:
     return out
 
 
-def zip_census(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
-    """(id, zip blob) -> directory census + member CRC audit in one Arrow
-    map pass: entry/method counts, octet totals, and how many members
-    decompress to their recorded CRC — the listability-without-scan
-    property exercised with full verification."""
+ZIP_CENSUS_SCHEMA = (
+    "doc_id bigint, n_entries int, n_deflated int, "
+    "uncompressed_bytes bigint, stored_bytes bigint, n_crc_ok int"
+)
+
+
+def zip_census_gen(blob_col: str = "blob", id_col: str = "doc_id"):
+    """The ``zip_census`` parse pass as a pandas-iterator function, so a
+    caller can compose it with an upstream generator inside ONE
+    mapInPandas stage (fixture pipelines fuse build+parse; the blobs then
+    never cross the JVM<->Python boundary)."""
     import pandas as pd
 
     def parse(batches):
@@ -145,8 +151,16 @@ def zip_census(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") ->
                 ],
             )
 
+    return parse
+
+
+def zip_census(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """(id, zip blob) -> directory census + member CRC audit in one Arrow
+    map pass: entry/method counts, octet totals, and how many members
+    decompress to their recorded CRC — the listability-without-scan
+    property exercised with full verification."""
     return df.mapInPandas(
-        parse,
+        zip_census_gen(blob_col, id_col),
         f"{id_col} bigint, n_entries int, n_deflated int, "
         "uncompressed_bytes bigint, stored_bytes bigint, n_crc_ok int",
     )

@@ -358,6 +358,11 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
      'F.array_sort(F.collect_list(F.struct("pos", "tok"))),'):
         "doc-bounded: one document's chunk tokens per row (q212 fold)",
     ("queries/corpus.py",
+     'F.collect_list(F.struct("source", "cnt")).alias("srcs"),'):
+        "source-bounded: <= |sources| (the bounded source dimension, the "
+        "q212 rollup key) per-source counts folded per digest so the "
+        "census is consumed once instead of re-joining the chunk stream",
+    ("queries/corpus.py",
      'F.sort_array(F.collect_list(F.when(F.col("rk") <= 20, F.col("doc_id")))).alias("head"),'):
         "rank-bounded: per-term row_number <= 20 applied BEFORE the collect "
         "(q217 partial-index posting head — the mergeable min-20 summary)",

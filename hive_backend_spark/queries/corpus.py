@@ -1957,18 +1957,20 @@ def q190_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket("doc_id").alias("bucket"),
         F.explode(D.shingles_udf(_DECON_N)(F.col("text"))).alias("gram"),
     )
-    ev = grams.filter(F.col("bucket") >= "f0").select("gram").distinct()
-    ev = ev.localCheckpoint()
+    # ONE shingle pass + one gram-keyed shuffle serves both probe sets: the
+    # per-gram membership census replaces the former two full corpus
+    # explodes (ev distinct + train distinct) and the anti-join — ev is
+    # "any eval doc", neg is "any train doc and no eval doc", definitionally
+    # identical to distinct(train) ANTI JOIN distinct(eval).
+    gd = grams.groupBy("gram").agg(
+        F.max((F.col("bucket") >= "f0").cast("int")).alias("in_ev"),
+        F.max((F.col("bucket") < "f0").cast("int")).alias("in_train"),
+    ).localCheckpoint()
+    ev = gd.filter(F.col("in_ev") == 1).select("gram")
+    neg = gd.filter((F.col("in_train") == 1) & (F.col("in_ev") == 0)).select("gram")
     n_keys = ev.count()
     m_bits, k = optimal_params(n_keys, _BLOOM_FPR)
     bitmap = build_bloom(ev, "gram", m_bits, k)
-
-    neg = (
-        grams.filter(F.col("bucket") < "f0")
-        .select("gram")
-        .distinct()
-        .join(ev, "gram", "left_anti")
-    )
     member_probe = probe_bloom(ev, "gram", bitmap, m_bits, k).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_member_grams"),
         F.min(F.col("bloom_hit").cast("int")).alias("all_hit"),
@@ -2626,22 +2628,36 @@ def q212_chunk_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.md5("chunk_text").alias("dg"))
     )
-    cw = d.groupBy("dg").agg(
-        F.count(F.lit(1)).alias("k"),
-        F.countDistinct("source").alias("ns"),
+    # ONE consumption of the chunk-digest stream (the r12 form joined `d`
+    # back to its own per-digest census, re-running the explode -> window ->
+    # chunk-fold subtree once per consumer): rollup to (dg, source) counts,
+    # fold to digest grain carrying the per-source breakdown, then explode
+    # the (vocabulary-bounded) digest table back out and aggregate by
+    # source. Instance counts, distinct-digest counts, corpus-wide k and
+    # cross-source ns are all derivable from the (dg, source, cnt) grid,
+    # so the result is identical row for row.
+    per = d.groupBy("dg", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    cw = per.groupBy("dg").agg(
+        F.sum("cnt").alias("k"),
+        F.count(F.lit(1)).alias("ns"),
+        F.collect_list(F.struct("source", "cnt")).alias("srcs"),
+    )
+    ex = cw.select(
+        "k", "ns", F.explode("srcs").alias("sc")
+    ).select(
+        "k", "ns", F.col("sc.source").alias("source"), F.col("sc.cnt").alias("cnt")
     )
     return (
-        d.join(cw, "dg")
-        .groupBy("source")
+        ex.groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            F.countDistinct("dg").cast("bigint").alias("n_distinct_chunks"),
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
             F.round(
-                F.sum((F.col("k") > 1).cast("int"))
-                / F.count(F.lit(1)).cast("double"),
+                F.sum(F.when(F.col("k") > 1, F.col("cnt")).otherwise(0))
+                / F.sum("cnt").cast("double"),
                 4,
             ).alias("dup_instance_share"),
-            F.countDistinct(F.when(F.col("ns") > 1, F.col("dg")))
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
             .cast("bigint")
             .alias("cross_source_chunks"),
         )

@@ -295,8 +295,7 @@ def q68_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard verification of LSH candidates: join candidate pairs
     back to their shingle sets and compute exact set Jaccard. Runs on
     O(candidates) rows only — the standard verify stage after LSH recall."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.spread(docs).select("doc_id", D.shingles_udf()(F.col("text")).alias("shingles"))
+    sh = _doc_shingles(spark, sf_dir)
     cand = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     x = sh.alias("x")
     y = sh.alias("y")
@@ -888,11 +887,17 @@ def q136_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(candidates) rows; signatures come from one Arrow-vectorized pass and
     the estimate is an integer-exact multiple of 1/8, so the hash compare
     is midpoint-free."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.spread(docs).select(
-        "doc_id",
-        D.shingles_udf()(F.col("text")).alias("shingles"),
-    ).withColumn("sig", D.minhash_sig_udf()(F.col("shingles")))
+    # signatures computed at FINGERPRINT grain (distinct texts) and
+    # expanded through membership: identical shingle sets hash to
+    # identical signatures, with the UDF running on |distinct texts|
+    # rows instead of the corpus, twice
+    members, _ = _sig_tables(spark, sf_dir)
+    fp_sig = _fp_shingle_sets(spark, sf_dir).select(
+        "fp",
+        F.col("tok").alias("shingles"),
+        D.minhash_sig_udf()(F.col("tok")).alias("sig"),
+    )
+    sh = members.join(fp_sig, "fp").select("doc_id", "shingles", "sig")
     cand = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     x, y = sh.alias("x"), sh.alias("y")
     agree = F.size(
@@ -975,8 +980,7 @@ def q133_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_nb"))
         .select("train_id", "eval_id")
     )
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.spread(docs).select("doc_id", D.shingles_udf()(F.col("text")).alias("shingles"))
+    sh = _doc_shingles(spark, sf_dir)
     x, y = sh.alias("x"), sh.alias("y")
     scored = (
         cand.join(x, F.col("x.doc_id") == F.col("train_id"))
@@ -1567,10 +1571,7 @@ def q178_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is q68's candidate-bounded join (O(candidates), never all pairs);
     the purity rollup groups by cluster id — |clusters| rows."""
     labels = _cluster_labels(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.spread(docs).select(
-        "doc_id", D.shingles_udf()(F.col("text")).alias("shingles")
-    )
+    sh = _doc_shingles(spark, sf_dir)
     cand = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     x, y = sh.alias("x"), sh.alias("y")
     scored = (
@@ -1646,10 +1647,11 @@ def q179_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tuned for resemblance), so recall for extreme containment at tiny
     Jaccard is bounded by banding — the docstring caveat a production
     deployment answers with a suffix-based second pass (q142)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.spread(docs).select(
-        "doc_id", D.shingles_udf()(F.col("text")).alias("shingles")
-    )
+    # cached-set attach (no UDF in this plan) also retires a plan defect:
+    # the (na > 0) filter below used to be pushed beneath the shingle
+    # projection and re-evaluated the whole corpus tokenize pass a second
+    # time per join side (2x ArrowEvalPython per side in the r13 before-plan)
+    sh = _doc_shingles(spark, sf_dir)
     cand = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     x, y = sh.alias("x"), sh.alias("y")
     na = F.size(F.col("x.shingles")).cast("double")
@@ -2192,6 +2194,21 @@ def _fp_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _FP_SHINGLES_CACHE[key] = df
     return df
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles): DOC-grain 3-gram shingle sets, derived by
+    expanding the cached fingerprint-grain sets through exact-dup
+    membership — byte-identical texts have byte-identical shingle sets,
+    so this reproduces ``spread(docs).select(shingles_udf(text))`` exactly
+    while tokenizing only DISTINCT texts once per session instead of the
+    whole corpus once per consumer (q68/q133/q136/q178/q179 each ran the
+    full Arrow tokenize pass twice, once per join side)."""
+    members, _ = _sig_tables(spark, sf_dir)
+    reps = _fp_shingle_sets(spark, sf_dir)
+    return members.join(
+        reps.select("fp", F.col("tok").alias("shingles")), "fp"
+    ).select("doc_id", "shingles")
 
 
 @register(

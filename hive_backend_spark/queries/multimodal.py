@@ -935,9 +935,16 @@ def q330_mp3_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_mp3_frames(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    # build + parse fused into ONE Arrow map stage (generator composition:
+    # the operator's parse gen consumes the build gen's batches in the same
+    # python task, so blobs never cross the JVM<->Python boundary).
+    parse = MP3.mp3_frame_stats_gen()
+
+    def fused(batches):
+        return parse(gen(batches))
+
     return (
-        MP3.mp3_frame_stats(blobbed)
+        base.mapInPandas(fused, MP3.MP3_STATS_SCHEMA)
         .withColumn("bitrate_avg_kbps", F.round("bitrate_avg_kbps", 6))
         .withColumn("duration_s", F.round("duration_s", 6))
         .withColumn("vbr_drift_s", F.round("vbr_drift_s", 6))
@@ -1111,8 +1118,15 @@ def q332_warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_warc(recs))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
-    return W.warc_ingest_stats(blobbed).orderBy("doc_id")
+    # build + parse fused into ONE Arrow map stage (generator composition:
+    # the operator's parse gen consumes the build gen's batches in the same
+    # python task, so blobs never cross the JVM<->Python boundary).
+    parse = W.warc_ingest_stats_gen()
+
+    def fused(batches):
+        return parse(gen(batches))
+
+    return base.mapInPandas(fused, W.WARC_STATS_SCHEMA).orderBy("doc_id")
 
 
 @register(
@@ -1189,9 +1203,16 @@ def q333_tagged_mp3_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(tag + audio)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    # build + parse fused into ONE Arrow map stage (generator composition:
+    # the operator's parse gen consumes the build gen's batches in the same
+    # python task, so blobs never cross the JVM<->Python boundary).
+    parse = ID3.mp3_with_id3_stats_gen()
+
+    def fused(batches):
+        return parse(gen(batches))
+
     return (
-        ID3.mp3_with_id3_stats(blobbed)
+        base.mapInPandas(fused, ID3.ID3_STATS_SCHEMA)
         .withColumn("duration_s", F.round("duration_s", 6))
         .drop("is_cbr")
         .orderBy("doc_id")
@@ -1266,8 +1287,15 @@ def q334_zip_member_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_zip(entries))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
-    return ZIP.zip_census(blobbed).orderBy("doc_id")
+    # build + parse fused into ONE Arrow map stage (generator composition:
+    # the operator's parse gen consumes the build gen's batches in the same
+    # python task, so blobs never cross the JVM<->Python boundary).
+    parse = ZIP.zip_census_gen()
+
+    def fused(batches):
+        return parse(gen(batches))
+
+    return base.mapInPandas(fused, ZIP.ZIP_CENSUS_SCHEMA).orderBy("doc_id")
 
 
 @register(
@@ -1337,8 +1365,15 @@ def q335_targz_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_tar(entries, mtime=mtime))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
-    return TAR.tar_census(blobbed).orderBy("doc_id")
+    # build + parse fused into ONE Arrow map stage (generator composition:
+    # the operator's parse gen consumes the build gen's batches in the same
+    # python task, so blobs never cross the JVM<->Python boundary).
+    parse = TAR.tar_census_gen()
+
+    def fused(batches):
+        return parse(gen(batches))
+
+    return base.mapInPandas(fused, TAR.TAR_CENSUS_SCHEMA).orderBy("doc_id")
 
 
 @register(
@@ -1427,8 +1462,17 @@ def q336_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
-    census = PM.rowgroup_census_df(blobbed, blob_col="blob", id_col="doc_id")
+    # build + parse fused into ONE Arrow map stage (generator composition:
+    # the operator's parse gen consumes the build gen's batches in the same
+    # python task, so blobs never cross the JVM<->Python boundary).
+    parse = PM.rowgroup_census_gen()
+
+    def fused(batches):
+        return parse(gen(batches))
+
+    census = base.mapInPandas(
+        fused, f"doc_id bigint, {PM._CENSUS_FIELDS}"
+    )
     is_id = F.col("path_in_schema") == "id"
     is_pay = F.col("path_in_schema") == "payload"
     return (
@@ -1655,8 +1699,15 @@ def q337_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
-    return FLAC.flac_stats(blobbed).orderBy("doc_id")
+    # build + parse fused into ONE Arrow map stage (generator composition:
+    # the operator's parse gen consumes the build gen's batches in the same
+    # python task, so blobs never cross the JVM<->Python boundary).
+    parse = FLAC.flac_stats_gen()
+
+    def fused(batches):
+        return parse(gen(batches))
+
+    return base.mapInPandas(fused, FLAC.FLAC_STATS_SCHEMA).orderBy("doc_id")
 
 
 @register(
@@ -1749,9 +1800,16 @@ def q339_avro_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "blob": blobs})
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, blob binary")
+    # build + parse fused into ONE Arrow map stage (generator composition:
+    # the operator's parse gen consumes the build gen's batches in the same
+    # python task, so blobs never cross the JVM<->Python boundary).
+    parse = AV.avro_census_gen()
+
+    def fused(batches):
+        return parse(gen(batches))
+
     return (
-        AV.avro_census(blobbed)
+        base.mapInPandas(fused, AV.AVRO_CENSUS_SCHEMA)
         .select(
             "doc_id", "n_blocks", "n_records", "n_fields", "codec",
             "serialized_bytes", "long_sum", "str_bytes",
@@ -1866,8 +1924,15 @@ def q340_deltalog_snapshot_census(spark: SparkSession, sf_dir: str) -> DataFrame
                 {"doc_id": pdf["doc_id"].values, "log_json": logs}
             )
 
-    blobbed = base.mapInPandas(gen, "doc_id bigint, log_json string")
-    return DL.delta_snapshot_census(blobbed).orderBy("doc_id")
+    # build + parse fused into ONE Arrow map stage (generator composition:
+    # the operator's parse gen consumes the build gen's batches in the same
+    # python task, so blobs never cross the JVM<->Python boundary).
+    parse = DL.delta_snapshot_census_gen()
+
+    def fused(batches):
+        return parse(gen(batches))
+
+    return base.mapInPandas(fused, DL.DELTA_CENSUS_SCHEMA).orderBy("doc_id")
 
 
 @register(

@@ -1433,10 +1433,16 @@ def q269_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math as _math
 
     ev = load_table(spark, sf_dir, "events")
+    # pin the |types| x |days| daily frame: four consumers (both pair
+    # sides, nd, ties) with DIFFERENT downstream aggregates defeat
+    # ReuseExchange, so the unpinned plan scans + aggregates the events
+    # table 8 times (counted in the r13 before-plan); the pinned form
+    # scans it once and every consumer reads the bounded frame
     daily = (
         ev.select("event_type", F.dayofmonth("ts").cast("int").alias("dom"))
         .groupBy("event_type", "dom")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     a = daily.select(
         "event_type", F.col("dom").alias("dom_a"), F.col("n").alias("n_a")
@@ -2751,9 +2757,15 @@ def q304_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    # The session table feeds a diamond (bounds -> tagged is read by both
+    # the local window and the chunk-head aggregate); without a
+    # materialization the sessionize window pipeline — the expensive part —
+    # re-executes once per consumer (partial aggregation below the head
+    # exchange defeats ReuseExchange). Checkpoint the |sessions|-row table
+    # once; every recompute downstream is then a cheap union/project.
     sess = numbered.groupBy("user_id", "sid").agg(
         F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
-    )
+    ).localCheckpoint(eager=False)
     bounds = sess.select(
         F.col("s_start").alias("t"), F.lit(1).alias("d"), "user_id", "sid"
     ).unionAll(
@@ -2788,19 +2800,28 @@ def q304_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         (F.col("prior") + F.col("local_run")).cast("bigint").alias("load"),
     )
-    daily = run.groupBy(F.dayofmonth("t").cast("int").alias("dom")).agg(
+    # One consumption of `run`: the (dom, load) rollup carries everything
+    # both outputs need — per-cell start counts and first-instant — so the
+    # daily summary is a second-level rollup of the tiny grid (<= days x
+    # distinct loads rows) instead of a second full pass over the sweep.
+    g = run.groupBy(
+        F.dayofmonth("t").cast("int").alias("dom"), F.col("load")
+    ).agg(
         F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
         .cast("bigint")
-        .alias("sessions_started"),
+        .alias("n_starts"),
+        F.min("t").alias("at_ts"),
+    )
+    daily = g.groupBy("dom").agg(
+        F.sum("n_starts").cast("bigint").alias("sessions_started"),
         F.max("load").cast("bigint").alias("peak"),
     )
-    peak_at = run.groupBy(
-        F.dayofmonth("t").cast("int").alias("dom"), F.col("load")
-    ).agg(F.min("t").alias("at_ts"))
     return (
         daily.join(
-            peak_at,
-            (daily.dom == peak_at.dom) & (daily.peak == peak_at.load),
+            # g is corpus-growing (distinct concurrency levels), so no
+            # broadcast hint — AQE picks the strategy from runtime sizes
+            g,
+            (daily.dom == g.dom) & (daily.peak == g.load),
         )
         .select(
             daily.dom.alias("dom"),

@@ -830,7 +830,7 @@ _Q101_BUCKET_SQL = " || ".join(
     for j in range(_N_PLANES)
 )
 
-def _hyperplane_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hyperplane_sig_df(spark: SparkSession, sf_dir: str, pin: bool = False) -> DataFrame:
     """(vec_id, v, bucket): every embedding with its 8-bit hyperplane-sign
     signature — the shared bucketing pass behind q101 (pair generation) and
     q220 (multi-probe search). Quantize + hyperplane-sign run in one
@@ -868,9 +868,17 @@ def _hyperplane_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out
 
-    return emb.mapInPandas(
+    out = emb.mapInPandas(
         bucketize, schema="vec_id bigint, v array<double>, bucket string"
     )
+    # materialize once per calling query when asked: q220 reads this table
+    # from three branches (probes + candidates + brute-force truth) whose
+    # differing aggregates defeat ReuseExchange — without the pin each
+    # branch re-runs the scan + Arrow bucketize pass (measured 4.12 ->
+    # 2.14 s at sf0.1). q101's two-sided self-join already shares the
+    # subtree via ReuseExchange, so pinning only adds a serial
+    # materialization there (measured 1.61 -> 2.02 s) and stays off.
+    return out.localCheckpoint(eager=False) if pin else out
 
 
 @register(
@@ -2253,7 +2261,7 @@ def q220_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe side."""
     from pyspark.sql.window import Window
 
-    sig = _hyperplane_sig_df(spark, sf_dir)
+    sig = _hyperplane_sig_df(spark, sf_dir, pin=True)
     probes = sig.filter(F.col("vec_id") < _MP_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
@@ -2285,7 +2293,12 @@ def q220_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("probe_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
-    ar = scored.withColumn("rn", F.row_number().over(wr))
+    # (probe_id, vec_id, cos, rn) — narrow candidate rows; checkpointed so
+    # the top-k list build and the recall join don't each re-run the
+    # scoring + rank window, and the candidate count reads the same rows
+    ar = scored.withColumn("rn", F.row_number().over(wr)).localCheckpoint(
+        eager=False
+    )
     truth = (
         sig.crossJoin(F.broadcast(probes.select("probe_id", "pv")))
         .filter(F.col("vec_id") != F.col("probe_id"))
@@ -2296,7 +2309,8 @@ def q220_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(wr))
     )
-    nc = cand.groupBy("probe_id").agg(
+    # rank attach drops no rows, so counting ar == counting cand
+    nc = ar.groupBy("probe_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")
     )
     a5 = (
@@ -2622,6 +2636,9 @@ def q244_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         wv = Window.partitionBy("src").orderBy(
             F.col("c").desc(), F.col("lab").asc()
         )
+        # each round's assignments feed THREE consumers (the audit union,
+        # and both join sides of the next round's vote) — pin them so the
+        # vote join + majority window run once per round, not per consumer
         newly = (
             votes.withColumn("rn", F.row_number().over(wv))
             .filter(F.col("rn") == 1)
@@ -2630,6 +2647,7 @@ def q244_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lab",
                 F.lit(it).alias("it"),
             )
+            .localCheckpoint(eager=False)
         )
         prop = newly if prop is None else prop.unionByName(newly)
         l_cur = l_cur.unionByName(newly.select("vec_id", "lab"))
