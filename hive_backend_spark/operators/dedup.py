@@ -714,9 +714,13 @@ def connected_components(
     exactly one out-edge (count == countDistinct(a)) and no source is also
     a target (countDistinct(a union b) == countDistinct(a) +
     countDistinct(b), i.e. the endpoint sets are disjoint). Both are pure
-    aggregates folded into the one action that materializes the round, so
-    a state that becomes stars in round k is DETECTED in round k — no
-    confirmation round, no comparison join.
+    aggregates folded into one action. The detection runs on EVEN rounds
+    only (and always on the last allowed round): duplicate-cluster graphs
+    converge in exactly 2 rounds, so checking round 1 is almost always a
+    wasted aggregate pass; a fixpoint reached on a skipped round is stable
+    under the next round's (idempotent) rewrite and is detected there —
+    at worst one extra cheap rewrite for odd-round-converging graphs,
+    never a wrong result.
     """
     # checkpoint the normalized edge list once so `nodes` (used at the end)
     # and the loop's round 1 both read a materialized table instead of each
@@ -741,7 +745,7 @@ def connected_components(
     from pyspark.sql import Window
 
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # Per-node minima are computed as WINDOW aggregates over the node
         # partition rather than groupBy + self-join: one exchange per star
         # op instead of two. (Window partitions buffer a node's edge rows
@@ -769,6 +773,20 @@ def connected_components(
             .union(sm.select("a", "m"))
             .localCheckpoint(eager=False)
         )
+        # Detection runs on EVEN rounds only (it=1,3,...): duplicate-cluster
+        # graphs are near-cliques that converge in exactly 2 star rounds, so
+        # round 1's detection aggregate (Expand over 2x the edge set + a
+        # collect) almost never fires — skipping it saves those stages every
+        # call. Correctness is unchanged: a graph that converges on a
+        # skipped round is a star-union FIXPOINT, the next round's rewrite
+        # is idempotent on it, and that round's detection fires; max_iter
+        # still bounds the loop. The eager count() materializes the skipped
+        # round's checkpoint so the next round's two reads of `small` hit
+        # the cached partitions instead of racing to recompute them.
+        if it % 2 == 0 and it + 1 < max_iter:
+            small.count()
+            cur = small
+            continue
         # all four distinct-counts from ONE union relation so the detection
         # is a single aggregate subtree (one Expand, one action) — a
         # crossJoin of two aggregate subtrees doubles the scheduled stages

@@ -97,17 +97,25 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(node=doc_id, label=min doc_id in the duplicate component) — same
-    output as running connected components over the doc-level candidate
-    graph, computed at the FINGERPRINT level: CC contracts the
-    distinct-text graph (byte-identical docs are definitionally one node),
-    then membership expands labels back to documents. A boilerplate flood
-    of K copies is ONE node here instead of a K-clique — the iterative
-    stage's edge count is bounded by distinct texts. Multi-member
-    fingerprints with a band identity but no cross-fingerprint edge are
-    their own components (their docs are mutual exact duplicates);
-    empty-shingle texts have NULL bands and never cluster."""
+def _cluster_labels_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node=doc_id, label=min doc_id in the duplicate component,
+    cluster_size=|component|) — same output as running connected components
+    over the doc-level candidate graph, computed at the FINGERPRINT level:
+    CC contracts the distinct-text graph (byte-identical docs are
+    definitionally one node), then membership expands labels back to
+    documents. A boilerplate flood of K copies is ONE node here instead of
+    a K-clique — the iterative stage's edge count is bounded by distinct
+    texts. Multi-member fingerprints with a band identity but no
+    cross-fingerprint edge are their own components (their docs are mutual
+    exact duplicates); empty-shingle texts have NULL bands and never
+    cluster.
+
+    cluster_size rides the SAME aggregate that computes the label (one
+    groupBy(ckey) producing min(doc_id) and count — a doc belongs to
+    exactly one ckey, and labels are distinct across ckeys because each is
+    the min of a disjoint doc set), so consumers that need sizes (q79,
+    q203, q214) read a cached column instead of re-aggregating the label
+    table and joining it back — one exchange + one join fewer each."""
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _LABELS_CACHE if k[0] != app_id]:
         del _LABELS_CACHE[k]
@@ -119,7 +127,9 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph = D.connected_components(fpp, src="fp_a", dst="fp_b").select(
             F.col("node").alias("fp"), F.col("label").alias("ckey")
         )
-        banded = fp_bands.filter(F.col("band_sig").isNotNull()).select("fp").distinct()
+        # no distinct: left_semi tolerates duplicate build rows, so the
+        # 4-rows-per-fp band table joins as-is (one exchange fewer)
+        banded = fp_bands.filter(F.col("band_sig").isNotNull()).select("fp")
         solo = (
             members.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("k"))
@@ -131,14 +141,23 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         keyed = graph.unionByName(solo)
         docs_k = members.join(keyed, "fp").select("doc_id", "ckey")
-        lab = docs_k.groupBy("ckey").agg(F.min("doc_id").alias("label"))
+        lab = docs_k.groupBy("ckey").agg(
+            F.min("doc_id").alias("label"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
         df = (
             docs_k.join(lab, "ckey")
-            .select(F.col("doc_id").alias("node"), "label")
+            .select(F.col("doc_id").alias("node"), "label", "cluster_size")
             .cache()
         )
         _LABELS_CACHE[key] = df
     return df
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) view of the cached sized label table — the surface
+    every consumer that doesn't need sizes keeps using unchanged."""
+    return _cluster_labels_sized(spark, sf_dir).select("node", "label")
 
 
 # Doc-level candidate pairs are the third materialization point: the
@@ -173,21 +192,44 @@ def clear_labels_cache() -> None:
 
 
 def clear_bands_cache() -> None:
-    """Unpersist and drop every cached signature, cluster-label, and
-    shingle-set table. Used by the bench harness to time the signature +
-    clustering (+ exact-join) passes cold."""
+    """Unpersist and drop every cached signature, candidate-pair,
+    cluster-label, and shingle-set table. Used by the bench harness to time
+    the signature + clustering (+ exact-join) passes cold."""
     _drain(_SIG_CACHE)
     _drain(_LABELS_CACHE)
     _drain(_FP_SHINGLES_CACHE)
     _drain(_PAIRS_CACHE)
+    _drain(_FPP_CACHE)
+
+
+# Fingerprint-level candidate pairs are the candidate-generation surface at
+# distinct-text grain: _lsh_pairs expands them to documents, _cluster_labels
+# contracts them to components, q227 peels them. Before round 13 each of
+# those re-ran the band self-join (plus fp_candidate_pairs' bounded
+# escalation probe — a driver action per call) from the cached band table;
+# one persisted table per (session, corpus) is the same
+# persist-the-candidate-table discipline as _PAIRS_CACHE one level down.
+# Evicted by clear_bands_cache (it is band-derived state), NOT by
+# clear_labels_cache — the bench's cold-q79 contract covers the clustering
+# pass, and candidate generation is the (separately timed) q67 surface.
+_FPP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint-level candidate pairs (fp_a < fp_b, n_shared_bands):
     the band self-join over DISTINCT texts only — the flood-safe core of
-    candidate generation (operators/dedup.py fp_candidate_pairs)."""
-    _members, fp_bands = _sig_tables(spark, sf_dir)
-    return D.fp_candidate_pairs(fp_bands)
+    candidate generation (operators/dedup.py fp_candidate_pairs).
+    Persisted once per (session, corpus)."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _FPP_CACHE if k[0] != app_id]:
+        del _FPP_CACHE[k]
+    key = (app_id, sf_dir)
+    df = _FPP_CACHE.get(key)
+    if df is None:
+        _members, fp_bands = _sig_tables(spark, sf_dir)
+        df = D.fp_candidate_pairs(fp_bands).cache()
+        _FPP_CACHE[key] = df
+    return df
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,17 +605,13 @@ def q79_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from which one canonical doc per cluster is kept. The DuckDB oracle
     replays the clustering as a recursive reachability CTE, so even the
     iterative stage is value-checked, not just row-counted."""
-    labels = _cluster_labels(spark, sf_dir)
-    # `sizes` is |clusters| rows — it grows with the corpus, so no broadcast
-    # hint: AQE broadcasts while small, shuffles on `label` when it isn't.
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            "cluster_size",
-        )
+    # cluster_size is a column of the cached label table (computed by the
+    # same aggregate as the label itself), so the query is a pure projection
+    # — the r12 shape re-aggregated the label table and joined it back.
+    return _cluster_labels_sized(spark, sf_dir).select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
     )
 
 
@@ -720,7 +758,7 @@ def q112_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents")
-    labels = _cluster_labels(spark, sf_dir)
+    labels = _cluster_labels_sized(spark, sf_dir)
 
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(toks)
@@ -739,20 +777,23 @@ def q112_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit broadcast hint: AQE broadcasts while it is actually small and
     # shuffles both sides on doc_id when it isn't.
     scored = q.join(
-        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")),
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",  # cached column; the r12 shape re-counted it
+        ),                   # with a second window over the same partition
         "doc_id",
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()
     )
-    wc = Window.partitionBy("cluster_id")
     return (
         scored.select(
             "cluster_id",
             "doc_id",
             "quality_score",
             F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wc).alias("cluster_size"),
+            "cluster_size",
         )
         .filter(F.col("rn") == 1)
         .select(
@@ -1912,10 +1953,9 @@ def q203_dedup_weighted_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join (label side corpus-growing, left to AQE) and the rollup is
     keyed by the bounded source dimension."""
     docs = load_table(spark, sf_dir, "documents")
-    labels = _cluster_labels(spark, sf_dir)
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
-    lab = labels.join(sizes, "label").select(
-        F.col("node").alias("doc_id"), "csize"
+    # csize is a cached column of the sized label table — no re-aggregation
+    lab = _cluster_labels_sized(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("cluster_size").alias("csize")
     )
     w = docs.select("doc_id", "source").join(lab, "doc_id", "left").select(
         "source",
@@ -2115,14 +2155,15 @@ def q214_cluster_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFra
     table (digest/id keys, corpus-growing sides left to AQE) and folds per
     cluster — work bounded by the candidate set, the q68 contract."""
     j = q68_jaccard_verify(spark, sf_dir)
-    labels = _cluster_labels(spark, sf_dir)
-    sizes = labels.groupBy("label").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
+    # cluster_size is functionally dependent on label (a cached column of
+    # the sized label table), so grouping by the pair replaces the r12
+    # shape's separate size aggregate + join-back.
+    labels = _cluster_labels_sized(spark, sf_dir)
     ej = j.join(
-        labels.select(F.col("node").alias("doc_a"), "label"), "doc_a"
+        labels.select(F.col("node").alias("doc_a"), "label", "cluster_size"),
+        "doc_a",
     )
-    agg = ej.groupBy("label").agg(
+    agg = ej.groupBy("label", "cluster_size").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges"),
         F.min("jaccard").alias("min_edge_jaccard"),
         F.round(F.avg("jaccard"), 4).alias("mean_edge_jaccard"),
@@ -2131,8 +2172,7 @@ def q214_cluster_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("cluster_size") * (F.col("cluster_size") - 1) / 2.0
     )
     return (
-        agg.join(sizes, "label")
-        .select(
+        agg.select(
             F.col("label").alias("cluster_id"),
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
             "n_edges",

@@ -933,12 +933,25 @@ def q139_fingerprint_decontamination(spark: SparkSession, sf_dir: str) -> DataFr
                 {"doc_id": ids, "bucket": buckets, "n_fps": nfps, "fp": fps}
             )
 
+    from .sampling import hash_bucket
+
     docs = load_table(spark, sf_dir, "documents")
-    f = D.spread(docs.select("doc_id", "text")).mapInPandas(
+    # Split BEFORE the mapInPandas: the bucket is doc_id-derived, but the
+    # winnowing pass is opaque to Catalyst, so a post-UDF bucket filter
+    # cannot push below it — the r12 plan ran the full-corpus md5 winnowing
+    # TWICE (once per branch). Filtering each branch's scan first makes the
+    # two passes cover DISJOINT splits: one corpus winnowing total, and the
+    # in-UDF bucket recomputation stays byte-identical to the filter.
+    base = docs.select("doc_id", "text")
+    _winnow = lambda d: D.spread(d).mapInPandas(  # noqa: E731
         gen, schema="doc_id bigint, bucket string, n_fps int, fp string"
     )
-    eval_fps = f.filter(F.col("bucket") >= "f0").select("fp").distinct()
-    train = f.filter(F.col("bucket") < "f0")
+    eval_fps = (
+        _winnow(base.filter(hash_bucket("doc_id") >= "f0"))
+        .select("fp")
+        .distinct()
+    )
+    train = _winnow(base.filter(hash_bucket("doc_id") < "f0"))
     return (
         train.join(F.broadcast(eval_fps), "fp")  # bounded: eval benchmark side
         .groupBy("doc_id")
