@@ -2580,33 +2580,45 @@ def q227_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp_a").alias("u"), F.col("fp_b").alias("v")
     ).unionAll(pairs.select(F.col("fp_b").alias("u"), F.col("fp_a").alias("v")))
 
-    def census(a: DataFrame, r: int) -> DataFrame:
-        return a.agg(
+    # ONE degree aggregate per round serves BOTH consumers: the census
+    # derives exactly from the degree table (n_nodes = |deg rows|, and
+    # sum(deg) counts each undirected edge twice, so n_edges = sum/2 —
+    # always an even sum) and the peel filter is deg >= k. The r12 shape
+    # ran a separate countDistinct census (an Expand + two-stage aggregate
+    # over the full adjacency) per round beside the degree groupBy —
+    # double-aggregating the same frame 5 times. The degree table is
+    # |nodes| rows, so its lazy checkpoint is tiny.
+    def census(deg: DataFrame, r: int) -> DataFrame:
+        return deg.agg(
             F.lit(r).alias("round"),
-            F.countDistinct("u").cast("bigint").alias("n_nodes"),
-            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("bigint").alias("n_edges"),
         ).select("round", "n_nodes", "n_edges")
 
-    # Each round's adjacency is lazily localCheckpoint'ed (the q123
-    # pagerank discipline): round r+1 and BOTH census branches over round
-    # r then read one materialized table instead of re-executing the
-    # whole peeling chain — without this, branch r re-runs rounds 0..r-1
-    # and the unioned plan re-executes the chain quadratically.
-    out = census(adj, 0)
+    # Each round's adjacency (and degree table) is lazily
+    # localCheckpoint'ed (the q123 pagerank discipline): round r+1 and the
+    # census branch over round r then read one materialized table instead
+    # of re-executing the whole peeling chain — without this, branch r
+    # re-runs rounds 0..r-1 and the unioned plan re-executes the chain
+    # quadratically.
     cur = adj.localCheckpoint(eager=False)
-    for r in range(_KCORE_ROUNDS):
-        surv = (
+    out = None
+    for r in range(_KCORE_ROUNDS + 1):
+        deg = (
             cur.groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
-            .select("u")
+            .localCheckpoint(eager=False)
         )
+        c = census(deg, r)
+        out = c if out is None else out.unionAll(c)
+        if r == _KCORE_ROUNDS:
+            break
+        surv = deg.filter(F.col("deg") >= _KCORE_K).select("u")
         cur = (
             cur.join(surv, "u", "left_semi")
             .join(surv.select(F.col("u").alias("v")), "v", "left_semi")
             .localCheckpoint(eager=False)
         )
-        out = out.unionAll(census(cur, r + 1))
     return out.orderBy("round")
 
 
