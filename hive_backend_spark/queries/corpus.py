@@ -2050,6 +2050,13 @@ def q194_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's own frequent-token count; the pair aggregation shuffles pair
     digests only."""
     docs = load_table(spark, sf_dir, "documents")
+    # The (doc, token) distinct table feeds FIVE consumers with DIFFERENT
+    # downstream aggregates (the global doc count, the per-token df, the
+    # support semi-join, and both sides of the per-doc pair self-join), so
+    # ReuseExchange cannot share it and the unpinned plan re-ran the
+    # explode + distinct per consumer (20 "Scan parquet" nodes in the r12
+    # plan — the q269 diamond class). Pinned, it materializes once; same
+    # for the support-bounded `freq` table, read by three branches.
     dt = (
         docs.select(
             "doc_id",
@@ -2058,6 +2065,7 @@ def q194_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nd = dt.agg(F.countDistinct("doc_id").cast("double").alias("n"))
     counts = dt.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
@@ -2065,6 +2073,7 @@ def q194_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.crossJoin(F.broadcast(nd))
         .filter(F.col("df") >= _AP_MINSUP * F.col("n"))
         .select("t", "df", "n")
+        .localCheckpoint(eager=False)
     )
     ft = dt.join(freq.select("t"), "t", "left_semi")
     a = ft.alias("a")
@@ -2439,7 +2448,16 @@ def _rrf_rankers(spark: SparkSession, sf_dir: str):
     )
     wv = Window.orderBy(F.col("cs").desc(), F.col("doc_id").asc())
     vec = cos.select("doc_id", F.row_number().over(wv).alias("vec_rank"))
-    return lex, vec
+    # Pin both bounded lists: every consumer (q200/q204/q294/q306) fans out
+    # over them multiple ways (shared join + per-list counts + both sides
+    # of a bounded pair self-join), and each unpinned branch re-ran the
+    # FULL ranking pipeline — the corpus BM25 pass and the corpus cosine
+    # pass — once per reference (q306's r12 plan: 30 Scan nodes). The
+    # materialized state is <= {_RRF_LIST} rows per list.
+    return (
+        lex.localCheckpoint(eager=False),
+        vec.localCheckpoint(eager=False),
+    )
 
 
 @register(

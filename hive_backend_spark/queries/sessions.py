@@ -1625,7 +1625,16 @@ def q271_funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w),
         )
     )
-    u = s.select("user_id", "t_view", "t_click", "t_purchase").distinct()
+    # groupBy(user_id), not distinct over all four columns: the stage times
+    # are constant per user (window outputs), so min() reproduces the
+    # distinct row exactly — and grouping by the window's own partition key
+    # reuses the existing hashpartitioning(user_id) instead of paying a
+    # second full exchange keyed by the 4-column tuple.
+    u = s.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
     u = u.localCheckpoint(eager=False)  # one funnel pass feeds all branches
     tot = u.agg(
         F.count("t_view").alias("n_view"),
