@@ -1114,8 +1114,11 @@ def test_calibration_canaries_frozen():
     assert set(bench.CALIBRATION_REF) == set(PINNED)
     assert set(bench.FACTOR_CANARIES) <= set(PINNED)
     # the factor must come from multi-second canaries only (sub-second
-    # refs are overhead-dominated — the r12 dispersion nit)
-    assert all(bench.CALIBRATION_REF[q] > 3.0 for q in bench.FACTOR_CANARIES)
+    # refs are overhead-dominated — the r12 dispersion nit). Threshold
+    # relaxed 3.0 -> 2.0 at the r13 re-base: the optimization round
+    # halved q79 (4.3 -> 2.3 s) and the factor canaries are still the
+    # heaviest frozen queries in the suite.
+    assert all(bench.CALIBRATION_REF[q] > 2.0 for q in bench.FACTOR_CANARIES)
     for name, want in PINNED.items():
         s = specs[name]
         got = hashlib.md5(
