@@ -2604,11 +2604,17 @@ def q227_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = adj.localCheckpoint(eager=False)
     out = None
     for r in range(_KCORE_ROUNDS + 1):
-        deg = (
-            cur.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint(eager=False)
+        # Round 0's degree table is NOT checkpointed and aggregates `adj`
+        # directly (identical rows to its checkpoint `cur`): its only two
+        # consumers (census 0, peel filter 0) share the groupBy exchange
+        # via ReuseExchange over the CACHED pair table, and skipping the
+        # barrier keeps that InMemoryTableScan visible to the shared-cache
+        # plan pin. Later rounds chain, so their degree tables stay pinned.
+        deg = (adj if r == 0 else cur).groupBy("u").agg(
+            F.count(F.lit(1)).alias("deg")
         )
+        if r > 0:
+            deg = deg.localCheckpoint(eager=False)
         c = census(deg, r)
         out = c if out is None else out.unionAll(c)
         if r == _KCORE_ROUNDS:
