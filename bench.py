@@ -307,18 +307,28 @@ HEADLINE = [
     "q345_delta_checkpoint_compose",
 ]
 
-# Queries that deliberately reuse the band table q82 materializes, and (for
-# q112) the cluster-label table q79 builds from it (the production pattern:
-# one signature pass and one clustering pass, many consumers). Everything
-# else is computed from scratch on every run.
+# Queries that deliberately reuse the shared dedup-pipeline state (the
+# production pattern: one signature pass, one candidate-generation pass,
+# one clustering pass — many consumers): the band/signature tables q82
+# materializes, the candidate-pair tables q67 materializes (fingerprint-
+# level band self-join + doc-level expansion, _FPP_CACHE/_PAIRS_CACHE), and
+# the cluster-label table q79 builds from them. Each of those three stages
+# is timed COLD via a per-attempt cache reset (see COLD_RESET below), so
+# every cost in the pipeline has exactly one query that pays it cold;
+# everything listed here reads the warm tables. Everything NOT listed is
+# computed from scratch on every run.
+# r14 (r13 verdict task #1): list extended with ALL pair/label consumers —
+# it had been stale since the _lsh_pairs/_cluster_labels caches grew.
 SHARES_BAND_CACHE = [
     "q67_lsh_candidates",
     "q68_jaccard_verify",
     "q79_dup_clusters",
     "q112_quality_canonical",
+    "q130_triangle_census",
     "q133_fuzzy_decontamination",
     "q136_minhash_jaccard_error",
     "q152_dedup_aware_shards",
+    "q168_lsh_recall_audit",
     "q171_decontamination_ladder",
     "q172_dedup_survivorship",
     "q173_incremental_lsh_update",
@@ -333,7 +343,15 @@ SHARES_BAND_CACHE = [
     "q203_dedup_weighted_mass",
     "q211_lsh_band_planner",
     "q214_cluster_transitivity_audit",
+    "q222_prefix_filter_join",
     "q227_kcore_decomposition",
+    "q287_clustering_coefficients",
+    "q291_groupkfold_assignment",
+    "q293_golden_record_merge",
+    "q296_dedup_selection_bias",
+    "q308_bfs_hop_census",
+    "q309_degree_assortativity",
+    "q320_pair_alignment_forensics",
 ]
 
 
@@ -404,8 +422,19 @@ CALIBRATION_REF_SOURCE = (
 #      timed cold via cache clears; min-of-2 (escalating to 3 on outliers).
 # BENCH jsons from different harness versions are NOT comparable; compare
 # only within a version (r2 is the v2 baseline).
+#   v2, r14 amendment (r13 verdict task #1): q67 joins the cold-reset set —
+#      its pre-attempt hook drains the candidate-pair caches
+#      (_FPP_CACHE/_PAIRS_CACHE) so candidate generation has a declared
+#      cold-timed surface. Through r13 the band self-join escaped every
+#      reported minimum (q67 reported a warm ~0.08 s read; the r13
+#      _FPP_CACHE change had silently moved the cost out of cold q79 too).
+#      q67's r13 warm-read numbers (0.08 s) are NOT comparable to its r14+
+#      cold numbers (~0.9-1.1 s) — see OPTIMIZATION_r14.md.
 HARNESS_VERSION = 2
-HARNESS_METHOD = "noop-write; cold q82/q79 min-of-3; warm min-of-2(+1 if >3s)"
+HARNESS_METHOD = (
+    "noop-write; cold q82/q67/q79 min-of-3 (q82=signatures, q67=candidate "
+    "pairs, q79=clustering); warm min-of-2(+1 if >3s or >1.5x disagree)"
+)
 
 
 def _ncpus() -> int:
@@ -437,17 +466,26 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
     spark.range(0, par * 10, 1, par).mapInPandas(lambda it: it, "id long").count()
 
-    from hive_backend_spark.queries.dedup import clear_bands_cache, clear_labels_cache
+    from hive_backend_spark.queries.dedup import (
+        clear_bands_cache,
+        clear_candidates_cache,
+        clear_labels_cache,
+    )
 
-    # The two pipeline stages with declared cross-query sharing are timed
+    # The three pipeline stages with declared cross-query sharing are timed
     # COLD by clearing their cache before EVERY attempt (min-of-N would
     # otherwise report a warm cache read for all but the first attempt —
     # the under-measurement class the round-1 advisory flagged):
     #   q82 pays the full tokenize->shingle->minhash->band signature pass;
-    #   q79 pays the full connected-components clustering pass (bands stay,
-    #       as declared in SHARES_BAND_CACHE).
+    #   q67 pays the full candidate-generation pass (band self-join +
+    #       escalation probe + doc-level expansion; bands stay) — added
+    #       r14 per the r13 verdict: the r13 _FPP_CACHE persist had left
+    #       candidate generation outside every reported minimum;
+    #   q79 pays the full connected-components clustering pass (bands and
+    #       candidate pairs stay, as declared in SHARES_BAND_CACHE).
     COLD_RESET = {
         "q82_minhash_bands": clear_bands_cache,
+        "q67_lsh_candidates": clear_candidates_cache,
         "q79_dup_clusters": clear_labels_cache,
     }
 
@@ -497,6 +535,28 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # End-of-run canary (r13 verdict task #5 + r13 advice): the box's
+    # co-tenant spikes have a ~30-minute period, so front-loaded canaries
+    # can miss a spike that lands on the back half of a ~16-minute run.
+    # Re-time ONE frozen factor canary (q331: decode-bound, cache-free,
+    # machine-proportional) AFTER the main loop, untimed-region only — the
+    # per-query timings above are untouched.
+    end_canary = None
+    if sf == "0.1":
+        _ec = "q331_progressive_jpeg_stats"
+        _ec_samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[_ec].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            _ec_samples.append(time.perf_counter() - t0)
+        end_canary = {
+            "query": _ec,
+            "now": round(min(_ec_samples), 4),
+            "ref": CALIBRATION_REF[_ec],
+            "ratio": round(min(_ec_samples) / CALIBRATION_REF[_ec], 4),
+        }
     # Calibration factor: median now/reference ratio of the three frozen
     # canaries. Only meaningful at the reference's scale factor — at any
     # other SF the field is null and normalized times are omitted.
@@ -509,12 +569,22 @@ def main() -> None:
         # is what bounds trust in a normalized single-query comparison.
         ratios = sorted(timings[q] / CALIBRATION_REF[q] for q in FACTOR_CANARIES)
         factor = round(ratios[len(ratios) // 2], 4)
+        # trusted = every factor canary within the documented 1.5x band of
+        # each other AND the end-of-run canary within 1.5x of its ref (r13
+        # advice: normalized numbers must not be quoted from a run that a
+        # mid- or late-run spike visibly skewed; BENCH_full_r13.json's own
+        # q331 ratio of 2.94 is the motivating example).
+        trusted = ratios[-1] / ratios[0] <= 1.5 and (
+            end_canary is None or end_canary["ratio"] <= 1.5
+        )
         calibration = {
             "factor": factor,
             "factor_canaries": list(FACTOR_CANARIES),
             "ratio_min": round(ratios[0], 4),
             "ratio_max": round(ratios[-1], 4),
             "ratio_spread": round(ratios[-1] / ratios[0], 4),
+            "trusted": trusted,
+            "end_canary": end_canary,
             "per_query": {
                 q: {
                     "now": timings[q],

@@ -773,7 +773,8 @@ def connected_components(
             .union(sm.select("a", "m"))
             .localCheckpoint(eager=False)
         )
-        # Detection runs on EVEN rounds only (it=1,3,...): duplicate-cluster
+        # Detection runs every SECOND round (odd `it` = 1-indexed rounds
+        # 2, 4, ...) plus the last allowed round: duplicate-cluster
         # graphs are near-cliques that converge in exactly 2 star rounds, so
         # round 1's detection aggregate (Expand over 2x the edge set + a
         # collect) almost never fires — skipping it saves those stages every

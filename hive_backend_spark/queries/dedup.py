@@ -185,9 +185,11 @@ def _drain(cache: dict) -> None:
 
 def clear_labels_cache() -> None:
     """Unpersist and drop the cached cluster-label tables only (signature
-    tables stay). The bench clears this before every timed q79 attempt so
-    the clustering pass is measured cold even under min-of-N timing, while
-    the declared signature-table sharing is preserved."""
+    AND candidate-pair tables stay warm — candidate generation has its own
+    cold-timed surface, q67, whose pre-attempt hook is
+    clear_candidates_cache). The bench clears this before every timed q79
+    attempt so the clustering pass alone is measured cold even under
+    min-of-N timing."""
     _drain(_LABELS_CACHE)
 
 
@@ -202,6 +204,19 @@ def clear_bands_cache() -> None:
     _drain(_FPP_CACHE)
 
 
+def clear_candidates_cache() -> None:
+    """Unpersist and drop the candidate-pair tables only — the
+    fingerprint-level band self-join result (_FPP_CACHE) and its doc-level
+    expansion (_PAIRS_CACHE); signature and label tables stay. The bench
+    clears this before every timed q67 attempt so CANDIDATE GENERATION has
+    a declared cold-timed surface (r13 verdict task #1): q82 cold covers
+    the signature pass, q67 cold the band self-join + membership expansion,
+    q79 cold the clustering pass. Every other pair/label consumer reads the
+    warm tables, as declared in bench.SHARES_BAND_CACHE."""
+    _drain(_PAIRS_CACHE)
+    _drain(_FPP_CACHE)
+
+
 # Fingerprint-level candidate pairs are the candidate-generation surface at
 # distinct-text grain: _lsh_pairs expands them to documents, _cluster_labels
 # contracts them to components, q227 peels them. Before round 13 each of
@@ -209,9 +224,11 @@ def clear_bands_cache() -> None:
 # escalation probe — a driver action per call) from the cached band table;
 # one persisted table per (session, corpus) is the same
 # persist-the-candidate-table discipline as _PAIRS_CACHE one level down.
-# Evicted by clear_bands_cache (it is band-derived state), NOT by
-# clear_labels_cache — the bench's cold-q79 contract covers the clustering
-# pass, and candidate generation is the (separately timed) q67 surface.
+# Evicted by clear_bands_cache (it is band-derived state) and by
+# clear_candidates_cache (the bench's per-attempt cold reset for q67, the
+# declared candidate-generation surface — r13 verdict task #1), NOT by
+# clear_labels_cache — the cold-q79 contract covers the clustering pass
+# only and reads this table warm.
 _FPP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 

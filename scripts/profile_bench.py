@@ -6,8 +6,9 @@ same noop-sink timing as bench.py but additionally records:
   - number of Spark jobs the query schedules (statusTracker job-group delta)
   - plan shape: counts of Exchange / BroadcastExchange / *EvalPython /
     WholeStageCodegen spans in explain("formatted")
-  - the full explain("formatted") text, written to plans/r13/<q>_<tag>.txt
-    when --plans <tag> is passed
+  - the full explain("formatted") text, written to
+    plans/$SPARK_GRAFT_PLANS_ROUND/<q>_<tag>.txt (default plans/r14) when
+    --plans <tag> is passed
 
 Usage:
   python scripts/profile_bench.py [--plans before] [--attempts 2] [q01_... ...]
@@ -69,16 +70,25 @@ def main() -> None:
     par = sc.defaultParallelism
     spark.range(0, par * 10, 1, par).mapInPandas(lambda it: it, "id long").count()
 
-    from hive_backend_spark.queries.dedup import clear_bands_cache, clear_labels_cache
+    from hive_backend_spark.queries.dedup import (
+        clear_bands_cache,
+        clear_candidates_cache,
+        clear_labels_cache,
+    )
 
     COLD_RESET = {
         "q82_minhash_bands": clear_bands_cache,
+        "q67_lsh_candidates": clear_candidates_cache,
         "q79_dup_clusters": clear_labels_cache,
     }
 
     plans_dir = None
     if plans_tag:
-        plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+        plans_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "plans",
+            os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
+        )
         os.makedirs(plans_dir, exist_ok=True)
 
     rows = []

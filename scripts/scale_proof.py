@@ -111,10 +111,15 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
     spark.range(0, par * 10, 1, par).mapInPandas(lambda it: it, "id long").count()
 
-    from hive_backend_spark.queries.dedup import clear_bands_cache, clear_labels_cache
+    from hive_backend_spark.queries.dedup import (
+        clear_bands_cache,
+        clear_candidates_cache,
+        clear_labels_cache,
+    )
 
     COLD_RESET = {
         "q82_minhash_bands": clear_bands_cache,
+        "q67_lsh_candidates": clear_candidates_cache,
         "q79_dup_clusters": clear_labels_cache,
     }
 

@@ -7,6 +7,15 @@ from __future__ import annotations
 
 import pytest
 
+import os
+
+_FULL_SUITE = os.environ.get("SPARK_GRAFT_FULL_PARITY", "") == "1"
+_HEAVY_SWEEP = pytest.mark.skipif(
+    not _FULL_SUITE,
+    reason="whole-registry/integration sweep — runs with SPARK_GRAFT_FULL_PARITY=1 "
+    "(cross-round guard, not a per-commit gate; see OPTIMIZATION_r14.md task #4)",
+)
+
 from hive_backend_spark import plans as P
 from hive_backend_spark.registry import all_queries
 
@@ -352,6 +361,7 @@ def test_snapshot_diff_shares_key_partitioning(spark, sf_dir):
     assert plan.count("Exchange") == 2, plan
 
 
+@_HEAVY_SWEEP
 def test_registry_wide_plan_hygiene(spark, sf_dir):
     """Every registered query's physical plan is free of the two
     scale-killers: CartesianProduct/BroadcastNestedLoopJoin (all-pairs row
@@ -497,6 +507,7 @@ def test_oracle_global_windows_are_intentional():
     assert not stale, f"stale ORACLE_ONLY_GLOBAL_WINDOWS entries: {sorted(stale)}"
 
 
+@_HEAVY_SWEEP
 def test_unpartitioned_windows_are_bounded(spark, sf_dir):
     """The unpartitioned-window invariant (plans.UNPARTITIONED_WINDOW_
     ALLOWLIST): a window with no partition columns funnels its whole input
@@ -1117,7 +1128,12 @@ def test_calibration_canaries_frozen():
     # refs are overhead-dominated — the r12 dispersion nit). Threshold
     # relaxed 3.0 -> 2.0 at the r13 re-base: the optimization round
     # halved q79 (4.3 -> 2.3 s) and the factor canaries are still the
-    # heaviest frozen queries in the suite.
+    # heaviest frozen queries in the suite. NOTE (r13 advice): q79's ref
+    # is 2.30 — only 0.3 s of headroom. If a future legitimate speedup of
+    # a frozen canary (or a faster reference box at the next re-base)
+    # trips this, SWAP IN a heavier frozen query (q222/q171-class) rather
+    # than relaxing the bound again — the bound exists so the factor is
+    # never estimated from overhead-dominated timings.
     assert all(bench.CALIBRATION_REF[q] > 2.0 for q in bench.FACTOR_CANARIES)
     for name, want in PINNED.items():
         s = specs[name]

@@ -10,6 +10,15 @@ import shutil
 
 import pytest
 
+import os
+
+_FULL_SUITE = os.environ.get("SPARK_GRAFT_FULL_PARITY", "") == "1"
+_HEAVY_SWEEP = pytest.mark.skipif(
+    not _FULL_SUITE,
+    reason="whole-registry/integration sweep — runs with SPARK_GRAFT_FULL_PARITY=1 "
+    "(cross-round guard, not a per-commit gate; see OPTIMIZATION_r14.md task #4)",
+)
+
 from pyspark.sql import functions as F
 
 from hive_backend_spark import streaming as S
@@ -536,6 +545,7 @@ def test_drift_monitor_replay_is_idempotent(spark, stream_src, tmp_path):
 
 
 @pytest.mark.slow
+@_HEAVY_SWEEP
 def test_streaming_integration_sf01_midstream_restart(spark, tmp_path):
     """sf0.1 integration (the round-4 advisory's modest-scale gate): 20
     time-ordered micro batches through BOTH production streaming operators
@@ -872,6 +882,7 @@ def test_carryover_replay_after_crash_is_idempotent(spark, stream_src, tmp_path)
     assert after.groupBy("id").count().filter("count > 1").count() == 0
 
 
+@_HEAVY_SWEEP
 def test_carryover_untouched_band_not_rewritten(spark, tmp_path):
     """Per-trigger state write cost must be O(touched backlog): a priority
     band with no arrivals and no served rows in a trigger keeps its OLD
