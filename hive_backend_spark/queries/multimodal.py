@@ -1584,10 +1584,20 @@ def q338_rowgroup_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stat_max_int").alias("smax"),
         F.col("total_compressed_size").alias("sz"),
     )
-    bounds = per.groupBy("table_name").agg(
-        F.min("smin").alias("key_min"), F.max("smax").alias("key_max")
+    # Per-table key bounds as WINDOW aggregates over the census stream, not
+    # a groupBy + join-back: the join-back diamond re-executed the whole
+    # ranged-footer-walk MapInPandas subtree for BOTH branches (the walk
+    # sits above any exchange, so ReuseExchange can't share it — every
+    # footer was read twice). One window over hashpartitioning(table_name)
+    # walks the footers once; the downstream groupBy's clustering keys are
+    # a superset of the window's partitioning, so no second exchange
+    # (r14; interleaved in-session A/B 4/5 rounds better, min 0.49x).
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("table_name")
+    joined = per.withColumn("key_min", F.min("smin").over(wt)).withColumn(
+        "key_max", F.max("smax").over(wt)
     )
-    joined = per.join(F.broadcast(bounds), "table_name")
     mid = F.expr("(key_min + key_max) DIV 2")
     return (
         joined.groupBy("table_name", "key_min", "key_max")
