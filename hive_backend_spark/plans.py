@@ -438,9 +438,8 @@ COLLECT_LIST_ALLOWLIST: dict[tuple[str, str], str] = {
 }
 
 BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
-    ("queries/multimodal.py", 'joined = per.join(F.broadcast(bounds), "table_name")'):
-        "q338 per-table key-domain bounds: one row per audited fact table "
-        "(3), metadata not data",
+    # (r14: the q338 bounds broadcast is gone — bounds became window
+    # aggregates over the same footer-walk stream, one walk instead of two)
     ("operators/dedup.py", 'F.broadcast(over.select("band_idx", "band_sig")),'):
         "over-cap bucket census: rows = flood buckets only (zero on every "
         "non-flooded corpus, a handful under attack) — the r10 shared-census "

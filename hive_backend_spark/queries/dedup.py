@@ -2210,10 +2210,12 @@ def q214_cluster_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFra
 # of size s is s - ceil(tau*s) + 1 under the global rarest-first order: any
 # pair with J >= tau has overlap o >= tau*max(|A|,|B|), so a true pair's
 # common shingles cannot all hide in either suffix — each side's prefix
-# holds at least one element of the OTHER side's full set. Candidates come
-# from joining prefix shingles against full posting lists; because prefixes
-# hold the RAREST shingles (df mostly 1 — shingles are near-unique outside
-# real near-dups), the join is tiny (AllPairs, Bayardo et al. 2007).
+# holds at least one element of the OTHER side's full set — and in fact a
+# qualifying pair's PREFIXES must intersect each other (the PPJoin lemma,
+# see the q222 docstring), so candidates come from joining prefix shingles
+# against prefix shingles; prefixes hold the RAREST shingles, so the join
+# stays small even where shingle df is high (AllPairs, Bayardo et al.
+# 2007; PPJoin, Xiao et al. 2008).
 # SHINGLE sets, not token sets: on a small shared vocabulary token-set
 # Jaccard degenerates (nearly every pair clears 0.5 and the true output is
 # a corpus-sized clique); 3-gram shingles keep the output the actual
@@ -2309,8 +2311,9 @@ def q222_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-recall ground truth for the banded pipeline at the exact
     q68 similarity (same shingle sets, same tau). Each distinct text
     emits only its first s - ceil(tau*s) + 1 shingles (global
-    rarest-first order) as probes; candidates are probe x full-posting
-    joins. A qualifying pair's overlap is >= tau*max(|A|,|B|), so its
+    rarest-first order) as probes; candidates are probe x probe joins
+    (prefix vs prefix — the PPJoin lemma proved under "Scale posture").
+    A qualifying pair's overlap is >= tau*max(|A|,|B|), so its
     common shingles cannot all sit in a suffix — completeness is
     guaranteed, verified by the oracle's naive any-shared-shingle form
     and a hypothesis property vs a quadratic all-pairs scan. Exact
@@ -2323,23 +2326,40 @@ def q222_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     member counts and the implied doc-pair mass instead; within-
     fingerprint (identical) mass is q64's exact-dup surface.
 
-    Scale posture: the join key is always a PREFIX shingle — rarest
-    first, df mostly 1 outside genuine near-dup families — so hot posting
-    lists never join; candidate volume is bounded by rare-shingle df x
-    posting length, and AQE splits whatever skew remains. The global
-    order is a df aggregation joined back; ranks partition by
-    fingerprint. Two round-10 scale fixes from the measured sf0.1->sf1
-    exponent (1.40 before, ~0.5 after; 85 s -> 10 s at sf1): (a) shingles
-    are xxhash64-collapsed to int64 BEFORE all set machinery — the
-    posting explode, the rank window sort, the candidate join and the
-    verify arrays all move 8-byte longs instead of ~25-byte strings (the
-    64-bit space makes a Jaccard-changing collision vanishingly unlikely
-    at any realistic corpus, the standard shingle-sketch contract); (b)
-    the candidate->arrays verify joins carry a SHUFFLE_HASH hint — once
-    the fingerprint table outgrows the broadcast threshold Catalyst
-    falls back to SortMergeJoin and SORTS millions of candidate rows
-    with kilobyte array payloads attached; hashed relocation needs no
-    order and was the whole super-linear term."""
+    Scale posture: candidates come from a PREFIX x PREFIX join — the
+    PPJoin refinement of AllPairs (Xiao et al. 2008): if J(A,B) >= tau
+    then the tau-prefixes of A and B under ONE global order must share a
+    token (proof: with per-pair overlap bound o = ceil(tau*max(|A|,|B|))
+    and prefix ends a_end <= b_end, any common token in A's prefix is a
+    B-element <= b_end and hence inside B's prefix; if NO common token
+    sits in A's prefix, all o common tokens hide in A's suffix of size
+    o - 1 — contradiction). Probing prefixes against prefixes instead of
+    full posting lists cuts candidate volume quadratically on hot
+    shingles (measured 510k -> 310k pairs at sf0.1 together with the size
+    filter below; the verify stage was >half the query). A SIZE filter
+    drops candidates with min(|A|,|B|) < tau*max(|A|,|B|) before any
+    array moves (J >= tau forces size ratio >= tau). Remaining mechanics:
+    the global rarest-first order attaches token df via a count() window
+    OVER THE TOKEN PARTITIONING — same exchange the ranking needs anyway,
+    where the old groupBy + join-back shuffled the postings twice more
+    (and its shuffle_hash'd df table is gone entirely: nothing is
+    broadcast, so the vocabulary-outgrows-the-driver cliff measured at
+    sf6.4 cannot return). The tiny ranked-prefix table (half the
+    postings, 3 narrow columns) is pinned with a lazy localCheckpoint:
+    the self-join would otherwise execute the explode + both windows
+    once PER SIDE. Two round-10 scale fixes kept from the measured
+    sf0.1->sf1 exponent (1.40 before, ~0.5 after; 85 s -> 10 s at sf1):
+    (a) shingles are xxhash64-collapsed to int64 BEFORE all set
+    machinery — the posting explode, the rank window sort, the candidate
+    join and the verify arrays all move 8-byte longs instead of ~25-byte
+    strings (the 64-bit space makes a Jaccard-changing collision
+    vanishingly unlikely at any realistic corpus, the standard
+    shingle-sketch contract); (b) the candidate->arrays verify joins
+    carry a SHUFFLE_HASH hint — once the fingerprint table outgrows the
+    broadcast threshold Catalyst falls back to SortMergeJoin and SORTS
+    millions of candidate rows with kilobyte array payloads attached;
+    hashed relocation needs no order and was the whole super-linear
+    term."""
     from pyspark.sql.window import Window
 
     reps = _fp_shingle_sets(spark, sf_dir).withColumn(
@@ -2348,24 +2368,27 @@ def q222_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = reps.select(
         "fp", F.size("tok_h").alias("s"), F.explode("tok_h").alias("token")
     )
-    df_ = post.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
+    wt = Window.partitionBy("token")
     wd = Window.partitionBy("fp").orderBy("tdf", "token")
-    # shuffle_hash, NOT broadcast: the token-DF table grows with the
-    # corpus VOCABULARY (1.7M tokens at sf6.4, TBs at 100 TB) — its size
-    # estimate sits under the 64 MB broadcast threshold while its
-    # HashedRelation does not fit the driver (measured: 'Not enough
-    # memory to build and broadcast' killed the sf6.4 point; the 6.4x
-    # same-session lever exists to catch exactly this cliff). Hashed
-    # relocation by token is bounded per partition at any corpus size.
-    ranked = post.join(df_.hint("shuffle_hash"), "token").withColumn(
+    ranked = post.withColumn("tdf", F.count(F.lit(1)).over(wt)).withColumn(
         "rk", F.row_number().over(wd)
     )
     prefix_len = F.col("s") - F.ceil(F.lit(_PFX_TAU) * F.col("s")) + 1
-    probes = ranked.filter(F.col("rk") <= prefix_len).select("token", "fp")
-    full = post.select("token", F.col("fp").alias("fp_o"))
+    probes = (
+        ranked.filter(F.col("rk") <= prefix_len)
+        .select("token", "fp", "s")
+        .localCheckpoint(eager=False)
+    )
+    other = probes.select(
+        "token", F.col("fp").alias("fp_o"), F.col("s").alias("s_o")
+    )
     cand = (
-        probes.join(full, "token")
+        probes.join(other, "token")
         .filter(F.col("fp") != F.col("fp_o"))
+        .filter(
+            F.least("s", "s_o").cast("double")
+            >= F.lit(_PFX_TAU) * F.greatest("s", "s_o")
+        )
         .select(
             F.least("fp", "fp_o").alias("fp_a"),
             F.greatest("fp", "fp_o").alias("fp_b"),

@@ -1001,7 +1001,18 @@ TOP20_PLAN_SIGNATURES = [
     # HashedRelation outgrew the driver at the sf6.4 scale point: the
     # vocabulary table grows with the corpus, so broadcasting it is the
     # plan that dies at 100 TB)
-    ("q222_prefix_filter_join", 11, 8),
+    # re-recorded r14: 11/8 -> 10/10 — candidates are now prefix x prefix
+    # (PPJoin lemma) with the token df attached by a window over the token
+    # partitioning (the groupBy + shuffle_hash join-back and its two
+    # posting shuffles are gone), and the ranked-prefix table rides a lazy
+    # localCheckpoint so the self-join executes the explode+windows once
+    # (measured 4.75 -> 1.63 s min interleaved at sf0.1, rows identical).
+    # The checkpoint HIDES the probes-build exchanges (token window, fp
+    # window) from this plan text — the visible 10 exchanges are the
+    # candidate/verify/present stages only; the aggregate count rises
+    # because the pin truncation stops subtree reuse in EXPLAIN (the q220
+    # r13 accounting note).
+    ("q222_prefix_filter_join", 10, 10),
     # re-recorded r13 optimization round: 15/18 -> 16/20 — a plan-TEXT
     # accounting artifact of caching the fp-level pair table (_FPP_CACHE):
     # the unexecuted InMemoryRelation's build plan is now counted inside
@@ -1020,7 +1031,16 @@ TOP20_PLAN_SIGNATURES = [
     # Counts depend on whether the shared fingerprint caches are warm
     # (cold inlines the full _lsh_pairs subtree): 22/18 is the cold worst
     # case, 20/16 warm.
-    ("q171_decontamination_ladder", 22, 18),
+    # re-recorded r14: 22/18 -> 24/22 — a plan-TEXT artifact of the q222
+    # rewrite three slots up: q222's lazy localCheckpoint compiles the
+    # shared fingerprint caches' physical plans at BUILD time, and later
+    # explains of cache consumers then embed the compiled InMemoryRelation
+    # build plan (+2 Exchange/+4 Aggregate of TEXT; the q309 r13 artifact
+    # class). Verified by isolation: q171 alone after a cache clear is
+    # still 20/16, and building the OLD q222 first leaves it at 22/18.
+    # No executed exchange changes — and the bench runs q171 BEFORE q222,
+    # so even build-order effects cannot reach its timed runs.
+    ("q171_decontamination_ladder", 24, 22),
     ("q130_triangle_census", 16, 20),
     ("q123_pagerank_centrality", 13, 6),
     # re-recorded r13: 18 -> 11 exchanges — the signature table is pinned
@@ -1056,7 +1076,10 @@ TOP20_PLAN_SIGNATURES = [
     # re-evaluated the whole corpus tokenize pass per join side (measured
     # 2.18 -> 0.89 s warm at sf0.1). 13/16 is the cold-cache worst case
     # (see the q171 note), 13/12 warm.
-    ("q179_containment_pairs", 13, 16),
+    # re-recorded r14: 13/16 -> 15/20 — same q222-checkpoint plan-text
+    # artifact as the q171 entry above (verified by the same isolation);
+    # no executed exchange changes.
+    ("q179_containment_pairs", 15, 20),
 ]
 
 
