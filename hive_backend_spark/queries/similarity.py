@@ -2026,7 +2026,13 @@ def q206_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: one cell-blocked matmul pass (q71's shape) emitting
     pairs above min(thresholds); the 4-row threshold dimension expands
     only the retained pairs; dedup of touched docs is keyed by
-    (threshold, vec_id)."""
+    (threshold, vec_id). The pair table rides a lazy localCheckpoint
+    (r14): the matmul pass sits ABOVE its exchange, so the stats branch
+    and the touched census would otherwise each re-execute it —
+    unionAll(va, vb) made that THREE executions; the census now explodes
+    the endpoint array instead (one branch) and both consumers read one
+    materialized pair table (interleaved A/B 1.34 -> 0.68 s min at sf0.1,
+    5/5 rounds, rows identical)."""
     import numpy as np
     import pandas as pd
 
@@ -2051,7 +2057,7 @@ def q206_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = assigned.groupBy("subcell").applyInPandas(
         block_pairs, schema="va bigint, vb bigint, cs double"
-    )
+    ).localCheckpoint(eager=False)
     thr = F.explode(
         F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS])
     ).alias("threshold")
@@ -2061,8 +2067,7 @@ def q206_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cs"), 6).alias("mean_cosine"),
     )
     touched = (
-        hit.select("threshold", F.col("va").alias("x"))
-        .unionAll(hit.select("threshold", F.col("vb").alias("x")))
+        hit.select("threshold", F.explode(F.array("va", "vb")).alias("x"))
         .groupBy("threshold")
         .agg(F.countDistinct("x").cast("bigint").alias("n_docs_touched"))
     )
