@@ -3289,13 +3289,21 @@ def q287_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered orientation bounding fan-out by degeneracy, AQE for
     residual skew; the per-node credit is one explode of the (bounded)
     triangle list plus a hash aggregate. Exact integers everywhere; the
-    single float is the final ratio, rounded at the edge."""
+    single float is the final ratio, rounded at the edge. r14: corner
+    credit explodes a 3-endpoint array instead of unionAll'ing three
+    selections of the triangle join — the join sits above its exchanges,
+    so each union branch RE-EXECUTED the whole triangle enumeration (the
+    q206 endpoint-census fix; 3x -> 1x executions of the dominant join);
+    the node-grain degree table rides a lazy localCheckpoint serving its
+    three consumers (da/db orientation sides + the final filter) once
+    (interleaved A/B 0.84 -> 0.65 s med at sf0.1, 5/5, rows identical)."""
     raw = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     deg = (
         raw.select(F.col("doc_a").alias("node"))
         .unionAll(raw.select(F.col("doc_b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("node").alias("doc_a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("doc_b"), F.col("d").alias("db"))
@@ -3317,9 +3325,11 @@ def q287_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
     )
     corners = (
-        tris.select(F.col("e1.src").alias("node"))
-        .unionAll(tris.select(F.col("e1.dst").alias("node")))
-        .unionAll(tris.select(F.col("e2.dst").alias("node")))
+        tris.select(
+            F.explode(
+                F.array(F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst"))
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     )

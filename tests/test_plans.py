@@ -1049,7 +1049,13 @@ TOP20_PLAN_SIGNATURES = [
     # the visible aggregate count rises only because the pin truncates
     # subtree reuse in the EXPLAIN (measured 4.12 -> 2.30 s at sf0.1)
     ("q220_multiprobe_lsh", 11, 12),
-    ("q287_clustering_coefficients", 11, 16),
+    # re-recorded (tightened) r14: 11/16 -> 7/2 — corner credit explodes a
+    # 3-endpoint array instead of unionAll'ing three selections of the
+    # triangle join (which re-executed the enumeration per branch), and
+    # the node-grain degree table is pinned for its three consumers
+    # (measured 0.84 -> 0.65 s med interleaved at sf0.1; part of the drop
+    # is checkpoint truncation hiding the cached-pair build plan)
+    ("q287_clustering_coefficients", 7, 2),
     ("q295_audio_decimate_stats", 2, 0),
     ("q184_bloom_decontamination", 2, 2),
     # re-recorded (tightened) r13: 29 -> 14 exchanges — the sweep table is
